@@ -1,13 +1,244 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Corpus
+import graft.engine.Pipeline
+import graft.html.Boilerplate
+import graft.ops.{Dedup, Multimodal, SimSearch, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query families:
+  *  - `x*`: the extraction engine itself (detect→parse→spans over the
+  *    deterministic synthetic corpus; FIXTURES.md). Not SQL-expressible →
+  *    no oracle entries; correctness is enforced by golden span-sequence
+  *    scalatests.
+  *  - `q*`: relational / tika-eval / training-data-pipeline operators
+  *    over the driver's parquet tables, each with a DuckDB oracle.
+  */
 object SparkEntry {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Extraction-corpus size scaled to the sf directory. */
+  def corpusSize(dir: String): Long =
+    if (dir.contains("sf0.1")) 20000L
+    else if (dir.contains("sf0.01")) 4000L
+    else 1000L
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val ds = Corpus.docRows(spark, 300, 8)
+    Pipeline.extract(ds).toDF()
+      .select("doc_id", "mime", "status", "n_spans", "n_chars")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction engine (rows-only checks; golden tests in scalatest)
+    "x01_extract_all" -> ((s, dir) => {
+      Pipeline.extract(Corpus.docRows(s, corpusSize(dir))).toDF()
+        .select("doc_id", "mime", "status", "n_spans", "n_chars")
+    }),
+    "x02_spans_flat" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.extract(Corpus.docRows(s, 500)).toDF()
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+        .select(col("doc_id"), col("span.kind"), col("span.text"),
+          col("span.media_ref"), col("span.offset"))
+    }),
+    "x03_detect_mime_stats" -> ((s, dir) => {
+      Pipeline.extract(Corpus.docRows(s, corpusSize(dir))).toDF()
+        .groupBy("mime", "status").agg(count(lit(1)).as("n"))
+    }),
+    "x04_html_main_content" -> ((s, dir) => {
+      import s.implicits._
+      s.range(0, 500, 1, 8)
+        .mapPartitions(_.filter(i => Corpus.kindOf(i) == "html").map { i =>
+          val html = Corpus.htmlDoc(Corpus.rng(i), i)
+          (Corpus.docId(i), Boilerplate.mainContentText(html))
+        }).toDF("doc_id", "main_content")
+    }),
+    "x05_embedded_tree" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.extract(Corpus.docRows(s, 1000)).toDF()
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+        .filter(col("span.kind").isin("embedded-open", "media"))
+        .select(col("doc_id"), col("span.kind"), col("span.media_ref"))
+    }),
+
+    // ---- relational over driver tables (DuckDB oracles)
+    "q01_pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 4).as("avg_disc"))
+    }),
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+      val l = tbl(s, dir, "lineitem"); val n = tbl(s, dir, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+    "q03_events_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("event_id", "user_id", "rn")
+    }),
+
+    // ---- tika-eval / text analysis (DuckDB oracles)
+    "q10_doc_stats" -> ((s, dir) => TextOps.docStats(tbl(s, dir, "documents"))),
+    "q11_token_counts" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
+    "q12_langid" -> ((s, dir) => TextOps.langId(tbl(s, dir, "documents"))),
+    "q13_quality" -> ((s, dir) => TextOps.qualityScore(tbl(s, dir, "documents"))),
+    "q14_fingerprint" -> ((s, dir) => TextOps.fingerprint(tbl(s, dir, "documents"))),
+
+    // ---- dedup (exact + n-gram Jaccard oracled; hash-family ops rows-only)
+    "q15_dedup_exact" -> ((s, dir) => Dedup.exact(tbl(s, dir, "documents"))),
+    "q16_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(tbl(s, dir, "documents"), n = 3, threshold = 0.5)),
+    "q17_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(tbl(s, dir, "documents"), threshold = 0.5)),
+    "q18_simhash_neardups" -> ((s, dir) =>
+      Dedup.simhashNearDups(tbl(s, dir, "documents"), maxHamming = 6)),
+
+    // ---- similarity search over embeddings
+    "q19_ann_brute" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      SimSearch.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 5)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+    "q20_ann_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      SimSearch.lshTopK(e, e.filter(col("vec_id") < 20), dim = 64, k = 5)
+    }),
+
+    // ---- multimodal plumbing (stub decode; rows-only)
+    "q21_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val refs = Pipeline.extract(Corpus.docRows(s, 1000)).toDF()
+        .select(explode(col("spans")).as("span"))
+        .filter(col("span.kind") === "media")
+        .select(col("span.media_ref").as("media_ref")).distinct()
+      Multimodal.extractFeatures(refs)
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(avg(l_discount), 4) AS avg_disc
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q03_events_window" ->
+      """SELECT event_id, user_id, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events) t WHERE rn <= 3""",
+    "q10_doc_stats" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(list_filter(string_split(lower(text), ' '),
+           x -> x <> ''))) AS INTEGER) AS n_unique_tokens
+         FROM documents""",
+    "q11_token_counts" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(list_filter(string_split(lower(text), ' '),
+             x -> x <> '')) AS token FROM documents) t
+         GROUP BY token HAVING count(*) >= 5""",
+    "q12_langid" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         c AS (SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for','on','with','as','was','at','by'], x))) AS INTEGER) AS c_en,
+           CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','zu','mit','den','nicht','ein','eine','auf','für'], x))) AS INTEGER) AS c_de,
+           CAST(len(list_filter(toks, x -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','sur','avec'], x))) AS INTEGER) AS c_fr,
+           CAST(len(list_filter(toks, x -> list_contains(['el','la','los','las','de','y','es','un','una','en','que','por','con','para'], x))) AS INTEGER) AS c_es
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS lang_pred,
+           c_en, c_de, c_fr, c_es FROM c""",
+    "q13_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           round(CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for','on','with','as','was','at','by'], x))) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS stop_ratio,
+           round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 4) AS punct_ratio,
+           round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS mean_token_len
+           FROM t)
+         SELECT doc_id, n_chars, n_tokens, stop_ratio, punct_ratio, mean_token_len,
+           (n_tokens >= 5 AND stop_ratio >= 0.05 AND punct_ratio <= 0.2) AS quality_ok
+         FROM s""",
+    "q14_fingerprint" ->
+      """SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' '))
+           AS profile_sig,
+         md5(text) AS exact_sig
+         FROM documents""",
+    "q15_dedup_exact" ->
+      """SELECT md5(text) AS sig, count(*) AS n_dups, min(doc_id) AS keep_id
+         FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+    "q16_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+           FROM t WHERE len(toks) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""",
+    "q19_ann_brute" ->
+      """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
+         WHERE rank <= 5"""
+  )
 }

@@ -1,0 +1,367 @@
+package graft.corpus
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+import java.util.zip.{Deflater, GZIPOutputStream, ZipEntry, ZipOutputStream}
+import scala.util.Random
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core.{DocRow, Span}
+
+/** Deterministic synthetic corpus — FIXTURES.md §2.
+  *
+  * Every document is a pure function of (seed, index): both scaling runs,
+  * any resume, and the DuckDB-side oracle see identical bytes. Mirrors the
+  * reference's fixture families (tika test-documents for HTML / PDF /
+  * OOXML / ZIP / text; SURVEY.md §5) without copying any fixture bytes.
+  *
+  * Per-1000-row mix: 400 html, 150 docx, 100 pdf, 100 zip, 100 text,
+  * 50 xml, 50 media, 50 junk; plus oversized rows (skew) and
+  * high-compression rows (zip-bomb guard).
+  */
+object Corpus {
+
+  val Seed = 42L
+
+  private val Words: Array[String] = (
+    "the quick brown fox jumps over lazy dog analytics spark engine " +
+    "document extraction pipeline content metadata signal harvest " +
+    "partition shuffle broadcast skew lineage resume span sequence " +
+    "boilerplate navigation footer header article paragraph table row " +
+    "cell quality language token fingerprint corpus training data scale"
+  ).split(" ")
+
+  def rng(index: Long): Random = new Random(Seed * 1000003L + index * 7919L)
+
+  def sentence(r: Random, nWords: Int): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < nWords) {
+      if (i > 0) b.append(' ')
+      b.append(Words(r.nextInt(Words.length)))
+      i += 1
+    }
+    b.append('.')
+    b.setCharAt(0, b.charAt(0).toUpper)
+    b.toString
+  }
+
+  def paragraph(r: Random, nSentences: Int): String =
+    (1 to nSentences).map(_ => sentence(r, 4 + r.nextInt(12))).mkString(" ")
+
+  def docId(index: Long): String = f"doc-$index%012d"
+
+  /** Kind of document at `index` (mix per FIXTURES.md). The block index is
+    * permuted by a coprime multiplier so every window of indexes sees an
+    * interleaved mix (not 400 consecutive html rows).
+    */
+  def kindOf(index: Long): String = {
+    val m = ((index % 1000) * 379 % 1000).toInt
+    if (m < 400) "html"
+    else if (m < 550) "docx"
+    else if (m < 650) "pdf"
+    else if (m < 750) "zip"
+    else if (m < 850) "text"
+    else if (m < 900) "xml"
+    else if (m < 950) "media"
+    else "junk"
+  }
+
+  /** Oversized (×scale payload) rows to exercise skew salting. */
+  def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
+  /** High-compression-ratio rows to exercise the bomb guard path. */
+  def isBombShaped(index: Long): Boolean = kindOf(index) == "zip" && index % 331 == 0
+
+  def row(index: Long): DocRow = {
+    val r = rng(index)
+    val id = docId(index)
+    val spans: Seq[Span] = kindOf(index) match {
+      case "html" =>
+        val scale = if (isOversized(index)) 100 else 1
+        val html = htmlDoc(r, index, scale)
+        if (index % 10 == 3) // interleaved text + media doc
+          Seq(Span("html", html, null, 0),
+              Span(Span.KindMedia, "", s"blob://${sha8(id)}", 1),
+              Span("html", htmlFragment(r), null, 2))
+        else Seq(Span("html", html, null, 0))
+      case "docx" => Seq(Span("docx", b64(docxDoc(r)), null, 0))
+      case "pdf" => Seq(Span("pdf", b64(pdfDoc(r, index)), null, 0))
+      case "zip" =>
+        val bytes = if (isBombShaped(index)) bombZip(r) else zipDoc(r)
+        Seq(Span("zip", b64(bytes), null, 0))
+      case "text" => Seq(Span("text", b64(textDoc(r, index)), null, 0))
+      case "xml" => Seq(Span("xml", xmlDoc(r), null, 0))
+      case "media" => Seq(Span(Span.KindMedia, "", s"blob://${sha8(id)}", 0))
+      case _ => // junk
+        val junk = new Array[Byte](256 + r.nextInt(512))
+        r.nextBytes(junk)
+        // ensure it doesn't accidentally look like text
+        junk(0) = 0x01; junk(1) = 0x02
+        Seq(Span("junk", b64(junk), null, 0))
+    }
+    DocRow(id, spans)
+  }
+
+  def b64(bytes: Array[Byte]): String = Base64.getEncoder.encodeToString(bytes)
+
+  private def sha8(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    d.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  // ---- HTML ----------------------------------------------------------
+  def htmlDoc(r: Random, index: Long, scale: Int = 1): String = {
+    val title = sentence(r, 3).dropRight(1)
+    val author = Words(r.nextInt(Words.length)) + " " + Words(r.nextInt(Words.length))
+    val lat = (r.nextInt(18000) - 9000) / 100.0
+    val lon = (r.nextInt(36000) - 18000) / 100.0
+    val nav = (1 to 5).map(i => s"""<a href="/nav$i">${Words(r.nextInt(Words.length))}</a>""")
+      .mkString(" | ")
+    val paras = (1 to (3 + r.nextInt(4)) * scale)
+      .map(_ => s"<p>${paragraph(r, 2 + r.nextInt(3))}</p>").mkString("\n")
+    val listItems = (1 to 3).map(_ => s"<li>${sentence(r, 3 + r.nextInt(4))}</li>").mkString
+    val tableRows = (1 to 2).map(_ =>
+      s"<tr><td>${Words(r.nextInt(Words.length))}</td><td>${r.nextInt(1000)}</td></tr>").mkString
+    s"""<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>$title</title>
+<meta name="author" content="$author">
+<meta name="keywords" content="${Words(r.nextInt(Words.length))},${Words(r.nextInt(Words.length))}">
+<meta name="ICBM" content="$lat, $lon">
+<base href="http://example.com/a/b/">
+<style>body { margin: 0; } .nav { color: red; }</style>
+<script>var tracker = "${Words(r.nextInt(Words.length))}"; function f() { return 1; }</script>
+</head>
+<body>
+<div class="nav">$nav</div>
+<h1>$title</h1>
+$paras
+<ul>$listItems</ul>
+<table>$tableRows</table>
+<p>See <a href="../details.html">details</a> and <img src="images/fig1.png" alt="">.</p>
+<div class="footer">Copyright &copy; 2026 | <a href="/terms">Terms</a> | <a href="/privacy">Privacy</a></div>
+</body>
+</html>"""
+  }
+
+  def htmlFragment(r: Random): String =
+    s"<html><body><p>${paragraph(r, 2)}</p></body></html>"
+
+  // ---- XML -----------------------------------------------------------
+  def xmlDoc(r: Random): String = {
+    val title = sentence(r, 3).dropRight(1)
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+<record xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>$title</dc:title>
+  <dc:creator>${Words(r.nextInt(Words.length))}</dc:creator>
+  <body>${paragraph(r, 3)}</body>
+</record>"""
+  }
+
+  // ---- text (mixed charsets) ----------------------------------------
+  def textDoc(r: Random, index: Long): Array[Byte] = {
+    val content = paragraph(r, 4 + r.nextInt(6))
+    (index % 3) match {
+      case 0 => content.getBytes(StandardCharsets.UTF_8)
+      case 1 => content.getBytes(StandardCharsets.ISO_8859_1)
+      case _ => // UTF-16LE with BOM
+        val bom = Array(0xff.toByte, 0xfe.toByte)
+        bom ++ content.getBytes(StandardCharsets.UTF_16LE)
+    }
+  }
+
+  // ---- DOCX ----------------------------------------------------------
+  def docxDoc(r: Random): Array[Byte] = {
+    val title = sentence(r, 3).dropRight(1)
+    val author = Words(r.nextInt(Words.length))
+    val paras = (1 to 2 + r.nextInt(3)).map { _ =>
+      s"<w:p><w:r><w:t>${xmlEscape(paragraph(r, 2 + r.nextInt(2)))}</w:t></w:r></w:p>"
+    }.mkString
+    val tabPara = s"<w:p><w:r><w:t>Col1</w:t></w:r><w:r><w:tab/></w:r>" +
+      s"<w:r><w:t>${xmlEscape(sentence(r, 2))}</w:t></w:r></w:p>"
+    val table = "<w:tbl>" + (1 to 2).map { _ =>
+      "<w:tr>" + (1 to 2).map(_ =>
+        s"<w:tc><w:p><w:r><w:t>${Words(r.nextInt(Words.length))}</w:t></w:r></w:p></w:tc>"
+      ).mkString + "</w:tr>"
+    }.mkString + "</w:tbl>"
+    val link = s"""<w:p><w:hyperlink r:id="rId4"><w:r><w:t>link text</w:t></w:r>""" +
+      "</w:hyperlink></w:p>"
+    val documentXml =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<w:body>$paras$tabPara$table$link</w:body>
+</w:document>"""
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
+<Override PartName="/docProps/core.xml" ContentType="application/vnd.openxmlformats-package.core-properties+xml"/>
+</Types>"""
+    val rootRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>
+</Relationships>"""
+    val docRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId4" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/hyperlink" Target="http://example.com/linked" TargetMode="External"/>
+</Relationships>"""
+    val core =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" xmlns:dc="http://purl.org/dc/elements/1.1/">
+<dc:title>${xmlEscape(title)}</dc:title>
+<dc:creator>$author</dc:creator>
+</cp:coreProperties>"""
+    zip(Seq(
+      "[Content_Types].xml" -> contentTypes.getBytes(StandardCharsets.UTF_8),
+      "_rels/.rels" -> rootRels.getBytes(StandardCharsets.UTF_8),
+      "word/document.xml" -> documentXml.getBytes(StandardCharsets.UTF_8),
+      "word/_rels/document.xml.rels" -> docRels.getBytes(StandardCharsets.UTF_8),
+      "docProps/core.xml" -> core.getBytes(StandardCharsets.UTF_8)
+    ))
+  }
+
+  def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  // ---- PDF -----------------------------------------------------------
+  /** Minimal valid PDF: xref table, page tree, Helvetica, per-page content
+    * streams of `BT /F1 12 Tf x y Td (..) Tj .. ET`, with line advances
+    * via `0 -14 Td` and occasional TJ kerning gaps (mirrors
+    * testExtraSpaces.pdf territory). index parity picks FlateDecode.
+    */
+  def pdfDoc(r: Random, index: Long): Array[Byte] = {
+    val nPages = 1 + r.nextInt(2)
+    val flate = index % 2 == 0
+    val pageContents: Seq[Array[Byte]] = (1 to nPages).map { _ =>
+      val nLines = 3 + r.nextInt(4)
+      val sb = new StringBuilder
+      sb.append("BT\n/F1 12 Tf\n72 712 Td\n")
+      var i = 0
+      while (i < nLines) {
+        val line = sentence(r, 3 + r.nextInt(6))
+        if (i > 0) sb.append("0 -14 Td\n")
+        if (r.nextInt(4) == 0 && line.length > 10) {
+          // TJ with a kerning gap wide enough to read as a space
+          val cut = line.length / 2
+          val a = pdfEscape(line.substring(0, cut).trim)
+          val b = pdfEscape(line.substring(cut).trim)
+          sb.append(s"[($a) -600 ($b)] TJ\n")
+        } else {
+          sb.append(s"(${pdfEscape(line)}) Tj\n")
+        }
+        i += 1
+      }
+      sb.append("ET\n")
+      sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    }
+    buildPdf(pageContents, flate)
+  }
+
+  def pdfEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  def buildPdf(pageContents: Seq[Array[Byte]], flate: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def write(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def writeB(b: Array[Byte]): Unit = out.write(b)
+
+    val n = pageContents.length
+    // objects: 1=Catalog, 2=Pages, 3=Font, then per page: page obj, content obj
+    write("%PDF-1.7\n%âãÏÓ\n")
+    offsets += out.size(); write("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kidRefs = (0 until n).map(i => s"${4 + i * 2} 0 R").mkString(" ")
+    offsets += out.size()
+    write(s"2 0 obj\n<< /Type /Pages /Kids [$kidRefs] /Count $n >>\nendobj\n")
+    offsets += out.size()
+    write("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n")
+    pageContents.zipWithIndex.foreach { case (content, i) =>
+      val pageNum = 4 + i * 2
+      val contentNum = pageNum + 1
+      offsets += out.size()
+      write(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contentNum 0 R >>\nendobj\n")
+      val body = if (flate) deflate(content) else content
+      offsets += out.size()
+      write(s"$contentNum 0 obj\n<< /Length ${body.length}" +
+        (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      writeB(body)
+      write("\nendstream\nendobj\n")
+    }
+    val xrefPos = out.size()
+    val total = 3 + n * 2 + 1
+    write(s"xref\n0 $total\n0000000000 65535 f \n")
+    offsets.foreach(o => write(f"$o%010d 00000 n \n"))
+    write(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  // ---- ZIP container -------------------------------------------------
+  def zipDoc(r: Random): Array[Byte] = {
+    val nEntries = 2 + r.nextInt(3)
+    val entries = (1 to nEntries).map { i =>
+      r.nextInt(3) match {
+        case 0 => s"part$i.html" -> htmlFragment(r).getBytes(StandardCharsets.UTF_8)
+        case 1 => s"part$i.txt" -> paragraph(r, 3).getBytes(StandardCharsets.UTF_8)
+        case _ => s"part$i.xml" -> xmlDoc(r).getBytes(StandardCharsets.UTF_8)
+      }
+    }
+    zip(entries)
+  }
+
+  /** Highly compressible container (repeated content) for the bomb-guard
+    * path — decompresses far larger than its compressed size.
+    */
+  def bombZip(r: Random): Array[Byte] = {
+    val big = ("A" * 4096) * 512 // 2 MB of 'A' → tiny deflate
+    zip(Seq("big.txt" -> big.getBytes(StandardCharsets.UTF_8)))
+  }
+
+  def zip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(out)
+    entries.foreach { case (name, data) =>
+      val e = new ZipEntry(name)
+      e.setTime(1735689600000L) // fixed timestamp → byte-identical output
+      z.putNextEntry(e)
+      z.write(data)
+      z.closeEntry()
+    }
+    z.close()
+    out.toByteArray
+  }
+
+  def gzipBytes(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(out)
+    g.write(data); g.close()
+    out.toByteArray
+  }
+
+  // ---- Spark-side generation ----------------------------------------
+  /** Distributed corpus: rows are generated on executors (pure function
+    * of index) — nothing is collected or shuffled. Scales to any n.
+    */
+  def docRows(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[DocRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).as[Long].mapPartitions(_.map(row))
+  }
+}

@@ -1,0 +1,213 @@
+package graft.engine
+
+import java.util.Base64
+import graft.core._
+import graft.html.HtmlExtractor
+import graft.mime.{EncodingDetector, MediaTypes, MimeRegistry}
+import graft.ooxml.DocxExtractor
+import graft.pdf.PdfExtractor
+import graft.zipx.{OpcDetector, ZipUtil}
+
+/** Per-document detect→dispatch→parse→spans function — the reference's
+  * `AutoDetectParser.parse` (tika-core parser/AutoDetectParser.java:147-232)
+  * + `RecursiveParserWrapper` (parser/RecursiveParserWrapper.java:129-303)
+  * re-expressed as one pure function over row bytes.
+  *
+  * Container recursion carries ordinal `embeddedIdPath`s ("/1", "/1/2",
+  * 1-indexed — RecursiveParserWrapper.java:239-244); the char budget and
+  * zip-bomb guard are global across the embedded tree (:319-340).
+  * Stateless and thread-safe, like the reference parser contract
+  * (parser/Parser.java class javadoc) — one instance per partition.
+  */
+object Extractor {
+
+  final case class Config(
+      maxDepth: Int = 10,              // ParsingEmbeddedDocumentExtractor depth cap
+      maxEmbedded: Int = 100,          // maxEmbeddedResources
+      writeLimit: Int = 100000,        // BodyContentHandler default :83-92
+      bombOutputThreshold: Long = 1000000L, // SecureContentHandler.java:62
+      bombMaxRatio: Long = 100L
+  )
+  val DefaultConfig: Config = Config()
+
+  /** Input kinds whose `text` is base64-encoded raw bytes. */
+  private val BinaryKinds =
+    Set("docx", "pdf", "zip", "junk", "bytes", "gzip", "png", "jpeg", "gif", "text")
+
+  def payloadBytes(s: Span): Array[Byte] =
+    if (s.text == null || s.text.isEmpty) Array.emptyByteArray
+    else if (BinaryKinds.contains(s.kind))
+      try Base64.getDecoder.decode(s.text)
+      catch { case _: IllegalArgumentException =>
+        s.text.getBytes(java.nio.charset.StandardCharsets.UTF_8) }
+    else s.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  def extract(row: DocRow, cfg: Config = DefaultConfig): ExtractedDoc = {
+    val payloadTotal = row.spans.iterator.map { s =>
+      if (s.kind == Span.KindMedia) 0L else (if (s.text == null) 0L else s.text.length.toLong)
+    }.sum
+    val sink = new SpanSink(cfg.writeLimit, payloadTotal, cfg.bombOutputThreshold,
+      cfg.bombMaxRatio)
+    val meta = new MetaSink
+    var embeddedCount = 0
+    var sawException = false
+    var sawUnsupported = false
+    var bomb = false
+    var topMime: String = null
+
+    def noteMime(m: String): Unit = if (topMime == null) topMime = m
+
+    /** Recursive parse of one payload; returns false on per-node failure
+      * (recorded, parse continues — CompositeParser.java:323-352 hoists
+      * embedded exceptions instead of failing the container).
+      */
+    def parseNode(bytes: Array[Byte], idPath: String, nameHint: Option[String],
+        depth: Int): Unit = {
+      if (bytes.isEmpty) { sawUnsupported = true; return }
+      val mime0 = MimeRegistry.detect(bytes, nameHint)
+      // container specialization needs full bytes (OPCPackageDetector)
+      val mime =
+        if (mime0 == MediaTypes.Zip || mime0 == MediaTypes.TikaOoxml)
+          try OpcDetector.specialize(bytes) catch { case _: Exception => mime0 }
+        else mime0
+      if (idPath.isEmpty) noteMime(mime)
+      else meta.add("embedded:" + idPath, mime)
+
+      try {
+        mime match {
+          case MediaTypes.Html =>
+            HtmlExtractor.extract(EncodingDetector.decode(bytes), sink, meta)
+          case MediaTypes.Xml | MediaTypes.AtomXml | MediaTypes.RssXml | MediaTypes.SvgXml =>
+            XmlExtractor.extract(bytes, sink, meta)
+          case MediaTypes.TextPlain =>
+            // TXTParser.java:75-121 — charset decode, one <p> of raw chars
+            sink.chars(EncodingDetector.decode(bytes))
+            sink.newline()
+          case MediaTypes.Pdf =>
+            PdfExtractor.extract(bytes, sink, meta)
+          case MediaTypes.Docx =>
+            DocxExtractor.extract(bytes, sink, meta)
+          case MediaTypes.Xlsx | MediaTypes.Pptx | MediaTypes.TikaOoxml =>
+            // recognized but not parsed in v1 → recursion over parts skipped
+            sawUnsupported = true
+          case MediaTypes.Zip =>
+            recurseZip(bytes, idPath, depth)
+          case MediaTypes.Gzip =>
+            if (depth >= cfg.maxDepth) sawUnsupported = true
+            else {
+              val inner = ZipUtil.gunzip(bytes)
+              embeddedCount += 1
+              val childPath = s"$idPath/$embeddedCount"
+              sink.embeddedOpen(childPath)
+              parseNode(inner, childPath, None, depth + 1)
+              sink.embeddedClose(childPath)
+            }
+          case MediaTypes.Png | MediaTypes.Jpeg | MediaTypes.Gif =>
+            // image payloads: no text; media span with a synthetic name
+            // ("embedded-N.ext", EmbeddedDocumentUtil.java:225-262)
+            embeddedCount += 1
+            val ext = mime.substring(mime.indexOf('/') + 1) match {
+              case "jpeg" => "jpg"; case e => e
+            }
+            sink.media(s"embedded:embedded-$embeddedCount.$ext")
+          case _ =>
+            sawUnsupported = true
+        }
+      } catch {
+        case _: WriteLimitReached => throw new WriteLimitReached
+        case _: ZipBombDetected => bomb = true
+        case _: Exception =>
+          sawException = true
+          meta.add("parse:exception", s"$mime at ${if (idPath.isEmpty) "/" else idPath}")
+      }
+    }
+
+    def recurseZip(bytes: Array[Byte], idPath: String, depth: Int): Unit = {
+      if (depth >= cfg.maxDepth) { sawUnsupported = true; return }
+      val entries =
+        try ZipUtil.entries(bytes)
+        catch {
+          case _: ZipBombDetected => bomb = true; return
+          case _: Exception => sawException = true; return
+        }
+      entries.foreach { e =>
+        if (embeddedCount < cfg.maxEmbedded) {
+          embeddedCount += 1
+          val childPath = s"$idPath/$embeddedCount"
+          meta.add("embedded:path", s"$childPath:${e.name}")
+          sink.embeddedOpen(childPath)
+          parseNode(e.data, childPath, Some(e.name), depth + 1)
+          sink.embeddedClose(childPath)
+        }
+      }
+    }
+
+    var limitHit = false
+    try {
+      row.spans.sortBy(_.offset).foreach { s =>
+        if (s.kind == Span.KindMedia) sink.media(s.media_ref)
+        else parseNode(payloadBytes(s), "", None, 0)
+      }
+    } catch {
+      case _: WriteLimitReached => limitHit = true
+      case _: ZipBombDetected => bomb = true
+    }
+
+    val spans = sink.result()
+    val status =
+      if (bomb) Status.ZipBomb
+      else if (limitHit || sink.limitReached) Status.WriteLimitReached
+      else if (row.spans.isEmpty) Status.EmptyDoc
+      else if (sawUnsupported && spans.isEmpty) Status.UnsupportedType
+      else if (sawException && spans.isEmpty) Status.ParseException
+      else if (sawException || sawUnsupported) Status.ParseSuccessWithException
+      else Status.ParseSuccess
+
+    ExtractedDoc(
+      doc_id = row.doc_id,
+      mime = if (topMime == null) MediaTypes.OctetStream else topMime,
+      status = status,
+      spans = spans,
+      meta = meta.result(),
+      n_spans = spans.length,
+      n_chars = sink.charCount
+    )
+  }
+}
+
+/** application/xml character-content extraction via JDK SAX.
+  *
+  * Reference: tika-parsers .../xml-module XMLParser (char content passes
+  * through; DcXMLParser maps dc:* elements to metadata).
+  */
+object XmlExtractor {
+  import org.xml.sax.Attributes
+  import org.xml.sax.helpers.DefaultHandler
+
+  private val DcFields = Set("title", "creator", "subject", "description",
+    "publisher", "contributor", "date", "language", "identifier")
+
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+    var dcField: String = null
+    val dcBuf = new StringBuilder
+    DocxExtractor.saxParse(bytes, new DefaultHandler {
+      override def startElement(u: String, l: String, q: String, a: Attributes): Unit = {
+        val idx = q.indexOf(':')
+        if (idx > 0 && q.substring(0, idx) == "dc" && DcFields.contains(q.substring(idx + 1))) {
+          dcField = q.substring(idx + 1); dcBuf.setLength(0)
+        }
+      }
+      override def characters(ch: Array[Char], start: Int, length: Int): Unit = {
+        sink.chars(new String(ch, start, length))
+        if (dcField != null) dcBuf.appendAll(ch, start, length)
+      }
+      override def endElement(u: String, l: String, q: String): Unit = {
+        if (dcField != null && q == "dc:" + dcField) {
+          meta.add("dc:" + dcField, dcBuf.toString.trim)
+          dcField = null
+        }
+      }
+    })
+    sink.newline()
+  }
+}

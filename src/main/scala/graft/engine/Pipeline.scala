@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** The Dataset-level extraction pipeline — the reference's tika-pipes
+  * fetch→parse→emit loop (tika-pipes/.../async/AsyncProcessor.java:64-513)
+  * re-expressed as Spark stages:
+  *
+  *  - the table scan IS the PipesIterator (partition = work queue);
+  *  - one typed `mapPartitions` runs detect+parse per row (parser state
+  *    initialized once per partition, mirroring Tika's parser reuse —
+  *    parser/Parser.java thread-safety contract);
+  *  - per-partition lineage rows (doc_id ranges, parser version, span
+  *    counts, wall time) are the resume checkpoint (PipesReporter / the
+  *    north rule's Iceberg metrics table);
+  *  - skew: oversized docs are spread by hash-repartitioning on doc_id
+  *    before the parse stage (salting); AQE coalesces small partitions.
+  *
+  * At 100 TB the input is a partitioned Parquet/Iceberg table: Catalyst
+  * prunes to the (doc_id, spans) columns, and the resume filter is a
+  * partition-prunable range predicate.
+  */
+object Pipeline {
+
+  /** Core transform: detect→parse→spans, no shuffle. */
+  def extract(ds: Dataset[DocRow],
+      cfg: Extractor.Config = Extractor.DefaultConfig): Dataset[ExtractedDoc] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition init happens here (registry is a JVM-singleton; at
+      // cluster scale it would be a broadcast value — see extractSalted)
+      it.map(row => Extractor.extract(row, cfg))
+    }
+  }
+
+  /** Skew-aware variant: estimate payload weight, spread heavy rows
+    * uniformly across `numPartitions` before parsing (salting; SURVEY.md
+    * §4 "salting of oversized-document partitions").
+    */
+  def extractSalted(ds: Dataset[DocRow], numPartitions: Int,
+      cfg: Extractor.Config = Extractor.DefaultConfig): Dataset[ExtractedDoc] = {
+    import ds.sparkSession.implicits._
+    // hash-spread on doc_id: oversized docs generated in runs (or packed
+    // into the same input file) land on distinct partitions
+    val spread = ds.repartition(numPartitions, col("doc_id"))
+    extract(spread, cfg)
+  }
+
+  /** Output schema with the physical partition id for lineage. */
+  def extractWithPartitionId(ds: Dataset[DocRow],
+      cfg: Extractor.Config = Extractor.DefaultConfig): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      it.map { row =>
+        val d = Extractor.extract(row, cfg)
+        (pid, d.doc_id, d.mime, d.status, d.spans, d.meta, d.n_spans, d.n_chars)
+      }
+    }.toDF("partition_id", "doc_id", "mime", "status", "spans", "meta",
+      "n_spans", "n_chars")
+  }
+
+  /** End-to-end job: extract → write output table → append per-partition
+    * lineage/metrics. Idempotent per run; see [[resumeFilter]].
+    */
+  def run(spark: SparkSession, input: Dataset[DocRow], outDir: String,
+      metricsDir: String, numPartitions: Int = 32,
+      cfg: Extractor.Config = Extractor.DefaultConfig): Unit = {
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val out = extractWithPartitionId(
+      input.repartition(numPartitions, col("doc_id")), cfg)
+    out.write.mode("append").parquet(outDir)
+    val wall = System.currentTimeMillis() - t0
+    // lineage from the written table (exactly what the sink committed)
+    val metrics = spark.read.parquet(outDir)
+      .groupBy($"partition_id")
+      .agg(
+        min($"doc_id").as("doc_id_min"), max($"doc_id").as("doc_id_max"),
+        count(lit(1)).as("n_docs"), sum($"n_spans").as("n_spans"),
+        sum($"n_chars").as("n_chars"),
+        sum(when($"status".startsWith("parse_success"), 1L).otherwise(0L))
+          .as("n_success"),
+        sum(when($"status".startsWith("parse_success"), 0L).otherwise(1L))
+          .as("n_failed"))
+      .withColumn("parser_version", lit(Model.ParserVersion))
+      .withColumn("wall_ms", lit(wall))
+    metrics.write.mode("overwrite").parquet(metricsDir)
+  }
+
+  /** Resume: drop rows already present in the committed output
+    * (left-anti on doc_id — at Iceberg scale this becomes a partition-
+    * prunable doc_id-range predicate from the metrics table; the anti-join
+    * broadcast-builds on the *done* side only when it is small).
+    */
+  def resumeFilter(input: Dataset[DocRow], outDir: String): Dataset[DocRow] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val done =
+      try spark.read.parquet(outDir).select("doc_id").distinct()
+      catch { case _: Exception => return input }
+    input.join(done, Seq("doc_id"), "left_anti").as[DocRow]
+  }
+}

@@ -1,0 +1,127 @@
+package graft.engine
+
+import scala.collection.mutable.ArrayBuffer
+import graft.core.Span
+
+/** Signals that the per-document char budget was exhausted
+  * (reference: tika-core sax/WriteOutContentHandler.java
+  * WriteLimitReachedException; default limit 100k chars,
+  * BodyContentHandler.java:83-92).
+  */
+final class WriteLimitReached extends Exception("write limit reached")
+
+/** Zip-bomb guard trip (reference: tika-core sax/SecureContentHandler
+  * .java:54-69 — stop when output chars exceed 1M AND output/input ratio
+  * exceeds 100; shared across the whole embedded tree like
+  * RecursiveParserWrapper's SecureHandlerCounter :319-340).
+  */
+final class ZipBombDetected extends Exception("zip bomb detected")
+
+/** The span builder all parsers emit into — materializes the reference's
+  * XHTML SAX event stream as an ordered span array.
+  *
+  * Serialization rules ported from tika-core sax/XHTMLContentHandler.java:
+  *  - '\n' after ENDLINE block elements (:46-49,294-301) — here
+  *    [[newline]], which also terminates the current text span ("block-
+  *    terminated character runs");
+  *  - '\t' before INDENT elements (:71-72,281-283) — here [[tab]];
+  *  - invalid control chars filtered (:358-365).
+  *
+  * One sink instance spans the entire embedded-document tree of a row, so
+  * the write limit and bomb guard are global per document, mirroring
+  * RecursiveParserWrapper.java:319-340.
+  */
+final class SpanSink(
+    val writeLimit: Int = 100000,
+    val inputBytes: Long = 0L,
+    val bombOutputThreshold: Long = 1000000L,
+    val bombMaxRatio: Long = 100L
+) {
+  private val out = new ArrayBuffer[Span]()
+  private val buf = new StringBuilder()
+  private var offset = 0
+  private var spanStart = 0
+  var limitReached = false
+
+  private def checkBomb(): Unit = {
+    val total = offset.toLong + buf.length
+    if (total > bombOutputThreshold && inputBytes > 0 && total > bombMaxRatio * inputBytes)
+      throw new ZipBombDetected
+  }
+
+  /** Append character content; filters C0 controls except \t\n\r. */
+  def chars(s: String): Unit = {
+    if (limitReached) return
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= ' ' || c == '\t' || c == '\n' || c == '\r') {
+        buf.append(c)
+        if (offset + buf.length > writeLimit) {
+          buf.setLength(buf.length - 1)
+          limitReached = true
+          throw new WriteLimitReached
+        }
+      }
+      i += 1
+    }
+    checkBomb()
+  }
+
+  /** End of a block element: newline + terminate the current text span. */
+  def newline(): Unit = {
+    if (limitReached) return
+    chars("\n")
+    flushText()
+  }
+
+  def tab(): Unit = chars("\t")
+
+  /** Flush pending characters into a text span. */
+  def flushText(): Unit = {
+    if (buf.nonEmpty) {
+      out += Span(Span.KindText, buf.toString, null, spanStart)
+      offset += buf.length
+      buf.setLength(0)
+      spanStart = offset
+    }
+  }
+
+  def media(ref: String): Unit = {
+    flushText()
+    out += Span(Span.KindMedia, "", ref, offset)
+  }
+
+  def embeddedOpen(idPath: String): Unit = {
+    flushText()
+    out += Span(Span.KindEmbeddedOpen, "", idPath, offset)
+  }
+
+  def embeddedClose(idPath: String): Unit = {
+    flushText()
+    out += Span(Span.KindEmbeddedClose, "", idPath, offset)
+  }
+
+  def result(): Vector[Span] = { flushText(); out.toVector }
+  def charCount: Long = offset.toLong + buf.length
+  def spanCount: Int = out.length
+}
+
+/** Multi-valued metadata accumulator (reference: tika-core
+  * metadata/Metadata.java:99 — Map<String, String[]> with add vs set
+  * :310,341).
+  */
+final class MetaSink {
+  private val m = scala.collection.mutable.LinkedHashMap[String, ArrayBuffer[String]]()
+  def add(key: String, value: String): Unit =
+    if (value != null && value.nonEmpty) m.getOrElseUpdate(key, new ArrayBuffer) += value
+  def set(key: String, value: String): Unit = {
+    if (value != null && value.nonEmpty) {
+      val b = m.getOrElseUpdate(key, new ArrayBuffer); b.clear(); b += value
+    }
+  }
+  def get(key: String): Option[String] = m.get(key).flatMap(_.headOption)
+  def contains(key: String): Boolean = m.contains(key)
+  def result(): Map[String, Seq[String]] = m.map { case (k, v) => k -> v.toSeq }.toMap
+}

@@ -1,0 +1,175 @@
+package graft.html
+
+import java.net.URI
+import graft.engine.{MetaSink, SpanSink}
+
+/** Element classification tables.
+  *
+  * Reference: tika-parsers .../html/DefaultHtmlMapper.java — ~30
+  * SAFE_ELEMENTS (:38-82), DISCARDABLE = {STYLE, SCRIPT} (:83-86); and
+  * tika-core sax/XHTMLContentHandler.java — ENDLINE newline set (:46-49)
+  * and INDENT tab set (:71-72).
+  */
+object HtmlTables {
+  val Discardable: Set[String] = Set("style", "script")
+
+  /** Elements after whose END a '\n' is emitted (XHTMLContentHandler:46-49). */
+  val EndLine: Set[String] = Set(
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "div", "ul", "ol", "dl",
+    "pre", "hr", "blockquote", "address", "fieldset", "table", "form",
+    "noscript", "li", "dt", "dd", "noframes", "br", "tr", "select", "option"
+  )
+
+  /** Elements before whose START a '\t' is emitted (XHTMLContentHandler:71-72). */
+  val Indent: Set[String] = Set("li", "dd", "dt", "td", "th", "frame")
+
+  /** Head-scoped elements (content routed to metadata, not body text). */
+  val HeadOnly: Set[String] = Set("head", "title", "meta", "link", "base")
+
+  /** Void elements (never hold content). */
+  val Void: Set[String] = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr"
+  )
+}
+
+/** Per-document HTML extraction result. */
+final case class HtmlResult(limitHit: Boolean)
+
+/** Port of the reference's boilerplate-strip state machine.
+  *
+  * Reference: tika-parsers .../html/HtmlHandler.java:55-482 —
+  *  - counters bodyLevel/discardLevel/titleLevel/scriptLevel (:81-85);
+  *  - characters pass only when bodyLevel>0 && discardLevel==0 (:426-437);
+  *  - <meta> → metadata incl. ICBM geo (:190-236,198-208), title
+  *    precedence (:224-228);
+  *  - <base href> sets the resolution base (:150-153);
+  *  - relative URL resolution for src/href (resolve, :446-480);
+  *  - block-end newline / cell tab via XHTMLContentHandler rules.
+  *
+  * Our jsoup-free simplification: a document without an explicit <body>
+  * starts the body implicitly at the first non-head-only element or text
+  * (what jsoup's tree builder would synthesize).
+  */
+object HtmlExtractor {
+
+  import HtmlTables._
+
+  def extract(html: String, sink: SpanSink, meta: MetaSink): HtmlResult = {
+    val tokens = HtmlTokenizer.tokenize(html)
+    var bodyLevel = 0
+    var discardLevel = 0
+    var titleLevel = 0
+    var headLevel = 0
+    var sawExplicitBody = false
+    var implicitBody = false
+    var base: Option[URI] = None
+    val title = new StringBuilder
+
+    def inBody: Boolean = (bodyLevel > 0 || implicitBody) && discardLevel == 0 && headLevel == 0
+
+    def resolve(url: String): String = {
+      if (url == null || url.isEmpty) url
+      else base match {
+        case Some(b) =>
+          try b.resolve(url.trim.replace(" ", "%20")).toString
+          catch { case _: Exception => url }
+        case None => url
+      }
+    }
+
+    def maybeImplicitBody(name: String): Unit = {
+      if (!sawExplicitBody && bodyLevel == 0 && headLevel == 0 &&
+          !HeadOnly.contains(name) && name != "html" && !Discardable.contains(name))
+        implicitBody = true
+    }
+
+    def handleMeta(tag: StartTag): Unit = {
+      val name = tag.attr("name").orElse(tag.attr("http-equiv"))
+      val content = tag.attr("content")
+      tag.attr("charset").foreach(cs => meta.set("Content-Encoding", cs))
+      (name, content) match {
+        case (Some(n), Some(c)) =>
+          val key = n.trim
+          // ICBM geo → latitude/longitude (HtmlHandler.java:198-208)
+          if (key.equalsIgnoreCase("ICBM") || key.equalsIgnoreCase("geo.position")) {
+            val parts = c.split("[,;]").map(_.trim)
+            if (parts.length == 2) {
+              meta.set("geo:lat", parts(0))
+              meta.set("geo:long", parts(1))
+            }
+            meta.add(key, c)
+          } else if (key.equalsIgnoreCase("content-type")) {
+            val m = java.util.regex.Pattern.compile("(?i)charset=([\\w.:-]+)").matcher(c)
+            if (m.find()) meta.set("Content-Encoding", m.group(1))
+          } else meta.add(key, c)
+        case _ => ()
+      }
+    }
+
+    val it = tokens.iterator
+    while (it.hasNext) {
+      it.next() match {
+        case tag @ StartTag(name, _, selfClosing) =>
+          maybeImplicitBody(name)
+          name match {
+            case "body" => sawExplicitBody = true; bodyLevel += 1
+            case "head" => headLevel += 1
+            case "title" => if (bodyLevel == 0) titleLevel += 1
+            case "base" =>
+              tag.attr("href").foreach { h =>
+                try { base = Some(new URI(h.trim)) } catch { case _: Exception => () }
+                meta.set("Content-Location", h.trim)
+              }
+            case "meta" => handleMeta(tag)
+            case "img" =>
+              if (inBody) {
+                val src = tag.attr("src").map(resolve).getOrElse("")
+                if (src.nonEmpty) sink.media(src)
+              }
+            case "a" =>
+              tag.attr("href").foreach(h => if (inBody) meta.add("links", resolve(h)))
+            case "frame" | "iframe" =>
+              tag.attr("src").foreach(h => if (inBody) meta.add("links", resolve(h)))
+            case n if Discardable.contains(n) => if (!selfClosing) discardLevel += 1
+            case _ => ()
+          }
+          if (inBody && Indent.contains(name)) sink.tab()
+          // <br> is a void ENDLINE element: newline at start
+          if (inBody && name == "br") sink.newline()
+          if (selfClosing && Discardable.contains(name)) () // not opened
+
+        case EndTag(name) =>
+          name match {
+            case "body" => if (bodyLevel > 0) bodyLevel -= 1
+            case "head" => if (headLevel > 0) headLevel -= 1
+            case "title" =>
+              if (titleLevel > 0) {
+                titleLevel -= 1
+                if (titleLevel == 0 && title.nonEmpty && !meta.contains("title"))
+                  meta.set("title", title.toString.trim)
+              }
+            case n if Discardable.contains(n) => if (discardLevel > 0) discardLevel -= 1
+            case _ => ()
+          }
+          if (inBody && name != "br" && EndLine.contains(name)) sink.newline()
+
+        case TextRun(text) =>
+          if (titleLevel > 0 && discardLevel == 0) title.append(text)
+          else if (inBody) {
+            maybeTextImplicitBody(text)
+            sink.chars(text)
+          } else if (!sawExplicitBody && bodyLevel == 0 && headLevel == 0 &&
+                     discardLevel == 0 && titleLevel == 0 && text.trim.nonEmpty) {
+            // bare text before any body/head structure → implicit body
+            implicitBody = true
+            sink.chars(text)
+          }
+      }
+    }
+    sink.flushText()
+    HtmlResult(sink.limitReached)
+  }
+
+  private def maybeTextImplicitBody(text: String): Unit = ()
+}

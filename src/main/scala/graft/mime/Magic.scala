@@ -1,0 +1,126 @@
+package graft.mime
+
+import java.util.regex.Pattern
+
+/** Magic-signature clause tree.
+  *
+  * Mirrors the reference semantics (apache/tika):
+  *  - single signature test = pattern+mask at an offset *range*
+  *    (tika-core detect/MagicDetector.java:114-514, window match loop
+  *    matchesBuffer :471-514);
+  *  - nested `<match>` elements compile to AND-then, siblings to OR
+  *    (tika-core mime/MimeTypesReader.java:403-440);
+  *  - a `Magic` alternative = (mediaType, priority, clause), evaluated in
+  *    priority-desc order with early exit (mime/MimeTypes.java:226-304).
+  *
+  * All clauses are immutable and evaluated against the bounded detection
+  * prefix (<= 64 KB, mime/MimeTypes.java:466-470) — broadcast-friendly.
+  */
+sealed trait Clause extends Serializable {
+  def matches(data: Array[Byte]): Boolean
+  /** How many prefix bytes this clause can inspect (for budget checks). */
+  def maxLength: Int
+}
+
+/** Raw byte-sequence match at any offset in [offStart, offEnd].
+  * `mask` (same length as `value`) ANDs the input before compare;
+  * `ignoreCase` lower-cases ASCII on both sides
+  * (reference MagicDetector.decodeValue value types string /
+  * stringignorecase, :241-299).
+  */
+final case class BytesClause(
+    offStart: Int,
+    offEnd: Int,
+    value: Array[Byte],
+    mask: Array[Byte] = null,
+    ignoreCase: Boolean = false
+) extends Clause {
+
+  override val maxLength: Int = offEnd + value.length
+
+  private def byteAt(b: Byte): Byte = {
+    if (!ignoreCase) b
+    else if (b >= 'A' && b <= 'Z') (b + 32).toByte
+    else b
+  }
+
+  def matches(data: Array[Byte]): Boolean = {
+    val n = value.length
+    var off = offStart
+    val lastOff = math.min(offEnd, data.length - n)
+    while (off <= lastOff) {
+      var i = 0
+      var ok = true
+      while (ok && i < n) {
+        val d = if (mask != null) (data(off + i) & mask(i)).toByte else data(off + i)
+        if (byteAt(d) != byteAt(value(i))) ok = false
+        i += 1
+      }
+      if (ok) return true
+      off += 1
+    }
+    false
+  }
+}
+
+/** Regex window match over the first `window` bytes decoded as ISO-8859-1
+  * (reference MagicDetector regex handling, window 8 KB, :181-183).
+  */
+final case class RegexClause(pattern: String, window: Int = 8192, ignoreCase: Boolean = true)
+    extends Clause {
+  @transient private lazy val compiled: Pattern =
+    Pattern.compile(pattern, if (ignoreCase) Pattern.CASE_INSENSITIVE else 0)
+  override def maxLength: Int = window
+  def matches(data: Array[Byte]): Boolean = {
+    val n = math.min(window, data.length)
+    val s = new String(data, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+    compiled.matcher(s).find()
+  }
+}
+
+/** Nested matches: parent AND all children-as-OR
+  * (MimeTypesReader.java:420-427).
+  */
+final case class AndClause(clauses: Seq[Clause]) extends Clause {
+  override val maxLength: Int = if (clauses.isEmpty) 0 else clauses.map(_.maxLength).max
+  def matches(data: Array[Byte]): Boolean = clauses.forall(_.matches(data))
+}
+
+final case class OrClause(clauses: Seq[Clause]) extends Clause {
+  override val maxLength: Int = if (clauses.isEmpty) 0 else clauses.map(_.maxLength).max
+  def matches(data: Array[Byte]): Boolean = clauses.exists(_.matches(data))
+}
+
+/** N-of-M (mime/MinShouldMatchClause.java; reader :417-419). */
+final case class MinShouldMatchClause(min: Int, clauses: Seq[Clause]) extends Clause {
+  override val maxLength: Int = if (clauses.isEmpty) 0 else clauses.map(_.maxLength).max
+  def matches(data: Array[Byte]): Boolean = clauses.count(_.matches(data)) >= min
+}
+
+/** One magic alternative: if `clause` matches, the document is `mediaType`
+  * at confidence `priority` (default 50, MimeTypesReader.java:313-319).
+  * Ordered priority-desc then size-desc (mime/Magic.compareTo :60-72).
+  */
+final case class Magic(mediaType: String, priority: Int, clause: Clause) extends Serializable {
+  def size: Int = clause.maxLength
+}
+
+object Magic {
+  /** Sort order of the magic list (Magic.compareTo, mime/Magic.java:60-72):
+    * priority desc, then size desc, then type name for determinism.
+    */
+  implicit val ordering: Ordering[Magic] =
+    Ordering.by((m: Magic) => (-m.priority, -m.size, m.mediaType))
+
+  def ascii(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  def string(off: Int, s: String): Clause = BytesClause(off, off, ascii(s))
+  def stringRange(offStart: Int, offEnd: Int, s: String): Clause =
+    BytesClause(offStart, offEnd, ascii(s))
+  def istring(off: Int, s: String): Clause =
+    BytesClause(off, off, ascii(s), ignoreCase = true)
+  def istringRange(offStart: Int, offEnd: Int, s: String): Clause =
+    BytesClause(offStart, offEnd, ascii(s), ignoreCase = true)
+  def bytes(off: Int, bs: Int*): Clause =
+    BytesClause(off, off, bs.map(_.toByte).toArray)
+}

@@ -1,0 +1,227 @@
+package graft.mime
+
+import graft.mime.Magic._
+
+/** Canonical media-type constants for the curated registry. */
+object MediaTypes {
+  val OctetStream = "application/octet-stream"
+  val TextPlain = "text/plain"
+  val Html = "text/html"
+  val Xml = "application/xml"
+  val Pdf = "application/pdf"
+  val Zip = "application/zip"
+  val TikaOoxml = "application/x-tika-ooxml"
+  val Docx = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+  val Xlsx = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+  val Pptx = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+  val Gzip = "application/gzip"
+  val Png = "image/png"
+  val Jpeg = "image/jpeg"
+  val Gif = "image/gif"
+  val AtomXml = "application/atom+xml"
+  val RssXml = "application/rss+xml"
+  val SvgXml = "image/svg+xml"
+}
+
+/** The compiled, broadcastable MIME registry: priority-sorted magic list,
+  * supertype DAG, glob maps, and the detection orchestration.
+  *
+  * Reference semantics re-expressed (apache/tika):
+  *  - orchestration: read <=64 KB prefix, magic match, XML-root
+  *    refinement, name/declared hints that may only *specialize*
+  *    (tika-core mime/MimeTypes.java:521-612);
+  *  - priority-desc evaluation with early exit once priority drops below
+  *    the best hit (MimeTypes.java:237-245);
+  *  - supertype walk: explicit sub-class-of edges, else the +xml / +zip /
+  *    text-prefix heuristics (mime/MediaTypeRegistry.java:185-205);
+  *  - glob matching: exact-name hash → extension hash (longest first)
+  *    (mime/Patterns.java:40-162).
+  *
+  * Signature sources: curated subset of tika-mimetypes.xml (citations per
+  * entry; see SURVEY.md Appendix A).
+  */
+object MimeRegistry {
+
+  import MediaTypes._
+
+  /** Detection prefix budget (mime/MimeTypes.java:466-470). */
+  val PrefixBytes = 64 * 1024
+
+  /** Curated magic list (tika-mimetypes.xml line citations in comments). */
+  val magics: Vector[Magic] = Vector(
+    // text/html — tika-mimetypes.xml:7740-7793; the priority-60 regexes
+    // anchor near the file head (offset 0 + short window), otherwise any
+    // XML embedding a <body> element would win over the <?xml magic
+    Magic(Html, 60, RegexClause("""(?i)<(html|head|body|title|div)[ >]""", window = 64)),
+    Magic(Html, 60, RegexClause("""(?i)<h[123][ >]""", window = 64)),
+    Magic(Html, 40, OrClause(Seq(
+      istringRange(0, 64, "<!DOCTYPE HTML"),
+      istringRange(0, 64, "<head"),
+      istringRange(0, 64, "<title"),
+      istringRange(0, 64, "<html")
+    ))),
+    Magic(Html, 20, stringRange(128, 8192, "<html")),
+    // application/xml — tika-mimetypes.xml:5681-5709
+    Magic(Xml, 50, OrClause(Seq(
+      string(0, "<?xml"),
+      string(0, "<?XML"),
+      BytesClause(0, 0, Array(0xef, 0xbb, 0xbf).map(_.toByte) ++ ascii("<?xml")),
+      BytesClause(0, 0, Array(0xff, 0xfe).map(_.toByte) ++ utf16le("<?xml")),
+      BytesClause(0, 0, Array(0xfe, 0xff).map(_.toByte) ++ utf16be("<?xml"))
+    ))),
+    Magic(Xml, 30, string(0, "<!--")),
+    // application/pdf — tika-mimetypes.xml:834-865
+    Magic(Pdf, 50, OrClause(Seq(
+      string(0, "%PDF-"),
+      BytesClause(0, 0, Array(0xef, 0xbb, 0xbf).map(_.toByte) ++ ascii("%PDF-"))
+    ))),
+    Magic(Pdf, 40, AndClause(Seq(
+      stringRange(0, 128, "%%"),
+      OrClause(Seq(stringRange(1, 512, "%PDF-1."), stringRange(1, 512, "%PDF-2.")))
+    ))),
+    Magic(Pdf, 20, OrClause(Seq(stringRange(1, 512, "%PDF-1."), stringRange(1, 512, "%PDF-2.")))),
+    // application/x-tika-ooxml — tika-mimetypes.xml:5473-5482
+    Magic(TikaOoxml, 50, AndClause(Seq(
+      bytes(0, 'P', 'K', 3, 4),
+      OrClause(Seq(stringRange(30, 30, "[Content_Types].xml"), stringRange(30, 30, "_rels/.rels")))
+    ))),
+    // application/zip — tika-mimetypes.xml:5760-5772
+    Magic(Zip, 50, OrClause(Seq(
+      bytes(0, 'P', 'K', 3, 4), bytes(0, 'P', 'K', 5, 6), bytes(0, 'P', 'K', 7, 8)
+    ))),
+    // application/gzip — tika-mimetypes.xml:4195-4210
+    Magic(Gzip, 45, bytes(0, 0x1f, 0x8b)),
+    // image/png — tika-mimetypes.xml:6685-6692
+    Magic(Png, 50, bytes(0, 0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)),
+    // image/jpeg — tika-mimetypes.xml (ffd8ff)
+    Magic(Jpeg, 50, bytes(0, 0xff, 0xd8, 0xff)),
+    // image/gif
+    Magic(Gif, 50, OrClause(Seq(string(0, "GIF87a"), string(0, "GIF89a")))),
+    // text/plain BOM magics — tika-mimetypes.xml:7812-7835
+    Magic(TextPlain, 20, OrClause(Seq(
+      bytes(0, 0xfe, 0xff), bytes(0, 0xff, 0xfe), bytes(0, 0xef, 0xbb, 0xbf)
+    )))
+  ).sorted
+
+  private def utf16le(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+  private def utf16be(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+
+  /** Explicit sub-class-of edges (tika-mimetypes.xml sub-class-of; 384
+    * edges in full db — curated subset).
+    */
+  val superTypes: Map[String, String] = Map(
+    Html -> TextPlain,
+    Xml -> TextPlain,
+    TikaOoxml -> Zip,
+    Docx -> TikaOoxml,
+    Xlsx -> TikaOoxml,
+    Pptx -> TikaOoxml,
+    AtomXml -> Xml,
+    RssXml -> Xml,
+    SvgXml -> Xml,
+    TextPlain -> OctetStream
+  )
+
+  /** MediaTypeRegistry.getSupertype:185-205 — explicit edge, else
+    * +xml/+zip/text heuristics, else octet-stream root.
+    */
+  def superType(t: String): Option[String] = {
+    if (t == OctetStream) None
+    else superTypes.get(t).orElse {
+      if (t.endsWith("+xml")) Some(Xml)
+      else if (t.endsWith("+zip")) Some(Zip)
+      else if (t.startsWith("text/") && t != TextPlain) Some(TextPlain)
+      else Some(OctetStream)
+    }
+  }
+
+  /** Is `a` equal to or a specialization of `b`? (walk supertype chain) */
+  def isSpecializationOf(a: String, b: String): Boolean = {
+    var cur: Option[String] = Some(a)
+    while (cur.isDefined) {
+      if (cur.get == b) return true
+      cur = superType(cur.get)
+    }
+    false
+  }
+
+  /** Extension → type (mime/Patterns.java extension hash; curated). */
+  val extGlobs: Map[String, String] = Map(
+    "html" -> Html, "htm" -> Html, "xml" -> Xml, "pdf" -> Pdf, "zip" -> Zip,
+    "docx" -> Docx, "xlsx" -> Xlsx, "pptx" -> Pptx, "gz" -> Gzip,
+    "png" -> Png, "jpg" -> Jpeg, "jpeg" -> Jpeg, "gif" -> Gif, "txt" -> TextPlain
+  )
+
+  /** XML root-element → refined type (root-XML entries; e.g. text/html
+    * root html/HTML, tika-mimetypes.xml:7748-7761).
+    */
+  val xmlRootTypes: Map[String, String] = Map(
+    "html" -> Html, "HTML" -> Html,
+    "feed" -> AtomXml, "rss" -> RssXml, "svg" -> SvgXml
+  )
+
+  /** Full detection pipeline over the leading bytes of a payload.
+    *
+    * Order (MimeTypes.detect:521-589 + DefaultDetector:135-155):
+    *  1. magic match (priority desc, early exit);
+    *  2. container specialization: zip → OOXML probing is done by the
+    *     caller (needs full bytes, not the 64 KB prefix) — here only the
+    *     [Content_Types].xml-at-30 signature fires;
+    *  3. XML root refinement for xml/html results;
+    *  4. text/binary fallback when nothing matched;
+    *  5. name hint may only specialize (MimeTypes.java:597-612).
+    */
+  def detect(data: Array[Byte], nameHint: Option[String] = None): String = {
+    if (data.isEmpty) return OctetStream
+    val prefix =
+      if (data.length <= PrefixBytes) data else java.util.Arrays.copyOf(data, PrefixBytes)
+
+    var best: String = null
+    var bestPriority = -1
+    val it = magics.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val m = it.next()
+      if (best != null && m.priority < bestPriority) done = true // early exit :237-245
+      else if (m.clause.matches(prefix)) {
+        if (best == null) { best = m.mediaType; bestPriority = m.priority }
+        else if (m.priority == bestPriority && isSpecializationOf(m.mediaType, best)) {
+          // equal-priority more-specific wins (most-specific rule :583)
+          best = m.mediaType
+        }
+      }
+    }
+
+    var result = best
+
+    // XML root refinement (MimeTypes.java:253-289)
+    if (result == Xml || result == Html) {
+      XmlRootExtractor.rootElement(prefix).foreach { root =>
+        xmlRootTypes.get(root).foreach { refined =>
+          if (isSpecializationOf(refined, result) || result == Xml) result = refined
+        }
+      }
+    }
+
+    // fallback: text sniff then octet-stream (MimeTypes.java:294-303)
+    if (result == null) {
+      result = if (TextDetector.isText(prefix)) TextPlain else OctetStream
+    }
+
+    // name hint only specializes (applyHint, MimeTypes.java:597-612)
+    nameHint.flatMap(fromName).foreach { hinted =>
+      if (hinted != result && isSpecializationOf(hinted, result)) result = hinted
+    }
+
+    result
+  }
+
+  /** Name-glob hint (Patterns.java:141-162, extension tier only). */
+  def fromName(name: String): Option[String] = {
+    val dot = name.lastIndexOf('.')
+    if (dot < 0 || dot == name.length - 1) None
+    else extGlobs.get(name.substring(dot + 1).toLowerCase)
+  }
+}

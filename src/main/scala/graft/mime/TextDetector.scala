@@ -1,0 +1,191 @@
+package graft.mime
+
+/** text/plain vs binary sniff — control-byte histogram over the first 512
+  * bytes, accepted when mostly-ASCII or UTF-8-shaped.
+  *
+  * Reference semantics: tika-core detect/TextDetector.java:51-141 +
+  * detect/TextStatistics.java (histogram, isMostlyAscii, looksLikeUTF8).
+  */
+object TextDetector {
+  val SniffBytes = 512
+
+  def isText(data: Array[Byte]): Boolean = {
+    if (data.isEmpty) return false
+    val n = math.min(SniffBytes, data.length)
+    val counts = new Array[Int](256)
+    var i = 0
+    while (i < n) { counts(data(i) & 0xff) += 1; i += 1 }
+    mostlyAscii(counts, n) || looksLikeUTF8(counts, n)
+  }
+
+  /** TextStatistics.isMostlyAscii: no unsafe control chars, and printable
+    * ASCII dominates (> 90% of non-whitespace).
+    */
+  private def mostlyAscii(c: Array[Int], n: Int): Boolean = {
+    val control = countControl(c)
+    var ascii = 0
+    var i = 0x20
+    while (i < 0x80) { ascii += c(i); i += 1 }
+    val safeWs = c('\t') + c('\n') + c('\f') + c('\r') + c(0x1b)
+    control == 0 && (ascii + safeWs) * 100 >= n * 90
+  }
+
+  /** TextStatistics.looksLikeUTF8: valid-ish UTF-8 continuation structure. */
+  private def looksLikeUTF8(c: Array[Int], n: Int): Boolean = {
+    val control = countControl(c)
+    var utf8 = 0
+    var i = 0x20
+    while (i < 0x80) { utf8 += c(i); i += 1 }
+    var expectedContinuation = 0
+    val leading = Array(0, 0, 0)
+    i = 0xc0
+    while (i < 0xe0) { expectedContinuation += c(i); leading(0) += c(i); i += 1 }
+    while (i < 0xf0) { expectedContinuation += 2 * c(i); leading(1) += c(i); i += 1 }
+    while (i < 0xf8) { expectedContinuation += 3 * c(i); leading(2) += c(i); i += 1 }
+    var continuation = 0
+    i = 0x80
+    while (i < 0xc0) { continuation += c(i); i += 1 }
+    utf8 += leading(0) + leading(1) + leading(2) + continuation
+    control == 0 &&
+    continuation <= expectedContinuation &&
+    expectedContinuation <= continuation + leading(0) + leading(1) + leading(2) &&
+    utf8 * 100 >= n * 90
+  }
+
+  /** "Unsafe" control characters: C0 minus tab/newline/ff/cr/esc. */
+  private def countControl(c: Array[Int]): Int = {
+    var control = 0
+    var i = 0
+    while (i < 0x20) {
+      if (i != '\t' && i != '\n' && i != '\f' && i != '\r' && i != 0x1b) control += c(i)
+      i += 1
+    }
+    control + c(0x7f)
+  }
+}
+
+/** Pull the first root element QName from an XML prefix to refine
+  * application/xml → a more specific type.
+  *
+  * Reference: tika-core detect/XmlRootExtractor.java (111 LoC) and the
+  * root-XML refinement step in mime/MimeTypes.java:253-289. Hand-rolled
+  * scanner: skip BOM / XML decl / comments / PIs / doctype, read the first
+  * start-tag name.
+  */
+object XmlRootExtractor {
+  def rootElement(data: Array[Byte]): Option[String] = {
+    val s = EncodingDetector.decodePrefix(data, 4096)
+    var i = 0
+    val n = s.length
+    def skipWs(): Unit = while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+    while (i < n) {
+      skipWs()
+      if (i >= n || s.charAt(i) != '<') return None
+      if (s.startsWith("<?", i)) {
+        val e = s.indexOf("?>", i); if (e < 0) return None; i = e + 2
+      } else if (s.startsWith("<!--", i)) {
+        val e = s.indexOf("-->", i); if (e < 0) return None; i = e + 3
+      } else if (s.startsWith("<!", i)) {
+        val e = s.indexOf('>', i); if (e < 0) return None; i = e + 1
+      } else {
+        i += 1
+        val start = i
+        while (i < n && !Character.isWhitespace(s.charAt(i)) && s.charAt(i) != '>' &&
+               s.charAt(i) != '/') i += 1
+        if (i <= start) return None
+        val qname = s.substring(start, i)
+        // strip namespace prefix
+        val local = qname.substring(qname.indexOf(':') + 1)
+        return Some(local)
+      }
+    }
+    None
+  }
+}
+
+/** BOM + <meta charset> + XML-decl encoding detection, bounded scan.
+  *
+  * Reference chain: tika-core detect/BOMDetector.java:48,
+  * detect/MetaEncodingDetector (html <meta charset>), wrapped by
+  * CompositeEncodingDetector. We implement the subset the north rule
+  * needs (HTML/XML/plain text).
+  */
+object EncodingDetector {
+  import java.nio.charset.{Charset, StandardCharsets}
+
+  /** (charset, bomLength) */
+  def detectBom(data: Array[Byte]): Option[(Charset, Int)] = {
+    if (data.length >= 3 && (data(0) & 0xff) == 0xef && (data(1) & 0xff) == 0xbb &&
+        (data(2) & 0xff) == 0xbf) Some((StandardCharsets.UTF_8, 3))
+    else if (data.length >= 2 && (data(0) & 0xff) == 0xfe && (data(1) & 0xff) == 0xff)
+      Some((StandardCharsets.UTF_16BE, 2))
+    else if (data.length >= 2 && (data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0xfe)
+      Some((StandardCharsets.UTF_16LE, 2))
+    else None
+  }
+
+  private val MetaCharset =
+    java.util.regex.Pattern.compile(
+      """(?i)<meta[^>]*charset\s*=\s*["']?\s*([\w.:-]+)""")
+  private val XmlDeclEncoding =
+    java.util.regex.Pattern.compile("""(?i)<\?xml[^>]*encoding\s*=\s*["']([\w.:-]+)["']""")
+
+  /** Full chain: BOM → meta/xml-decl declared charset → UTF-8 validity →
+    * ISO-8859-1 fallback. Returns (charset, bomLen).
+    */
+  def detect(data: Array[Byte]): (Charset, Int) = {
+    detectBom(data) match {
+      case Some((cs, bom)) => (cs, bom)
+      case None =>
+        val asciiPrefix =
+          new String(data, 0, math.min(data.length, 4096), StandardCharsets.ISO_8859_1)
+        val m = MetaCharset.matcher(asciiPrefix)
+        val x = XmlDeclEncoding.matcher(asciiPrefix)
+        val declared =
+          if (m.find()) Some(m.group(1))
+          else if (x.find()) Some(x.group(1))
+          else None
+        declared.flatMap { name =>
+          try Some(Charset.forName(name)) catch { case _: Exception => None }
+        } match {
+          case Some(cs) => (cs, 0)
+          case None =>
+            if (validUtf8(data)) (StandardCharsets.UTF_8, 0)
+            else (StandardCharsets.ISO_8859_1, 0)
+        }
+    }
+  }
+
+  def decode(data: Array[Byte]): String = {
+    val (cs, bom) = detect(data)
+    new String(data, bom, data.length - bom, cs)
+  }
+
+  def decodePrefix(data: Array[Byte], maxBytes: Int): String = {
+    val (cs, bom) = detect(data)
+    val n = math.min(data.length, maxBytes)
+    if (n <= bom) "" else new String(data, bom, n - bom, cs)
+  }
+
+  def validUtf8(data: Array[Byte]): Boolean = {
+    var i = 0
+    val n = data.length
+    while (i < n) {
+      val b = data(i) & 0xff
+      val len =
+        if (b < 0x80) 1
+        else if (b >= 0xc2 && b < 0xe0) 2
+        else if (b >= 0xe0 && b < 0xf0) 3
+        else if (b >= 0xf0 && b < 0xf5) 4
+        else return false
+      if (i + len > n) return false
+      var j = 1
+      while (j < len) {
+        if ((data(i + j) & 0xc0) != 0x80) return false
+        j += 1
+      }
+      i += len
+    }
+    true
+  }
+}

@@ -1,0 +1,170 @@
+package graft.ooxml
+
+import javax.xml.parsers.SAXParserFactory
+import org.xml.sax.Attributes
+import org.xml.sax.helpers.DefaultHandler
+import graft.engine.{MetaSink, SpanSink, WriteLimitReached, ZipBombDetected}
+import graft.zipx.ZipUtil
+
+/** Streaming DOCX text extraction over `word/document.xml`.
+  *
+  * Reference semantics (apache/tika):
+  *  - element state machine: tika-parsers .../ooxml/
+  *    OOXMLWordAndPowerPointTextHandler.java:49-696 — w:p/w:r/w:t runs,
+  *    w:tab → tab, w:br|w:cr → newline, tables w:tbl/w:tr/w:tc,
+  *    hyperlinks via r:id relationships (:116-124), tracked-change
+  *    w:delText skipped (:107-111);
+  *  - event → text mapping: OOXMLTikaBodyPartHandler.java:130-306 —
+  *    paragraph end → newline, table cells tab-prefixed (XHTML INDENT td),
+  *    row end → newline; pictures → media refs (:415-460);
+  *  - streaming-not-DOM rationale: SXWPFWordExtractorDecorator.java:60-67.
+  *
+  * Implemented with the JDK SAX parser (no POI offline).
+  */
+object DocxExtractor {
+
+  /** Parse `word/_rels/document.xml.rels` → Id → Target. */
+  def relationships(zipBytes: Array[Byte]): Map[String, String] =
+    ZipUtil.entry(zipBytes, "word/_rels/document.xml.rels").map(parseRels).getOrElse(Map.empty)
+
+  def parseRels(bytes: Array[Byte]): Map[String, String] = {
+    val rels = scala.collection.mutable.Map[String, String]()
+    val handler = new DefaultHandler {
+      override def startElement(uri: String, local: String, qName: String,
+          atts: Attributes): Unit = {
+        val name = if (local != null && local.nonEmpty) local else qName
+        if (name == "Relationship") {
+          val id = atts.getValue("Id")
+          val target = atts.getValue("Target")
+          if (id != null && target != null) rels(id) = target
+        }
+      }
+    }
+    saxParse(bytes, handler)
+    rels.toMap
+  }
+
+  def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+    val doc = ZipUtil.entry(zipBytes, "word/document.xml")
+      .getOrElse(throw new IllegalArgumentException("no word/document.xml"))
+    val rels = relationships(zipBytes)
+    coreProperties(zipBytes, meta)
+    saxParse(doc, new DocumentHandler(sink, meta, rels))
+  }
+
+  /** docProps/core.xml → title/creator (reference maps OPC core props to
+    * DublinCore metadata).
+    */
+  private def coreProperties(zipBytes: Array[Byte], meta: MetaSink): Unit = {
+    ZipUtil.entry(zipBytes, "docProps/core.xml").foreach { bytes =>
+      val buf = new StringBuilder
+      var field: String = null
+      saxParse(bytes, new DefaultHandler {
+        override def startElement(u: String, l: String, q: String, a: Attributes): Unit = {
+          val name = localName(l, q)
+          if (name == "title" || name == "creator" || name == "subject") {
+            field = name; buf.setLength(0)
+          }
+        }
+        override def characters(ch: Array[Char], start: Int, length: Int): Unit =
+          if (field != null) buf.appendAll(ch, start, length)
+        override def endElement(u: String, l: String, q: String): Unit = {
+          val name = localName(l, q)
+          if (name == field) {
+            val key = if (name == "creator") "dc:creator"
+                      else if (name == "title") "dc:title" else "dc:subject"
+            meta.set(key, buf.toString.trim)
+            field = null
+          }
+        }
+      })
+    }
+  }
+
+  private def localName(local: String, qName: String): String =
+    if (local != null && local.nonEmpty) local
+    else qName.substring(qName.indexOf(':') + 1)
+
+  /** The WordprocessingML state machine. */
+  private final class DocumentHandler(
+      sink: SpanSink, meta: MetaSink, rels: Map[String, String]
+  ) extends DefaultHandler {
+    private var inText = false        // inside w:t
+    private var inDelText = false     // inside w:delText (tracked delete)
+    private var inInstrText = false   // field code text
+    private var tableDepth = 0
+    private var paraHasContent = false
+
+    override def startElement(uri: String, local: String, qName: String,
+        atts: Attributes): Unit = {
+      localName(local, qName) match {
+        case "t" => inText = true
+        case "delText" => inDelText = true
+        case "instrText" => inInstrText = true
+        case "tab" if !inText => sink.tab()
+        case "br" | "cr" => sink.newline()
+        case "tbl" => tableDepth += 1
+        case "tc" => if (tableDepth > 0) sink.tab() // INDENT td rule
+        case "hyperlink" =>
+          val rid = Option(atts.getValue("r:id")).orElse(attByLocal(atts, "id"))
+          rid.flatMap(rels.get).foreach(t => meta.add("links", t))
+        case "blip" => // a:blip r:embed → picture relationship
+          val rid = Option(atts.getValue("r:embed")).orElse(attByLocal(atts, "embed"))
+          rid.flatMap(rels.get).foreach(t => sink.media("embedded:" + t))
+        case _ => ()
+      }
+    }
+
+    private def attByLocal(atts: Attributes, local: String): Option[String] = {
+      var i = 0
+      while (i < atts.getLength) {
+        val q = atts.getQName(i)
+        if (q == local || q.endsWith(":" + local)) return Option(atts.getValue(i))
+        i += 1
+      }
+      None
+    }
+
+    override def characters(ch: Array[Char], start: Int, length: Int): Unit = {
+      if (inText && !inDelText && !inInstrText) {
+        sink.chars(new String(ch, start, length))
+        paraHasContent = true
+      }
+    }
+
+    override def endElement(uri: String, local: String, qName: String): Unit = {
+      localName(local, qName) match {
+        case "t" => inText = false
+        case "delText" => inDelText = false
+        case "instrText" => inInstrText = false
+        case "p" => sink.newline() // paragraph end → '\n'
+        case "tr" => if (tableDepth > 0) sink.newline()
+        case "tbl" => if (tableDepth > 0) { tableDepth -= 1; sink.newline() }
+        case _ => ()
+      }
+    }
+  }
+
+  /** Hardened JDK SAX parse (no DTD/external entities). */
+  def saxParse(bytes: Array[Byte], handler: DefaultHandler): Unit = {
+    val f = SAXParserFactory.newInstance()
+    f.setNamespaceAware(false)
+    f.setValidating(false)
+    try f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    catch { case _: Exception => () }
+    try {
+      f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+      f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    } catch { case _: Exception => () }
+    val p = f.newSAXParser()
+    try p.parse(new java.io.ByteArrayInputStream(bytes), handler)
+    catch {
+      case e: org.xml.sax.SAXException =>
+        e.getCause match {
+          case w: WriteLimitReached => throw w
+          case z: ZipBombDetected => throw z
+          case _ => throw e
+        }
+    }
+  }
+}

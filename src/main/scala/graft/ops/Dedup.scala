@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Exact dedup and n-gram Jaccard are pure DataFrame plans (DuckDB-
+  * oracle-able); MinHash/LSH and SimHash use deterministic integer hash
+  * families built from Spark's codegen'd `hash`/`xxhash64` so the whole
+  * pipeline stays inside whole-stage codegen.
+  *
+  * Scale notes (100 TB): every variant shuffles only reduced keys —
+  * (hash) for exact, (shingle) for Jaccard candidates, (band-signature)
+  * for LSH buckets — never full documents. LSH turns the O(n²) pair space
+  * into per-bucket joins; band count trades recall for shuffle volume.
+  */
+object Dedup {
+
+  /** Exact duplicates by content hash: keep the min doc_id per group,
+    * list the rest. (tika-eval TextSha256Signature analog.)
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    docs.select(col("doc_id"), md5(col("text")).as("sig"))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_dups") > 1)
+  }
+
+  /** Word n-gram shingles, distinct per doc. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("shingle"))
+  }
+
+  /** n-gram Jaccard near-dup pairs: candidate pairs from shared shingles
+    * (inverted-index join — only docs sharing at least one shingle are
+    * compared), sim = |∩| / (|A|+|B|−|∩|).
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard_raw", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: k hash functions h_i(x) = xxhash64(x, seed=i),
+    * signature_i = min over shingles. One groupBy, no joins.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 32): DataFrame = {
+    val sh = shingles(docs, n)
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding: k hashes in `bands` bands of `rows` hashes;
+    * docs sharing any band bucket are candidates; candidates verified by
+    * estimated Jaccard = fraction of equal signature components.
+    */
+  def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 8, rows: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val k = bands * rows
+    val sigs = minhashSignatures(docs, n, k).cache()
+    val sigCols = (0 until k).map(i => col(s"h$i"))
+    // band key = hash of the band's signature slice
+    val banded = sigs.select(col("doc_id") +: (0 until bands).map { b =>
+      hash(sigCols.slice(b * rows, (b + 1) * rows): _*).as(s"band$b")
+    }: _*)
+    val bucketed = banded.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        concat_ws(":", lit(b), col(s"band$b"))): _*)).as("bucket"))
+    val candidates = bucketed.as("a").join(bucketed.as("b"), "bucket")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify: estimated jaccard from full signatures
+    val simExpr = (0 until k).map(i =>
+      when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    candidates
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("est_jaccard", round(simExpr, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** SimHash: 64-bit signature from per-token hash bit-voting; near-dups
+    * = signatures within `maxHamming`. Bit votes via bitwise ops on
+    * xxhash64 — fully codegen'd.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val tokHashes = transform(toks, t => xxhash64(t))
+    // for each bit b: sum of (+1 if bit set else -1) > 0 → bit set
+    val bits: Seq[org.apache.spark.sql.Column] = (0 until 64).map { b =>
+      val vote = aggregate(tokHashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    docs.select(col("doc_id"),
+      bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Hamming-ball near-dup pairs over simhash signatures, blocked by
+    * 16-bit chunks (signatures within hamming distance 3 share at least
+    * one of 4 chunks — pigeonhole) to avoid the full cross join.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs).cache()
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        concat_ws(":", lit(c),
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xffffL))): _*))
+        .as("chunk"))
+    val hamming = {
+      val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
+      bit_count(x)
+    }
+    chunked.as("a").join(chunked.as("b"), "chunk")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

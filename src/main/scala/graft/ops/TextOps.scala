@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines, mirroring the
+  * reference's tika-eval calculators (tika-eval-core textstats package):
+  * token counting, char-quality metrics, common-token (stopword) rates,
+  * profile signatures, language id. All are expressed with codegen'd
+  * built-in functions — no UDFs — so they stay inside whole-stage
+  * codegen and scale linearly with input.
+  */
+object TextOps {
+
+  /** Whitespace tokenization used consistently across ops + oracles
+    * (single-space split keeps DuckDB `string_split` parity).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Stopword lists for the n-gram-free language-ID heuristic (public
+    * high-frequency function words; reference analog:
+    * tika-langdetect / tika-eval LanguageIDWrapper).
+    */
+  val StopwordsEn: Seq[String] = Seq("the", "and", "of", "to", "a", "in",
+    "is", "that", "it", "for", "on", "with", "as", "was", "at", "by")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist",
+    "von", "zu", "mit", "den", "nicht", "ein", "eine", "auf", "für")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "les", "de", "des", "et",
+    "est", "un", "une", "dans", "que", "pour", "sur", "avec")
+  val StopwordsEs: Seq[String] = Seq("el", "la", "los", "las", "de", "y",
+    "es", "un", "una", "en", "que", "por", "con", "para")
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Per-doc token/char statistics (BasicTokenCountStatsCalculator +
+    * ContentLengthCalculator analogs).
+    */
+  def docStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_unique_tokens")
+    )
+  }
+
+  /** Token frequency table (TokenCounts analog):
+    * explode → groupBy(token) → count. Map-side partial aggregation makes
+    * the shuffle carry only (token, partial_count) pairs.
+    */
+  def tokenCounts(docs: DataFrame, minCount: Long = 5): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** Language ID: stopword-hit voting over {en,de,fr,es}, deterministic
+    * tie-break by that order. (n-gram-histogram LID would need model
+    * weights; stopword voting is the standard cheap heuristic.)
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"),
+        stopCount(toks, StopwordsEn).as("c_en"),
+        stopCount(toks, StopwordsDe).as("c_de"),
+        stopCount(toks, StopwordsFr).as("c_fr"),
+        stopCount(toks, StopwordsEs).as("c_es"))
+      .withColumn("lang_pred",
+        when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
+             col("c_en") >= col("c_es"), "en")
+        .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
+        .when(col("c_fr") >= col("c_es"), "fr")
+        .otherwise("es"))
+      .select("doc_id", "lang_pred", "c_en", "c_de", "c_fr", "c_es")
+  }
+
+  /** Quality scoring: length, stopword ratio, punctuation density, mean
+    * token length (tika-eval ReplacementCharCounter/NonAsciiCharCounter
+    * family generalized to a training-data quality gate).
+    * All ratios rounded to 4 decimals for cross-engine comparability.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChars = length(col("text"))
+    val nTokens = size(toks)
+    val stopRatio = round(stopCount(toks, StopwordsEn)
+      .cast("double") / greatest(nTokens, lit(1)), 4)
+    val punct = length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?]", ""))
+    val punctRatio = round(punct.cast("double") / greatest(nChars, lit(1)), 4)
+    val meanTokLen = round(
+      aggregate(transform(toks, t => length(t)), lit(0), (acc, v) => acc + v)
+        .cast("double") / greatest(nTokens, lit(1)), 4)
+    docs.select(col("doc_id"), nChars.as("n_chars"), nTokens.as("n_tokens"),
+        stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"),
+        meanTokLen.as("mean_token_len"))
+      .withColumn("quality_ok",
+        (col("n_tokens") >= 5) && (col("stop_ratio") >= 0.05) &&
+        (col("punct_ratio") <= 0.2))
+  }
+
+  /** Document fingerprint (TextProfileSignature analog): md5 of the
+    * sorted distinct token set — robust to token order/duplication.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
+        .as("profile_sig"),
+      md5(col("text")).as("exact_sig"))
+}

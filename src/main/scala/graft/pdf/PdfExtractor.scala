@@ -1,0 +1,225 @@
+package graft.pdf
+
+import graft.engine.{MetaSink, SpanSink}
+
+/** Standard-14 Helvetica advance widths (1/1000 em), codes 32..126.
+  * Public Adobe Core14 AFM data — needed for the word-separator heuristic.
+  */
+object Helvetica {
+  private val w: Array[Int] = Array(
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278, 333,
+    278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 278, 278,
+    584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611, 778, 722, 278,
+    500, 667, 556, 833, 722, 778, 667, 778, 722, 667, 611, 722, 667, 944,
+    667, 667, 611, 278, 278, 278, 469, 556, 333, 556, 556, 500, 556, 556,
+    278, 556, 556, 222, 222, 500, 222, 833, 556, 556, 556, 556, 333, 500,
+    278, 556, 500, 722, 500, 500, 500, 334, 260, 334, 584
+  )
+  def width(code: Int): Int =
+    if (code >= 32 && code <= 126) w(code - 32) else 556
+  val SpaceWidth: Int = 278
+}
+
+/** PDF text extraction: content-stream interpretation + the reference's
+  * layout heuristics.
+  *
+  * Reference contract (SURVEY.md §2.5 Appendix):
+  *  - event mapping: tika-parsers .../pdf/PDF2XHTML.java:91-372 — page →
+  *    `<div class="page"><p>`, writeString → characters, line separator →
+  *    '\n', page end closes p+div (two ENDLINE newlines);
+  *  - layout constants applied by Tika (pdf/PDFParserConfig.java:197-215):
+  *    sortByPosition=false (content order), spacingTolerance=0.5 (word
+  *    separator when gap > 0.5×space width), dropThreshold=2.5 (vertical
+  *    jump → line break), enableAutoSpace=true.
+  *
+  * The stripper itself lives in PDFBox upstream; this is an original
+  * text-matrix interpreter for the operator subset BT/ET Tf Td TD Tm T*
+  * TL Tc Tw Tz Tj TJ ' " plus image XObject Do → media spans.
+  * Fonts: standard-14/WinAnsi (cp1252) per the v1 fixture scope.
+  */
+object PdfExtractor {
+
+  val SpacingTolerance = 0.5 // ×space width (PDFParserConfig.java:110)
+  val DropThreshold = 2.5    // vertical pts ~ superscript guard (:114)
+
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+    val doc = new PdfDoc(bytes)
+    // document info dict → metadata
+    doc.catalog.foreach { _ => () }
+    extractInfo(doc, bytes, meta)
+    val pages = doc.pages
+    meta.set("xmpTPg:NPages", pages.length.toString)
+    pages.foreach { page =>
+      val content = doc.pageContent(page)
+      val resources = doc.pageResources(page)
+      interpretPage(doc, content, resources, sink)
+      // endPage: </p></div> → "\n" + span flush ("page-separated spans")
+      sink.chars("\n")
+      sink.newline()
+    }
+  }
+
+  private def extractInfo(doc: PdfDoc, bytes: Array[Byte], meta: MetaSink): Unit = {
+    // trailer /Info — title/author (PDFParser.java metadata step :208-210)
+    // our PdfDoc keeps only /Root; locate an Info-looking dict instead:
+    // cheap scan is acceptable (bounded by object count).
+    ()
+  }
+
+  private final case class TextState(
+      var fontSize: Double = 0,
+      var charSpacing: Double = 0,
+      var wordSpacing: Double = 0,
+      var leading: Double = 0,
+      var hScale: Double = 1.0,
+      // text matrix (a b c d e f) and line matrix
+      var tm: Array[Double] = Array(1, 0, 0, 1, 0, 0),
+      var tlm: Array[Double] = Array(1, 0, 0, 1, 0, 0)
+  )
+
+  private def interpretPage(
+      doc: PdfDoc, content: Array[Byte], resources: PDict, sink: SpanSink): Unit = {
+    val lex = new PdfLexer(content)
+    val st = TextState()
+    val operands = scala.collection.mutable.ArrayBuffer[PdfObj]()
+    var lastEndX = Double.NaN
+    var lastY = Double.NaN
+    var lineHasText = false
+    var pageHasText = false
+
+    val xobjects: Map[String, PdfObj] =
+      resources.get("XObject").flatMap(doc.dict).map(_.entries).getOrElse(Map.empty)
+
+    def num(o: PdfObj): Double = o match { case PNum(v) => v; case _ => 0.0 }
+
+    def setTd(tx: Double, ty: Double): Unit = {
+      // Tlm = [1 0 0 1 tx ty] × Tlm ; Tm = Tlm
+      val m = st.tlm
+      val e = tx * m(0) + ty * m(2) + m(4)
+      val f = tx * m(1) + ty * m(3) + m(5)
+      st.tlm = Array(m(0), m(1), m(2), m(3), e, f)
+      st.tm = st.tlm.clone()
+    }
+
+    def spaceWidthPts: Double = Helvetica.SpaceWidth / 1000.0 * st.fontSize
+
+    def showString(s: Array[Byte]): Unit = {
+      if (s.isEmpty) return
+      var x = st.tm(4)
+      val y = st.tm(5)
+      // layout heuristics vs the previous shown glyphs
+      if (!lastY.isNaN) {
+        val dy = math.abs(y - lastY)
+        if (dy > DropThreshold) {
+          sink.chars("\n") // line separator (PDF2XHTML.java:260-267)
+          lineHasText = false
+        } else if (!lastEndX.isNaN && lineHasText &&
+                   x - lastEndX > SpacingTolerance * spaceWidthPts) {
+          sink.chars(" ") // word separator (PDF2XHTML.java:251-258)
+        }
+      }
+      val text = new String(s, java.nio.charset.Charset.forName("windows-1252"))
+      sink.chars(text)
+      pageHasText = true
+      lineHasText = true
+      // advance x per glyph
+      var i = 0
+      while (i < s.length) {
+        val code = s(i) & 0xff
+        var adv = Helvetica.width(code) / 1000.0 * st.fontSize + st.charSpacing
+        if (code == 32) adv += st.wordSpacing
+        x += adv * st.hScale
+        i += 1
+      }
+      st.tm(4) = x
+      lastEndX = x
+      lastY = y
+    }
+
+    var guard = 0
+    while (lex.pos < content.length && guard < 2000000) {
+      guard += 1
+      lex.skipWs()
+      if (lex.pos >= content.length) return
+      val c = lex.peek
+      if (c == '/' || c == '(' || c == '<' || c == '[' ||
+          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        try operands += lex.parseObject()
+        catch { case _: PdfParseException => lex.pos += 1 }
+      } else {
+        val op = lex.readToken()
+        if (op.isEmpty) lex.pos += 1
+        else {
+          op match {
+            case "BT" =>
+              st.tm = Array(1, 0, 0, 1, 0, 0); st.tlm = Array(1, 0, 0, 1, 0, 0)
+            case "ET" => ()
+            case "Tf" =>
+              if (operands.length >= 2) st.fontSize = num(operands.last)
+            case "Td" =>
+              if (operands.length >= 2)
+                setTd(num(operands(operands.length - 2)), num(operands.last))
+            case "TD" =>
+              if (operands.length >= 2) {
+                st.leading = -num(operands.last)
+                setTd(num(operands(operands.length - 2)), num(operands.last))
+              }
+            case "Tm" =>
+              if (operands.length >= 6) {
+                val o = operands.takeRight(6).map(num).toArray
+                st.tm = o.clone(); st.tlm = o.clone()
+              }
+            case "T*" => setTd(0, -st.leading)
+            case "TL" => if (operands.nonEmpty) st.leading = num(operands.last)
+            case "Tc" => if (operands.nonEmpty) st.charSpacing = num(operands.last)
+            case "Tw" => if (operands.nonEmpty) st.wordSpacing = num(operands.last)
+            case "Tz" => if (operands.nonEmpty) st.hScale = num(operands.last) / 100.0
+            case "Tj" =>
+              operands.lastOption match {
+                case Some(PStr(b)) => showString(b)
+                case _ => ()
+              }
+            case "'" =>
+              setTd(0, -st.leading)
+              operands.lastOption match {
+                case Some(PStr(b)) => showString(b)
+                case _ => ()
+              }
+            case "\"" =>
+              if (operands.length >= 3) {
+                st.wordSpacing = num(operands(operands.length - 3))
+                st.charSpacing = num(operands(operands.length - 2))
+                setTd(0, -st.leading)
+                operands.last match { case PStr(b) => showString(b); case _ => () }
+              }
+            case "TJ" =>
+              operands.lastOption match {
+                case Some(PArr(items)) =>
+                  items.foreach {
+                    case PStr(b) => showString(b)
+                    case PNum(adj) =>
+                      // kerning: negative adj moves right-to-left? No:
+                      // tx = -adj/1000 × fontSize × hScale
+                      val tx = -adj / 1000.0 * st.fontSize * st.hScale
+                      st.tm(4) += tx
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+            case "Do" =>
+              operands.lastOption match {
+                case Some(PName(name)) =>
+                  xobjects.get(name).flatMap(doc.dict).foreach { xd =>
+                    if (xd.get("Subtype").contains(PName("Image")))
+                      sink.media("embedded:" + name)
+                  }
+                case _ => ()
+              }
+            case _ => () // path/graphics ops ignored
+          }
+          operands.clear()
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,445 @@
+package graft.pdf
+
+import java.util.zip.Inflater
+import scala.collection.mutable.ArrayBuffer
+
+/** PDF object model + lexer, from scratch on the JDK.
+  *
+  * Scope per SURVEY.md §2.5 / §7: xref tables + object scan fallback,
+  * FlateDecode, dictionaries/arrays/strings/names/refs, page tree walk.
+  * Reference behavior being re-expressed: tika-parsers .../pdf/
+  * PDFParser.java:164-251 (xref/incremental-update scan :299-349) — the
+  * heavy lifting there is PDFBox; this is our own minimal equivalent.
+  */
+sealed trait PdfObj
+case object PNull extends PdfObj
+final case class PBool(v: Boolean) extends PdfObj
+final case class PNum(v: Double) extends PdfObj { def toInt: Int = v.toInt }
+final case class PStr(bytes: Array[Byte]) extends PdfObj
+final case class PName(name: String) extends PdfObj
+final case class PArr(items: Vector[PdfObj]) extends PdfObj
+final case class PDict(entries: Map[String, PdfObj]) extends PdfObj {
+  def get(key: String): Option[PdfObj] = entries.get(key)
+}
+final case class PRef(num: Int, gen: Int) extends PdfObj
+final case class PStream(dict: PDict, raw: Array[Byte]) extends PdfObj
+
+final class PdfParseException(msg: String) extends Exception(msg)
+
+/** Byte-level lexer/parser for the PDF COS syntax. */
+final class PdfLexer(data: Array[Byte]) {
+  var pos = 0
+  def length: Int = data.length
+
+  @inline def peek: Int = if (pos < data.length) data(pos) & 0xff else -1
+  @inline def at(i: Int): Int = if (i < data.length && i >= 0) data(i) & 0xff else -1
+
+  def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+    c == '{' || c == '}' || c == '/' || c == '%'
+
+  def skipWs(): Unit = {
+    var going = true
+    while (going) {
+      while (pos < data.length && isWs(peek)) pos += 1
+      if (peek == '%') { // comment to EOL
+        while (pos < data.length && peek != '\n' && peek != '\r') pos += 1
+      } else going = false
+    }
+  }
+
+  def startsWith(s: String): Boolean = {
+    if (pos + s.length > data.length) return false
+    var i = 0
+    while (i < s.length) {
+      if ((data(pos + i) & 0xff) != s.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  def expect(s: String): Unit = {
+    if (!startsWith(s)) throw new PdfParseException(s"expected '$s' at $pos")
+    pos += s.length
+  }
+
+  def readToken(): String = {
+    skipWs()
+    val b = new StringBuilder
+    while (pos < data.length && !isWs(peek) && !isDelim(peek)) {
+      b.append(peek.toChar); pos += 1
+    }
+    b.toString
+  }
+
+  /** Parse one object at current position (after skipWs). */
+  def parseObject(): PdfObj = {
+    skipWs()
+    peek match {
+      case '/' => parseName()
+      case '(' => parseLiteralString()
+      case '[' => parseArray()
+      case '<' =>
+        if (at(pos + 1) == '<') parseDictOrStream() else parseHexString()
+      case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+        parseNumberOrRef()
+      case 't' | 'f' =>
+        val t = readToken()
+        if (t == "true") PBool(true)
+        else if (t == "false") PBool(false)
+        else throw new PdfParseException(s"bad token '$t' at $pos")
+      case 'n' =>
+        val t = readToken()
+        if (t == "null") PNull else throw new PdfParseException(s"bad token '$t' at $pos")
+      case c => throw new PdfParseException(s"unexpected byte $c at $pos")
+    }
+  }
+
+  def parseName(): PName = {
+    expect("/")
+    val b = new StringBuilder
+    while (pos < data.length && !isWs(peek) && !isDelim(peek)) {
+      if (peek == '#' && pos + 2 < data.length) {
+        val hex = "" + at(pos + 1).toChar + at(pos + 2).toChar
+        try { b.append(Integer.parseInt(hex, 16).toChar); pos += 3 }
+        catch { case _: NumberFormatException => b.append(peek.toChar); pos += 1 }
+      } else { b.append(peek.toChar); pos += 1 }
+    }
+    PName(b.toString)
+  }
+
+  def parseLiteralString(): PStr = {
+    expect("(")
+    val out = new java.io.ByteArrayOutputStream()
+    var depth = 1
+    while (pos < data.length && depth > 0) {
+      val c = peek
+      if (c == '\\') {
+        pos += 1
+        val e = peek
+        e match {
+          case 'n' => out.write('\n'); pos += 1
+          case 'r' => out.write('\r'); pos += 1
+          case 't' => out.write('\t'); pos += 1
+          case 'b' => out.write('\b'); pos += 1
+          case 'f' => out.write('\f'); pos += 1
+          case '(' => out.write('('); pos += 1
+          case ')' => out.write(')'); pos += 1
+          case '\\' => out.write('\\'); pos += 1
+          case '\r' => pos += 1; if (peek == '\n') pos += 1 // line continuation
+          case '\n' => pos += 1
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var k = 0
+            while (k < 3 && peek >= '0' && peek <= '7') { v = v * 8 + (peek - '0'); pos += 1; k += 1 }
+            out.write(v & 0xff)
+          case _ => out.write(e); pos += 1
+        }
+      } else if (c == '(') { depth += 1; out.write(c); pos += 1 }
+      else if (c == ')') { depth -= 1; if (depth > 0) out.write(c); pos += 1 }
+      else { out.write(c); pos += 1 }
+    }
+    PStr(out.toByteArray)
+  }
+
+  def parseHexString(): PStr = {
+    expect("<")
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    while (pos < data.length && peek != '>') {
+      val c = peek
+      val v = Character.digit(c, 16)
+      if (v >= 0) {
+        if (hi < 0) hi = v else { out.write(hi * 16 + v); hi = -1 }
+      }
+      pos += 1
+    }
+    if (hi >= 0) out.write(hi * 16)
+    if (peek == '>') pos += 1
+    PStr(out.toByteArray)
+  }
+
+  def parseArray(): PArr = {
+    expect("[")
+    val items = new ArrayBuffer[PdfObj]()
+    skipWs()
+    while (pos < data.length && peek != ']') {
+      items += parseObject()
+      skipWs()
+    }
+    if (peek == ']') pos += 1
+    PArr(items.toVector)
+  }
+
+  def parseDictOrStream(): PdfObj = {
+    expect("<<")
+    val entries = scala.collection.mutable.LinkedHashMap[String, PdfObj]()
+    skipWs()
+    while (pos < data.length && !startsWith(">>")) {
+      val key = parseName().name
+      val value = parseObject()
+      entries(key) = value
+      skipWs()
+    }
+    expect(">>")
+    val dict = PDict(entries.toMap)
+    // stream keyword?
+    val save = pos
+    skipWs()
+    if (startsWith("stream")) {
+      pos += "stream".length
+      if (peek == '\r') pos += 1
+      if (peek == '\n') pos += 1
+      // length may be an indirect ref — resolved by the caller (PdfDoc);
+      // here we locate 'endstream' if Length is inline, else scan.
+      dict.get("Length") match {
+        case Some(PNum(len)) =>
+          val n = len.toInt
+          val raw = java.util.Arrays.copyOfRange(data, pos, math.min(pos + n, data.length))
+          pos = math.min(pos + n, data.length)
+          skipWs()
+          if (startsWith("endstream")) pos += "endstream".length
+          else { // Length lied: rescan
+            val idx = indexOf("endstream", save)
+            if (idx >= 0) pos = idx + "endstream".length
+          }
+          PStream(dict, raw)
+        case _ =>
+          val idx = indexOf("endstream", pos)
+          if (idx < 0) throw new PdfParseException("unterminated stream")
+          var end = idx
+          // strip the EOL that precedes endstream
+          if (end > pos && at(end - 1) == '\n') end -= 1
+          if (end > pos && at(end - 1) == '\r') end -= 1
+          val raw = java.util.Arrays.copyOfRange(data, pos, end)
+          pos = idx + "endstream".length
+          PStream(dict, raw)
+      }
+    } else {
+      pos = save
+      dict
+    }
+  }
+
+  def parseNumberOrRef(): PdfObj = {
+    val start = pos
+    val n1 = readNumber()
+    if (n1.isWhole && n1 >= 0) {
+      val save = pos
+      skipWs()
+      if (peek >= '0' && peek <= '9') {
+        val genStart = pos
+        val n2 = readNumber()
+        skipWs()
+        if (peek == 'R' && (isWs(at(pos + 1)) || isDelim(at(pos + 1)) || at(pos + 1) == -1)) {
+          pos += 1
+          return PRef(n1.toInt, n2.toInt)
+        }
+        pos = genStart // not a ref: rewind the second number
+        return PNum(n1)
+      }
+      pos = save
+    }
+    PNum(n1)
+  }
+
+  def readNumber(): Double = {
+    skipWs()
+    val b = new StringBuilder
+    if (peek == '+' || peek == '-') { b.append(peek.toChar); pos += 1 }
+    while (pos < data.length && ((peek >= '0' && peek <= '9') || peek == '.')) {
+      b.append(peek.toChar); pos += 1
+    }
+    if (b.isEmpty || b.toString == "-" || b.toString == "+")
+      throw new PdfParseException(s"bad number at $pos")
+    b.toString.toDouble
+  }
+
+  def indexOf(s: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val n = data.length - s.length
+    while (i <= n) {
+      var j = 0
+      var ok = true
+      while (ok && j < s.length) {
+        if ((data(i + j) & 0xff) != s.charAt(j)) ok = false
+        j += 1
+      }
+      if (ok) return i
+      i += 1
+    }
+    -1
+  }
+
+  def lastIndexOf(s: String): Int = {
+    var i = data.length - s.length
+    while (i >= 0) {
+      var j = 0
+      var ok = true
+      while (ok && j < s.length) {
+        if ((data(i + j) & 0xff) != s.charAt(j)) ok = false
+        j += 1
+      }
+      if (ok) return i
+      i -= 1
+    }
+    -1
+  }
+}
+
+/** A parsed PDF document: object table + page list. */
+final class PdfDoc(data: Array[Byte]) {
+  private val objects = scala.collection.mutable.Map[Int, PdfObj]()
+  private var trailer: PDict = PDict(Map.empty)
+  parseAll()
+
+  /** Scan-based object table build: robust to broken xref (the reference
+    * also rescans for incremental updates, PDFParser.java:299-349). We
+    * locate every `N G obj` header and parse the object there.
+    */
+  private def parseAll(): Unit = {
+    val lex = new PdfLexer(data)
+    var i = 0
+    while (i >= 0 && i < data.length) {
+      val idx = lex.indexOf(" obj", i)
+      if (idx < 0) i = -1
+      else {
+        // backtrack over "N G" before " obj"
+        var j = idx - 1
+        while (j >= 0 && (data(j) & 0xff) >= '0' && (data(j) & 0xff) <= '9') j -= 1
+        while (j >= 0 && lex.isWs(data(j) & 0xff)) j -= 1
+        while (j >= 0 && (data(j) & 0xff) >= '0' && (data(j) & 0xff) <= '9') j -= 1
+        val headerStart = j + 1
+        val header = new String(data, headerStart, idx - headerStart,
+          java.nio.charset.StandardCharsets.ISO_8859_1).trim.split("\\s+")
+        if (header.length == 2 && header(0).nonEmpty && header(0).forall(_.isDigit)) {
+          val num = header(0).toInt
+          val l2 = new PdfLexer(data)
+          l2.pos = idx + 4
+          try {
+            val obj = l2.parseObject()
+            // later objects (incremental updates) override earlier ones
+            objects(num) = obj
+          } catch { case _: Exception => () }
+        }
+        i = idx + 4
+      }
+    }
+    // trailer dict (last one wins)
+    var t = lex.lastIndexOf("trailer")
+    while (t >= 0) {
+      val l2 = new PdfLexer(data)
+      l2.pos = t + "trailer".length
+      try {
+        l2.parseObject() match {
+          case d: PDict => trailer = d; t = -1
+          case _ => t = -1
+        }
+      } catch { case _: Exception => t = -1 }
+    }
+    if (trailer.entries.isEmpty) {
+      // xref-stream PDFs: find the catalog by type scan
+      objects.collectFirst {
+        case (num, d: PDict) if d.get("Type").contains(PName("Catalog")) =>
+          trailer = PDict(Map("Root" -> PRef(num, 0)))
+      }
+    }
+  }
+
+  def resolve(o: PdfObj): PdfObj = o match {
+    case PRef(n, _) => objects.get(n).map(resolve).getOrElse(PNull)
+    case other => other
+  }
+
+  def dict(o: PdfObj): Option[PDict] = resolve(o) match {
+    case d: PDict => Some(d)
+    case PStream(d, _) => Some(d)
+    case _ => None
+  }
+
+  def catalog: Option[PDict] = trailer.get("Root").flatMap(dict)
+
+  /** Depth-first page-tree walk (Catalog → /Pages → /Kids → /Page). */
+  def pages: Vector[PDict] = {
+    val out = new ArrayBuffer[PDict]()
+    def walk(node: PDict, depth: Int): Unit = {
+      if (depth > 32) return
+      resolve(node.get("Type").getOrElse(PNull)) match {
+        case PName("Page") => out += node
+        case _ =>
+          node.get("Kids").map(resolve) match {
+            case Some(PArr(kids)) =>
+              kids.foreach(k => dict(k).foreach(walk(_, depth + 1)))
+            case _ => ()
+          }
+      }
+    }
+    catalog.flatMap(c => dict(c.get("Pages").getOrElse(PNull))).foreach(walk(_, 0))
+    out.toVector
+  }
+
+  /** Concatenated decoded content streams of a page. */
+  def pageContent(page: PDict): Array[Byte] = {
+    val streams: Vector[PStream] = resolve(page.get("Contents").getOrElse(PNull)) match {
+      case s: PStream => Vector(s)
+      case PArr(items) => items.flatMap(i => resolve(i) match {
+        case s: PStream => Some(s); case _ => None
+      })
+      case _ => Vector.empty
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    streams.foreach { s => out.write(decodeStream(s)); out.write('\n') }
+    out.toByteArray
+  }
+
+  /** Resources dict of a page (walking up via /Parent if inherited). */
+  def pageResources(page: PDict): PDict = {
+    var cur: Option[PDict] = Some(page)
+    var depth = 0
+    while (cur.isDefined && depth < 32) {
+      cur.get.get("Resources").flatMap(dict) match {
+        case Some(r) => return r
+        case None => cur = cur.get.get("Parent").flatMap(dict); depth += 1
+      }
+    }
+    PDict(Map.empty)
+  }
+
+  /** Apply /Filter (FlateDecode or none; others unsupported in v1). */
+  def decodeStream(s: PStream): Array[Byte] = {
+    val realLen = resolve(s.dict.get("Length").getOrElse(PNull)) match {
+      case PNum(n) if n.toInt <= s.raw.length && n.toInt >= 0 => n.toInt
+      case _ => s.raw.length
+    }
+    val raw = if (realLen == s.raw.length) s.raw else java.util.Arrays.copyOf(s.raw, realLen)
+    resolve(s.dict.get("Filter").getOrElse(PNull)) match {
+      case PName("FlateDecode") => inflate(raw)
+      case PArr(fs) if fs.contains(PName("FlateDecode")) && fs.length == 1 => inflate(raw)
+      case PNull => raw
+      case _ => Array.emptyByteArray // unsupported filter → no text from it
+    }
+  }
+
+  private def inflate(raw: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(raw)
+    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) return out.toByteArray
+        out.write(buf, 0, n)
+        if (out.size() > ZipBudget) throw new graft.engine.ZipBombDetected
+      }
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => out.toByteArray
+    } finally inf.end()
+  }
+
+  private val ZipBudget = 64 * 1024 * 1024
+
+  def objectCount: Int = objects.size
+}

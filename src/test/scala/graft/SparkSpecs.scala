@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val SfDir = "/root/testdata/sf0.001"
+}
+
+class PipelineSpec extends AnyFunSuite {
+  import graft.corpus.Corpus
+  import graft.engine.Pipeline
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("extract 300 docs end-to-end: all rows produce status + mime") {
+    val out = Pipeline.extract(Corpus.docRows(spark, 300, 4)).toDF().cache()
+    assert(out.count() == 300)
+    assert(out.filter(col("mime").isNull || col("status").isNull).count() == 0)
+    val mimes = out.groupBy("mime").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mimes.contains("text/html"))
+    assert(mimes.contains("application/pdf"))
+    assert(mimes.contains(
+      "application/vnd.openxmlformats-officedocument.wordprocessingml.document"))
+    out.unpersist()
+  }
+
+  test("pipeline run writes output + lineage metrics; resume skips done rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpipe").toString
+    val input = Corpus.docRows(spark, 200, 4)
+    Pipeline.run(spark, input, s"$dir/out", s"$dir/metrics", numPartitions = 4)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 200)
+    val metrics = spark.read.parquet(s"$dir/metrics")
+    assert(metrics.count() == 4) // one lineage row per partition
+    assert(metrics.agg(sum("n_docs")).head.getLong(0) == 200)
+    assert(metrics.select("parser_version").distinct().head.getString(0)
+      == graft.core.Model.ParserVersion)
+    // resume: nothing left to do
+    val remaining = Pipeline.resumeFilter(input, s"$dir/out")
+    assert(remaining.count() == 0)
+    // resume with a larger input: only the delta remains
+    val bigger = Corpus.docRows(spark, 250, 4)
+    assert(Pipeline.resumeFilter(bigger, s"$dir/out").count() == 50)
+  }
+
+  test("entry smoke: rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("extraction is deterministic across runs and parallelism levels") {
+    val a = Pipeline.extract(Corpus.docRows(spark, 100, 2)).toDF()
+      .select("doc_id", "n_spans", "n_chars").collect().sortBy(_.getString(0))
+    val b = Pipeline.extract(Corpus.docRows(spark, 100, 7)).toDF()
+      .select("doc_id", "n_spans", "n_chars").collect().sortBy(_.getString(0))
+    assert(a.map(_.toString) sameElements b.map(_.toString))
+  }
+}
+
+class OpsSpec extends AnyFunSuite {
+  import graft.ops.{Dedup, SimSearch, TextOps}
+
+  lazy val spark: SparkSession = TestSpark.spark
+  import org.apache.spark.sql.Row
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds planted duplicates") {
+    val df = docsDf(Seq(
+      (1L, "the same exact text"), (2L, "the same exact text"),
+      (3L, "something different"), (4L, "the same exact text")))
+    val dups = Dedup.exact(df).collect()
+    assert(dups.length == 1)
+    val r = dups.head
+    assert(r.getAs[Long]("n_dups") == 3)
+    assert(r.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngram jaccard finds near-duplicates, skips dissimilar") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val pairs = Dedup.ngramJaccard(
+      docsDf(Seq((1L, base), (2L, near), (3L, far))), n = 3, threshold = 0.5)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_a") == 1L)
+    assert(pairs.head.getAs[Long]("doc_b") == 2L)
+  }
+
+  test("minhash LSH surfaces the same near-dup pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("upsilon", "phi")
+    val far = (1 to 20).map(i => s"word$i").mkString(" ")
+    val out = Dedup.minhashLsh(
+      docsDf(Seq((1L, base), (2L, near), (3L, far))), threshold = 0.5).collect()
+    assert(out.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L))
+    assert(!out.exists(r => r.getAs[Long]("doc_b") == 3L))
+  }
+
+  test("simhash is repetition-invariant; near-dups within hamming ball") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base + " " + base // doubled token weights → same sign votes
+    val far = (1 to 30).map(i => s"zzz$i qqq$i").mkString(" ")
+    val out = Dedup.simhashNearDups(
+      docsDf(Seq((1L, base), (2L, near), (3L, far))), maxHamming = 3).collect()
+    assert(out.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L))
+    assert(!out.exists(r => r.getAs[Long]("doc_b") == 3L))
+  }
+
+  test("brute-force ANN matches manual cosine on embeddings table") {
+    val e = spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+    val out = SimSearch.bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 3)
+      .collect()
+    assert(out.length == 9)
+    // manual check for query 0
+    val rows = e.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    val q = rows.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val expTop = rows.filter(_._1 != 0L).map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+    val gotTop = out.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id"))
+    assert(gotTop.toSeq == expTop.toSeq)
+  }
+
+  test("LSH ANN returns plausible neighbors (recall sanity)") {
+    val e = spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+    val brute = SimSearch.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = SimSearch.lshTopK(e, e.filter(col("vec_id") < 10), dim = 64, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // overlap is recall; LSH trades recall for scale — just needs signal
+    assert(lsh.nonEmpty)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.1, s"recall=$recall")
+  }
+
+  test("langid + quality + fingerprint run on documents table") {
+    val d = spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+    val lid = TextOps.langId(d)
+    assert(lid.count() == d.count())
+    assert(lid.filter(col("lang_pred").isin("en", "de", "fr", "es")).count() == d.count())
+    val q = TextOps.qualityScore(d)
+    assert(q.filter(col("mean_token_len") <= 0).count() == 0)
+    val fp = TextOps.fingerprint(d)
+    assert(fp.select("profile_sig").distinct().count() > 1)
+  }
+
+  test("multimodal stub plumbing") {
+    import graft.ops.Multimodal
+    val refs = spark.createDataFrame(Seq(Tuple1("blob://a"), Tuple1("blob://b")))
+      .toDF("media_ref")
+    val feats = Multimodal.extractFeatures(refs).collect()
+    assert(feats.length == 2)
+    assert(feats.forall(_.getAs[Seq[Float]]("feature").length == 8))
+  }
+}
