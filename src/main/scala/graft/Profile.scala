@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.corpus.Corpus
+import graft.engine.Pipeline
+
+/** Ad-hoc profiling main: generation-only vs full extraction at a given
+  * parallelism. Usage: runMain graft.Profile <cores> <docs>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val docs = args(1).toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    time("warmup-5k")(Pipeline.extract(Corpus.docRows(spark, 5000, cores * 4))
+      .toDF().write.format("noop").mode("overwrite").save())
+    time(s"generate-only-$docs")(
+      Corpus.docRows(spark, docs, cores * 4).toDF()
+        .write.format("noop").mode("overwrite").save())
+    time(s"extract-$docs")(
+      Pipeline.extract(Corpus.docRows(spark, docs, cores * 4)).toDF()
+        .write.format("noop").mode("overwrite").save())
+    // per-kind cost: one partition per kind family
+    Seq("html", "docx", "pdf", "zip", "text", "xml").foreach { kind =>
+      val ids = (0L until 200000L).filter(i => Corpus.kindOf(i) == kind).take(20000)
+      time(f"extract-20k-$kind") {
+        spark.sparkContext.parallelize(ids, cores * 4)
+          .map(i => graft.engine.Extractor.extract(Corpus.row(i)).n_chars)
+          .sum()
+      }
+    }
+    spark.stop()
+  }
+}

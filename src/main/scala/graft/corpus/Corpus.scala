@@ -59,14 +59,22 @@ object Corpus {
   def kindOf(index: Long): String = {
     val m = ((index % 1000) * 379 % 1000).toInt
     if (m < 400) "html"
-    else if (m < 550) "docx"
+    else if (m < 500) "docx"
+    else if (m < 525) "xlsx"
+    else if (m < 550) "pptx"
     else if (m < 650) "pdf"
     else if (m < 750) "zip"
-    else if (m < 850) "text"
+    else if (m < 820) "text"
+    else if (m < 850) "csv"
     else if (m < 900) "xml"
     else if (m < 950) "media"
     else "junk"
   }
+
+  /** Corpus content version — bump when any generator changes so cached
+    * bench corpora are regenerated.
+    */
+  val Version = 2
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -86,6 +94,9 @@ object Corpus {
               Span("html", htmlFragment(r), null, 2))
         else Seq(Span("html", html, null, 0))
       case "docx" => Seq(Span("docx", b64(docxDoc(r)), null, 0))
+      case "xlsx" => Seq(Span("bytes", b64(xlsxDoc(r)), null, 0))
+      case "pptx" => Seq(Span("bytes", b64(pptxDoc(r)), null, 0))
+      case "csv" => Seq(Span("bytes", b64(csvDoc(r)), null, 0))
       case "pdf" => Seq(Span("pdf", b64(pdfDoc(r, index)), null, 0))
       case "zip" =>
         val bytes = if (isBombShaped(index)) bombZip(r) else zipDoc(r)
@@ -230,6 +241,114 @@ $paras
 
   def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  // ---- XLSX ----------------------------------------------------------
+  def xlsxDoc(r: Random): Array[Byte] = {
+    val nShared = 4 + r.nextInt(4)
+    val sharedVals = (0 until nShared).map(_ => Words(r.nextInt(Words.length)))
+    val sst =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="$nShared" uniqueCount="$nShared">""" +
+      sharedVals.map(v => s"<si><t>$v</t></si>").mkString + "</sst>"
+    val nRows = 2 + r.nextInt(4)
+    val rows = (1 to nRows).map { ri =>
+      val c1 = s"""<c r="A$ri" t="s"><v>${r.nextInt(nShared)}</v></c>"""
+      val c2 = s"""<c r="B$ri"><v>${r.nextInt(10000)}</v></c>"""
+      val c3 = s"""<c r="C$ri" t="inlineStr"><is><t>${Words(r.nextInt(Words.length))}</t></is></c>"""
+      s"""<row r="$ri">$c1$c2$c3</row>"""
+    }.mkString
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      s"<sheetData>$rows</sheetData></worksheet>"
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+      """<sheets><sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val wbRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+      """</Relationships>"""
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Default Extension="xml" ContentType="application/xml"/>""" +
+      """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+      """</Types>"""
+    val rootRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+      """</Relationships>"""
+    zip(Seq(
+      "[Content_Types].xml" -> contentTypes.getBytes(StandardCharsets.UTF_8),
+      "_rels/.rels" -> rootRels.getBytes(StandardCharsets.UTF_8),
+      "xl/workbook.xml" -> workbook.getBytes(StandardCharsets.UTF_8),
+      "xl/_rels/workbook.xml.rels" -> wbRels.getBytes(StandardCharsets.UTF_8),
+      "xl/sharedStrings.xml" -> sst.getBytes(StandardCharsets.UTF_8),
+      "xl/worksheets/sheet1.xml" -> sheet.getBytes(StandardCharsets.UTF_8)
+    ))
+  }
+
+  // ---- PPTX ----------------------------------------------------------
+  def pptxDoc(r: Random): Array[Byte] = {
+    val nSlides = 1 + r.nextInt(3)
+    val slides = (1 to nSlides).map { i =>
+      val paras = (1 to 2 + r.nextInt(2)).map(_ =>
+        s"<a:p><a:r><a:t>${xmlEscape(sentence(r, 3 + r.nextInt(5)))}</a:t></a:r></a:p>").mkString
+      s"slide$i.xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+         """<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">""" +
+         s"<p:cSld><p:spTree><p:sp><p:txBody>$paras</p:txBody></p:sp></p:spTree></p:cSld></p:sld>")
+    }
+    val sldIds = (1 to nSlides).map(i =>
+      s"""<p:sldId id="${255 + i}" r:id="rId$i"/>""").mkString
+    val pres =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+      s"<p:sldIdLst>$sldIds</p:sldIdLst></p:presentation>"
+    val presRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      (1 to nSlides).map(i =>
+        s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" Target="slides/slide$i.xml"/>""").mkString +
+      """</Relationships>"""
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Default Extension="xml" ContentType="application/xml"/>""" +
+      """<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>""" +
+      """</Types>"""
+    val rootRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/>""" +
+      """</Relationships>"""
+    zip(Seq(
+      "[Content_Types].xml" -> contentTypes.getBytes(StandardCharsets.UTF_8),
+      "_rels/.rels" -> rootRels.getBytes(StandardCharsets.UTF_8),
+      "ppt/presentation.xml" -> pres.getBytes(StandardCharsets.UTF_8),
+      "ppt/_rels/presentation.xml.rels" -> presRels.getBytes(StandardCharsets.UTF_8)
+    ) ++ slides.map { case (n, c) => s"ppt/slides/$n" -> c.getBytes(StandardCharsets.UTF_8) })
+  }
+
+  // ---- CSV -----------------------------------------------------------
+  def csvDoc(r: Random): Array[Byte] = {
+    val delim = Seq(',', '\t', ';')(r.nextInt(3))
+    val nCols = 3 + r.nextInt(3)
+    val nRows = 4 + r.nextInt(8)
+    val header = (1 to nCols).map(i => s"col$i").mkString(delim.toString)
+    val rows = (1 to nRows).map { _ =>
+      (1 to nCols).map(_ => r.nextInt(2) match {
+        case 0 => Words(r.nextInt(Words.length))
+        case _ => r.nextInt(100000).toString
+      }).mkString(delim.toString)
+    }
+    (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8)
+  }
 
   // ---- PDF -----------------------------------------------------------
   /** Minimal valid PDF: xref table, page tree, Helvetica, per-page content

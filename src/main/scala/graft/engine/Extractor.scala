@@ -80,15 +80,29 @@ object Extractor {
           case MediaTypes.Xml | MediaTypes.AtomXml | MediaTypes.RssXml | MediaTypes.SvgXml =>
             XmlExtractor.extract(bytes, sink, meta)
           case MediaTypes.TextPlain =>
-            // TXTParser.java:75-121 — charset decode, one <p> of raw chars
-            sink.chars(EncodingDetector.decode(bytes))
-            sink.newline()
+            // TextAndCSVParser semantics: sniff a consistent delimiter →
+            // table markup; otherwise TXTParser.java:75-121 — charset
+            // decode, one <p> of raw chars
+            val text = EncodingDetector.decode(bytes)
+            graft.textparse.CsvExtractor.sniff(text) match {
+              case Some(d) =>
+                if (idPath.isEmpty && topMime == MediaTypes.TextPlain)
+                  topMime = MediaTypes.Csv
+                graft.textparse.CsvExtractor.extract(text, d, sink, meta)
+              case None =>
+                sink.chars(text)
+                sink.newline()
+            }
           case MediaTypes.Pdf =>
             PdfExtractor.extract(bytes, sink, meta)
           case MediaTypes.Docx =>
             DocxExtractor.extract(bytes, sink, meta)
-          case MediaTypes.Xlsx | MediaTypes.Pptx | MediaTypes.TikaOoxml =>
-            // recognized but not parsed in v1 → recursion over parts skipped
+          case MediaTypes.Xlsx =>
+            graft.ooxml.XlsxExtractor.extract(bytes, sink, meta)
+          case MediaTypes.Pptx =>
+            graft.ooxml.PptxExtractor.extract(bytes, sink, meta)
+          case MediaTypes.TikaOoxml =>
+            // recognized OPC container without a known core document
             sawUnsupported = true
           case MediaTypes.Zip =>
             recurseZip(bytes, idPath, depth)

