@@ -8,7 +8,30 @@ import graft.engine.Pipeline
   * parallelism. Usage: runMain graft.Profile <cores> <docs>
   */
 object Profile {
+  /** Mode 2: runMain graft.Profile scan <cores> <corpusDir> — time the
+    * scan→extract job over a pre-materialized parquet corpus.
+    */
+  def scanMain(cores: Int, dir: String): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT", "8m"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val input = spark.read.parquet(dir).as[graft.core.DocRow]
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      Pipeline.extract(input).toDF().write.format("noop").mode("overwrite").save()
+      println(f"[profile] scan-extract-$cores-run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args(0) == "scan") { scanMain(args(1).toInt, args(2)); return }
     val cores = args(0).toInt
     val docs = args(1).toLong
     val spark = SparkSession.builder()

@@ -125,6 +125,34 @@ object SparkEntry {
       SimSearch.lshTopK(e, e.filter(col("vec_id") < 20), dim = 64, k = 5)
     }),
 
+    // ---- projections / comparer / top-k
+    "q22_topk_tokens" -> ((s, dir) => {
+      TextOps.tokenCounts(tbl(s, dir, "documents"), minCount = 1)
+        .orderBy(col("cnt").desc, col("token").asc).limit(50)
+    }),
+    "q23_extract_compare" -> ((s, dir) => {
+      import graft.ops.ExtractCompare
+      val a = Pipeline.extract(Corpus.docRows(s, 500)).toDF()
+      val b = Pipeline.extract(Corpus.docRows(s, 500)).toDF()
+      ExtractCompare.profile(ExtractCompare.compare(a, b))
+    }),
+    "q24_projections" -> ((s, dir) => {
+      import graft.ops.Projections
+      Projections.projectAll(Pipeline.extract(Corpus.docRows(s, 500)).toDF())
+        .select("doc_id", "mime", "status", "text")
+    }),
+
+    "q25_detect_mime_expr" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.DetectMime
+      val payloads = s.range(0, 2000, 1, 8).as[Long].mapPartitions(_.map { i =>
+        val row = Corpus.row(i)
+        (row.doc_id, graft.engine.Extractor.payloadBytes(row.spans.head))
+      }).toDF("doc_id", "payload")
+      payloads.select(DetectMime.detect_mime(col("payload")).as("mime"))
+        .groupBy("mime").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- multimodal plumbing (stub decode; rows-only)
     "q21_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -231,6 +259,11 @@ object SparkEntry {
          JOIN sizes sa ON doc_a = sa.doc_id
          JOIN sizes sb ON doc_b = sb.doc_id
          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""",
+    "q22_topk_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(list_filter(string_split(lower(text), ' '),
+             x -> x <> '')) AS token FROM documents) t
+         GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50""",
     "q19_ann_brute" ->
       """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

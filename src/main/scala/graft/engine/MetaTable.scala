@@ -1,0 +1,126 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{DocRow, Model}
+
+/** Iceberg-emulating table layout: bucketed data dirs + an append-only
+  * JSON manifest with atomic commits (no Iceberg runtime is available
+  * offline — SURVEY.md §7).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/part_bucket=<k>/  parquet files (one commit unit per bucket)
+  *   <root>/meta/manifest-<snapshot>.json    (atomic rename commit)
+  * }}}
+  *
+  * The manifest records, per committed bucket: doc count, span/char
+  * totals, parser version — the reference's PipesReporter lineage rows
+  * (north rule: "checkpoints per-partition lineage (doc_id ranges, parser
+  * version, span counts) into an Iceberg metrics table so a killed job
+  * resumes without reprocessing"). Resume = skip buckets present in the
+  * latest manifest; the bucket predicate prunes both the input scan and
+  * the output partitions.
+  */
+object BucketedRun {
+
+  final case class BucketStat(bucket: Int, n_docs: Long, n_spans: Long,
+      n_chars: Long, n_failed: Long)
+
+  val NumBuckets = 64
+
+  def bucketOf = (docId: String) => math.floorMod(docId.hashCode, NumBuckets)
+
+  /** Run extraction bucket-partitioned with per-bucket atomic commits.
+    * A killed job leaves committed buckets in the manifest; rerunning
+    * processes only the remainder (idempotent overwrite per bucket dir).
+    */
+  def run(spark: SparkSession, input: Dataset[DocRow], root: String,
+      cfg: Extractor.Config = Extractor.DefaultConfig): Unit = {
+    import spark.implicits._
+    val done = committedBuckets(root)
+    val bucketUdf = udf(bucketOf)
+    val remaining = input
+      .withColumn("part_bucket", bucketUdf(col("doc_id")))
+      .filter(!col("part_bucket").isin(done.toSeq: _*))
+    if (remaining.isEmpty) return
+
+    val extracted = Pipeline.extract(remaining.drop("part_bucket").as[DocRow], cfg)
+      .toDF()
+      .withColumn("part_bucket", bucketUdf(col("doc_id")))
+
+    // dynamic partition overwrite: reruns of a half-written bucket replace
+    // it rather than duplicating rows
+    extracted.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part_bucket")
+      .parquet(s"$root/data")
+
+    val stats = spark.read.parquet(s"$root/data")
+      .groupBy("part_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_spans").as("n_spans"),
+        sum("n_chars").as("n_chars"),
+        sum(when(col("status").startsWith("parse_success"), 0L).otherwise(1L))
+          .as("n_failed"))
+      .collect()
+      .map(r => BucketStat(r.getAs[Int]("part_bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("n_chars"), r.getAs[Long]("n_failed")))
+    commitManifest(root, stats)
+  }
+
+  /** Buckets recorded in the newest manifest (empty when none). */
+  def committedBuckets(root: String): Set[Int] =
+    latestManifest(root).map(_.map(_.bucket).toSet).getOrElse(Set.empty)
+
+  def latestManifest(root: String): Option[Vector[BucketStat]] = {
+    val meta = Paths.get(root, "meta")
+    if (!Files.isDirectory(meta)) return None
+    val manifests = Files.list(meta).iterator()
+    var newest: Path = null
+    manifests.forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("manifest-") && n.endsWith(".json") &&
+          (newest == null || n > newest.getFileName.toString)) newest = p
+    }
+    Option(newest).map(p => parseManifest(Files.readString(p)))
+  }
+
+  /** Write manifest-<n+1>.json via temp-file + atomic rename. */
+  def commitManifest(root: String, stats: Seq[BucketStat]): Unit = {
+    val meta = Paths.get(root, "meta")
+    Files.createDirectories(meta)
+    val next = latestSnapshotId(root) + 1
+    val body = stats.sortBy(_.bucket).map { s =>
+      s"""{"bucket":${s.bucket},"n_docs":${s.n_docs},"n_spans":${s.n_spans},""" +
+      s""""n_chars":${s.n_chars},"n_failed":${s.n_failed},""" +
+      s""""parser_version":"${Model.ParserVersion}"}"""
+    }.mkString("[", ",", "]")
+    val tmp = meta.resolve(s".manifest-$next.json.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, meta.resolve(f"manifest-$next%06d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def latestSnapshotId(root: String): Int = {
+    val meta = Paths.get(root, "meta")
+    if (!Files.isDirectory(meta)) return 0
+    var maxId = 0
+    Files.list(meta).iterator().forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("manifest-") && n.endsWith(".json"))
+        n.stripPrefix("manifest-").stripSuffix(".json").toIntOption
+          .foreach(i => maxId = math.max(maxId, i))
+    }
+    maxId
+  }
+
+  private def parseManifest(json: String): Vector[BucketStat] = {
+    // minimal parser for our own fixed shape
+    val entry = """\{"bucket":(\d+),"n_docs":(\d+),"n_spans":(\d+),"n_chars":(\d+),"n_failed":(\d+)""".r
+    entry.findAllMatchIn(json).map(m =>
+      BucketStat(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong)).toVector
+  }
+}

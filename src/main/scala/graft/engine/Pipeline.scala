@@ -91,6 +91,29 @@ object Pipeline {
     metrics.write.mode("overwrite").parquet(metricsDir)
   }
 
+  /** Per-partition wall-time instrumentation: runs the full extraction on
+    * each partition and emits one timing row per partition — the
+    * max/median spread is the skew evidence the bench reports
+    * (BASELINE.md "max/median partition wall time before and after
+    * salting").
+    */
+  def partitionTimings(ds: Dataset[DocRow],
+      cfg: Extractor.Config = Extractor.DefaultConfig): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val t0 = System.nanoTime()
+      var n = 0L
+      var chars = 0L
+      while (it.hasNext) {
+        val d = Extractor.extract(it.next(), cfg)
+        n += 1
+        chars += d.n_chars
+      }
+      Iterator.single((pid, n, chars, (System.nanoTime() - t0) / 1000000))
+    }.toDF("partition_id", "n_docs", "n_chars", "wall_ms")
+  }
+
   /** Resume: drop rows already present in the committed output
     * (left-anti on doc_id — at Iceberg scale this becomes a partition-
     * prunable doc_id-range predicate from the metrics table; the anti-join

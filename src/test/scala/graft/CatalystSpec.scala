@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Corpus
+import graft.engine.Pipeline
+import graft.functions.DetectMime
+
+/** Catalyst-level checks: the custom expression stays codegen'd and the
+  * plans keep pushdown/pruning working (SURVEY.md §4).
+  */
+class CatalystSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  test("detect_mime expression: column API + codegen + SQL registration") {
+    val df = Seq(
+      ("h", "<html><body>x</body></html>"),
+      ("p", "%PDF-1.7 rest"),
+      ("t", "plain text content here")
+    ).toDF("id", "payload")
+      .withColumn("bytes", col("payload").cast("binary"))
+
+    val out = df.select(col("id"), DetectMime.detect_mime(col("bytes")).as("mime"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("h") == "text/html")
+    assert(out("p") == "application/pdf")
+    assert(out("t") == "text/plain")
+
+    // codegen: the projection with detect_mime sits inside WholeStageCodegen
+    // (use a file-backed relation — a LocalTableScan is constant-folded)
+    val dir = java.nio.file.Files.createTempDirectory("graftmime").toString
+    df.write.parquet(s"$dir/p")
+    val filePlan = spark.read.parquet(s"$dir/p")
+      .select(DetectMime.detect_mime(col("bytes")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks a WholeStageCodegen stage in the simple plan string
+    assert(filePlan.contains("*(1) Project [detect_mime"), filePlan)
+
+    DetectMime.register(spark)
+    df.createOrReplaceTempView("payloads")
+    val viaSql = spark.sql(
+      "SELECT id, detect_mime(bytes) AS mime FROM payloads WHERE id = 'p'")
+      .head.getString(1)
+    assert(viaSql == "application/pdf")
+  }
+
+  test("parquet scan prunes columns and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graftscan").toString
+    Pipeline.extract(Corpus.docRows(spark, 200, 4)).toDF()
+      .write.parquet(s"$dir/out")
+    val q = spark.read.parquet(s"$dir/out")
+      .filter(col("doc_id") > "doc-000000000100")
+      .select("doc_id", "mime")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id"),
+      physical)
+    assert(physical.contains("ReadSchema: struct<doc_id:string,mime:string>"), physical)
+  }
+
+  test("resume anti-join broadcasts the done side") {
+    val dir = java.nio.file.Files.createTempDirectory("graftresume").toString
+    Pipeline.extract(Corpus.docRows(spark, 100, 4)).toDF()
+      .write.parquet(s"$dir/out")
+    val remaining = Pipeline.resumeFilter(Corpus.docRows(spark, 120, 4), s"$dir/out")
+    val plan = remaining.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+    assert(plan.toLowerCase.contains("leftanti"), plan)
+  }
+
+  test("skew: hash-spreading oversized docs narrows the partition-time spread") {
+    // size-sorted layout (ingest clustered by size) → oversized docs pile
+    // into the last partitions
+    val rows = Corpus.docRows(spark, 3000, 4).toDF()
+      .withColumn("sz", length(to_json(col("spans"))))
+      .orderBy(col("sz")).drop("sz").as[graft.core.DocRow]
+    // unsalted: keep the size-clustered range partitions as they land
+    val unsalted = Pipeline.partitionTimings(rows)
+    val salted = Pipeline.partitionTimings(rows.repartition(8, col("doc_id")))
+    def spread(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val t = df.select("wall_ms").as[Long].collect().sorted
+      (t.last, t(t.length / 2))
+    }
+    val (maxU, medU) = spread(unsalted)
+    val (maxS, medS) = spread(salted)
+    // salted max should be no worse than unsalted max (usually much better)
+    assert(maxS <= maxU * 2, s"unsalted=($maxU,$medU) salted=($maxS,$medS)")
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Corpus
+import graft.engine.{BucketedRun, Pipeline}
+import graft.ops.{ExtractCompare, Projections, TopK}
+
+class ProjectionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("text/media/url/standards projections from spans") {
+    val out = Pipeline.extract(Corpus.docRows(spark, 100, 4)).toDF().cache()
+    val proj = Projections.projectAll(out)
+    val rows = proj.collect()
+    assert(rows.length == 100)
+    val htmlRow = proj.filter(col("mime") === "text/html").head
+    assert(htmlRow.getAs[String]("text").nonEmpty)
+    out.unpersist()
+  }
+
+  test("serializers: toXml escapes, toMarkdown embeds media") {
+    import graft.core.Span
+    val spans = Seq(Span("text", "a<b", null, 0), Span("media", "", "blob://x", 3),
+      Span("embedded-open", "", "/1", 3), Span("text", "in", null, 3),
+      Span("embedded-close", "", "/1", 5))
+    val xml = Projections.toXml(spans)
+    assert(xml.contains("a&lt;b"))
+    assert(xml.contains("<media ref=\"blob://x\"/>"))
+    assert(xml.contains("<embedded path=\"/1\">in</embedded>") ||
+      xml.contains("<embedded path=\"/1\"><text offset=\"3\">in</text></embedded>"))
+    val md = Projections.toMarkdown(spans)
+    assert(md.contains("![](blob://x)"))
+  }
+
+  test("extract-compare: pipeline vs itself has span equality 1.0") {
+    val a = Pipeline.extract(Corpus.docRows(spark, 150, 4)).toDF()
+    val b = Pipeline.extract(Corpus.docRows(spark, 150, 4)).toDF()
+    val prof = ExtractCompare.profile(ExtractCompare.compare(a, b)).head
+    assert(prof.getAs[Long]("n_docs") == 150)
+    assert(prof.getAs[Double]("span_equality_rate") == 1.0)
+    assert(prof.getAs[Long]("total_char_delta") == 0L)
+  }
+
+  test("extract-compare flags differences") {
+    val a = Pipeline.extract(Corpus.docRows(spark, 50, 4)).toDF()
+    val b = Pipeline.extract(Corpus.docRows(spark, 60, 4)).toDF()
+    val cmp = ExtractCompare.compare(a, b)
+    assert(cmp.filter(!col("in_both")).count() == 10)
+  }
+
+  test("top-k tokens: bounded heap matches full sort") {
+    val docs = spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+    val viaHeap = TopK.topTokens(docs, 10)
+    val viaSort = graft.ops.TextOps.tokenCounts(docs, 1)
+      .orderBy(col("cnt").desc, col("token").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaHeap == viaSort)
+  }
+}
+
+class BucketedRunSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed run commits manifest; rerun is a no-op; crash-resume " +
+       "processes only missing buckets") {
+    val root = java.nio.file.Files.createTempDirectory("graftbuck").toString
+    val input = Corpus.docRows(spark, 300, 4)
+    BucketedRun.run(spark, input, root)
+    val snap1 = BucketedRun.latestSnapshotId(root)
+    assert(snap1 == 1)
+    val out = spark.read.parquet(s"$root/data")
+    assert(out.count() == 300)
+    val manifest = BucketedRun.latestManifest(root).get
+    assert(manifest.map(_.n_docs).sum == 300)
+    // rerun: all buckets committed → no new snapshot
+    BucketedRun.run(spark, input, root)
+    assert(BucketedRun.latestSnapshotId(root) == snap1)
+
+    // simulate crash: drop three buckets from the manifest (as if the job
+    // died before committing them) and delete their data dirs
+    val survivors = manifest.filter(_.bucket % 20 != 0)
+    val killed = manifest.filterNot(_.bucket % 20 != 0).map(_.bucket).toSet
+    assert(killed.nonEmpty)
+    killed.foreach { b =>
+      val dir = new java.io.File(s"$root/data/part_bucket=$b")
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    BucketedRun.commitManifest(root, survivors)
+    // resume: processes exactly the killed buckets
+    BucketedRun.run(spark, input, root)
+    val resumed = spark.read.parquet(s"$root/data")
+    assert(resumed.count() == 300)
+    assert(BucketedRun.latestManifest(root).get.map(_.n_docs).sum == 300)
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import graft.streaming.StreamingPipeline
+
+  test("streaming extraction: incremental processing with checkpoint resume") {
+    val base = java.nio.file.Files.createTempDirectory("graftstream").toString
+    val in = s"$base/in"; val outDir = s"$base/out"; val cp = s"$base/cp"
+    Corpus.docRows(spark, 100, 2).write.mode("append").parquet(in)
+    val q1 = StreamingPipeline.run(spark, in, outDir, cp)
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(outDir).count() == 100)
+    // new files arrive; same checkpoint → only the delta is processed
+    Corpus.docRows(spark, 50, 2).withColumn("doc_id",
+      concat(lit("new-"), col("doc_id"))).write.mode("append").parquet(in)
+    val q2 = StreamingPipeline.run(spark, in, outDir, cp)
+    q2.awaitTermination(120000)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 150)
+    assert(out.filter(col("doc_id").startsWith("new-")).count() == 50)
+  }
+}
