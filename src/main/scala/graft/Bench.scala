@@ -94,6 +94,13 @@ object Bench {
     val eff = thr16 / (4.0 * thr4)
     val effNorm = eff * hwRatio
 
+    // --- per-format docs/sec, span determinism, skew evidence (32 cores)
+    val s32 = session(32)
+    val perFormat = perFormatThroughput(s32)
+    val determinism = spanDeterminism(s32)
+    val skew = skewEvidence(s32)
+    s32.stop()
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -107,7 +114,62 @@ object Bench {
       f""""efficiency_hw_normalized":$effNorm%.3f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","scaling":$scaling}""")
+      s""""sf":"$sfDir","scaling":$scaling,"per_format_docs_per_core_sec":""" +
+      s"""$perFormat,"span_determinism_rate":$determinism,"skew":$skew}""")
+  }
+
+  /** Extract-only docs per core-second for each payload format (wall
+    * measured around the extraction loop inside each task, generation
+    * excluded).
+    */
+  private def perFormatThroughput(s: SparkSession): String = {
+    val kinds = Seq("html", "docx", "xlsx", "pptx", "pdf", "zip", "text",
+      "csv", "xml")
+    val entries = kinds.map { kind =>
+      val ids = (0L until 100000L).filter(i => Corpus.kindOf(i) == kind).take(8000)
+      val (n, coreSecs) = s.sparkContext.parallelize(ids, 64).mapPartitions { it =>
+        val rows = it.map(Corpus.row).toArray
+        val t0 = System.nanoTime()
+        rows.foreach(graft.engine.Extractor.extract(_))
+        Iterator.single((rows.length.toLong, (System.nanoTime() - t0) / 1e9))
+      }.reduce { case ((a, b), (c, d)) => (a + c, b + d) }
+      f""""$kind":${n / math.max(coreSecs, 1e-9)}%.0f"""
+    }
+    entries.mkString("{", ",", "}")
+  }
+
+  /** Same docs extracted under two different partitionings must produce
+    * identical span sequences (ExtractCompare profile).
+    */
+  private def spanDeterminism(s: SparkSession): String = {
+    import graft.ops.ExtractCompare
+    val a = Pipeline.extract(Corpus.docRows(s, 20000, 32)).toDF()
+    val b = Pipeline.extract(Corpus.docRows(s, 20000, 7)).toDF()
+    val r = ExtractCompare.profile(ExtractCompare.compare(a, b)).head
+    f"${r.getAs[Double]("span_equality_rate")}%.6f"
+  }
+
+  /** Max/median partition wall time on a size-clustered layout, before
+    * and after hash-spreading (salting) — BASELINE.md skew evidence.
+    */
+  private def skewEvidence(s: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val rows = Corpus.docRows(s, 60000, 32).toDF()
+      .withColumn("sz", length(to_json(col("spans"))))
+      .orderBy(col("sz")).drop("sz").as[graft.core.DocRow]
+      .cache()
+    rows.count()
+    def stats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val t = df.select("wall_ms").as[Long].collect().sorted
+      (t.last, t(t.length / 2))
+    }
+    val (maxU, medU) = stats(Pipeline.partitionTimings(rows))
+    val (maxS, medS) = stats(Pipeline.partitionTimings(
+      rows.repartition(32, col("doc_id"))))
+    rows.unpersist()
+    s"""{"unsalted_max_ms":$maxU,"unsalted_median_ms":$medU,""" +
+    s""""salted_max_ms":$maxS,"salted_median_ms":$medS}"""
   }
 
   /** Per-core speed probe: seconds for a fixed ALU-bound spin when

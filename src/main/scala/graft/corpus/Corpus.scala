@@ -64,17 +64,20 @@ object Corpus {
     else if (m < 550) "pptx"
     else if (m < 650) "pdf"
     else if (m < 750) "zip"
-    else if (m < 820) "text"
-    else if (m < 850) "csv"
-    else if (m < 900) "xml"
-    else if (m < 950) "media"
+    else if (m < 800) "text"
+    else if (m < 830) "csv"
+    else if (m < 870) "xml"
+    else if (m < 890) "rtf"
+    else if (m < 910) "eml"
+    else if (m < 930) "odt"
+    else if (m < 965) "media"
     else "junk"
   }
 
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 2
+  val Version = 4
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -97,6 +100,9 @@ object Corpus {
       case "xlsx" => Seq(Span("bytes", b64(xlsxDoc(r)), null, 0))
       case "pptx" => Seq(Span("bytes", b64(pptxDoc(r)), null, 0))
       case "csv" => Seq(Span("bytes", b64(csvDoc(r)), null, 0))
+      case "rtf" => Seq(Span("bytes", b64(rtfDoc(r)), null, 0))
+      case "eml" => Seq(Span("bytes", b64(emlDoc(r)), null, 0))
+      case "odt" => Seq(Span("bytes", b64(odtDoc(r)), null, 0))
       case "pdf" => Seq(Span("pdf", b64(pdfDoc(r, index)), null, 0))
       case "zip" =>
         val bytes = if (isBombShaped(index)) bombZip(r) else zipDoc(r)
@@ -350,6 +356,89 @@ $paras
     (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8)
   }
 
+  // ---- RTF -----------------------------------------------------------
+  def rtfDoc(r: Random): Array[Byte] = {
+    val paras = (1 to 2 + r.nextInt(3))
+      .map(_ => s"${paragraph(r, 2)}\\par").mkString("\n")
+    val doc =
+      s"""{\\rtf1\\ansi\\deff0
+{\\fonttbl{\\f0 Times New Roman;}}
+{\\colortbl;\\red0\\green0\\blue0;}
+{\\info{\\title ${sentence(r, 3).dropRight(1)}}}
+\\f0\\fs24
+$paras
+Col1\\tab Col2\\par
+Unicode: \\u8212? dash and \\'e9 accent\\par
+}"""
+    doc.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  // ---- EML -----------------------------------------------------------
+  def emlDoc(r: Random): Array[Byte] = {
+    val subject = sentence(r, 4).dropRight(1)
+    val from = s"${Words(r.nextInt(Words.length))}@example.com"
+    val plain = paragraph(r, 3)
+    val html = s"<html><body><p>${paragraph(r, 2)}</p></body></html>"
+    val attachment = b64grouped(paragraph(r, 2).getBytes(StandardCharsets.UTF_8))
+    val boundary = "----=_graft_boundary_42"
+    val msg =
+      s"""Received: from mx.example.com by mail.example.org
+From: $from
+To: recipient@example.org
+Subject: $subject
+Date: Thu, 01 Jan 2026 10:00:00 +0000
+MIME-Version: 1.0
+Content-Type: multipart/mixed; boundary="$boundary"
+
+--$boundary
+Content-Type: text/plain; charset=utf-8
+
+$plain
+
+--$boundary
+Content-Type: text/html; charset=utf-8
+
+$html
+
+--$boundary
+Content-Type: text/plain; name="notes.txt"
+Content-Disposition: attachment; filename="notes.txt"
+Content-Transfer-Encoding: base64
+
+$attachment
+--$boundary--
+""".replace("\n", "\r\n")
+    msg.getBytes(StandardCharsets.UTF_8)
+  }
+
+  private def b64grouped(data: Array[Byte]): String =
+    Base64.getEncoder.encodeToString(data).grouped(72).mkString("\r\n")
+
+  // ---- ODT -----------------------------------------------------------
+  def odtDoc(r: Random): Array[Byte] = {
+    val title = sentence(r, 3).dropRight(1)
+    val paras = (1 to 2 + r.nextInt(3))
+      .map(_ => s"<text:p>${xmlEscape(paragraph(r, 2))}</text:p>").mkString
+    val content =
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+      """<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">""" +
+      "<office:body><office:text>" + paras +
+      "<text:p>With<text:tab/>tab and<text:line-break/>break</text:p>" +
+      "</office:text></office:body></office:document-content>"
+    val metaXml =
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+      """<office:document-meta xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:dc="http://purl.org/dc/elements/1.1/">""" +
+      s"<office:meta><dc:title>${xmlEscape(title)}</dc:title>" +
+      s"<dc:creator>${Words(r.nextInt(Words.length))}</dc:creator></office:meta>" +
+      "</office:document-meta>"
+    zip(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.text"
+        .getBytes(StandardCharsets.US_ASCII),
+      "content.xml" -> content.getBytes(StandardCharsets.UTF_8),
+      "meta.xml" -> metaXml.getBytes(StandardCharsets.UTF_8)
+    ))
+  }
+
   // ---- PDF -----------------------------------------------------------
   /** Minimal valid PDF: xref table, page tree, Helvetica, per-page content
     * streams of `BT /F1 12 Tf x y Td (..) Tj .. ET`, with line advances
@@ -381,13 +470,18 @@ $paras
       sb.append("ET\n")
       sb.toString.getBytes(StandardCharsets.ISO_8859_1)
     }
-    buildPdf(pageContents, flate)
+    val info = (sentence(r, 3).dropRight(1), Words(r.nextInt(Words.length)))
+    buildPdf(pageContents, flate, Some(info))
   }
 
   def pdfEscape(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
-  def buildPdf(pageContents: Seq[Array[Byte]], flate: Boolean): Array[Byte] = {
+  def buildPdf(pageContents: Seq[Array[Byte]], flate: Boolean): Array[Byte] =
+    buildPdf(pageContents, flate, None)
+
+  def buildPdf(pageContents: Seq[Array[Byte]], flate: Boolean,
+      info: Option[(String, String)]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
     def write(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -415,11 +509,19 @@ $paras
       writeB(body)
       write("\nendstream\nendobj\n")
     }
+    val infoNum = info.map { case (title, author) =>
+      val num = 4 + n * 2
+      offsets += out.size()
+      write(s"$num 0 obj\n<< /Title (${pdfEscape(title)}) " +
+        s"/Author (${pdfEscape(author)}) >>\nendobj\n")
+      num
+    }
     val xrefPos = out.size()
-    val total = 3 + n * 2 + 1
+    val total = 3 + n * 2 + 1 + infoNum.size
     write(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.foreach(o => write(f"$o%010d 00000 n \n"))
-    write(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    val infoRef = infoNum.map(num => s" /Info $num 0 R").getOrElse("")
+    write(s"trailer\n<< /Size $total /Root 1 0 R$infoRef >>\nstartxref\n$xrefPos\n%%EOF\n")
     out.toByteArray
   }
 

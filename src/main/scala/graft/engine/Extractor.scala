@@ -104,6 +104,24 @@ object Extractor {
           case MediaTypes.TikaOoxml =>
             // recognized OPC container without a known core document
             sawUnsupported = true
+          case MediaTypes.Rtf =>
+            graft.textparse.RtfExtractor.extract(bytes, sink, meta)
+          case MediaTypes.Eml =>
+            graft.mail.EmlExtractor.extract(bytes, sink, meta, (name, data) => {
+              if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
+                embeddedCount += 1
+                val childPath = s"$idPath/$embeddedCount"
+                name.foreach(nm => meta.add("embedded:path", s"$childPath:$nm"))
+                sink.embeddedOpen(childPath)
+                parseNode(data, childPath, name, depth + 1)
+                sink.embeddedClose(childPath)
+              }
+            })
+          case MediaTypes.Odt | MediaTypes.Ods | MediaTypes.Odp =>
+            graft.odf.OdtExtractor.extract(bytes, sink, meta)
+          case MediaTypes.Epub =>
+            // EPUB = zip of XHTML chapters; container recursion parses them
+            recurseZip(bytes, idPath, depth)
           case MediaTypes.Zip =>
             recurseZip(bytes, idPath, depth)
           case MediaTypes.Gzip =>

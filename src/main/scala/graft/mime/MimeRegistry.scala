@@ -19,6 +19,12 @@ object MediaTypes {
   val Png = "image/png"
   val Jpeg = "image/jpeg"
   val Gif = "image/gif"
+  val Rtf = "application/rtf"
+  val Eml = "message/rfc822"
+  val Odt = "application/vnd.oasis.opendocument.text"
+  val Ods = "application/vnd.oasis.opendocument.spreadsheet"
+  val Odp = "application/vnd.oasis.opendocument.presentation"
+  val Epub = "application/epub+zip"
   val AtomXml = "application/atom+xml"
   val RssXml = "application/rss+xml"
   val SvgXml = "image/svg+xml"
@@ -98,6 +104,15 @@ object MimeRegistry {
     Magic(Jpeg, 50, bytes(0, 0xff, 0xd8, 0xff)),
     // image/gif
     Magic(Gif, 50, OrClause(Seq(string(0, "GIF87a"), string(0, "GIF89a")))),
+    // application/rtf — "{\rtf" @0
+    Magic(Rtf, 50, string(0, "{\\rtf")),
+    // message/rfc822 — leading header-field magics (tika-mimetypes rfc822 entry)
+    Magic(Eml, 50, OrClause(Seq(
+      string(0, "Relay-Version:"), string(0, "#! rnews"), string(0, "Forward to"),
+      string(0, "Pipe to"), string(0, "Return-Path:"), string(0, "Received:"),
+      string(0, "Message-ID:"), string(0, "Message-Id:"), string(0, "MIME-Version:"),
+      string(0, "From:"), string(0, "Delivered-To:")
+    ))),
     // text/plain BOM magics — tika-mimetypes.xml:7812-7835
     Magic(TextPlain, 20, OrClause(Seq(
       bytes(0, 0xfe, 0xff), bytes(0, 0xff, 0xfe), bytes(0, 0xef, 0xbb, 0xbf)
@@ -120,6 +135,12 @@ object MimeRegistry {
     Docx -> TikaOoxml,
     Xlsx -> TikaOoxml,
     Pptx -> TikaOoxml,
+    Rtf -> TextPlain,
+    Eml -> TextPlain,
+    Odt -> Zip,
+    Ods -> Zip,
+    Odp -> Zip,
+    Epub -> Zip,
     AtomXml -> Xml,
     RssXml -> Xml,
     SvgXml -> Xml,
@@ -153,6 +174,8 @@ object MimeRegistry {
   val extGlobs: Map[String, String] = Map(
     "html" -> Html, "htm" -> Html, "xml" -> Xml, "pdf" -> Pdf, "zip" -> Zip,
     "docx" -> Docx, "xlsx" -> Xlsx, "pptx" -> Pptx, "gz" -> Gzip,
+    "rtf" -> Rtf, "eml" -> Eml, "odt" -> Odt, "ods" -> Ods, "odp" -> Odp,
+    "epub" -> Epub,
     "png" -> Png, "jpg" -> Jpeg, "jpeg" -> Jpeg, "gif" -> Gif, "txt" -> TextPlain
   )
 

@@ -44,9 +44,7 @@ object PdfExtractor {
 
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
     val doc = new PdfDoc(bytes)
-    // document info dict → metadata
-    doc.catalog.foreach { _ => () }
-    extractInfo(doc, bytes, meta)
+    extractInfo(doc, meta)
     val pages = doc.pages
     meta.set("xmpTPg:NPages", pages.length.toString)
     pages.foreach { page =>
@@ -59,11 +57,27 @@ object PdfExtractor {
     }
   }
 
-  private def extractInfo(doc: PdfDoc, bytes: Array[Byte], meta: MetaSink): Unit = {
-    // trailer /Info — title/author (PDFParser.java metadata step :208-210)
-    // our PdfDoc keeps only /Root; locate an Info-looking dict instead:
-    // cheap scan is acceptable (bounded by object count).
-    ()
+  /** Trailer /Info → title/author/subject metadata (the reference's
+    * PDFParser metadata step, PDFParser.java:208-210). PDF text strings
+    * are PDFDocEncoding or UTF-16BE with BOM.
+    */
+  private def extractInfo(doc: PdfDoc, meta: MetaSink): Unit = {
+    doc.info.foreach { d =>
+      def str(key: String, metaKey: String): Unit =
+        doc.resolve(d.get(key).getOrElse(PNull)) match {
+          case PStr(b) =>
+            val s =
+              if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+                new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+              else new String(b, java.nio.charset.Charset.forName("windows-1252"))
+            meta.set(metaKey, s)
+          case _ => ()
+        }
+      str("Title", "dc:title")
+      str("Author", "dc:creator")
+      str("Subject", "dc:subject")
+      str("Producer", "pdf:producer")
+    }
   }
 
   private final case class TextState(

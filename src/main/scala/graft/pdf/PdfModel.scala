@@ -360,6 +360,9 @@ final class PdfDoc(data: Array[Byte]) {
 
   def catalog: Option[PDict] = trailer.get("Root").flatMap(dict)
 
+  /** Trailer /Info dict (document metadata), when present. */
+  def info: Option[PDict] = trailer.get("Info").flatMap(dict)
+
   /** Depth-first page-tree walk (Catalog → /Pages → /Kids → /Page). */
   def pages: Vector[PDict] = {
     val out = new ArrayBuffer[PDict]()

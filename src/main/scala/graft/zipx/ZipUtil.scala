@@ -99,6 +99,16 @@ object OpcDetector {
 
   def specialize(zipBytes: Array[Byte]): String = {
     val names = ZipUtil.entryNames(zipBytes)
+    // ODF/EPUB carry a leading uncompressed "mimetype" entry
+    if (names.headOption.contains("mimetype")) {
+      val mt = ZipUtil.entry(zipBytes, "mimetype")
+        .map(b => new String(b, java.nio.charset.StandardCharsets.US_ASCII).trim)
+        .getOrElse("")
+      mt match {
+        case Odt | Ods | Odp | Epub => return mt
+        case _ => ()
+      }
+    }
     if (!names.exists(n => n == "[Content_Types].xml" || n == "_rels/.rels")) Zip
     else {
       // entry-name shortcut (OOXML_HINTS, OPCPackageDetector.java:93-100)

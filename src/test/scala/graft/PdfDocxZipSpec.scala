@@ -74,6 +74,16 @@ class PdfSpec extends AnyFunSuite {
     assert(t.contains("paren ( close ) back\\slash"))
   }
 
+  test("trailer /Info dict -> dc metadata") {
+    val bytes = Corpus.buildPdf(
+      Seq("BT /F1 12 Tf 72 712 Td (Body) Tj ET".getBytes(ISO_8859_1)),
+      flate = false, info = Some(("My Pdf Title", "An Author")))
+    val meta = new MetaSink
+    PdfExtractor.extract(bytes, new SpanSink(), meta)
+    assert(meta.result()("dc:title") == Seq("My Pdf Title"))
+    assert(meta.result()("dc:creator") == Seq("An Author"))
+  }
+
   test("corpus pdf extracts deterministic text") {
     val a = {
       val sink = new SpanSink()
@@ -206,7 +216,9 @@ class ContainerSpec extends AnyFunSuite {
       "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
       "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
       "pdf" -> "application/pdf", "zip" -> "application/zip",
-      "xml" -> "application/xml", "text" -> "text/plain", "csv" -> "text/csv")
+      "xml" -> "application/xml", "text" -> "text/plain", "csv" -> "text/csv",
+      "rtf" -> "application/rtf", "eml" -> "message/rfc822",
+      "odt" -> "application/vnd.oasis.opendocument.text")
     var checked = 0
     (0L until 1000L).foreach { i =>
       val kind = Corpus.kindOf(i)

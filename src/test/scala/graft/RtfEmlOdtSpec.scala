@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import graft.engine.{Extractor, MetaSink, SpanSink}
+import graft.core.{DocRow, Span, Status}
+import graft.corpus.Corpus
+import graft.textparse.RtfExtractor
+import graft.mail.EmlExtractor
+
+class RtfSpec extends AnyFunSuite {
+
+  private def extract(rtf: String): String = {
+    val sink = new SpanSink()
+    RtfExtractor.extract(rtf.getBytes(ISO_8859_1), sink, new MetaSink)
+    sink.result().filter(_.kind == "text").map(_.text).mkString
+  }
+
+  test("basic paragraphs, tab, escapes") {
+    val t = extract("""{\rtf1\ansi Hello World\par Second\tab col\par}""")
+    assert(t.contains("Hello World\n"))
+    assert(t.contains("Second\tcol\n"))
+  }
+
+  test("font/color/info tables skipped; formatting words silent") {
+    val t = extract("""{\rtf1{\fonttbl{\f0 Arial;}}{\info{\title Secret}}\b bold\b0 normal\par}""")
+    assert(!t.contains("Arial"))
+    assert(!t.contains("Secret"))
+    // the space after a control word is a delimiter, not content
+    assert(t.contains("boldnormal"))
+  }
+
+  test("hex and unicode escapes with \\uc skip") {
+    // "\\u8212?" = RTF 舒 (em dash) with one fallback char to skip
+    val rtf = "{\\rtf1 caf\\'e9 and \\u8212? dash\\par}"
+    val t = extract(rtf)
+    assert(t.contains("café and — dash"), t)
+  }
+
+  test("\\* optional destinations skipped") {
+    val t = extract("""{\rtf1 keep {\*\themedata junkdata} after\par}""")
+    assert(!t.contains("junkdata"))
+    assert(t.contains("keep"))
+    assert(t.contains("after"))
+  }
+
+  test("engine: corpus rtf detected and parsed") {
+    val out = Extractor.extract(DocRow("r1",
+      Seq(Span("bytes", Corpus.b64(Corpus.rtfDoc(Corpus.rng(5))), null, 0))))
+    assert(out.mime == "application/rtf")
+    assert(out.status == Status.ParseSuccess)
+    assert(out.spans.exists(s => s.kind == "text" && s.text.contains("—")))
+  }
+}
+
+class EmlSpec extends AnyFunSuite {
+
+  test("headers to metadata; multipart text + html parts; attachment recursion") {
+    val out = Extractor.extract(DocRow("e1",
+      Seq(Span("bytes", Corpus.b64(Corpus.emlDoc(Corpus.rng(9))), null, 0))))
+    assert(out.mime == "message/rfc822")
+    assert(out.status == Status.ParseSuccess)
+    assert(out.meta.contains("dc:subject"))
+    assert(out.meta("Message:From").head.endsWith("@example.com"))
+    val text = out.spans.filter(_.kind == "text").map(_.text).mkString
+    assert(text.nonEmpty)
+    // attachment became an embedded doc
+    assert(out.spans.exists(_.kind == "embedded-open"))
+    assert(out.meta("embedded:path").head.contains("notes.txt"))
+  }
+
+  test("quoted-printable and RFC2047 header decoding") {
+    val msg = ("Subject: =?utf-8?B?" +
+      java.util.Base64.getEncoder.encodeToString("Héllo".getBytes(UTF_8)) +
+      "?=\r\nContent-Type: text/plain; charset=utf-8\r\n" +
+      "Content-Transfer-Encoding: quoted-printable\r\n\r\n" +
+      "caf=C3=A9 line=\r\njoined\r\n").getBytes(UTF_8)
+    val sink = new SpanSink()
+    val meta = new MetaSink
+    EmlExtractor.extract(msg, sink, meta, (_, _) => ())
+    assert(meta.result()("dc:subject") == Seq("Héllo"))
+    val t = sink.result().map(_.text).mkString
+    assert(t.contains("café linejoined"))
+  }
+}
+
+class OdtSpec extends AnyFunSuite {
+
+  test("engine: corpus odt detected via mimetype entry and parsed") {
+    val out = Extractor.extract(DocRow("o1",
+      Seq(Span("bytes", Corpus.b64(Corpus.odtDoc(Corpus.rng(3))), null, 0))))
+    assert(out.mime == "application/vnd.oasis.opendocument.text")
+    assert(out.status == Status.ParseSuccess)
+    assert(out.meta.contains("dc:title"))
+    val t = out.spans.filter(_.kind == "text").map(_.text).mkString
+    assert(t.contains("With\ttab and\nbreak"))
+    assert(t.split("\n").count(_.trim.nonEmpty) >= 3)
+  }
+
+  test("epub-shaped zip specializes and recurses chapters") {
+    val epub = Corpus.zip(Seq(
+      "mimetype" -> "application/epub+zip".getBytes(UTF_8),
+      "ch1.xhtml" -> "<html><body><p>chapter one text</p></body></html>".getBytes(UTF_8)))
+    val out = Extractor.extract(DocRow("ep1",
+      Seq(Span("bytes", Corpus.b64(epub), null, 0))))
+    assert(out.mime == "application/epub+zip")
+    val t = out.spans.filter(_.kind == "text").map(_.text).mkString
+    assert(t.contains("chapter one text"))
+  }
+}
