@@ -26,7 +26,8 @@ object Extractor {
       maxEmbedded: Int = 100,          // maxEmbeddedResources
       writeLimit: Int = 100000,        // BodyContentHandler default :83-92
       bombOutputThreshold: Long = 1000000L, // SecureContentHandler.java:62
-      bombMaxRatio: Long = 100L
+      bombMaxRatio: Long = 100L,
+      softDeadlineMs: Long = 60000L    // PipesServer per-task timeout analog
   )
   val DefaultConfig: Config = Config()
 
@@ -46,8 +47,11 @@ object Extractor {
     val payloadTotal = row.spans.iterator.map { s =>
       if (s.kind == Span.KindMedia) 0L else (if (s.text == null) 0L else s.text.length.toLong)
     }.sum
+    val deadline =
+      if (cfg.softDeadlineMs <= 0) Long.MaxValue
+      else System.nanoTime() + cfg.softDeadlineMs * 1000000L
     val sink = new SpanSink(cfg.writeLimit, payloadTotal, cfg.bombOutputThreshold,
-      cfg.bombMaxRatio)
+      cfg.bombMaxRatio, deadline)
     val meta = new MetaSink
     var embeddedCount = 0
     var sawException = false
@@ -76,7 +80,17 @@ object Extractor {
       try {
         mime match {
           case MediaTypes.Html =>
-            HtmlExtractor.extract(EncodingDetector.decode(bytes), sink, meta)
+            HtmlExtractor.extract(EncodingDetector.decode(bytes), sink, meta,
+              (name, data) => {
+                if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
+                  embeddedCount += 1
+                  val childPath = s"$idPath/$embeddedCount"
+                  name.foreach(nm => meta.add("embedded:path", s"$childPath:$nm"))
+                  sink.embeddedOpen(childPath)
+                  parseNode(data, childPath, name, depth + 1)
+                  sink.embeddedClose(childPath)
+                }
+              })
           case MediaTypes.Xml | MediaTypes.AtomXml | MediaTypes.RssXml | MediaTypes.SvgXml =>
             XmlExtractor.extract(bytes, sink, meta)
           case MediaTypes.TextPlain =>
@@ -147,6 +161,7 @@ object Extractor {
         }
       } catch {
         case _: WriteLimitReached => throw new WriteLimitReached
+        case t: DocTimeout => throw t
         case _: ZipBombDetected => bomb = true
         case _: Exception =>
           sawException = true
@@ -175,6 +190,7 @@ object Extractor {
     }
 
     var limitHit = false
+    var timedOut = false
     try {
       row.spans.sortBy(_.offset).foreach { s =>
         if (s.kind == Span.KindMedia) sink.media(s.media_ref)
@@ -182,12 +198,14 @@ object Extractor {
       }
     } catch {
       case _: WriteLimitReached => limitHit = true
+      case _: DocTimeout => timedOut = true
       case _: ZipBombDetected => bomb = true
     }
 
     val spans = sink.result()
     val status =
-      if (bomb) Status.ZipBomb
+      if (timedOut) Status.Timeout
+      else if (bomb) Status.ZipBomb
       else if (limitHit || sink.limitReached) Status.WriteLimitReached
       else if (row.spans.isEmpty) Status.EmptyDoc
       else if (sawUnsupported && spans.isEmpty) Status.UnsupportedType

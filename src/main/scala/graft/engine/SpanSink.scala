@@ -17,6 +17,13 @@ final class WriteLimitReached extends Exception("write limit reached")
   */
 final class ZipBombDetected extends Exception("zip bomb detected")
 
+/** Per-document soft deadline exceeded (the reference kills and restarts
+  * the forked parse JVM on task timeout — tika-pipes PipesServer
+  * .java:488-503; under Spark we fail the DOCUMENT, not the task, so one
+  * pathological row cannot burn a whole executor slot).
+  */
+final class DocTimeout extends Exception("document soft deadline exceeded")
+
 /** The span builder all parsers emit into — materializes the reference's
   * XHTML SAX event stream as an ordered span array.
   *
@@ -35,7 +42,8 @@ final class SpanSink(
     val writeLimit: Int = 100000,
     val inputBytes: Long = 0L,
     val bombOutputThreshold: Long = 1000000L,
-    val bombMaxRatio: Long = 100L
+    val bombMaxRatio: Long = 100L,
+    val deadlineNanos: Long = Long.MaxValue
 ) {
   private val out = new ArrayBuffer[Span]()
   private val buf = new StringBuilder()
@@ -52,6 +60,7 @@ final class SpanSink(
   /** Append character content; filters C0 controls except \t\n\r. */
   def chars(s: String): Unit = {
     if (limitReached) return
+    if (System.nanoTime() > deadlineNanos) throw new DocTimeout
     var i = 0
     val n = s.length
     while (i < n) {
@@ -123,5 +132,6 @@ final class MetaSink {
   }
   def get(key: String): Option[String] = m.get(key).flatMap(_.headOption)
   def contains(key: String): Boolean = m.contains(key)
+  def remove(key: String): Option[String] = m.remove(key).flatMap(_.headOption)
   def result(): Map[String, Seq[String]] = m.map { case (k, v) => k -> v.toSeq }.toMap
 }

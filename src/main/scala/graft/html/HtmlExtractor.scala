@@ -55,7 +55,15 @@ object HtmlExtractor {
 
   import HtmlTables._
 
-  def extract(html: String, sink: SpanSink, meta: MetaSink): HtmlResult = {
+  def extract(html: String, sink: SpanSink, meta: MetaSink): HtmlResult =
+    extract(html, sink, meta, (_, _) => ())
+
+  /** `onEmbedded(nameHint, bytes)` receives `data:` URI payloads and
+    * `<iframe srcdoc>` fragments (HtmlHandler.java:355-380,337-353 makes
+    * both embedded documents).
+    */
+  def extract(html: String, sink: SpanSink, meta: MetaSink,
+      onEmbedded: (Option[String], Array[Byte]) => Unit): HtmlResult = {
     val tokens = HtmlTokenizer.tokenize(html)
     var bodyLevel = 0
     var discardLevel = 0
@@ -102,6 +110,11 @@ object HtmlExtractor {
           } else if (key.equalsIgnoreCase("content-type")) {
             val m = java.util.regex.Pattern.compile("(?i)charset=([\\w.:-]+)").matcher(c)
             if (m.find()) meta.set("Content-Encoding", m.group(1))
+          } else if (key.equalsIgnoreCase("title")) {
+            // title precedence (HtmlHandler.java:224-228): the <title>
+            // element wins over <meta name=title>; stash separately and
+            // promote at end-of-document only if no element title
+            meta.set("meta:title-candidate", c)
           } else meta.add(key, c)
         case _ => ()
       }
@@ -124,13 +137,23 @@ object HtmlExtractor {
             case "meta" => handleMeta(tag)
             case "img" =>
               if (inBody) {
-                val src = tag.attr("src").map(resolve).getOrElse("")
-                if (src.nonEmpty) sink.media(src)
+                val src = tag.attr("src").getOrElse("")
+                if (src.startsWith("data:")) {
+                  // data: URI payloads become embedded docs (:355-380)
+                  decodeDataUri(src).foreach(bytes => onEmbedded(None, bytes))
+                } else if (src.nonEmpty) sink.media(resolve(src))
               }
             case "a" =>
               tag.attr("href").foreach(h => if (inBody) meta.add("links", resolve(h)))
             case "frame" | "iframe" =>
-              tag.attr("src").foreach(h => if (inBody) meta.add("links", resolve(h)))
+              // <iframe srcdoc> is an inline embedded HTML doc (:337-353)
+              tag.attr("srcdoc") match {
+                case Some(doc) if inBody =>
+                  onEmbedded(Some("srcdoc.html"),
+                    doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                case _ =>
+                  tag.attr("src").foreach(h => if (inBody) meta.add("links", resolve(h)))
+              }
             case n if Discardable.contains(n) => if (!selfClosing) discardLevel += 1
             case _ => ()
           }
@@ -168,7 +191,28 @@ object HtmlExtractor {
       }
     }
     sink.flushText()
+    // title precedence: element title wins; promote the meta candidate
+    // only when no <title> was seen (HtmlHandler.java:224-228)
+    val candidate = meta.remove("meta:title-candidate")
+    if (!meta.contains("title")) candidate.foreach(meta.set("title", _))
     HtmlResult(sink.limitReached)
+  }
+
+  /** data:[mime][;base64],payload → raw bytes. */
+  def decodeDataUri(uri: String): Option[Array[Byte]] = {
+    val comma = uri.indexOf(',')
+    if (comma < 0) None
+    else {
+      val header = uri.substring(5, comma)
+      val payload = uri.substring(comma + 1)
+      try {
+        if (header.endsWith(";base64"))
+          Some(java.util.Base64.getMimeDecoder.decode(payload))
+        else
+          Some(java.net.URLDecoder.decode(payload, "UTF-8")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Exception => None }
+    }
   }
 
   private def maybeTextImplicitBody(text: String): Unit = ()

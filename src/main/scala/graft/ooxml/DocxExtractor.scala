@@ -178,6 +178,7 @@ object DocxExtractor {
         e.getCause match {
           case w: WriteLimitReached => throw w
           case z: ZipBombDetected => throw z
+          case t: graft.engine.DocTimeout => throw t
           case _ => throw e
         }
     }

@@ -85,6 +85,41 @@ object Projections {
     else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+  /** The reference's recursive-metadata JSON shape (`/rmeta`;
+    * tika-serialization JsonMetadataList): a JSON array of metadata
+    * objects, container document first (RecursiveParserWrapperHandler
+    * .java:100-105), each embedded doc keyed by its ordinal id path with
+    * its extracted content under "X-TIKA:content"-like key.
+    */
+  def toRmetaJson(doc: graft.core.ExtractedDoc): String = {
+    def jstr(s: String): String =
+      if (s == null) "null"
+      else "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val containerText = doc.spans.collect {
+      case s if s.kind == "text" => s.text
+    }.mkString
+    val container =
+      s"""{"tk:doc_id":${jstr(doc.doc_id)},"Content-Type":${jstr(doc.mime)},""" +
+      s""""tk:status":${jstr(doc.status)},"tk:content":${jstr(containerText)},""" +
+      doc.meta.toSeq.sortBy(_._1).map { case (k, vs) =>
+        s"${jstr(k)}:${vs.map(jstr).mkString("[", ",", "]")}"
+      }.mkString(",") + "}"
+    val embedded = doc.meta.keys.filter(_.startsWith("embedded:/")).toSeq.sorted.map { k =>
+      val path = k.stripPrefix("embedded:")
+      s"""{"tk:embedded_id_path":${jstr(path)},""" +
+      s""""Content-Type":${jstr(doc.meta(k).headOption.orNull)}}"""
+    }
+    (container +: embedded).mkString("[", ",", "]")
+  }
+
   /** TeeContentHandler analog: one extraction, several projections —
     * callers should cache `extracted` before fanning out.
     */

@@ -135,3 +135,67 @@ class HtmlSpec extends AnyFunSuite {
     assert(bs(1).linkDensity == 0.0)
   }
 }
+
+class HtmlFidelitySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.engine.{Extractor, MetaSink, SpanSink}
+  import graft.core.{DocRow, Span, Status}
+
+  test("title precedence: <title> element beats <meta name=title> " +
+       "(HtmlHandler.java:224-228)") {
+    val sink = new SpanSink(); val meta = new MetaSink
+    HtmlExtractor.extract(
+      """<html><head><meta name="title" content="Meta Title">
+         <title>Element Title</title></head><body><p>x</p></body></html>""",
+      sink, meta)
+    assert(meta.result()("title") == Seq("Element Title"))
+
+    val sink2 = new SpanSink(); val meta2 = new MetaSink
+    HtmlExtractor.extract(
+      """<html><head><meta name="title" content="Meta Only"></head>
+         <body><p>x</p></body></html>""", sink2, meta2)
+    assert(meta2.result()("title") == Seq("Meta Only"))
+  }
+
+  test("data: URI image becomes an embedded document (:355-380)") {
+    val inner = "<html><body><p>inner doc text</p></body></html>"
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      inner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val html = s"""<html><body><p>before</p>
+      <img src="data:text/html;base64,$b64"><p>after</p></body></html>"""
+    val out = Extractor.extract(DocRow("du1", Seq(Span("html", html, null, 0))))
+    assert(out.spans.exists(_.kind == "embedded-open"))
+    val t = out.spans.filter(_.kind == "text").map(_.text).mkString
+    assert(t.contains("inner doc text"))
+    assert(t.indexOf("before") < t.indexOf("inner doc text"))
+    assert(t.indexOf("inner doc text") < t.indexOf("after"))
+  }
+
+  test("iframe srcdoc becomes an embedded document (:337-353)") {
+    val html = """<html><body><p>host</p>
+      <iframe srcdoc="<p>framed content</p>"></iframe></body></html>"""
+    val out = Extractor.extract(DocRow("sd1", Seq(Span("html", html, null, 0))))
+    val t = out.spans.filter(_.kind == "text").map(_.text).mkString
+    assert(t.contains("framed content"))
+    assert(out.meta("embedded:path").head.contains("srcdoc.html"))
+  }
+
+  test("soft deadline -> status timeout with partial spans") {
+    val cfg = Extractor.DefaultConfig.copy(softDeadlineMs = 0L) // off
+    val ok = Extractor.extract(graft.corpus.Corpus.row(1), cfg)
+    assert(ok.status != Status.Timeout)
+    // a deadline already in the past trips on the first chars()
+    val sink = new SpanSink(deadlineNanos = System.nanoTime() - 1)
+    intercept[graft.engine.DocTimeout] { sink.chars("x") }
+  }
+
+  test("rmeta JSON projection: container first, embedded entries follow") {
+    import graft.corpus.Corpus
+    val zipRow = (0L until 1000L).find(i => Corpus.kindOf(i) == "zip" &&
+      !Corpus.isBombShaped(i)).get
+    val doc = Extractor.extract(Corpus.row(zipRow))
+    val json = graft.ops.Projections.toRmetaJson(doc)
+    assert(json.startsWith("[{\"tk:doc_id\""))
+    assert(json.contains("\"tk:content\""))
+    assert(json.contains("\"tk:embedded_id_path\":\"/1\""))
+  }
+}
