@@ -91,7 +91,9 @@ object Extractor {
                   sink.embeddedClose(childPath)
                 }
               })
-          case MediaTypes.Xml | MediaTypes.AtomXml | MediaTypes.RssXml | MediaTypes.SvgXml =>
+          case MediaTypes.AtomXml | MediaTypes.RssXml =>
+            graft.xmlx.FeedExtractor.extract(bytes, sink, meta)
+          case MediaTypes.Xml | MediaTypes.SvgXml =>
             XmlExtractor.extract(bytes, sink, meta)
           case MediaTypes.TextPlain =>
             // TextAndCSVParser semantics: sniff a consistent delimiter →

@@ -221,12 +221,20 @@ object MimeRegistry {
 
     var result = best
 
-    // XML root refinement (MimeTypes.java:253-289)
+    // XML root refinement (MimeTypes.java:253-289). A root-XML hit wins
+    // outright; an html magic hit whose actual root is a non-html XML
+    // root (e.g. <rss> containing an early <title>) downgrades to the
+    // root's type — the reference's root-XML clauses are requirements,
+    // not hints.
     if (result == Xml || result == Html) {
-      XmlRootExtractor.rootElement(prefix).foreach { root =>
-        xmlRootTypes.get(root).foreach { refined =>
-          if (isSpecializationOf(refined, result) || result == Xml) result = refined
-        }
+      val xmlDecl = startsWithXmlDecl(prefix)
+      XmlRootExtractor.rootElement(prefix) match {
+        case Some(root) =>
+          xmlRootTypes.get(root) match {
+            case Some(refined) => result = refined
+            case None => if (result == Html && xmlDecl) result = Xml
+          }
+        case None => ()
       }
     }
 
@@ -241,6 +249,17 @@ object MimeRegistry {
     }
 
     result
+  }
+
+  private def startsWithXmlDecl(data: Array[Byte]): Boolean = {
+    var i = 0
+    // skip BOM
+    if (data.length >= 3 && (data(0) & 0xff) == 0xef && (data(1) & 0xff) == 0xbb &&
+        (data(2) & 0xff) == 0xbf) i = 3
+    data.length >= i + 5 && data(i) == '<' && data(i + 1) == '?' &&
+      (data(i + 2) == 'x' || data(i + 2) == 'X') &&
+      (data(i + 3) == 'm' || data(i + 3) == 'M') &&
+      (data(i + 4) == 'l' || data(i + 4) == 'L')
   }
 
   /** Name-glob hint (Patterns.java:141-162, extension tier only). */

@@ -108,3 +108,35 @@ class OdtSpec extends AnyFunSuite {
     assert(t.contains("chapter one text"))
   }
 }
+
+class FeedSpec extends AnyFunSuite {
+  test("atom feed: feed title to metadata, entry titles+summaries as blocks") {
+    val atom = """<?xml version="1.0" encoding="utf-8"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+  <title>Example Feed</title>
+  <link href="http://example.org/"/>
+  <entry><title>First Post</title><summary>Summary one.</summary></entry>
+  <entry><title>Second Post</title><summary>Summary two.</summary></entry>
+</feed>"""
+    val out = Extractor.extract(DocRow("f1",
+      Seq(Span("xml", atom, null, 0))))
+    assert(out.mime == "application/atom+xml")
+    assert(out.meta("title") == Seq("Example Feed"))
+    val t = out.spans.filter(_.kind == "text").map(_.text).mkString
+    assert(t == "First Post\nSummary one.\nSecond Post\nSummary two.\n")
+    assert(out.meta("links") == Seq("http://example.org/"))
+  }
+
+  test("rss feed: channel title + item blocks") {
+    val rss = """<?xml version="1.0"?>
+<rss version="2.0"><channel>
+  <title>News Channel</title>
+  <item><title>Item A</title><description>Desc A</description></item>
+</channel></rss>"""
+    val out = Extractor.extract(DocRow("f2", Seq(Span("xml", rss, null, 0))))
+    assert(out.mime == "application/rss+xml")
+    assert(out.meta("title") == Seq("News Channel"))
+    val t = out.spans.filter(_.kind == "text").map(_.text).mkString
+    assert(t == "Item A\nDesc A\n")
+  }
+}
