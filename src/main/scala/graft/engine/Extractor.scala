@@ -31,6 +31,18 @@ object Extractor {
   )
   val DefaultConfig: Config = Config()
 
+  /** Media mime families that pass through as media spans. */
+  private val MediaMimes: Set[String] = Set(
+    MediaTypes.Png, MediaTypes.Jpeg, MediaTypes.Gif, MediaTypes.Tiff,
+    MediaTypes.Bmp, MediaTypes.Webp, MediaTypes.Mp3, MediaTypes.Wav,
+    MediaTypes.Ogg, MediaTypes.Mp4, MediaTypes.Avi, MediaTypes.Matroska)
+
+  private val MediaExt: Map[String, String] = Map(
+    MediaTypes.Jpeg -> "jpg", MediaTypes.Tiff -> "tif", MediaTypes.Mp3 -> "mp3",
+    MediaTypes.Wav -> "wav", MediaTypes.Ogg -> "ogg", MediaTypes.Mp4 -> "mp4",
+    MediaTypes.Avi -> "avi", MediaTypes.Matroska -> "mkv", MediaTypes.Webp -> "webp",
+    MediaTypes.Png -> "png", MediaTypes.Gif -> "gif", MediaTypes.Bmp -> "bmp")
+
   /** Input kinds whose `text` is base64-encoded raw bytes. */
   private val BinaryKinds =
     Set("docx", "pdf", "zip", "junk", "bytes", "gzip", "png", "jpeg", "gif", "text")
@@ -150,14 +162,18 @@ object Extractor {
               parseNode(inner, childPath, None, depth + 1)
               sink.embeddedClose(childPath)
             }
-          case MediaTypes.Png | MediaTypes.Jpeg | MediaTypes.Gif =>
-            // image payloads: no text; media span with a synthetic name
-            // ("embedded-N.ext", EmbeddedDocumentUtil.java:225-262)
+          case m if MediaMimes.contains(m) =>
+            // image/audio/video payloads: no text extraction (reference
+            // AV parsers are metadata-only — SURVEY §2.7); media span
+            // with a synthetic name ("embedded-N.ext",
+            // EmbeddedDocumentUtil.java:225-262)
             embeddedCount += 1
-            val ext = mime.substring(mime.indexOf('/') + 1) match {
-              case "jpeg" => "jpg"; case e => e
-            }
+            val ext = MediaExt.getOrElse(mime, mime.substring(mime.indexOf('/') + 1))
             sink.media(s"embedded:embedded-$embeddedCount.$ext")
+          case MediaTypes.TikaMsOffice =>
+            // legacy OLE2 recognized but unsupported in v1 (OfficeParser
+            // needs POI) — status records the skip, like PipesResult
+            sawUnsupported = true
           case _ =>
             sawUnsupported = true
         }

@@ -19,6 +19,16 @@ object MediaTypes {
   val Png = "image/png"
   val Jpeg = "image/jpeg"
   val Gif = "image/gif"
+  val Tiff = "image/tiff"
+  val Bmp = "image/bmp"
+  val Webp = "image/webp"
+  val Mp3 = "audio/mpeg"
+  val Wav = "audio/vnd.wave"
+  val Ogg = "audio/ogg"
+  val Mp4 = "video/mp4"
+  val Avi = "video/x-msvideo"
+  val Matroska = "video/x-matroska"
+  val TikaMsOffice = "application/x-tika-msoffice"
   val Rtf = "application/rtf"
   val Eml = "message/rfc822"
   val Odt = "application/vnd.oasis.opendocument.text"
@@ -104,6 +114,27 @@ object MimeRegistry {
     Magic(Jpeg, 50, bytes(0, 0xff, 0xd8, 0xff)),
     // image/gif
     Magic(Gif, 50, OrClause(Seq(string(0, "GIF87a"), string(0, "GIF89a")))),
+    // image/tiff — II*\0 (LE) or MM\0* (BE)
+    Magic(Tiff, 50, OrClause(Seq(
+      bytes(0, 'I', 'I', 0x2a, 0x00), bytes(0, 'M', 'M', 0x00, 0x2a)))),
+    // image/bmp — "BM" + zeroed reserved words (avoids text false hits)
+    Magic(Bmp, 50, AndClause(Seq(string(0, "BM"), bytes(6, 0, 0, 0, 0)))),
+    // RIFF containers: WEBP / WAVE / AVI (format tag at offset 8)
+    Magic(Webp, 50, AndClause(Seq(string(0, "RIFF"), string(8, "WEBP")))),
+    Magic(Wav, 50, AndClause(Seq(string(0, "RIFF"), string(8, "WAVE")))),
+    Magic(Avi, 50, AndClause(Seq(string(0, "RIFF"), string(8, "AVI ")))),
+    // audio/mpeg — ID3v2 tag
+    Magic(Mp3, 50, string(0, "ID3")),
+    // audio/ogg
+    Magic(Ogg, 50, string(0, "OggS")),
+    // video/mp4 — 'ftyp' box at offset 4
+    Magic(Mp4, 50, string(4, "ftyp")),
+    // video/x-matroska (also webm) — EBML header
+    Magic(Matroska, 50, bytes(0, 0x1a, 0x45, 0xdf, 0xa3)),
+    // legacy OLE2/CFB (doc/xls/ppt/msg) — recognized, parsed as
+    // unsupported in v1 (reference OfficeParser needs POI)
+    Magic(TikaMsOffice, 50,
+      bytes(0, 0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)),
     // application/rtf — "{\rtf" @0
     Magic(Rtf, 50, string(0, "{\\rtf")),
     // message/rfc822 — leading header-field magics (tika-mimetypes rfc822 entry)
