@@ -34,7 +34,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scalingDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "200000").toLong
+    val scalingDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1000000").toLong
 
     // --- headline queries at the requested parallelism
     var spark = session(cpus)
@@ -59,32 +59,32 @@ object Bench {
       s.stop()
     }
     // The sandbox VM shows heavy wall-clock noise (kernel-time spikes);
-    // per width: one warm-up run, then best-of-N measured runs.
+    // measurements are interleaved across widths so both sample the same
+    // noise epochs, then best-of-N per width.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    def extractionRun(cores: Int): Double = {
+    def measureOnce(cores: Int): Double = {
       val s = session(cores)
       import s.implicits._
       val input = s.read.parquet(corpusDir).as[graft.core.DocRow]
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        Pipeline.extract(input).toDF()
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // warm-up (JIT + page cache)
-      val best = (1 to reps).map(_ => once()).min
+      val t0 = System.nanoTime()
+      Pipeline.extract(input).toDF()
+        .write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
       s.stop()
-      best
+      secs
     }
+    def extractionRun(cores: Int): Double = measureOnce(cores)
     // Primary pair N=4 vs 4N=16. A pure-CPU probe (spinProbe) shows this
     // shared host reduces per-core speed as more cores go busy (frequency
     // cap / host contention): ~15% at 16-wide, >50% at 32-wide. Separate
     // cluster NODES do not share such a cap, so the probe ratio is also
     // reported and used for a normalized (job-intrinsic) efficiency.
     // The 32-wide run is reported for absolute throughput.
+    measureOnce(16); measureOnce(4) // warm-up (JIT + page cache)
+    val samples = (1 to reps).map(_ => (measureOnce(4), measureOnce(16)))
+    val t4 = samples.map(_._1).min
+    val t16 = samples.map(_._2).min
     val t32 = extractionRun(32)
-    val t16 = extractionRun(16)
-    val t4 = extractionRun(4)
     val hwN = spinProbe(4)
     val hw4N = spinProbe(16)
     val hwRatio = hw4N / hwN // per-core slowdown at 4N width (>= 1)

@@ -70,6 +70,12 @@ object SparkEntry {
         .select(col("doc_id"), col("span.kind"), col("span.media_ref"))
     }),
 
+    "x06_unpack" -> ((s, dir) => {
+      graft.engine.Unpack.unpack(Corpus.docRows(s, 1000)).select(
+        col("doc_id"), col("id_path"), col("name"), col("mime"),
+        col("n_bytes"), col("sha256"))
+    }),
+
     // ---- relational over driver tables (DuckDB oracles)
     "q01_pricing_summary" -> ((s, dir) => {
       tbl(s, dir, "lineitem")

@@ -212,7 +212,16 @@ object Extractor {
     try {
       row.spans.sortBy(_.offset).foreach { s =>
         if (s.kind == Span.KindMedia) sink.media(s.media_ref)
-        else parseNode(payloadBytes(s), "", None, 0)
+        else {
+          val bytes = payloadBytes(s)
+          // pre-parse digest (AutoDetectParser.java:151 / DigestHelper) —
+          // the lineage/dedup key for the raw payload
+          if (bytes.nonEmpty)
+            meta.add("tk:digest:sha256",
+              java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+                .map(b => f"${b & 0xff}%02x").mkString)
+          parseNode(bytes, "", None, 0)
+        }
       }
     } catch {
       case _: WriteLimitReached => limitHit = true

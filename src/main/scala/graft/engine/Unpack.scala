@@ -1,0 +1,94 @@
+package graft.engine
+
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.core.{DocRow, Span}
+import graft.mime.{MediaTypes, MimeRegistry}
+import graft.zipx.{OpcDetector, ZipUtil}
+
+/** The `/unpack` path: emit every embedded resource's raw bytes as its
+  * own output row (reference: tika-pipes UnpackExtractor /
+  * tika-server UnpackerResource — SURVEY.md §2.10 "optional second
+  * output table of extracted media blobs").
+  *
+  * Walks the same container tree as the extraction engine (zip, gzip,
+  * OOXML-as-zip media parts, email attachments) but collects bytes
+  * instead of parsing them. Per-row caps mirror the extraction config.
+  */
+object Unpack {
+
+  final case class EmbeddedBlob(
+      doc_id: String, id_path: String, name: String, mime: String,
+      n_bytes: Long, sha256: String, bytes: Array[Byte])
+
+  final case class Config(maxDepth: Int = 10, maxEmbedded: Int = 100,
+      maxBlobBytes: Int = 16 * 1024 * 1024, keepBytes: Boolean = true)
+
+  def unpackDoc(row: DocRow, cfg: Config = Config()): Vector[EmbeddedBlob] = {
+    val out = new ArrayBuffer[EmbeddedBlob]()
+    var count = 0
+
+    def digest(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
+        .map(x => f"${x & 0xff}%02x").mkString
+
+    def emit(idPath: String, name: String, data: Array[Byte]): Unit = {
+      val trimmed = if (data.length > cfg.maxBlobBytes)
+        java.util.Arrays.copyOf(data, cfg.maxBlobBytes) else data
+      out += EmbeddedBlob(row.doc_id, idPath, name,
+        MimeRegistry.detect(trimmed, Option(name)), data.length.toLong,
+        digest(trimmed), if (cfg.keepBytes) trimmed else Array.emptyByteArray)
+    }
+
+    def walk(bytes: Array[Byte], idPath: String, nameHint: Option[String],
+        depth: Int): Unit = {
+      if (bytes.isEmpty || depth >= cfg.maxDepth || count >= cfg.maxEmbedded) return
+      val mime0 = MimeRegistry.detect(bytes, nameHint)
+      val mime =
+        if (mime0 == MediaTypes.Zip || mime0 == MediaTypes.TikaOoxml)
+          try OpcDetector.specialize(bytes) catch { case _: Exception => mime0 }
+        else mime0
+      mime match {
+        case MediaTypes.Zip | MediaTypes.Epub =>
+          try ZipUtil.entries(bytes).foreach { e =>
+            if (count < cfg.maxEmbedded) {
+              count += 1
+              val childPath = s"$idPath/$count"
+              emit(childPath, e.name, e.data)
+              walk(e.data, childPath, Some(e.name), depth + 1)
+            }
+          } catch { case _: Exception => () }
+        case MediaTypes.Gzip =>
+          try {
+            val inner = ZipUtil.gunzip(bytes)
+            count += 1
+            val childPath = s"$idPath/$count"
+            emit(childPath, nameHint.map(_ + "~ungz").getOrElse("ungz"), inner)
+            walk(inner, childPath, None, depth + 1)
+          } catch { case _: Exception => () }
+        case MediaTypes.Eml =>
+          try graft.mail.EmlExtractor.extract(bytes, new SpanSink(), new MetaSink,
+            (name, data) => {
+              if (count < cfg.maxEmbedded) {
+                count += 1
+                val childPath = s"$idPath/$count"
+                emit(childPath, name.getOrElse(s"attachment-$count"), data)
+                walk(data, childPath, name, depth + 1)
+              }
+            }) catch { case _: Exception => () }
+        case _ => () // leaf: nothing further to unpack
+      }
+    }
+
+    row.spans.sortBy(_.offset).foreach { s =>
+      if (s.kind != Span.KindMedia) walk(Extractor.payloadBytes(s), "", None, 0)
+    }
+    out.toVector
+  }
+
+  /** Dataset face: one row per embedded resource. */
+  def unpack(ds: Dataset[DocRow], cfg: Config = Config()): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(row => unpackDoc(row, cfg))).toDF()
+  }
+}

@@ -118,3 +118,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id").startsWith("new-")).count() == 50)
   }
 }
+
+class UnpackSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.engine.Unpack
+  import graft.core.{DocRow, Span}
+  import graft.corpus.Corpus
+
+  test("unpack emits every container entry with bytes + digest") {
+    val inner = Corpus.zip(Seq("a.txt" -> "deep".getBytes("UTF-8")))
+    val outer = Corpus.zip(Seq(
+      "one.html" -> "<html><body><p>x</p></body></html>".getBytes("UTF-8"),
+      "inner.zip" -> inner))
+    val blobs = Unpack.unpackDoc(
+      DocRow("u1", Seq(Span("zip", Corpus.b64(outer), null, 0))))
+    val byPath = blobs.map(b => b.id_path -> b.name).toMap
+    assert(byPath("/1") == "one.html")
+    assert(byPath("/2") == "inner.zip")
+    assert(byPath("/2/3") == "a.txt")
+    val leaf = blobs.find(_.id_path == "/2/3").get
+    assert(new String(leaf.bytes, "UTF-8") == "deep")
+    assert(leaf.sha256.length == 64)
+    assert(leaf.mime == "text/plain")
+  }
+
+  test("unpack over the Dataset face") {
+    val spark = TestSpark.spark
+    val df = Unpack.unpack(Corpus.docRows(spark, 200, 4))
+    assert(df.count() > 0)
+    assert(df.filter(org.apache.spark.sql.functions.col("sha256").isNull).count() == 0)
+  }
+
+  test("eml attachments unpack") {
+    val blobs = Unpack.unpackDoc(DocRow("u2",
+      Seq(Span("bytes", Corpus.b64(Corpus.emlDoc(Corpus.rng(4))), null, 0))))
+    assert(blobs.exists(_.name == "notes.txt"))
+  }
+
+  test("extraction meta carries the pre-parse sha256 digest") {
+    val out = graft.engine.Extractor.extract(Corpus.row(1))
+    assert(out.meta.get("tk:digest:sha256").exists(_.head.length == 64))
+  }
+}
