@@ -61,7 +61,7 @@ object Bench {
     // The sandbox VM shows heavy wall-clock noise (kernel-time spikes);
     // measurements are interleaved across widths so both sample the same
     // noise epochs, then best-of-N per width.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
     def measureOnce(cores: Int): Double = {
       val s = session(cores)
       import s.implicits._
