@@ -70,6 +70,12 @@ object SparkEntry {
         .select(col("doc_id"), col("span.kind"), col("span.media_ref"))
     }),
 
+    "x07_rmeta" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.extract(Corpus.docRows(s, 500))
+        .map(d => (d.doc_id, graft.ops.Projections.toRmetaJson(d)))
+        .toDF("doc_id", "rmeta")
+    }),
     "x06_unpack" -> ((s, dir) => {
       graft.engine.Unpack.unpack(Corpus.docRows(s, 1000)).select(
         col("doc_id"), col("id_path"), col("name"), col("mime"),

@@ -85,6 +85,9 @@ object Extractor {
       val mime =
         if (mime0 == MediaTypes.Zip || mime0 == MediaTypes.TikaOoxml)
           try OpcDetector.specialize(bytes) catch { case _: Exception => mime0 }
+        else if (mime0 == MediaTypes.TikaMsOffice)
+          try graft.ole2.Ole2Detector.specialize(bytes)
+          catch { case _: Exception => mime0 }
         else mime0
       if (idPath.isEmpty) noteMime(mime)
       else meta.add("embedded:" + idPath, mime)
@@ -170,7 +173,8 @@ object Extractor {
             embeddedCount += 1
             val ext = MediaExt.getOrElse(mime, mime.substring(mime.indexOf('/') + 1))
             sink.media(s"embedded:embedded-$embeddedCount.$ext")
-          case MediaTypes.TikaMsOffice =>
+          case MediaTypes.TikaMsOffice | MediaTypes.MsWord | MediaTypes.MsExcel |
+               MediaTypes.MsPowerPoint | MediaTypes.MsOutlook =>
             // legacy OLE2 recognized but unsupported in v1 (OfficeParser
             // needs POI) — status records the skip, like PipesResult
             sawUnsupported = true

@@ -29,6 +29,10 @@ object MediaTypes {
   val Avi = "video/x-msvideo"
   val Matroska = "video/x-matroska"
   val TikaMsOffice = "application/x-tika-msoffice"
+  val MsWord = "application/msword"
+  val MsExcel = "application/vnd.ms-excel"
+  val MsPowerPoint = "application/vnd.ms-powerpoint"
+  val MsOutlook = "application/vnd.ms-outlook"
   val Rtf = "application/rtf"
   val Eml = "message/rfc822"
   val Odt = "application/vnd.oasis.opendocument.text"
@@ -168,6 +172,10 @@ object MimeRegistry {
     Pptx -> TikaOoxml,
     Rtf -> TextPlain,
     Eml -> TextPlain,
+    MsWord -> TikaMsOffice,
+    MsExcel -> TikaMsOffice,
+    MsPowerPoint -> TikaMsOffice,
+    MsOutlook -> TikaMsOffice,
     Odt -> Zip,
     Ods -> Zip,
     Odp -> Zip,
