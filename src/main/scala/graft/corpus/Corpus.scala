@@ -77,7 +77,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 4
+  val Version = 5
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -446,6 +446,7 @@ $attachment
     * testExtraSpaces.pdf territory). index parity picks FlateDecode.
     */
   def pdfDoc(r: Random, index: Long): Array[Byte] = {
+    if (index % 5 == 1) return subsetFontPdf(r)
     val nPages = 1 + r.nextInt(2)
     val flate = index % 2 == 0
     val pageContents: Seq[Array[Byte]] = (1 to nPages).map { _ =>
@@ -472,6 +473,49 @@ $attachment
     }
     val info = (sentence(r, 3).dropRight(1), Words(r.nextInt(Words.length)))
     buildPdf(pageContents, flate, Some(info))
+  }
+
+  /** A one-page PDF using a subset font: codes 1..n assigned to the
+    * text's distinct chars, decoded through a /ToUnicode bfchar CMap,
+    * with explicit /Widths — the modern-PDF path (subset embedded fonts)
+    * that plain WinAnsi fixtures do not exercise.
+    */
+  def subsetFontPdf(r: Random): Array[Byte] = {
+    val lines = (1 to 2 + r.nextInt(3)).map(_ => sentence(r, 3 + r.nextInt(4)))
+    val distinct = lines.mkString("\n").toSet.filter(_ != '\n').toSeq.sorted
+    val codeOf = distinct.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    val bfchars = distinct.map(c => f"<${codeOf(c)}%02X> <${c.toInt}%04X>").mkString("\n")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+begincmap
+${distinct.size} beginbfchar
+$bfchars
+endbfchar
+endcmap
+end"""
+    val widths = distinct.indices.map(_ => 500 + r.nextInt(200)).mkString(" ")
+    val content = {
+      val sb = new StringBuilder("BT\n/F1 12 Tf\n72 712 Td\n")
+      lines.zipWithIndex.foreach { case (line, i) =>
+        if (i > 0) sb.append("0 -14 Td\n")
+        sb.append("<").append(line.map(c => f"${codeOf(c)}%02X").mkString).append("> Tj\n")
+      }
+      sb.append("ET\n")
+      sb.toString
+    }
+    val pdf = new StringBuilder
+    pdf.append("%PDF-1.7\n")
+    pdf.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    pdf.append("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    pdf.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 6 0 R >>\nendobj\n")
+    pdf.append("4 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /GRAFTA+Sub " +
+      s"/FirstChar 1 /LastChar ${distinct.size} /Widths [$widths] " +
+      "/ToUnicode 5 0 R >>\nendobj\n")
+    pdf.append(s"5 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n")
+    pdf.append(s"6 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    pdf.append("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    pdf.toString.getBytes(StandardCharsets.ISO_8859_1)
   }
 
   def pdfEscape(s: String): String =

@@ -86,10 +86,85 @@ object PdfExtractor {
       var wordSpacing: Double = 0,
       var leading: Double = 0,
       var hScale: Double = 1.0,
+      var font: FontInfo = FontInfo.Default,
       // text matrix (a b c d e f) and line matrix
       var tm: Array[Double] = Array(1, 0, 0, 1, 0, 0),
       var tlm: Array[Double] = Array(1, 0, 0, 1, 0, 0)
   )
+
+  /** Per-font decode + metrics: explicit /Widths (FirstChar-indexed) with
+    * Helvetica fallback; /ToUnicode CMap (bfchar/bfrange) for subset
+    * fonts, windows-1252 otherwise (the reference's PDFBox path:
+    * ToUnicode first, then the font encoding).
+    */
+  final case class FontInfo(
+      firstChar: Int,
+      widths: Array[Double],          // advance in 1/1000 em, by code-firstChar
+      toUnicode: Map[Int, String]) {
+    def widthOf(code: Int): Double = {
+      val idx = code - firstChar
+      if (widths != null && idx >= 0 && idx < widths.length && widths(idx) > 0)
+        widths(idx)
+      else Helvetica.width(code).toDouble
+    }
+    def decode(code: Int): String =
+      toUnicode.getOrElse(code,
+        new String(Array(code.toByte), java.nio.charset.Charset.forName("windows-1252")))
+  }
+
+  object FontInfo {
+    val Default: FontInfo = FontInfo(0, null, Map.empty)
+
+    def fromDict(doc: PdfDoc, d: PDict): FontInfo = {
+      val firstChar = doc.resolve(d.get("FirstChar").getOrElse(PNull)) match {
+        case PNum(v) => v.toInt; case _ => 0
+      }
+      val widths = doc.resolve(d.get("Widths").getOrElse(PNull)) match {
+        case PArr(items) => items.map(i => doc.resolve(i) match {
+          case PNum(v) => v; case _ => 0.0
+        }).toArray
+        case _ => null
+      }
+      val toUni = doc.resolve(d.get("ToUnicode").getOrElse(PNull)) match {
+        case s: PStream => parseToUnicode(doc.decodeStream(s))
+        case _ => Map.empty[Int, String]
+      }
+      FontInfo(firstChar, widths, toUni)
+    }
+
+    /** Minimal bfchar/bfrange CMap reader (public CMap syntax). */
+    def parseToUnicode(bytes: Array[Byte]): Map[Int, String] = {
+      val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val out = scala.collection.mutable.Map[Int, String]()
+      def hexToString(hex: String): String = {
+        val codeUnits = hex.grouped(4).flatMap(h =>
+          try Some(Integer.parseInt(h, 16).toChar) catch { case _: Exception => None })
+        codeUnits.mkString
+      }
+      val bfchar = """(?s)beginbfchar(.*?)endbfchar""".r
+      val pair = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+      bfchar.findAllMatchIn(s).foreach { blk =>
+        pair.findAllMatchIn(blk.group(1)).foreach { m =>
+          out(Integer.parseInt(m.group(1), 16)) = hexToString(m.group(2))
+        }
+      }
+      val bfrange = """(?s)beginbfrange(.*?)endbfrange""".r
+      val triple = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+      bfrange.findAllMatchIn(s).foreach { blk =>
+        triple.findAllMatchIn(blk.group(1)).foreach { m =>
+          val lo = Integer.parseInt(m.group(1), 16)
+          val hi = Integer.parseInt(m.group(2), 16)
+          val dst = Integer.parseInt(m.group(3), 16)
+          var c = lo
+          while (c <= hi && c - lo < 65536) {
+            out(c) = new String(Character.toChars(dst + (c - lo)))
+            c += 1
+          }
+        }
+      }
+      out.toMap
+    }
+  }
 
   private def interpretPage(
       doc: PdfDoc, content: Array[Byte], resources: PDict, sink: SpanSink): Unit = {
@@ -103,6 +178,11 @@ object PdfExtractor {
 
     val xobjects: Map[String, PdfObj] =
       resources.get("XObject").flatMap(doc.dict).map(_.entries).getOrElse(Map.empty)
+    val fonts: Map[String, FontInfo] =
+      resources.get("Font").flatMap(doc.dict).map(_.entries).getOrElse(Map.empty)
+        .flatMap { case (name, obj) =>
+          doc.dict(obj).map(d => name -> FontInfo.fromDict(doc, d))
+        }
 
     def num(o: PdfObj): Double = o match { case PNum(v) => v; case _ => 0.0 }
 
@@ -115,7 +195,7 @@ object PdfExtractor {
       st.tm = st.tlm.clone()
     }
 
-    def spaceWidthPts: Double = Helvetica.SpaceWidth / 1000.0 * st.fontSize
+    def spaceWidthPts: Double = st.font.widthOf(32) / 1000.0 * st.fontSize
 
     def showString(s: Array[Byte]): Unit = {
       if (s.isEmpty) return
@@ -132,15 +212,20 @@ object PdfExtractor {
           sink.chars(" ") // word separator (PDF2XHTML.java:251-258)
         }
       }
-      val text = new String(s, java.nio.charset.Charset.forName("windows-1252"))
-      sink.chars(text)
+      val textBuf = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        textBuf.append(st.font.decode(s(i) & 0xff))
+        i += 1
+      }
+      sink.chars(textBuf.toString)
       pageHasText = true
       lineHasText = true
       // advance x per glyph
-      var i = 0
+      i = 0
       while (i < s.length) {
         val code = s(i) & 0xff
-        var adv = Helvetica.width(code) / 1000.0 * st.fontSize + st.charSpacing
+        var adv = st.font.widthOf(code) / 1000.0 * st.fontSize + st.charSpacing
         if (code == 32) adv += st.wordSpacing
         x += adv * st.hScale
         i += 1
@@ -169,7 +254,13 @@ object PdfExtractor {
               st.tm = Array(1, 0, 0, 1, 0, 0); st.tlm = Array(1, 0, 0, 1, 0, 0)
             case "ET" => ()
             case "Tf" =>
-              if (operands.length >= 2) st.fontSize = num(operands.last)
+              if (operands.length >= 2) {
+                st.fontSize = num(operands.last)
+                operands(operands.length - 2) match {
+                  case PName(fn) => st.font = fonts.getOrElse(fn, FontInfo.Default)
+                  case _ => ()
+                }
+              }
             case "Td" =>
               if (operands.length >= 2)
                 setTd(num(operands(operands.length - 2)), num(operands.last))
