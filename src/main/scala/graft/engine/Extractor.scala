@@ -156,7 +156,8 @@ object Extractor {
           case MediaTypes.Zip =>
             recurseZip(bytes, idPath, depth)
           case MediaTypes.Gzip =>
-            if (depth >= cfg.maxDepth) sawUnsupported = true
+            if (depth >= cfg.maxDepth || embeddedCount >= cfg.maxEmbedded)
+              sawUnsupported = true
             else {
               val inner = ZipUtil.gunzip(bytes)
               embeddedCount += 1
@@ -185,6 +186,13 @@ object Extractor {
         case _: WriteLimitReached => throw new WriteLimitReached
         case t: DocTimeout => throw t
         case _: ZipBombDetected => bomb = true
+        case _: StackOverflowError =>
+          // pathological nesting in a payload must fail the DOCUMENT,
+          // not the task (the parsers guard their own recursion depth;
+          // this is the last line of defense)
+          sawException = true
+          meta.add("parse:exception", s"$mime stack overflow at " +
+            (if (idPath.isEmpty) "/" else idPath))
         case _: Exception =>
           sawException = true
           meta.add("parse:exception", s"$mime at ${if (idPath.isEmpty) "/" else idPath}")

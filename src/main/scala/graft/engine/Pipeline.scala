@@ -71,13 +71,18 @@ object Pipeline {
       cfg: Extractor.Config = Extractor.DefaultConfig): Unit = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
+    val runId = java.util.UUID.randomUUID().toString
     val out = extractWithPartitionId(
       input.repartition(numPartitions, col("doc_id")), cfg)
+      .withColumn("run_id", lit(runId))
     out.write.mode("append").parquet(outDir)
     val wall = System.currentTimeMillis() - t0
-    // lineage from the written table (exactly what the sink committed)
+    // lineage from the written table (exactly what the sink committed),
+    // scoped to THIS run — appended runs must not merge into one
+    // partition_id row or inherit the wrong wall_ms
     val metrics = spark.read.parquet(outDir)
-      .groupBy($"partition_id")
+      .filter($"run_id" === runId)
+      .groupBy($"run_id", $"partition_id")
       .agg(
         min($"doc_id").as("doc_id_min"), max($"doc_id").as("doc_id_max"),
         count(lit(1)).as("n_docs"), sum($"n_spans").as("n_spans"),
@@ -88,7 +93,7 @@ object Pipeline {
           .as("n_failed"))
       .withColumn("parser_version", lit(Model.ParserVersion))
       .withColumn("wall_ms", lit(wall))
-    metrics.write.mode("overwrite").parquet(metricsDir)
+    metrics.write.mode("append").parquet(metricsDir)
   }
 
   /** Per-partition wall-time instrumentation: runs the full extraction on

@@ -19,7 +19,7 @@ object Unpack {
 
   final case class EmbeddedBlob(
       doc_id: String, id_path: String, name: String, mime: String,
-      n_bytes: Long, sha256: String, bytes: Array[Byte])
+      n_bytes: Long, sha256: String, truncated: Boolean, bytes: Array[Byte])
 
   final case class Config(maxDepth: Int = 10, maxEmbedded: Int = 100,
       maxBlobBytes: Int = 16 * 1024 * 1024, keepBytes: Boolean = true)
@@ -33,11 +33,15 @@ object Unpack {
         .map(x => f"${x & 0xff}%02x").mkString
 
     def emit(idPath: String, name: String, data: Array[Byte]): Unit = {
-      val trimmed = if (data.length > cfg.maxBlobBytes)
-        java.util.Arrays.copyOf(data, cfg.maxBlobBytes) else data
+      val truncated = data.length > cfg.maxBlobBytes
+      val trimmed = if (truncated) java.util.Arrays.copyOf(data, cfg.maxBlobBytes)
+                    else data
+      // sha256 always covers the FULL content so it joins against
+      // full-content hashes; `truncated` flags that `bytes` is a prefix
       out += EmbeddedBlob(row.doc_id, idPath, name,
         MimeRegistry.detect(trimmed, Option(name)), data.length.toLong,
-        digest(trimmed), if (cfg.keepBytes) trimmed else Array.emptyByteArray)
+        digest(data), truncated,
+        if (cfg.keepBytes) trimmed else Array.emptyByteArray)
     }
 
     def walk(bytes: Array[Byte], idPath: String, nameHint: Option[String],

@@ -179,12 +179,12 @@ object HtmlExtractor {
 
         case TextRun(text) =>
           if (titleLevel > 0 && discardLevel == 0) title.append(text)
-          else if (inBody) {
-            maybeTextImplicitBody(text)
-            sink.chars(text)
-          } else if (!sawExplicitBody && bodyLevel == 0 && headLevel == 0 &&
-                     discardLevel == 0 && titleLevel == 0 && text.trim.nonEmpty) {
-            // bare text before any body/head structure → implicit body
+          else if (inBody) sink.chars(text)
+          else if (bodyLevel == 0 && headLevel == 0 && discardLevel == 0 &&
+                   titleLevel == 0 && text.trim.nonEmpty) {
+            // bare text outside <body> — before any structure OR after an
+            // explicit </body> (jsoup hoists trailing text into the body,
+            // so the reference emits it; common in sloppy real HTML)
             implicitBody = true
             sink.chars(text)
           }

@@ -106,12 +106,15 @@ object Projections {
     val containerText = doc.spans.collect {
       case s if s.kind == "text" => s.text
     }.mkString
-    val container =
-      s"""{"tk:doc_id":${jstr(doc.doc_id)},"Content-Type":${jstr(doc.mime)},""" +
-      s""""tk:status":${jstr(doc.status)},"tk:content":${jstr(containerText)},""" +
+    val containerFields = Seq(
+      s""""tk:doc_id":${jstr(doc.doc_id)}""",
+      s""""Content-Type":${jstr(doc.mime)}""",
+      s""""tk:status":${jstr(doc.status)}""",
+      s""""tk:content":${jstr(containerText)}""") ++
       doc.meta.toSeq.sortBy(_._1).map { case (k, vs) =>
         s"${jstr(k)}:${vs.map(jstr).mkString("[", ",", "]")}"
-      }.mkString(",") + "}"
+      }
+    val container = containerFields.mkString("{", ",", "}")
     val embedded = doc.meta.keys.filter(_.startsWith("embedded:/")).toSeq.sorted.map { k =>
       val path = k.stripPrefix("embedded:")
       s"""{"tk:embedded_id_path":${jstr(path)},""" +

@@ -46,6 +46,10 @@ object PdfExtractor {
     val doc = new PdfDoc(bytes)
     extractInfo(doc, meta)
     val pages = doc.pages
+    if (pages.isEmpty)
+      // no page tree resolvable: broken/bomb PDF — surface as a parse
+      // failure (the reference throws from PDFParser on unusable docs)
+      throw new PdfParseException(s"no pages (objects=${doc.objectCount})")
     meta.set("xmpTPg:NPages", pages.length.toString)
     pages.foreach { page =>
       val content = doc.pageContent(page)

@@ -31,6 +31,19 @@ final class PdfLexer(data: Array[Byte]) {
   var pos = 0
   def length: Int = data.length
 
+  /** Container-nesting depth guard: malicious '[[[[…' payloads would
+    * otherwise drive parseArray/parseObject recursion into a
+    * StackOverflowError, which is an Error and escapes the engine's
+    * per-document exception handling.
+    */
+  private var depth = 0
+  private val MaxDepth = 64
+  private def enter(): Unit = {
+    depth += 1
+    if (depth > MaxDepth) throw new PdfParseException(s"nesting deeper than $MaxDepth")
+  }
+  private def leave(): Unit = depth -= 1
+
   @inline def peek: Int = if (pos < data.length) data(pos) & 0xff else -1
   @inline def at(i: Int): Int = if (i < data.length && i >= 0) data(i) & 0xff else -1
 
@@ -162,6 +175,7 @@ final class PdfLexer(data: Array[Byte]) {
 
   def parseArray(): PArr = {
     expect("[")
+    enter()
     val items = new ArrayBuffer[PdfObj]()
     skipWs()
     while (pos < data.length && peek != ']') {
@@ -169,11 +183,13 @@ final class PdfLexer(data: Array[Byte]) {
       skipWs()
     }
     if (peek == ']') pos += 1
+    leave()
     PArr(items.toVector)
   }
 
   def parseDictOrStream(): PdfObj = {
     expect("<<")
+    enter()
     val entries = scala.collection.mutable.LinkedHashMap[String, PdfObj]()
     skipWs()
     while (pos < data.length && !startsWith(">>")) {
@@ -183,6 +199,7 @@ final class PdfLexer(data: Array[Byte]) {
       skipWs()
     }
     expect(">>")
+    leave()
     val dict = PDict(entries.toMap)
     // stream keyword?
     val save = pos
@@ -298,6 +315,21 @@ final class PdfDoc(data: Array[Byte]) {
     * also rescans for incremental updates, PDFParser.java:299-349). We
     * locate every `N G obj` header and parse the object there.
     */
+  private def lastIndexOfBefore(d: Array[Byte], s: String, before: Int): Int = {
+    var i = math.min(before, d.length) - s.length
+    while (i >= 0) {
+      var j = 0
+      var ok = true
+      while (ok && j < s.length) {
+        if ((d(i + j) & 0xff) != s.charAt(j)) ok = false
+        j += 1
+      }
+      if (ok) return i
+      i -= 1
+    }
+    -1
+  }
+
   private def parseAll(): Unit = {
     val lex = new PdfLexer(data)
     var i = 0
@@ -313,6 +345,7 @@ final class PdfDoc(data: Array[Byte]) {
         val headerStart = j + 1
         val header = new String(data, headerStart, idx - headerStart,
           java.nio.charset.StandardCharsets.ISO_8859_1).trim.split("\\s+")
+        var next = idx + 4
         if (header.length == 2 && header(0).nonEmpty && header(0).forall(_.isDigit)) {
           val num = header(0).toInt
           val l2 = new PdfLexer(data)
@@ -321,22 +354,32 @@ final class PdfDoc(data: Array[Byte]) {
             val obj = l2.parseObject()
             // later objects (incremental updates) override earlier ones
             objects(num) = obj
+            // resume the scan AFTER this object so ' obj'-shaped byte
+            // runs inside its (compressed) stream payload cannot be
+            // mistaken for real object headers
+            next = math.max(next, l2.pos)
           } catch { case _: Exception => () }
         }
-        i = idx + 4
+        i = next
       }
     }
-    // trailer dict (last one wins)
-    var t = lex.lastIndexOf("trailer")
-    while (t >= 0) {
-      val l2 = new PdfLexer(data)
-      l2.pos = t + "trailer".length
-      try {
-        l2.parseObject() match {
-          case d: PDict => trailer = d; t = -1
-          case _ => t = -1
-        }
-      } catch { case _: Exception => t = -1 }
+    // trailer dict: try occurrences from the last backwards until one
+    // parses (incremental updates may leave a corrupt final trailer)
+    var searchEnd = data.length
+    var done = false
+    while (!done) {
+      val t = lastIndexOfBefore(data, "trailer", searchEnd)
+      if (t < 0) done = true
+      else {
+        val l2 = new PdfLexer(data)
+        l2.pos = t + "trailer".length
+        try {
+          l2.parseObject() match {
+            case d: PDict => trailer = d; done = true
+            case _ => searchEnd = t
+          }
+        } catch { case _: Exception => searchEnd = t }
+      }
     }
     if (trailer.entries.isEmpty) {
       // xref-stream PDFs: find the catalog by type scan

@@ -12,23 +12,30 @@ import graft.engine.{MetaSink, SpanSink}
   */
 object CsvExtractor {
 
-  val Candidates: Seq[Char] = Seq(',', '\t', ';', '|')
+  /** Tab first: an explicit tab is rarely accidental, while prose cells
+    * often contain one consistent comma ("Doe, John") that would
+    * otherwise win on candidate order alone.
+    */
+  val Candidates: Seq[Char] = Seq('\t', ',', ';', '|')
   val SniffLines = 10
 
   /** Returns the sniffed delimiter when the text looks like a delimited
     * table: >=2 lines, >=2 columns, consistent column count across the
-    * sniffed lines.
+    * sniffed lines. Among consistent candidates the one yielding the
+    * MOST columns wins (TextAndCSVParser scores candidates rather than
+    * taking the first).
     */
   def sniff(text: String): Option[Char] = {
     val lines = text.split("\n", SniffLines + 1).take(SniffLines)
       .map(_.stripSuffix("\r")).filter(_.nonEmpty)
     if (lines.length < 2) return None
-    Candidates.collectFirst {
-      case d if {
-        val counts = lines.map(countUnquoted(_, d))
-        counts.head >= 1 && counts.distinct.length == 1
-      } => d
+    val consistent = Candidates.flatMap { d =>
+      val counts = lines.map(countUnquoted(_, d))
+      if (counts.head >= 1 && counts.distinct.length == 1) Some(d -> counts.head)
+      else None
     }
+    if (consistent.isEmpty) None
+    else Some(consistent.maxBy(_._2)._1) // stable: ties keep Candidates order
   }
 
   private def countUnquoted(line: String, d: Char): Int = {
