@@ -77,7 +77,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 5
+  val Version = 6
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -236,13 +236,30 @@ $paras
 <dc:title>${xmlEscape(title)}</dc:title>
 <dc:creator>$author</dc:creator>
 </cp:coreProperties>"""
+    val aux = scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]()
+    if (r.nextInt(2) == 0) {
+      val footnote =
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<w:footnotes xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+        """<w:footnote w:type="separator" w:id="-1"><w:p><w:r><w:separator/></w:r></w:p></w:footnote>""" +
+        s"""<w:footnote w:id="1"><w:p><w:r><w:t>${xmlEscape(sentence(r, 4))}</w:t></w:r></w:p></w:footnote>""" +
+        "</w:footnotes>"
+      aux += "word/footnotes.xml" -> footnote.getBytes(StandardCharsets.UTF_8)
+    }
+    if (r.nextInt(2) == 0) {
+      val header =
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<w:hdr xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+        s"""<w:p><w:r><w:t>${xmlEscape(sentence(r, 3))}</w:t></w:r></w:p></w:hdr>"""
+      aux += "word/header1.xml" -> header.getBytes(StandardCharsets.UTF_8)
+    }
     zip(Seq(
       "[Content_Types].xml" -> contentTypes.getBytes(StandardCharsets.UTF_8),
       "_rels/.rels" -> rootRels.getBytes(StandardCharsets.UTF_8),
       "word/document.xml" -> documentXml.getBytes(StandardCharsets.UTF_8),
       "word/_rels/document.xml.rels" -> docRels.getBytes(StandardCharsets.UTF_8),
       "docProps/core.xml" -> core.getBytes(StandardCharsets.UTF_8)
-    ))
+    ) ++ aux)
   }
 
   def xmlEscape(s: String): String =

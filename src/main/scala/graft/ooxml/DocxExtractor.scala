@@ -49,7 +49,21 @@ object DocxExtractor {
       .getOrElse(throw new IllegalArgumentException("no word/document.xml"))
     val rels = relationships(zipBytes)
     saxParseCoreProps(zipBytes, meta)
+    // part order mirrors the reference's story walk
+    // (SXWPFWordExtractorDecorator MAIN_PART_RELATIONS + aux parts,
+    // :73-78): headers, main document, footnotes, endnotes, comments,
+    // footers — each part's paragraphs newline-framed like the body's
+    val names = ZipUtil.entryNames(zipBytes)
+    def parts(prefix: String): Seq[String] =
+      names.filter(n => n.startsWith("word/" + prefix) && n.endsWith(".xml")).sorted
+    def parseAux(name: String): Unit =
+      ZipUtil.entry(zipBytes, name).foreach(b =>
+        saxParse(b, new DocumentHandler(sink, meta, rels)))
+    parts("header").foreach(parseAux)
     saxParse(doc, new DocumentHandler(sink, meta, rels))
+    Seq("footnotes.xml", "endnotes.xml", "comments.xml")
+      .map("word/" + _).filter(names.contains).foreach(parseAux)
+    parts("footer").foreach(parseAux)
   }
 
   /** docProps/core.xml → title/creator (reference maps OPC core props to
@@ -94,15 +108,20 @@ object DocxExtractor {
     private var inInstrText = false   // field code text
     private var tableDepth = 0
     private var paraHasContent = false
+    private var skipNote = false      // separator/continuation footnotes
 
     override def startElement(uri: String, local: String, qName: String,
         atts: Attributes): Unit = {
       localName(local, qName) match {
+        case "footnote" | "endnote" =>
+          // separator pseudo-notes carry no content (reference skips them)
+          val t = attByLocal(atts, "type").getOrElse("")
+          skipNote = t == "separator" || t == "continuationSeparator"
         case "t" => inText = true
         case "delText" => inDelText = true
         case "instrText" => inInstrText = true
-        case "tab" if !inText => sink.tab()
-        case "br" | "cr" => sink.newline()
+        case "tab" if !inText => if (!skipNote) sink.tab()
+        case "br" | "cr" => if (!skipNote) sink.newline()
         case "tbl" => tableDepth += 1
         case "tc" => if (tableDepth > 0) sink.tab() // INDENT td rule
         case "hyperlink" =>
@@ -126,7 +145,7 @@ object DocxExtractor {
     }
 
     override def characters(ch: Array[Char], start: Int, length: Int): Unit = {
-      if (inText && !inDelText && !inInstrText) {
+      if (inText && !inDelText && !inInstrText && !skipNote) {
         sink.chars(new String(ch, start, length))
         paraHasContent = true
       }
@@ -134,10 +153,11 @@ object DocxExtractor {
 
     override def endElement(uri: String, local: String, qName: String): Unit = {
       localName(local, qName) match {
+        case "footnote" | "endnote" => skipNote = false
         case "t" => inText = false
         case "delText" => inDelText = false
         case "instrText" => inInstrText = false
-        case "p" => sink.newline() // paragraph end → '\n'
+        case "p" => if (!skipNote) sink.newline() // paragraph end → '\n'
         case "tr" => if (tableDepth > 0) sink.newline()
         case "tbl" => if (tableDepth > 0) { tableDepth -= 1; sink.newline() }
         case _ => ()
