@@ -17,11 +17,12 @@ import graft.zipx.ZipUtil
 object OdtExtractor {
 
   def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    ZipUtil.entry(zipBytes, "meta.xml").foreach { m =>
+    val parts = ZipUtil.entriesMap(zipBytes) // single archive pass
+    parts.get("meta.xml").foreach { m =>
       DocxExtractor.saxParse(m, new MetaHandler(meta))
     }
-    val content = ZipUtil.entry(zipBytes, "content.xml")
-      .getOrElse(throw new IllegalArgumentException("no content.xml"))
+    val content = parts.getOrElse("content.xml",
+      throw new IllegalArgumentException("no content.xml"))
     DocxExtractor.saxParse(content, new ContentHandlerImpl(sink))
   }
 

@@ -27,6 +27,9 @@ object DocxExtractor {
   def relationships(zipBytes: Array[Byte]): Map[String, String] =
     ZipUtil.entry(zipBytes, "word/_rels/document.xml.rels").map(parseRels).getOrElse(Map.empty)
 
+  private def relationshipsFrom(parts: Map[String, Array[Byte]]): Map[String, String] =
+    parts.get("word/_rels/document.xml.rels").map(parseRels).getOrElse(Map.empty)
+
   def parseRels(bytes: Array[Byte]): Map[String, String] = {
     val rels = scala.collection.mutable.Map[String, String]()
     val handler = new DefaultHandler {
@@ -45,32 +48,36 @@ object DocxExtractor {
   }
 
   def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    val doc = ZipUtil.entry(zipBytes, "word/document.xml")
-      .getOrElse(throw new IllegalArgumentException("no word/document.xml"))
-    val rels = relationships(zipBytes)
-    saxParseCoreProps(zipBytes, meta)
+    // one pass over the archive; per-part entry() calls would rescan it
+    val parts = ZipUtil.entriesMap(zipBytes)
+    val doc = parts.getOrElse("word/document.xml",
+      throw new IllegalArgumentException("no word/document.xml"))
+    val rels = relationshipsFrom(parts)
+    corePropsFrom(parts, meta)
     // part order mirrors the reference's story walk
     // (SXWPFWordExtractorDecorator MAIN_PART_RELATIONS + aux parts,
     // :73-78): headers, main document, footnotes, endnotes, comments,
     // footers — each part's paragraphs newline-framed like the body's
-    val names = ZipUtil.entryNames(zipBytes)
-    def parts(prefix: String): Seq[String] =
-      names.filter(n => n.startsWith("word/" + prefix) && n.endsWith(".xml")).sorted
+    def named(prefix: String): Seq[String] =
+      parts.keys.filter(n => n.startsWith("word/" + prefix) && n.endsWith(".xml"))
+        .toSeq.sorted
     def parseAux(name: String): Unit =
-      ZipUtil.entry(zipBytes, name).foreach(b =>
-        saxParse(b, new DocumentHandler(sink, meta, rels)))
-    parts("header").foreach(parseAux)
+      parts.get(name).foreach(b => saxParse(b, new DocumentHandler(sink, meta, rels)))
+    named("header").foreach(parseAux)
     saxParse(doc, new DocumentHandler(sink, meta, rels))
     Seq("footnotes.xml", "endnotes.xml", "comments.xml")
-      .map("word/" + _).filter(names.contains).foreach(parseAux)
-    parts("footer").foreach(parseAux)
+      .map("word/" + _).foreach(parseAux)
+    named("footer").foreach(parseAux)
   }
 
   /** docProps/core.xml → title/creator (reference maps OPC core props to
     * DublinCore metadata). Shared by all OOXML extractors.
     */
-  def saxParseCoreProps(zipBytes: Array[Byte], meta: MetaSink): Unit = {
-    ZipUtil.entry(zipBytes, "docProps/core.xml").foreach { bytes =>
+  def saxParseCoreProps(zipBytes: Array[Byte], meta: MetaSink): Unit =
+    corePropsFrom(ZipUtil.entriesMap(zipBytes), meta)
+
+  def corePropsFrom(parts: Map[String, Array[Byte]], meta: MetaSink): Unit = {
+    parts.get("docProps/core.xml").foreach { bytes =>
       val buf = new StringBuilder
       var field: String = null
       saxParse(bytes, new DefaultHandler {

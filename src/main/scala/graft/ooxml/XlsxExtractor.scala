@@ -19,13 +19,14 @@ import graft.zipx.ZipUtil
 object XlsxExtractor {
 
   def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    val shared = sharedStrings(zipBytes)
-    val sheets = sheetTargets(zipBytes)
-    DocxExtractor.saxParseCoreProps(zipBytes, meta)
+    val parts = ZipUtil.entriesMap(zipBytes) // single archive pass
+    val shared = sharedStringsFrom(parts)
+    val sheets = sheetTargetsFrom(parts)
+    DocxExtractor.corePropsFrom(parts, meta)
     sheets.foreach { case (name, target) =>
       meta.add("sheet:name", name)
-      ZipUtil.entry(zipBytes, "xl/" + target.stripPrefix("/xl/").stripPrefix("xl/"))
-        .orElse(ZipUtil.entry(zipBytes, target.stripPrefix("/")))
+      parts.get("xl/" + target.stripPrefix("/xl/").stripPrefix("xl/"))
+        .orElse(parts.get(target.stripPrefix("/")))
         .foreach { bytes =>
           DocxExtractor.saxParse(bytes, new SheetHandler(shared, sink))
           sink.newline() // sheet (table) end
@@ -34,8 +35,11 @@ object XlsxExtractor {
   }
 
   /** xl/sharedStrings.xml → indexed string pool. */
-  def sharedStrings(zipBytes: Array[Byte]): Vector[String] = {
-    ZipUtil.entry(zipBytes, "xl/sharedStrings.xml").map { bytes =>
+  def sharedStrings(zipBytes: Array[Byte]): Vector[String] =
+    sharedStringsFrom(ZipUtil.entriesMap(zipBytes))
+
+  def sharedStringsFrom(parts: Map[String, Array[Byte]]): Vector[String] = {
+    parts.get("xl/sharedStrings.xml").map { bytes =>
       val out = new ArrayBuffer[String]()
       val buf = new StringBuilder
       var inSi = false
@@ -61,10 +65,13 @@ object XlsxExtractor {
   }
 
   /** workbook.xml sheet order + workbook rels → (name, worksheet target). */
-  def sheetTargets(zipBytes: Array[Byte]): Vector[(String, String)] = {
-    val rels = ZipUtil.entry(zipBytes, "xl/_rels/workbook.xml.rels")
+  def sheetTargets(zipBytes: Array[Byte]): Vector[(String, String)] =
+    sheetTargetsFrom(ZipUtil.entriesMap(zipBytes))
+
+  def sheetTargetsFrom(parts: Map[String, Array[Byte]]): Vector[(String, String)] = {
+    val rels = parts.get("xl/_rels/workbook.xml.rels")
       .map(DocxExtractor.parseRels).getOrElse(Map.empty)
-    ZipUtil.entry(zipBytes, "xl/workbook.xml").map { bytes =>
+    parts.get("xl/workbook.xml").map { bytes =>
       val out = new ArrayBuffer[(String, String)]()
       DocxExtractor.saxParse(bytes, new DefaultHandler {
         override def startElement(u: String, l: String, q: String, a: Attributes): Unit =
@@ -131,20 +138,24 @@ object XlsxExtractor {
 object PptxExtractor {
 
   def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    DocxExtractor.saxParseCoreProps(zipBytes, meta)
-    slideTargets(zipBytes).foreach { target =>
+    val parts = ZipUtil.entriesMap(zipBytes) // single archive pass
+    DocxExtractor.corePropsFrom(parts, meta)
+    slideTargetsFrom(parts).foreach { target =>
       val path = if (target.startsWith("/")) target.substring(1) else "ppt/" + target
-      ZipUtil.entry(zipBytes, path).foreach { bytes =>
+      parts.get(path).foreach { bytes =>
         DocxExtractor.saxParse(bytes, new SlideHandler(sink))
         sink.newline() // slide end
       }
     }
   }
 
-  def slideTargets(zipBytes: Array[Byte]): Vector[String] = {
-    val rels = ZipUtil.entry(zipBytes, "ppt/_rels/presentation.xml.rels")
+  def slideTargets(zipBytes: Array[Byte]): Vector[String] =
+    slideTargetsFrom(ZipUtil.entriesMap(zipBytes))
+
+  def slideTargetsFrom(parts: Map[String, Array[Byte]]): Vector[String] = {
+    val rels = parts.get("ppt/_rels/presentation.xml.rels")
       .map(DocxExtractor.parseRels).getOrElse(Map.empty)
-    ZipUtil.entry(zipBytes, "ppt/presentation.xml").map { bytes =>
+    parts.get("ppt/presentation.xml").map { bytes =>
       val out = new ArrayBuffer[String]()
       DocxExtractor.saxParse(bytes, new org.xml.sax.helpers.DefaultHandler {
         override def startElement(u: String, l: String, q: String,

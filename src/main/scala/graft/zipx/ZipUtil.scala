@@ -36,6 +36,25 @@ object ZipUtil {
     out.toVector
   }
 
+  /** All entries decompressed into a name-indexed map in ONE pass —
+    * multi-part formats (OOXML/ODF) read 5-7 parts, and per-part
+    * `entry()` lookups would rescan the archive each time.
+    */
+  def entriesMap(zipBytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
+    val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
+    try {
+      var e: ZipEntry = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory && !out.contains(e.getName))
+          out(e.getName) = readBounded(zin, MaxEntryBytes)
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toMap
+  }
+
   /** Read one named entry (first match) without decompressing the rest. */
   def entry(zipBytes: Array[Byte], name: String): Option[Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
