@@ -137,6 +137,17 @@ object Extractor {
             sawUnsupported = true
           case MediaTypes.Rtf =>
             graft.textparse.RtfExtractor.extract(bytes, sink, meta)
+          case MediaTypes.Mbox =>
+            // each member message becomes an embedded rfc822 doc
+            graft.mail.EmlExtractor.splitMbox(bytes).foreach { msg =>
+              if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
+                embeddedCount += 1
+                val childPath = s"$idPath/$embeddedCount"
+                sink.embeddedOpen(childPath)
+                parseNode(msg, childPath, Some("message.eml"), depth + 1)
+                sink.embeddedClose(childPath)
+              }
+            }
           case MediaTypes.Eml =>
             graft.mail.EmlExtractor.extract(bytes, sink, meta, (name, data) => {
               if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {

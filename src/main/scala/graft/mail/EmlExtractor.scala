@@ -129,6 +129,24 @@ object EmlExtractor {
     sb.toString
   }
 
+  /** Split an mbox file into its member messages (reference: mail-module
+    * MboxParser). Messages are delimited by postmark lines starting
+    * "From " (no colon) at line starts.
+    */
+  def splitMbox(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    val text = new String(bytes, StandardCharsets.ISO_8859_1)
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var i = if (text.startsWith("From ")) text.indexOf('\n') + 1 else 0
+    while (i > 0 && i < text.length) {
+      val next = text.indexOf("\nFrom ", i)
+      val end = if (next < 0) text.length else next
+      if (end > i) out += text.substring(i, end).getBytes(StandardCharsets.ISO_8859_1)
+      i = if (next < 0) -1 else text.indexOf('\n', next + 1) + 1
+    }
+    if (out.isEmpty && bytes.nonEmpty) out += bytes
+    out.toVector
+  }
+
   /** Extract a message: headers → metadata, text parts → spans,
     * attachments → `onAttachment(name, bytes)`.
     */

@@ -35,6 +35,7 @@ object MediaTypes {
   val MsOutlook = "application/vnd.ms-outlook"
   val Rtf = "application/rtf"
   val Eml = "message/rfc822"
+  val Mbox = "application/mbox"
   val Odt = "application/vnd.oasis.opendocument.text"
   val Ods = "application/vnd.oasis.opendocument.spreadsheet"
   val Odp = "application/vnd.oasis.opendocument.presentation"
@@ -141,6 +142,8 @@ object MimeRegistry {
       bytes(0, 0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)),
     // application/rtf — "{\rtf" @0
     Magic(Rtf, 50, string(0, "{\\rtf")),
+    // application/mbox — postmark "From " (no colon) at offset 0
+    Magic(Mbox, 50, string(0, "From ")),
     // message/rfc822 — leading header-field magics (tika-mimetypes rfc822 entry)
     Magic(Eml, 50, OrClause(Seq(
       string(0, "Relay-Version:"), string(0, "#! rnews"), string(0, "Forward to"),
@@ -172,6 +175,7 @@ object MimeRegistry {
     Pptx -> TikaOoxml,
     Rtf -> TextPlain,
     Eml -> TextPlain,
+    Mbox -> TextPlain,
     MsWord -> TikaMsOffice,
     MsExcel -> TikaMsOffice,
     MsPowerPoint -> TikaMsOffice,

@@ -140,3 +140,21 @@ class FeedSpec extends AnyFunSuite {
     assert(t == "Item A\nDesc A\n")
   }
 }
+
+class MboxSpec extends AnyFunSuite {
+  test("mbox: member messages become embedded rfc822 docs") {
+    val m1 = "From: a@example.com\r\nSubject: First\r\n\r\nbody one\r\n"
+    val m2 = "From: b@example.com\r\nSubject: Second\r\n\r\nbody two\r\n"
+    val mbox = ("From a@example.com Thu Jan  1 10:00:00 2026\n" + m1 +
+      "\nFrom b@example.com Thu Jan  1 11:00:00 2026\n" + m2)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = Extractor.extract(DocRow("mb1",
+      Seq(Span("bytes", Corpus.b64(mbox), null, 0))))
+    assert(out.mime == "application/mbox")
+    assert(out.spans.count(_.kind == "embedded-open") == 2)
+    val t = out.spans.filter(_.kind == "text").map(_.text).mkString
+    assert(t.contains("body one"))
+    assert(t.contains("body two"))
+    assert(out.meta("embedded:/1").head == "message/rfc822")
+  }
+}
