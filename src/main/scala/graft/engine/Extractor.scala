@@ -138,15 +138,18 @@ object Extractor {
           case MediaTypes.Rtf =>
             graft.textparse.RtfExtractor.extract(bytes, sink, meta)
           case MediaTypes.Mbox =>
-            // each member message becomes an embedded rfc822 doc
-            graft.mail.EmlExtractor.splitMbox(bytes).foreach { msg =>
-              if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
-                embeddedCount += 1
-                val childPath = s"$idPath/$embeddedCount"
-                sink.embeddedOpen(childPath)
-                parseNode(msg, childPath, Some("message.eml"), depth + 1)
-                sink.embeddedClose(childPath)
-              }
+            // each member message becomes an embedded rfc822 doc; members
+            // past the resource budget are recorded, not silently dropped
+            graft.mail.EmlExtractor.splitMbox(bytes).zipWithIndex.foreach {
+              case (msg, idx) =>
+                if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
+                  embeddedCount += 1
+                  val childPath = s"$idPath/$embeddedCount"
+                  meta.add("embedded:path", s"$childPath:message-${idx + 1}.eml")
+                  sink.embeddedOpen(childPath)
+                  parseNode(msg, childPath, Some("message.eml"), depth + 1)
+                  sink.embeddedClose(childPath)
+                } else sawUnsupported = true
             }
           case MediaTypes.Eml =>
             graft.mail.EmlExtractor.extract(bytes, sink, meta, (name, data) => {

@@ -79,8 +79,10 @@ object Pipeline {
     val wall = System.currentTimeMillis() - t0
     // lineage from the written table (exactly what the sink committed),
     // scoped to THIS run — appended runs must not merge into one
-    // partition_id row or inherit the wrong wall_ms
-    val metrics = spark.read.parquet(outDir)
+    // partition_id row or inherit the wrong wall_ms. mergeSchema handles
+    // resuming into an outDir written before run_id existed (legacy rows
+    // read run_id=null and drop out of the filter).
+    val metrics = spark.read.option("mergeSchema", "true").parquet(outDir)
       .filter($"run_id" === runId)
       .groupBy($"run_id", $"partition_id")
       .agg(

@@ -215,5 +215,4 @@ object HtmlExtractor {
     }
   }
 
-  private def maybeTextImplicitBody(text: String): Unit = ()
 }

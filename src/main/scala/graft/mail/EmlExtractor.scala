@@ -143,7 +143,10 @@ object EmlExtractor {
       if (end > i) out += text.substring(i, end).getBytes(StandardCharsets.ISO_8859_1)
       i = if (next < 0) -1 else text.indexOf('\n', next + 1) + 1
     }
-    if (out.isEmpty && bytes.nonEmpty) out += bytes
+    // no whole-bytes fallback: a bare postmark with no body yields zero
+    // messages (re-feeding the postmark would re-detect as mbox and
+    // recurse to the depth cap)
+    if (out.isEmpty && bytes.nonEmpty && !text.startsWith("From ")) out += bytes
     out.toVector
   }
 

@@ -17,7 +17,7 @@ import graft.zipx.ZipUtil
 object OdtExtractor {
 
   def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    val parts = ZipUtil.entriesMap(zipBytes) // single archive pass
+    val parts = ZipUtil.entriesMap(zipBytes, ZipUtil.XmlParts) // single pass, xml only
     parts.get("meta.xml").foreach { m =>
       DocxExtractor.saxParse(m, new MetaHandler(meta))
     }

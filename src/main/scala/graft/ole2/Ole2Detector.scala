@@ -18,12 +18,16 @@ object Ole2Detector {
   private def utf16le(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
 
+  /** Most-specific first: outlook's property stream and the PowerPoint
+    * entry before the short generic names, so UTF-16 stream TEXT that
+    * happens to contain "Book" cannot shadow the real container type.
+    */
   private val Markers: Seq[(Array[Byte], String)] = Seq(
+    utf16le("__properties_version1.0") -> MediaTypes.MsOutlook,
+    utf16le("PowerPoint Document") -> MediaTypes.MsPowerPoint,
     utf16le("WordDocument") -> MediaTypes.MsWord,
     utf16le("Workbook") -> MediaTypes.MsExcel,
-    utf16le("Book") -> MediaTypes.MsExcel,
-    utf16le("PowerPoint Document") -> MediaTypes.MsPowerPoint,
-    utf16le("__properties_version1.0") -> MediaTypes.MsOutlook
+    utf16le("Book") -> MediaTypes.MsExcel
   )
 
   val ScanWindow: Int = 1 << 20 // directory sectors sit early in practice
@@ -31,11 +35,16 @@ object Ole2Detector {
   def specialize(bytes: Array[Byte]): String = {
     val n = math.min(bytes.length, ScanWindow)
     Markers.collectFirst {
-      case (marker, mime) if indexOf(bytes, n, marker) >= 0 => mime
+      case (marker, mime) if matchesAligned(bytes, n, marker) => mime
     }.getOrElse(MediaTypes.TikaMsOffice)
   }
 
-  private def indexOf(hay: Array[Byte], n: Int, needle: Array[Byte]): Int = {
+  /** Directory-entry name fields sit at 128-byte-aligned offsets (MS-CFB
+    * §2.6: 128-byte records in 512-byte-aligned sectors), so only aligned
+    * positions are tested — stream payload text at odd offsets no longer
+    * matches.
+    */
+  private def matchesAligned(hay: Array[Byte], n: Int, needle: Array[Byte]): Boolean = {
     val m = needle.length
     var i = 0
     while (i + m <= n) {
@@ -45,9 +54,9 @@ object Ole2Detector {
         if (hay(i + j) != needle(j)) ok = false
         j += 1
       }
-      if (ok) return i
-      i += 1
+      if (ok) return true
+      i += 128
     }
-    -1
+    false
   }
 }

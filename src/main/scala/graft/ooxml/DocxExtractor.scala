@@ -23,12 +23,15 @@ import graft.zipx.ZipUtil
   */
 object DocxExtractor {
 
-  /** Parse `word/_rels/document.xml.rels` → Id → Target. */
-  def relationships(zipBytes: Array[Byte]): Map[String, String] =
-    ZipUtil.entry(zipBytes, "word/_rels/document.xml.rels").map(parseRels).getOrElse(Map.empty)
-
-  private def relationshipsFrom(parts: Map[String, Array[Byte]]): Map[String, String] =
-    parts.get("word/_rels/document.xml.rels").map(parseRels).getOrElse(Map.empty)
+  /** Relationships part for a given content part: word/X.xml has its ids
+    * resolved in word/_rels/X.xml.rels — hyperlinks in footnotes/headers
+    * must NOT resolve against the main document's rels.
+    */
+  private def relsFor(parts: Map[String, Array[Byte]], partName: String): Map[String, String] = {
+    val dir = partName.substring(0, partName.lastIndexOf('/') + 1)
+    val base = partName.substring(partName.lastIndexOf('/') + 1)
+    parts.get(dir + "_rels/" + base + ".rels").map(parseRels).getOrElse(Map.empty)
+  }
 
   def parseRels(bytes: Array[Byte]): Map[String, String] = {
     val rels = scala.collection.mutable.Map[String, String]()
@@ -48,34 +51,37 @@ object DocxExtractor {
   }
 
   def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    // one pass over the archive; per-part entry() calls would rescan it
-    val parts = ZipUtil.entriesMap(zipBytes)
+    // one pass over the archive (xml/rels parts only — media blobs are
+    // never read by text extraction and must not be buffered)
+    val parts = ZipUtil.entriesMap(zipBytes, ZipUtil.XmlParts)
     val doc = parts.getOrElse("word/document.xml",
       throw new IllegalArgumentException("no word/document.xml"))
-    val rels = relationshipsFrom(parts)
     corePropsFrom(parts, meta)
     // part order mirrors the reference's story walk
     // (SXWPFWordExtractorDecorator MAIN_PART_RELATIONS + aux parts,
     // :73-78): headers, main document, footnotes, endnotes, comments,
-    // footers — each part's paragraphs newline-framed like the body's
+    // footers — each part's paragraphs newline-framed like the body's.
+    // Numeric-aware name sort: header10 sorts after header2.
+    def partNum(n: String): (String, Long) = {
+      val m = java.util.regex.Pattern.compile("(\\d+)\\.xml$").matcher(n)
+      if (m.find()) (n.substring(0, m.start(1)), m.group(1).toLong) else (n, 0L)
+    }
     def named(prefix: String): Seq[String] =
       parts.keys.filter(n => n.startsWith("word/" + prefix) && n.endsWith(".xml"))
-        .toSeq.sorted
-    def parseAux(name: String): Unit =
-      parts.get(name).foreach(b => saxParse(b, new DocumentHandler(sink, meta, rels)))
-    named("header").foreach(parseAux)
-    saxParse(doc, new DocumentHandler(sink, meta, rels))
+        .toSeq.sortBy(partNum)
+    def parsePart(name: String): Unit =
+      parts.get(name).foreach(b =>
+        saxParse(b, new DocumentHandler(sink, meta, relsFor(parts, name))))
+    named("header").foreach(parsePart)
+    saxParse(doc, new DocumentHandler(sink, meta, relsFor(parts, "word/document.xml")))
     Seq("footnotes.xml", "endnotes.xml", "comments.xml")
-      .map("word/" + _).foreach(parseAux)
-    named("footer").foreach(parseAux)
+      .map("word/" + _).foreach(parsePart)
+    named("footer").foreach(parsePart)
   }
 
   /** docProps/core.xml → title/creator (reference maps OPC core props to
     * DublinCore metadata). Shared by all OOXML extractors.
     */
-  def saxParseCoreProps(zipBytes: Array[Byte], meta: MetaSink): Unit =
-    corePropsFrom(ZipUtil.entriesMap(zipBytes), meta)
-
   def corePropsFrom(parts: Map[String, Array[Byte]], meta: MetaSink): Unit = {
     parts.get("docProps/core.xml").foreach { bytes =>
       val buf = new StringBuilder

@@ -19,7 +19,7 @@ import graft.zipx.ZipUtil
 object XlsxExtractor {
 
   def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    val parts = ZipUtil.entriesMap(zipBytes) // single archive pass
+    val parts = ZipUtil.entriesMap(zipBytes, ZipUtil.XmlParts) // single pass, xml/rels only
     val shared = sharedStringsFrom(parts)
     val sheets = sheetTargetsFrom(parts)
     DocxExtractor.corePropsFrom(parts, meta)
@@ -35,9 +35,6 @@ object XlsxExtractor {
   }
 
   /** xl/sharedStrings.xml → indexed string pool. */
-  def sharedStrings(zipBytes: Array[Byte]): Vector[String] =
-    sharedStringsFrom(ZipUtil.entriesMap(zipBytes))
-
   def sharedStringsFrom(parts: Map[String, Array[Byte]]): Vector[String] = {
     parts.get("xl/sharedStrings.xml").map { bytes =>
       val out = new ArrayBuffer[String]()
@@ -65,9 +62,6 @@ object XlsxExtractor {
   }
 
   /** workbook.xml sheet order + workbook rels → (name, worksheet target). */
-  def sheetTargets(zipBytes: Array[Byte]): Vector[(String, String)] =
-    sheetTargetsFrom(ZipUtil.entriesMap(zipBytes))
-
   def sheetTargetsFrom(parts: Map[String, Array[Byte]]): Vector[(String, String)] = {
     val rels = parts.get("xl/_rels/workbook.xml.rels")
       .map(DocxExtractor.parseRels).getOrElse(Map.empty)
@@ -138,7 +132,7 @@ object XlsxExtractor {
 object PptxExtractor {
 
   def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    val parts = ZipUtil.entriesMap(zipBytes) // single archive pass
+    val parts = ZipUtil.entriesMap(zipBytes, ZipUtil.XmlParts) // single pass, xml/rels only
     DocxExtractor.corePropsFrom(parts, meta)
     slideTargetsFrom(parts).foreach { target =>
       val path = if (target.startsWith("/")) target.substring(1) else "ppt/" + target
@@ -148,9 +142,6 @@ object PptxExtractor {
       }
     }
   }
-
-  def slideTargets(zipBytes: Array[Byte]): Vector[String] =
-    slideTargetsFrom(ZipUtil.entriesMap(zipBytes))
 
   def slideTargetsFrom(parts: Map[String, Array[Byte]]): Vector[String] = {
     val rels = parts.get("ppt/_rels/presentation.xml.rels")

@@ -101,6 +101,8 @@ object PdfExtractor {
     * fonts, windows-1252 otherwise (the reference's PDFBox path:
     * ToUnicode first, then the font encoding).
     */
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
   final case class FontInfo(
       firstChar: Int,
       widths: Array[Double],          // advance in 1/1000 em, by code-firstChar
@@ -112,8 +114,16 @@ object PdfExtractor {
       else Helvetica.width(code).toDouble
     }
     def decode(code: Int): String =
-      toUnicode.getOrElse(code,
-        new String(Array(code.toByte), java.nio.charset.Charset.forName("windows-1252")))
+      toUnicode.getOrElse(code, new String(Array(code.toByte), Cp1252))
+    /** Bulk decode: fonts without a CMap take one cp1252 pass (hot path). */
+    def decodeAll(s: Array[Byte]): String =
+      if (toUnicode.isEmpty) new String(s, Cp1252)
+      else {
+        val b = new StringBuilder(s.length)
+        var i = 0
+        while (i < s.length) { b.append(decode(s(i) & 0xff)); i += 1 }
+        b.toString
+      }
   }
 
   object FontInfo {
@@ -216,17 +226,11 @@ object PdfExtractor {
           sink.chars(" ") // word separator (PDF2XHTML.java:251-258)
         }
       }
-      val textBuf = new StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        textBuf.append(st.font.decode(s(i) & 0xff))
-        i += 1
-      }
-      sink.chars(textBuf.toString)
+      sink.chars(st.font.decodeAll(s))
       pageHasText = true
       lineHasText = true
       // advance x per glyph
-      i = 0
+      var i = 0
       while (i < s.length) {
         val code = s(i) & 0xff
         var adv = st.font.widthOf(code) / 1000.0 * st.fontSize + st.charSpacing

@@ -36,17 +36,21 @@ object ZipUtil {
     out.toVector
   }
 
-  /** All entries decompressed into a name-indexed map in ONE pass —
+  /** Entries decompressed into a name-indexed map in ONE pass —
     * multi-part formats (OOXML/ODF) read 5-7 parts, and per-part
-    * `entry()` lookups would rescan the archive each time.
+    * `entry()` lookups would rescan the archive each time. `keep`
+    * filters by name so embedded media blobs (which OOXML text
+    * extraction never reads) are not buffered — a .pptx full of 50 MB
+    * images must not pin gigabytes per task.
     */
-  def entriesMap(zipBytes: Array[Byte]): Map[String, Array[Byte]] = {
+  def entriesMap(zipBytes: Array[Byte],
+      keep: String => Boolean = _ => true): Map[String, Array[Byte]] = {
     val out = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
     val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
     try {
       var e: ZipEntry = zin.getNextEntry
       while (e != null) {
-        if (!e.isDirectory && !out.contains(e.getName))
+        if (!e.isDirectory && keep(e.getName) && !out.contains(e.getName))
           out(e.getName) = readBounded(zin, MaxEntryBytes)
         zin.closeEntry()
         e = zin.getNextEntry
@@ -54,6 +58,10 @@ object ZipUtil {
     } finally zin.close()
     out.toMap
   }
+
+  /** The parts OOXML/ODF text extraction can actually read. */
+  val XmlParts: String => Boolean =
+    n => n.endsWith(".xml") || n.endsWith(".rels") || n == "mimetype"
 
   /** Read one named entry (first match) without decompressing the rest. */
   def entry(zipBytes: Array[Byte], name: String): Option[Array[Byte]] = {
