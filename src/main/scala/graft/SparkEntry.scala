@@ -136,6 +136,10 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       SimSearch.lshTopK(e, e.filter(col("vec_id") < 20), dim = 64, k = 5)
     }),
+    "q26_ann_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      SimSearch.ivfTopK(e, e.filter(col("vec_id") < 20), dim = 64, k = 5)
+    }),
 
     // ---- projections / comparer / top-k
     "q22_topk_tokens" -> ((s, dir) => {

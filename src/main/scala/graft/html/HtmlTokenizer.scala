@@ -28,6 +28,11 @@ final case class TextRun(text: String) extends HtmlToken
 object HtmlTokenizer {
 
   private val RawTextElements = Set("script", "style")
+  /** RCDATA elements: content runs to the matching close tag with
+    * entities decoded but no tag parsing (HTML5 RCDATA state) — a '<'
+    * inside <title> or <textarea> is character data.
+    */
+  private val RcdataElements = Set("title", "textarea")
 
   def tokenize(html: String): Vector[HtmlToken] = {
     val out = new ArrayBuffer[HtmlToken]()
@@ -78,6 +83,11 @@ object HtmlTokenizer {
             val close = findCloseTag(html, i, tag.name)
             val raw = html.substring(i, close._1)
             out += TextRun(raw) // NOT entity-decoded (rawtext state)
+            if (close._2 > close._1) out += EndTag(tag.name)
+            i = close._2
+          } else if (RcdataElements.contains(tag.name) && !tag.selfClosing) {
+            val close = findCloseTag(html, i, tag.name)
+            out += TextRun(Entities.decode(html.substring(i, close._1)))
             if (close._2 > close._1) out += EndTag(tag.name)
             i = close._2
           }

@@ -80,6 +80,110 @@ object SimSearch {
       }.toDF("vec_id", "lsh_sig")
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path:
+    *
+    *  1. coarse centroids: K deterministic seed vectors refined by one
+    *     Lloyd iteration (groupBy(cluster) → mean), all as DataFrame aggs;
+    *  2. corpus assignment: each vector to its nearest centroid
+    *     (partition-local argmin over the broadcast centroid matrix —
+    *     centroids are tiny, vectors never shuffle for assignment);
+    *  3. search: each query probes its `nprobe` nearest centroids and
+    *     exact-cosine re-ranks only those clusters' members.
+    *
+    * At 10^9+ vectors the per-cluster posting lists are the unit of both
+    * storage partitioning and search fan-out; recall is tuned by nprobe.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 5,
+      nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def l2normalize(v: Array[Float]): Array[Double] = {
+      var ss = 0.0
+      var i = 0
+      while (i < v.length) { ss += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(ss)
+      v.map(x => if (n == 0) 0.0 else x / n)
+    }
+
+    // 1. seeds: first K vectors by id (deterministic), one Lloyd step
+    val seeds: Array[Array[Double]] = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].orderBy(col("vec_id")).limit(nClusters)
+      .collect().map(r => l2normalize(r._2))
+
+    def assignTo(centroids: Array[Array[Double]])(emb: Array[Float]): Int = {
+      val v = l2normalize(emb)
+      var best = 0
+      var bestDot = Double.MinValue
+      var c = 0
+      while (c < centroids.length) {
+        var dot = 0.0
+        val ctr = centroids(c)
+        var i = 0
+        val n = math.min(v.length, ctr.length)
+        while (i < n) { dot += v(i) * ctr(i); i += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+        c += 1
+      }
+      best
+    }
+
+    val assigned0 = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, emb, assignTo(seeds)(emb)) }
+      .toDF("vec_id", "embedding", "cluster")
+
+    // Lloyd step: per-cluster mean over normalized vectors (DataFrame agg)
+    val refined: Array[Array[Double]] = {
+      val sums = assigned0.as[(Long, Array[Float], Int)]
+        .groupByKey(_._3)
+        .mapGroups { (c, it) =>
+          val acc = new Array[Double](dim)
+          var n = 0L
+          it.foreach { case (_, emb, _) =>
+            val v = l2normalize(emb)
+            var i = 0
+            while (i < math.min(dim, v.length)) { acc(i) += v(i); i += 1 }
+            n += 1
+          }
+          (c, acc.map(_ / math.max(n, 1)))
+        }.collect().toMap
+      Array.tabulate(nClusters)(c => sums.getOrElse(c, seeds(c % seeds.length)))
+    }
+
+    // 2. final assignment with refined centroids
+    val posting = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, emb, assignTo(refined)(emb)) }
+      .toDF("neighbor_id", "n_emb", "cluster")
+
+    // 3. queries probe nprobe nearest centroids
+    val probes = queries.select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        val v = l2normalize(emb)
+        val scored = refined.zipWithIndex.map { case (ctr, c) =>
+          var dot = 0.0
+          var i = 0
+          val n = math.min(v.length, ctr.length)
+          while (i < n) { dot += v(i) * ctr(i); i += 1 }
+          (c, dot)
+        }
+        scored.sortBy(-_._2).take(nprobe).map { case (c, _) => (id, emb, c) }
+      }.toDF("query_id", "q_emb", "cluster")
+
+    val scored = probes.join(posting, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** LSH-bucketed ANN: candidates share a band of the signature; exact
     * cosine re-rank within candidates. Candidate dedup runs over id pairs
     * only; embeddings are joined back just for scoring. Recall < 1 by
