@@ -77,7 +77,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 6
+  val Version = 7
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -463,6 +463,7 @@ $attachment
     * testExtraSpaces.pdf territory). index parity picks FlateDecode.
     */
   def pdfDoc(r: Random, index: Long): Array[Byte] = {
+    if (index % 7 == 2) return type0Pdf(r)
     if (index % 5 == 1) return subsetFontPdf(r)
     val nPages = 1 + r.nextInt(2)
     val flate = index % 2 == 0
@@ -531,6 +532,49 @@ end"""
       "/ToUnicode 5 0 R >>\nendobj\n")
     pdf.append(s"5 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n")
     pdf.append(s"6 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    pdf.append("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    pdf.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** A one-page Type0/Identity-H (CID) PDF: 2-byte codes mapped to the
+    * text's distinct chars via a 2-byte ToUnicode CMap, descendant-font
+    * /W widths — the embedded-unicode-font path.
+    */
+  def type0Pdf(r: Random): Array[Byte] = {
+    val lines = (1 to 2 + r.nextInt(2)).map(_ => sentence(r, 3 + r.nextInt(3)))
+    val distinct = lines.mkString("\n").toSet.filter(_ != '\n').toSeq.sorted
+    val codeOf = distinct.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    val bfchars = distinct.map(c => f"<${codeOf(c)}%04X> <${c.toInt}%04X>").mkString("\n")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+begincmap
+${distinct.size} beginbfchar
+$bfchars
+endbfchar
+endcmap
+end"""
+    val wArr = s"1 [${distinct.indices.map(_ => 500 + r.nextInt(200)).mkString(" ")}]"
+    val content = {
+      val sb = new StringBuilder("BT\n/F0 12 Tf\n72 712 Td\n")
+      lines.zipWithIndex.foreach { case (line, i) =>
+        if (i > 0) sb.append("0 -14 Td\n")
+        sb.append("<").append(line.map(c => f"${codeOf(c)}%04X").mkString).append("> Tj\n")
+      }
+      sb.append("ET\n")
+      sb.toString
+    }
+    val pdf = new StringBuilder
+    pdf.append("%PDF-1.7\n")
+    pdf.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    pdf.append("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    pdf.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F0 4 0 R >> >> /Contents 7 0 R >>\nendobj\n")
+    pdf.append("4 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /GRAFT+CID " +
+      "/Encoding /Identity-H /DescendantFonts [5 0 R] /ToUnicode 6 0 R >>\nendobj\n")
+    pdf.append("5 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GRAFT+CID " +
+      s"/DW 500 /W [$wArr] >>\nendobj\n")
+    pdf.append(s"6 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n")
+    pdf.append(s"7 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
     pdf.append("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
     pdf.toString.getBytes(StandardCharsets.ISO_8859_1)
   }

@@ -103,26 +103,60 @@ object PdfExtractor {
     */
   private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
 
+  /** `twoByte` marks Type0 (composite/CID) fonts: show-string bytes pair
+    * into big-endian 16-bit codes (Identity-H: code == CID), widths come
+    * from the descendant font's /W map with /DW default — the layout of
+    * virtually every PDF with an embedded subset CJK/unicode font.
+    */
   final case class FontInfo(
       firstChar: Int,
       widths: Array[Double],          // advance in 1/1000 em, by code-firstChar
-      toUnicode: Map[Int, String]) {
+      toUnicode: Map[Int, String],
+      twoByte: Boolean = false,
+      cidWidths: Map[Int, Double] = Map.empty,
+      defaultWidth: Double = 1000.0) {
     def widthOf(code: Int): Double = {
-      val idx = code - firstChar
-      if (widths != null && idx >= 0 && idx < widths.length && widths(idx) > 0)
-        widths(idx)
-      else Helvetica.width(code).toDouble
+      if (twoByte) cidWidths.getOrElse(code, defaultWidth)
+      else {
+        val idx = code - firstChar
+        if (widths != null && idx >= 0 && idx < widths.length && widths(idx) > 0)
+          widths(idx)
+        else Helvetica.width(code).toDouble
+      }
     }
     def decode(code: Int): String =
-      toUnicode.getOrElse(code, new String(Array(code.toByte), Cp1252))
-    /** Bulk decode: fonts without a CMap take one cp1252 pass (hot path). */
+      toUnicode.getOrElse(code,
+        if (twoByte) new String(Character.toChars(code))
+        else new String(Array(code.toByte), Cp1252))
+    /** Bulk decode: 1-byte fonts without a CMap take one cp1252 pass. */
     def decodeAll(s: Array[Byte]): String =
-      if (toUnicode.isEmpty) new String(s, Cp1252)
+      if (twoByte) {
+        val b = new StringBuilder(s.length / 2 + 1)
+        var i = 0
+        while (i + 1 < s.length) {
+          b.append(decode(((s(i) & 0xff) << 8) | (s(i + 1) & 0xff)))
+          i += 2
+        }
+        b.toString
+      } else if (toUnicode.isEmpty) new String(s, Cp1252)
       else {
         val b = new StringBuilder(s.length)
         var i = 0
         while (i < s.length) { b.append(decode(s(i) & 0xff)); i += 1 }
         b.toString
+      }
+    /** Codes of a show string (1- or 2-byte) for the advance loop. */
+    def codesOf(s: Array[Byte]): Array[Int] =
+      if (twoByte) {
+        val out = new Array[Int](s.length / 2)
+        var i = 0
+        while (i + 1 < s.length) { out(i / 2) = ((s(i) & 0xff) << 8) | (s(i + 1) & 0xff); i += 2 }
+        out
+      } else {
+        val out = new Array[Int](s.length)
+        var i = 0
+        while (i < s.length) { out(i) = s(i) & 0xff; i += 1 }
+        out
       }
   }
 
@@ -130,20 +164,64 @@ object PdfExtractor {
     val Default: FontInfo = FontInfo(0, null, Map.empty)
 
     def fromDict(doc: PdfDoc, d: PDict): FontInfo = {
-      val firstChar = doc.resolve(d.get("FirstChar").getOrElse(PNull)) match {
-        case PNum(v) => v.toInt; case _ => 0
-      }
-      val widths = doc.resolve(d.get("Widths").getOrElse(PNull)) match {
-        case PArr(items) => items.map(i => doc.resolve(i) match {
-          case PNum(v) => v; case _ => 0.0
-        }).toArray
-        case _ => null
-      }
       val toUni = doc.resolve(d.get("ToUnicode").getOrElse(PNull)) match {
         case s: PStream => parseToUnicode(doc.decodeStream(s))
         case _ => Map.empty[Int, String]
       }
-      FontInfo(firstChar, widths, toUni)
+      val isType0 = d.get("Subtype").contains(PName("Type0"))
+      if (isType0) {
+        val descendant = doc.resolve(d.get("DescendantFonts").getOrElse(PNull)) match {
+          case PArr(items) if items.nonEmpty => doc.dict(items.head)
+          case _ => None
+        }
+        val dw = descendant.flatMap(_.get("DW")).map(doc.resolve) match {
+          case Some(PNum(v)) => v; case _ => 1000.0
+        }
+        val w = descendant.flatMap(_.get("W")).map(doc.resolve) match {
+          case Some(PArr(items)) => parseCidWidths(doc, items)
+          case _ => Map.empty[Int, Double]
+        }
+        FontInfo(0, null, toUni, twoByte = true, cidWidths = w, defaultWidth = dw)
+      } else {
+        val firstChar = doc.resolve(d.get("FirstChar").getOrElse(PNull)) match {
+          case PNum(v) => v.toInt; case _ => 0
+        }
+        val widths = doc.resolve(d.get("Widths").getOrElse(PNull)) match {
+          case PArr(items) => items.map(i => doc.resolve(i) match {
+            case PNum(v) => v; case _ => 0.0
+          }).toArray
+          case _ => null
+        }
+        FontInfo(firstChar, widths, toUni)
+      }
+    }
+
+    /** /W array: `c [w1 w2 …]` runs and `cFirst cLast w` ranges (PDF 32000
+      * §9.7.4.3).
+      */
+    def parseCidWidths(doc: PdfDoc, items: Vector[PdfObj]): Map[Int, Double] = {
+      val out = scala.collection.mutable.Map[Int, Double]()
+      var i = 0
+      while (i < items.length) {
+        (doc.resolve(items(i)), items.lift(i + 1).map(doc.resolve)) match {
+          case (PNum(c), Some(PArr(ws))) =>
+            ws.zipWithIndex.foreach {
+              case (PNum(w), k) => out(c.toInt + k) = w
+              case _ => ()
+            }
+            i += 2
+          case (PNum(cFirst), Some(PNum(cLast))) if i + 2 < items.length =>
+            doc.resolve(items(i + 2)) match {
+              case PNum(w) =>
+                var c = cFirst.toInt
+                while (c <= cLast.toInt && c - cFirst.toInt < 65536) { out(c) = w; c += 1 }
+              case _ => ()
+            }
+            i += 3
+          case _ => i += 1
+        }
+      }
+      out.toMap
     }
 
     /** Minimal bfchar/bfrange CMap reader (public CMap syntax). */
@@ -229,12 +307,14 @@ object PdfExtractor {
       sink.chars(st.font.decodeAll(s))
       pageHasText = true
       lineHasText = true
-      // advance x per glyph
+      // advance x per glyph (word spacing applies to single-byte code 32
+      // only — PDF 32000 §9.3.3)
+      val codes = st.font.codesOf(s)
       var i = 0
-      while (i < s.length) {
-        val code = s(i) & 0xff
+      while (i < codes.length) {
+        val code = codes(i)
         var adv = st.font.widthOf(code) / 1000.0 * st.fontSize + st.charSpacing
-        if (code == 32) adv += st.wordSpacing
+        if (code == 32 && !st.font.twoByte) adv += st.wordSpacing
         x += adv * st.hScale
         i += 1
       }

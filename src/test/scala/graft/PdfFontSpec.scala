@@ -63,3 +63,58 @@ end"""
     assert(t.startsWith("A"), t)
   }
 }
+
+class PdfType0Spec extends org.scalatest.funsuite.AnyFunSuite {
+  import java.nio.charset.StandardCharsets.ISO_8859_1
+  import graft.engine.{MetaSink, SpanSink}
+  import graft.pdf.PdfExtractor
+
+  private def type0Pdf(content: String): Array[Byte] = {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+begincmap
+2 beginbfchar
+<0001> <0048>
+<0002> <00E9>
+endbfchar
+1 beginbfrange
+<0003> <0005> <0061>
+endbfrange
+endcmap
+end"""
+    val pdf = new StringBuilder
+    pdf.append("%PDF-1.7\n")
+    pdf.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    pdf.append("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    pdf.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F0 4 0 R >> >> /Contents 7 0 R >>\nendobj\n")
+    pdf.append("4 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /GRAFT+CID " +
+      "/Encoding /Identity-H /DescendantFonts [5 0 R] /ToUnicode 6 0 R >>\nendobj\n")
+    pdf.append("5 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GRAFT+CID " +
+      "/DW 500 /W [1 [700 700] 3 5 650] >>\nendobj\n")
+    pdf.append(s"6 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n")
+    pdf.append(s"7 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    pdf.append("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    pdf.toString.getBytes(ISO_8859_1)
+  }
+
+  private def extract(bytes: Array[Byte]): String = {
+    val sink = new SpanSink()
+    PdfExtractor.extract(bytes, sink, new MetaSink)
+    sink.result().filter(_.kind == "text").map(_.text).mkString
+  }
+
+  test("Type0/Identity-H: 2-byte codes through ToUnicode") {
+    val t = extract(type0Pdf(
+      "BT /F0 12 Tf 72 712 Td <00010002> Tj 0 -14 Td <000300040005> Tj ET"))
+    assert(t.startsWith("Hé\nabc"), t)
+  }
+
+  test("CID /W widths drive the word separator; TJ gap") {
+    // glyph width 700/1000*12=8.4pt; gap -700 = 8.4pt > 0.5*spaceWidth(500/1000*12=6 -> 3)
+    val t = extract(type0Pdf("BT /F0 12 Tf 72 712 Td [<0001> -700 <0002>] TJ ET"))
+    assert(t.startsWith("H é") || t.startsWith("Hé"), t)
+    // verify a space IS inserted for the large gap
+    assert(t.contains(" "), t)
+  }
+}
