@@ -139,7 +139,9 @@ object Extractor {
             graft.textparse.RtfExtractor.extract(bytes, sink, meta)
           case MediaTypes.Mbox =>
             // each member message becomes an embedded rfc822 doc; members
-            // past the resource budget are recorded, not silently dropped
+            // past the resource budget are counted in mbox:dropped and
+            // mark the status (ParseSuccessWithException)
+            var dropped = 0
             graft.mail.EmlExtractor.splitMbox(bytes).zipWithIndex.foreach {
               case (msg, idx) =>
                 if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
@@ -149,7 +151,11 @@ object Extractor {
                   sink.embeddedOpen(childPath)
                   parseNode(msg, childPath, Some("message.eml"), depth + 1)
                   sink.embeddedClose(childPath)
-                } else sawUnsupported = true
+                } else dropped += 1
+            }
+            if (dropped > 0) {
+              meta.set("mbox:dropped", dropped.toString)
+              sawUnsupported = true
             }
           case MediaTypes.Eml =>
             graft.mail.EmlExtractor.extract(bytes, sink, meta, (name, data) => {

@@ -28,6 +28,18 @@ object SimSearch {
     dot / (na * nb)
   }
 
+  /** Shared ranking contract: per-query top-k by (sim desc, id asc),
+    * sim rounded for output. One definition — three search strategies.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Brute-force cosine top-k: queries × corpus (queries broadcast), rank
     * by (sim desc, id asc) for deterministic output.
     */
@@ -36,12 +48,7 @@ object SimSearch {
       .filter(col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         cosine(col("q.embedding"), col("c.embedding")).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    rankTopK(joined, k)
   }
 
   /** Deterministic pseudo-gaussian plane coefficient for (bit, dim) —
@@ -110,6 +117,12 @@ object SimSearch {
     val seeds: Array[Array[Double]] = corpus.select("vec_id", "embedding")
       .as[(Long, Array[Float])].orderBy(col("vec_id")).limit(nClusters)
       .collect().map(r => l2normalize(r._2))
+    if (seeds.isEmpty) {
+      // empty corpus → empty result with the contract schema
+      return queries.select(col("vec_id").as("query_id"),
+        lit(0).as("rank"), col("vec_id").as("neighbor_id"),
+        lit(0.0).as("sim")).limit(0)
+    }
 
     def assignTo(centroids: Array[Array[Double]])(emb: Array[Float]): Int = {
       val v = l2normalize(emb)
@@ -133,22 +146,43 @@ object SimSearch {
       .map { case (id, emb) => (id, emb, assignTo(seeds)(emb)) }
       .toDF("vec_id", "embedding", "cluster")
 
-    // Lloyd step: per-cluster mean over normalized vectors (DataFrame agg)
+    // Lloyd step via per-partition partial sums: the shuffle carries only
+    // (nClusters × dim) doubles per partition, never vectors — a
+    // groupByKey over the corpus would cap parallelism at nClusters and
+    // buffer whole (possibly skewed) clusters per task.
     val refined: Array[Array[Double]] = {
-      val sums = assigned0.as[(Long, Array[Float], Int)]
-        .groupByKey(_._3)
-        .mapGroups { (c, it) =>
-          val acc = new Array[Double](dim)
-          var n = 0L
-          it.foreach { case (_, emb, _) =>
+      val partials = assigned0.as[(Long, Array[Float], Int)]
+        .mapPartitions { it =>
+          val acc = Array.fill(nClusters)(new Array[Double](dim))
+          val counts = new Array[Long](nClusters)
+          it.foreach { case (_, emb, c) =>
             val v = l2normalize(emb)
+            val a = acc(c)
             var i = 0
-            while (i < math.min(dim, v.length)) { acc(i) += v(i); i += 1 }
-            n += 1
+            while (i < math.min(dim, v.length)) { a(i) += v(i); i += 1 }
+            counts(c) += 1
           }
-          (c, acc.map(_ / math.max(n, 1)))
-        }.collect().toMap
-      Array.tabulate(nClusters)(c => sums.getOrElse(c, seeds(c % seeds.length)))
+          Iterator.tabulate(nClusters)(c => (c, acc(c), counts(c)))
+        }.collect()
+      val sums = Array.fill(nClusters)(new Array[Double](dim))
+      val counts = new Array[Long](nClusters)
+      partials.foreach { case (c, a, n) =>
+        var i = 0
+        while (i < dim) { sums(c)(i) += a(i); i += 1 }
+        counts(c) += n
+      }
+      Array.tabulate(nClusters) { c =>
+        if (counts(c) == 0) seeds(c % seeds.length)
+        else {
+          // re-normalize the mean: argmax-dot assignment is nearest-by-
+          // cosine only when every centroid has unit norm
+          val mean = sums(c).map(_ / counts(c))
+          var ss = 0.0
+          mean.foreach(x => ss += x * x)
+          val norm = math.sqrt(ss)
+          if (norm == 0) seeds(c % seeds.length) else mean.map(_ / norm)
+        }
+      }
     }
 
     // 2. final assignment with refined centroids
@@ -176,12 +210,7 @@ object SimSearch {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed ANN: candidates share a band of the signature; exact
@@ -211,11 +240,6 @@ object SimSearch {
         col("embedding").as("q_emb"))), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    rankTopK(scored, k)
   }
 }

@@ -168,7 +168,8 @@ object PdfExtractor {
         case s: PStream => parseToUnicode(doc.decodeStream(s))
         case _ => Map.empty[Int, String]
       }
-      val isType0 = d.get("Subtype").contains(PName("Type0"))
+      val isType0 =
+        doc.resolve(d.get("Subtype").getOrElse(PNull)) == PName("Type0")
       if (isType0) {
         val descendant = doc.resolve(d.get("DescendantFonts").getOrElse(PNull)) match {
           case PArr(items) if items.nonEmpty => doc.dict(items.head)
