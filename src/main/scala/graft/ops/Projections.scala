@@ -29,7 +29,10 @@ object Projections {
     transform(filter(spans, s => s.getField("kind") === "media"),
       s => s.getField("media_ref"))
 
-  private val UrlRegex = "(https?://[\\w.-]+(?:/[\\w./%#?&=-]*)?)"
+  // host and path must not end in '.' — sentence-final punctuation is
+  // not part of the link
+  private val UrlRegex =
+    "(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)"
   /** LinkContentHandler analog: URLs appearing in extracted text. */
   def extractUrls(text: Column): Column =
     call_function("regexp_extract_all", text, lit(UrlRegex), lit(1))

@@ -159,3 +159,29 @@ class UnpackSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.meta.get("tk:digest:sha256").exists(_.head.length == 64))
   }
 }
+
+class ProjectionExtractorsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.ops.{Multimodal, Projections}
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("url/phone/standards regex extractors") {
+    val df = Seq(
+      ("See https://example.com/a?b=1 and http://x.org.", "+1 555-123-4567", "per ISO 9001 and RFC 2616")
+    ).toDF("u", "p", "s")
+    val r = df.select(
+      Projections.extractUrls(col("u")).as("urls"),
+      Projections.extractPhones(col("p")).as("phones"),
+      Projections.extractStandards(col("s")).as("stds")).head
+    assert(r.getSeq[String](0) == Seq("https://example.com/a?b=1", "http://x.org"))
+    assert(r.getSeq[String](1).nonEmpty)
+    assert(r.getSeq[String](2) == Seq("ISO 9001", "RFC 2616"))
+  }
+
+  test("video frame sampling plan") {
+    val feats = Seq(("blob://v", "video", 640, 360, 95, Array(0f))).toDF(
+      "media_ref", "media_type", "width", "height", "n_frames", "feature")
+    val s = Multimodal.sampleFrames(feats, stride = 30, maxFrames = 8).head
+    assert(s.getSeq[Long](s.fieldIndex("sampled_frames")) == Seq(0L, 30L, 60L, 90L))
+  }
+}
