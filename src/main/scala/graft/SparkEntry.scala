@@ -110,12 +110,32 @@ object SparkEntry {
         .select("event_id", "user_id", "rn")
     }),
 
+    "q05_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // session = run of events per user with gaps < 30 min (lag + running sum)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("long") -
+              col("prev_ts").cast("timestamp").cast("long") > 1800, 1L)
+          .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+    }),
+
     // ---- tika-eval / text analysis (DuckDB oracles)
     "q10_doc_stats" -> ((s, dir) => TextOps.docStats(tbl(s, dir, "documents"))),
     "q11_token_counts" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
     "q12_langid" -> ((s, dir) => TextOps.langId(tbl(s, dir, "documents"))),
     "q13_quality" -> ((s, dir) => TextOps.qualityScore(tbl(s, dir, "documents"))),
     "q14_fingerprint" -> ((s, dir) => TextOps.fingerprint(tbl(s, dir, "documents"))),
+    "q27_common_tokens" -> ((s, dir) => TextOps.commonTokens(tbl(s, dir, "documents"))),
 
     // ---- dedup (exact + n-gram Jaccard oracled; hash-family ops rows-only)
     "q15_dedup_exact" -> ((s, dir) => Dedup.exact(tbl(s, dir, "documents"))),
@@ -203,6 +223,45 @@ object SparkEntry {
            SELECT event_id, user_id,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
            FROM events) t WHERE rn <= 3""",
+    "q05_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM g)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+         FROM s GROUP BY user_id, session_id""",
+    "q27_common_tokens" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         c AS (SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for','on','with','as','was','at','by'], x))) AS INTEGER) AS c_en,
+           CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','zu','mit','den','nicht','ein','eine','auf','für'], x))) AS INTEGER) AS c_de,
+           CAST(len(list_filter(toks, x -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','sur','avec'], x))) AS INTEGER) AS c_fr,
+           CAST(len(list_filter(toks, x -> list_contains(['el','la','los','las','de','y','es','un','una','en','que','por','con','para'], x))) AS INTEGER) AS c_es
+           FROM t),
+         p AS (SELECT *,
+           CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS lang_pred
+           FROM c)
+         SELECT doc_id, lang_pred, n_tokens,
+           CASE lang_pred WHEN 'en' THEN c_en WHEN 'de' THEN c_de
+                WHEN 'fr' THEN c_fr ELSE c_es END AS common_hits,
+           round(1.0 - CAST(CASE lang_pred WHEN 'en' THEN c_en WHEN 'de' THEN c_de
+                WHEN 'fr' THEN c_fr ELSE c_es END AS DOUBLE)
+             / greatest(n_tokens, 1), 4) AS oov_rate
+         FROM p""",
     "q10_doc_stats" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
          CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))

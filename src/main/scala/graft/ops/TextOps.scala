@@ -101,6 +101,34 @@ object TextOps {
         (col("punct_ratio") <= 0.2))
   }
 
+  /** CommonTokens OOV rate (tika-eval CommonTokens: % of tokens NOT in
+    * the language's common-words list), evaluated against the PREDICTED
+    * language's stopword list.
+    */
+  def commonTokens(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        stopCount(toks, StopwordsEn).as("c_en"),
+        stopCount(toks, StopwordsDe).as("c_de"),
+        stopCount(toks, StopwordsFr).as("c_fr"),
+        stopCount(toks, StopwordsEs).as("c_es"))
+      .withColumn("lang_pred",
+        when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
+             col("c_en") >= col("c_es"), "en")
+        .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
+        .when(col("c_fr") >= col("c_es"), "fr")
+        .otherwise("es"))
+      .withColumn("common_hits",
+        when(col("lang_pred") === "en", col("c_en"))
+        .when(col("lang_pred") === "de", col("c_de"))
+        .when(col("lang_pred") === "fr", col("c_fr"))
+        .otherwise(col("c_es")))
+      .withColumn("oov_rate", round(lit(1.0) -
+        col("common_hits").cast("double") / greatest(col("n_tokens"), lit(1)), 4))
+      .select("doc_id", "lang_pred", "n_tokens", "common_hits", "oov_rate")
+  }
+
   /** Document fingerprint (TextProfileSignature analog): md5 of the
     * sorted distinct token set — robust to token order/duplication.
     */
