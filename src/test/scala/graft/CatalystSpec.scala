@@ -89,3 +89,24 @@ class CatalystSpec extends AnyFunSuite {
     assert(maxS <= maxU * 2, s"unsalted=($maxU,$medU) salted=($maxS,$medS)")
   }
 }
+
+class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("sessionize: windows and aggregation share one user_id shuffle") {
+    val q = SparkEntry.queries("q05_sessionize")(spark, TestSpark.SfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // lag-window, running-sum window and groupBy(user_id, session_id)
+    // must all reuse the hashpartitioning(user_id) exchange
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("token counts: map-side partial aggregation before the shuffle") {
+    val q = SparkEntry.queries("q11_token_counts")(spark, TestSpark.SfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+  }
+}
