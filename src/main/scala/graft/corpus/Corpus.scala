@@ -16,8 +16,8 @@ import graft.core.{DocRow, Span}
   * reference's fixture families (tika test-documents for HTML / PDF /
   * OOXML / ZIP / text; SURVEY.md §5) without copying any fixture bytes.
   *
-  * Per-1000-row mix: 400 html, 150 docx, 100 pdf, 100 zip, 100 text,
-  * 50 xml, 50 media, 50 junk; plus oversized rows (skew) and
+  * Per-1000-row mix: see [[kindOf]] and FIXTURES.md §2 (html-heavy with
+  * every supported format represented), plus oversized rows (skew) and
   * high-compression rows (zip-bomb guard).
   */
 object Corpus {
@@ -77,12 +77,12 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 7
+  val Version = 8
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
   /** High-compression-ratio rows to exercise the bomb guard path. */
-  def isBombShaped(index: Long): Boolean = kindOf(index) == "zip" && index % 331 == 0
+  def isBombShaped(index: Long): Boolean = kindOf(index) == "zip" && index % 31 == 0
 
   def row(index: Long): DocRow = {
     val r = rng(index)

@@ -7,7 +7,7 @@ import graft.engine.Extractor
 
 /** Frozen golden span sequences (FIXTURES.md §4).
   *
-  * The first 40 corpus rows' extraction results are serialized to a
+  * The first 60 corpus rows' extraction results are serialized to a
   * golden JSON file keyed by `Corpus.Version`. Any semantic drift in a
   * parser shows up as a diff against the frozen file. To re-bless after
   * an INTENTIONAL semantics change: delete the golden file, run this
@@ -31,7 +31,7 @@ class GoldenSpansSpec extends AnyFunSuite {
     } + "\""
 
   private def render(): String = {
-    val docs = (0L until 40L).map { i =>
+    val docs = (0L until 60L).map { i =>
       val d = Extractor.extract(Corpus.row(i))
       val spans = d.spans.map(s =>
         s"""{"kind":${esc(s.kind)},"text":${esc(s.text)},""" +
