@@ -110,6 +110,86 @@ object SparkEntry {
         .select("event_id", "user_id", "rn")
     }),
 
+    // ---- TPC-H-style joins over the full table set (DuckDB oracles).
+    // part/supplier/region were unused in round 1; q04/q06-q09 close the
+    // numbering gap with classic join+agg shapes (SURVEY.md §2.12).
+    "q04_shipping_priority" -> ((s, dir) => {
+      // TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem.
+      // customer is tiny relative to lineitem → broadcast; date filters
+      // push down to the parquet scans.
+      val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+      // revenue terms are cast to exact decimal BEFORE summing: double
+      // sums are addition-order-dependent and flipped 2 of 1101 rounded
+      // cents vs the oracle; decimal addition is associative, so any
+      // shuffle/AQE ordering gives the identical total.
+      broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev_raw"))
+        .filter(col("rev_raw") >= 50000)
+        .select(col("l_orderkey"), col("o_orderpriority"),
+          round(col("rev_raw"), 2).cast("double").as("revenue"))
+    }),
+    "q06_revenue_forecast" -> ((s, dir) => {
+      // TPC-H Q6 shape: pure scan+filter+agg — no shuffle beyond the
+      // final single-group reduce; all predicates reach the scan.
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 25)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q07_local_supplier_volume" -> ((s, dir) => {
+      // TPC-H Q5 shape: 6-table join; the local-supplier condition
+      // (c_nationkey = s_nationkey) rides on the supplier join. All
+      // dimension sides (supplier/nation/region) broadcast.
+      val c = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+      val l = tbl(s, dir, "lineitem"); val su = tbl(s, dir, "supplier")
+      val n = tbl(s, dir, "nation");   val r = tbl(s, dir, "region")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .filter(o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          o("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+    "q08_promo_revenue" -> ((s, dir) => {
+      // TPC-H Q14 shape: lineitem ⋈ broadcast(part), conditional agg.
+      val l = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val p = tbl(s, dir, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("promo_pct"))
+    }),
+    "q09_brand_volume" -> ((s, dir) => {
+      // Part-pricing rollup: per brand, distinct suppliers/orders plus
+      // shipped quantity — exercises distinct-agg shuffle + broadcast dim.
+      val l = tbl(s, dir, "lineitem"); val p = tbl(s, dir, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          round(sum("l_quantity"), 2).as("total_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"))
+    }),
+
     "q05_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // session = run of events per user with gaps < 30 min (lag + running sum)
@@ -138,9 +218,23 @@ object SparkEntry {
     "q27_common_tokens" -> ((s, dir) => TextOps.commonTokens(tbl(s, dir, "documents"))),
 
     // ---- dedup (exact + n-gram Jaccard oracled; hash-family ops rows-only)
-    "q15_dedup_exact" -> ((s, dir) => Dedup.exact(tbl(s, dir, "documents"))),
+    "q15_dedup_exact" -> ((s, dir) => {
+      // The driver's documents table has zero duplicate groups at the
+      // correctness SFs (verified in round 1 — the green row was vacuous),
+      // so duplicates are planted in-plan: every doc_id % 50 == 0 doc is
+      // re-appended under doc_id + 1,000,000. The oracle SQL mirrors the
+      // union, making the dedup operator itself the thing under test.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Dedup.exact(docs.unionByName(planted))
+    }),
     "q16_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(tbl(s, dir, "documents"), n = 3, threshold = 0.5)),
+      // maxDf=5 genuinely drops posting lists at sf0.01 (max shingle df
+      // there is 7) — the cap is the 100 TB scale guard, mirrored in the
+      // oracle SQL.
+      Dedup.ngramJaccard(tbl(s, dir, "documents"), n = 3, threshold = 0.5,
+        maxDf = 5)),
     "q17_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(tbl(s, dir, "documents"), threshold = 0.5)),
     "q18_simhash_neardups" -> ((s, dir) =>
@@ -153,12 +247,34 @@ object SparkEntry {
         .select("query_id", "rank", "neighbor_id")
     }),
     "q20_ann_lsh" -> ((s, dir) => {
+      // Approximate path, checked by measurement: per-query recall of the
+      // LSH candidates' top-k against the exact brute-force top-k,
+      // computed in-plan (round-1 verdict asked for measured recall, not
+      // an unverifiable neighbor list).
       val e = tbl(s, dir, "embeddings")
-      SimSearch.lshTopK(e, e.filter(col("vec_id") < 20), dim = 64, k = 5)
+      SimSearch.recallVsBrute(
+        SimSearch.lshTopK(e, e.filter(col("vec_id") < 20), dim = 64, k = 5,
+          nBits = 16, bands = 8),
+        e, e.filter(col("vec_id") < 20), k = 5)
     }),
     "q26_ann_ivf" -> ((s, dir) => {
+      // nprobe = nClusters probes every posting list → exhaustive search,
+      // exactly equal to brute force — which makes the IVF plumbing
+      // oracle-checkable against q19's SQL. The approximate setting is
+      // q28 with measured recall.
       val e = tbl(s, dir, "embeddings")
-      SimSearch.ivfTopK(e, e.filter(col("vec_id") < 20), dim = 64, k = 5)
+      SimSearch.ivfTopK(e, e.filter(col("vec_id") < 20), dim = 64, k = 5,
+        nClusters = 16, nprobe = 16)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+    "q28_ann_ivf_recall" -> ((s, dir) => {
+      // The real approximate IVF operating point (nprobe=4 of 16),
+      // reported as measured per-query recall vs exact.
+      val e = tbl(s, dir, "embeddings")
+      SimSearch.recallVsBrute(
+        SimSearch.ivfTopK(e, e.filter(col("vec_id") < 20), dim = 64, k = 5,
+          nClusters = 16, nprobe = 4),
+        e, e.filter(col("vec_id") < 20), k = 5)
     }),
 
     // ---- projections / comparer / top-k
@@ -196,7 +312,15 @@ object SparkEntry {
         .select(explode(col("spans")).as("span"))
         .filter(col("span.kind") === "media")
         .select(col("span.media_ref").as("media_ref")).distinct()
+      // Contract output is scalar-only: the raw array<float> feature
+      // column crashed the driver's pandas compare in round 1 (unhashable
+      // ndarray). The vector stays in the internal DataFrame; the
+      // contract row carries its dimension + a deterministic fingerprint.
       Multimodal.extractFeatures(refs)
+        .select(col("media_ref"), col("media_type"),
+          col("width"), col("height"), col("n_frames"),
+          size(col("feature")).as("feature_dim"),
+          hash(col("feature")).as("feature_fingerprint"))
     })
   )
 
@@ -218,6 +342,54 @@ object SparkEntry {
          JOIN lineitem ON l_orderkey = o_orderkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
+    "q04_shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+           CAST(round(rev_raw, 2) AS DOUBLE) AS revenue FROM (
+           SELECT l_orderkey, o_orderpriority,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS rev_raw
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1999-01-01'
+             AND l_shipdate > TIMESTAMP '1999-01-01'
+           GROUP BY l_orderkey, o_orderpriority) t
+         WHERE rev_raw >= 50000""",
+    "q06_revenue_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 25""",
+    "q07_local_supplier_volume" ->
+      """SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name""",
+    "q08_promo_revenue" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+             THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+           / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'""",
+    "q09_brand_volume" ->
+      """SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_orderkey) AS n_orders,
+           round(sum(l_quantity), 2) AS total_qty,
+           round(avg(l_extendedprice), 2) AS avg_price
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
     "q03_events_window" ->
       """SELECT event_id, user_id, CAST(rn AS INTEGER) AS rn FROM (
            SELECT event_id, user_id,
@@ -314,16 +486,25 @@ object SparkEntry {
          md5(text) AS exact_sig
          FROM documents""",
     "q15_dedup_exact" ->
-      """SELECT md5(text) AS sig, count(*) AS n_dups, min(doc_id) AS keep_id
-         FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 50 = 0)
+         SELECT md5(text) AS sig, count(*) AS n_dups, min(doc_id) AS keep_id
+         FROM all_docs GROUP BY md5(text) HAVING count(*) > 1""",
     "q16_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
            FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
              generate_series(1, len(toks) - 2),
              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
            FROM t WHERE len(toks) >= 3),
+         keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+           HAVING count(*) <= 5),
+         sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+           JOIN keep USING (shingle)),
          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -340,6 +521,18 @@ object SparkEntry {
              x -> x <> '')) AS token FROM documents) t
          GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50""",
     "q19_ann_brute" ->
+      """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
+         WHERE rank <= 5""",
+    // q26 probes ALL posting lists (nprobe = nClusters) → exhaustive,
+    // equal to brute force by construction, so the IVF plumbing shares
+    // q19's oracle.
+    "q26_ann_ivf" ->
       """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              row_number() OVER (PARTITION BY q.vec_id

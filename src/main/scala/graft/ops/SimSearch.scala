@@ -213,6 +213,28 @@ object SimSearch {
     rankTopK(scored, k)
   }
 
+  /** Measured recall of an approximate top-k result against the exact
+    * brute-force top-k, per query: |approx ∩ exact| / |exact|. This is
+    * the honesty metric for the approximate paths (LSH buckets / IVF
+    * nprobe) — reported in-plan so the contract output carries the
+    * measurement, not an unverifiable neighbor list. Left join from the
+    * exact side so queries the approximate index missed entirely still
+    * appear (recall 0), never silently vanish.
+    */
+  def recallVsBrute(approx: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("hit"))
+    exact.join(hits, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_exact"), 4))
+  }
+
   /** LSH-bucketed ANN: candidates share a band of the signature; exact
     * cosine re-rank within candidates. Candidate dedup runs over id pairs
     * only; embeddings are joined back just for scoring. Recall < 1 by

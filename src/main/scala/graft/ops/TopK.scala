@@ -43,18 +43,16 @@ object TopK {
 
   /** Top-k tokens across a documents table. The groupBy(token) shuffle
     * carries map-side partial counts; the final top-k runs through the
-    * bounded-heap aggregator on the (already reduced) counts.
+    * bounded-heap `aggregator` as a global typed agg — each task reduces
+    * its partition to ≤ 4k pairs, merge keeps the global k. Shuffle
+    * volume after the count reduce is O(partitions × k), never the
+    * vocabulary.
     */
   def topTokens(docs: DataFrame, k: Int): Seq[Pair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val counts = TextOps.tokenCounts(docs, minCount = 1)
       .as[(String, Long)]
-    // per-partition bounded heaps, driver merge of <= partitions×k pairs
-    counts.mapPartitions { it =>
-      val h = Heap(k, mutable.ArrayBuffer.empty)
-      it.foreach(h.add)
-      h.result.iterator
-    }.collect().sortBy(p => (-p._2, p._1)).take(k).toSeq
+    counts.select(aggregator(k)).head()
   }
 }
