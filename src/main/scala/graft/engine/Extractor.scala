@@ -206,8 +206,33 @@ object Extractor {
             // CFB container whose subtype markers matched nothing —
             // recorded, like the reference's unknown-POIFS fallthrough
             sawUnsupported = true
-          case _ =>
-            sawUnsupported = true
+          case other =>
+            // CompositeParser.getParser supertype-walk dispatch
+            // (tika-core parser/CompositeParser.java:245-268): a type
+            // without its own parser is handled by the nearest ancestor
+            // that has one — x-sh/x-python/calendar/… land on the text
+            // parser, +xml types on the XML parser, +zip containers on
+            // zip recursion. Only an octet-stream-rooted walk with no
+            // parser en route records unsupported_type.
+            var cur = MimeRegistry.superType(other)
+            var handled = false
+            while (!handled && cur.isDefined) {
+              cur.get match {
+                case MediaTypes.TextPlain =>
+                  sink.chars(EncodingDetector.decode(bytes))
+                  sink.newline()
+                  handled = true
+                case MediaTypes.Xml =>
+                  XmlExtractor.extract(bytes, sink, meta)
+                  handled = true
+                case MediaTypes.Zip =>
+                  recurseZip(bytes, idPath, depth)
+                  handled = true
+                case _ =>
+                  cur = MimeRegistry.superType(cur.get)
+              }
+            }
+            if (!handled) sawUnsupported = true
         }
       } catch {
         case _: WriteLimitReached => throw new WriteLimitReached

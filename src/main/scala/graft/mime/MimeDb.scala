@@ -1,0 +1,211 @@
+package graft.mime
+
+import graft.mime.Magic._
+
+/** Registry breadth beyond the round-1 curated core: ~40 additional
+  * magic-detected types (archives, compressors, fonts, executables,
+  * scripts, scientific), the exact-name and regex glob tiers, and their
+  * supertype edges.
+  *
+  * Every signature below is transcribed from the reference database
+  * `tika-core/src/main/resources/org/apache/tika/mime/tika-mimetypes.xml`
+  * (1,696 types; value-type semantics per detect/MagicDetector.java:
+  * 241-299). Line refs omitted per entry — the type name keys the XML.
+  */
+object MimeDb {
+
+  // media-type constants used by dispatch / tests
+  val Tar = "application/x-tar"
+  val Gtar = "application/x-gtar"
+  val SevenZ = "application/x-7z-compressed"
+  val Rar = "application/x-rar-compressed"
+  val Bzip2 = "application/x-bzip2"
+  val Xz = "application/x-xz"
+  val Zstd = "application/zstd"
+  val Lz4 = "application/x-lz4"
+  val Cpio = "application/x-cpio"
+  val Ar = "application/x-archive"
+  val Deb = "application/x-debian-package"
+  val Rpm = "application/x-rpm"
+  val Iso = "application/x-iso9660-image"
+  val Cab = "application/vnd.ms-cab-compressed"
+  val Sh = "application/x-sh"
+  val Python = "text/x-python"
+  val CSrc = "text/x-csrc"
+  val Ics = "text/calendar"
+  val VCard = "text/vcard"
+  val Json = "application/json"
+  val Markdown = "text/markdown"
+  val JavaClass = "application/java-vm"
+  val Wasm = "application/wasm"
+  val Elf = "application/x-elf"
+  val ElfExe = "application/x-executable"
+  val ElfLib = "application/x-sharedlib"
+  val ElfObj = "application/x-object"
+  val ElfCore = "application/x-coredump"
+  val MsExe = "application/x-msdownload"
+  val Swf = "application/x-shockwave-flash"
+  val PostScript = "application/postscript"
+  val Sqlite = "application/x-sqlite3"
+  val Parquet = "application/x-parquet"
+  val Ttf = "application/x-font-ttf"
+  val Otf = "application/x-font-otf"
+  val Flac = "audio/x-flac"
+  val Midi = "audio/midi"
+  val M4a = "audio/mp4"
+  val M4v = "video/x-m4v"
+  val Flv = "video/x-flv"
+  val MpegVideo = "video/mpeg"
+  val QuickTime = "video/quicktime"
+  val WebmVideo = "video/webm"
+  val Ico = "image/vnd.microsoft.icon"
+  val Psd = "image/vnd.adobe.photoshop"
+  val Heic = "image/heic"
+  val Avif = "image/avif"
+  val Jp2 = "image/jp2"
+  val Xcf = "image/x-xcf"
+  val Warc = "application/warc"
+  val Mobi = "application/x-mobipocket-ebook"
+  val Icc = "application/vnd.iccprofile"
+  val Hdf = "application/x-hdf"
+  val Matlab = "application/x-matlab-data"
+  val MsAccess = "application/x-msaccess"
+  val MsWrite = "application/x-mswrite"
+  val Lzip = "application/x-lzip"
+
+  val magics: Vector[Magic] = Vector(
+    // ---- archives & compressors
+    Magic(Tar, 40, BytesClause(257, 257, ascii("ustar") :+ 0.toByte)),
+    Magic(Gtar, 50, BytesClause(257, 257, ascii("ustar  ") :+ 0.toByte)),
+    Magic(SevenZ, 50, AndClause(Seq(string(0, "7z"),
+      bytes(2, 0xbc, 0xaf, 0x27, 0x1c)))),
+    Magic(Rar, 50, bytes(0, 'R', 'a', 'r', '!', 0x1a)),
+    Magic(Bzip2, 40, RegexClause("^BZh[1-9]", window = 8)),
+    Magic(Xz, 50, bytes(0, 0xfd, '7', 'z', 'X', 'Z', 0x00)),
+    Magic(Zstd, 50, little32(0, 0xFD2FB528L)),
+    Magic(Lz4, 60, OrClause(Seq(little32(0, 0x184D2204L), little32(0, 0x184C2102L)))),
+    Magic(Cab, 50, bytes(0, 'M', 'S', 'C', 'F', 0, 0, 0, 0)),
+    Magic(Ar, 50, string(0, "!<arch>\n")),
+    Magic(Deb, 60, string(0, "!<arch>\ndebian-binary")),
+    Magic(Cpio, 50, OrClause(Seq(
+      little16(0, 0x71C7), big16(0, 0x71C7), // 070707 octal
+      string(0, "070707"), string(0, "070701"), string(0, "070702")))),
+    Magic(Rpm, 50, bytes(0, 0xed, 0xab, 0xee, 0xdb)),
+    Magic(Iso, 60, OrClause(Seq(
+      string(32769, "CD001"), string(34817, "CD001"), string(36865, "CD001")))),
+    Magic(Lzip, 50, string(0, "LZIP")),
+    Magic(Warc, 60, string(0, "WARC/")),
+    // ---- images
+    Magic(Ico, 50, bytes(0, 0, 0, 1, 0)),
+    Magic(Psd, 50, OrClause(Seq(
+      BytesClause(0, 0, ascii("8BPS") :+ 0.toByte :+ 1.toByte),
+      BytesClause(0, 0, ascii("8BPS") :+ 0.toByte :+ 2.toByte)))),
+    Magic(Heic, 60, OrClause(Seq(string(4, "ftypheic"), string(4, "ftypheix")))),
+    Magic(Avif, 60, string(4, "ftypavif")),
+    Magic(Jp2, 50, bytes(0, 0x00, 0x00, 0x00, 0x0c, 0x6a, 0x50, 0x20, 0x20,
+      0x0d, 0x0a, 0x87, 0x0a)),
+    Magic(Xcf, 50, string(0, "gimp xcf ")),
+    // ---- audio / video
+    Magic(Flac, 50, string(0, "fLaC")),
+    Magic(Midi, 20, string(0, "MThd")),
+    Magic(M4a, 60, OrClause(Seq(string(4, "ftypM4A "), string(4, "ftypM4B "),
+      string(4, "ftypF4A "), string(4, "ftypF4B ")))),
+    Magic(M4v, 50, OrClause(Seq(string(4, "ftypM4V "), string(4, "ftypM4VH"),
+      string(4, "ftypM4VP")))),
+    Magic(Flv, 50, string(0, "FLV")),
+    Magic(MpegVideo, 50, OrClause(Seq(
+      bytes(0, 0x00, 0x00, 0x01, 0xb3), bytes(0, 0x00, 0x00, 0x01, 0xba)))),
+    Magic(QuickTime, 50, OrClause(Seq(
+      BytesClause(4, 4, ascii("moov") :+ 0.toByte),
+      BytesClause(4, 4, ascii("mdat") :+ 0.toByte),
+      BytesClause(4, 4, ascii("free") :+ 0.toByte),
+      BytesClause(4, 4, ascii("skip") :+ 0.toByte)))),
+    // ---- fonts
+    Magic(Ttf, 40, bytes(0, 0x00, 0x01, 0x00, 0x00)),
+    Magic(Otf, 50, BytesClause(0, 0, ascii("OTTO") :+ 0.toByte)),
+    // ---- executables / bytecode / data formats
+    Magic(JavaClass, 50, bytes(0, 0xca, 0xfe, 0xba, 0xbe)),
+    Magic(Wasm, 50, OrClause(Seq(little32(0, 0x6d736100L), big32(0, 0x6d736100L)))),
+    Magic(Elf, 50, bytes(0, 0x7f, 'E', 'L', 'F')),
+    Magic(ElfExe, 50, AndClause(Seq(bytes(0, 0x7f, 'E', 'L', 'F'),
+      OrClause(Seq(little16(16, 2), big16(16, 2)))))),
+    Magic(ElfLib, 50, AndClause(Seq(bytes(0, 0x7f, 'E', 'L', 'F'),
+      OrClause(Seq(little16(16, 3), big16(16, 3)))))),
+    Magic(ElfObj, 50, AndClause(Seq(bytes(0, 0x7f, 'E', 'L', 'F'),
+      OrClause(Seq(little16(16, 1), big16(16, 1)))))),
+    Magic(ElfCore, 50, AndClause(Seq(bytes(0, 0x7f, 'E', 'L', 'F'),
+      OrClause(Seq(little16(16, 4), big16(16, 4)))))),
+    Magic(MsExe, 50, string(0, "MZ")),
+    Magic(Swf, 50, OrClause(Seq(string(0, "FWS"), string(0, "CWS")))),
+    Magic(Sqlite, 50, BytesClause(0, 0, ascii("SQLite format 3") :+ 0.toByte)),
+    Magic(Parquet, 50, string(0, "PAR1")),
+    Magic(Hdf, 50, OrClause(Seq(big32(0, 0x0e031301L),
+      bytes(0, 0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a)))),
+    Magic(Matlab, 50, string(0, "MATLAB")),
+    Magic(MsAccess, 50, bytes(0, 0x00, 0x01, 0x00, 0x00, 'S', 't', 'a', 'n')),
+    Magic(MsWrite, 50, OrClause(Seq(big32(0, 0x31be0000L), big32(0, 0x32be0000L)))),
+    Magic(PostScript, 50, OrClause(Seq(
+      string(0, "%!"), bytes(0, 0xc5, 0xd0, 0xd3, 0xc6)))),
+    Magic(Mobi, 60, stringRange(0, 60, "BOOKMOBI")),
+    Magic(Icc, 50, string(36, "acsp")),
+    // ---- scripts / structured text (all text/plain subtypes)
+    Magic(Python, 50, OrClause(Seq(
+      string(0, "#!/bin/python"), string(0, "#! /bin/python"),
+      string(0, "#!/usr/bin/python"), string(0, "#! /usr/bin/python")))),
+    Magic(Sh, 50, OrClause(Seq(
+      string(0, "#!/"), string(0, "#! /"), string(0, "#!\t/"),
+      string(0, "eval \"exec")))),
+    Magic(CSrc, 50, string(0, "#include ")),
+    Magic(Ics, 50, AndClause(Seq(string(0, "BEGIN:VCALENDAR"),
+      stringRange(15, 360, "\nVERSION:2.0")))),
+    Magic(VCard, 50, string(0, "BEGIN:VCARD"))
+  )
+
+  /** sub-class-of edges for the added types (text/x-* get text/plain via
+    * the prefix heuristic and need no edge).
+    */
+  val superTypes: Map[String, String] = Map(
+    Gtar -> Tar,
+    Deb -> Ar,
+    ElfExe -> Elf, ElfLib -> Elf, ElfObj -> Elf, ElfCore -> Elf,
+    M4a -> "video/mp4",
+    M4v -> "video/mp4",
+    WebmVideo -> "video/x-matroska",
+    Heic -> "video/mp4", Avif -> "video/mp4", // ftyp-box ISOBMFF family
+    Sh -> MediaTypes.TextPlain,
+    Ics -> MediaTypes.TextPlain,
+    VCard -> MediaTypes.TextPlain,
+    Json -> MediaTypes.TextPlain,
+    "application/javascript" -> MediaTypes.TextPlain,
+    "application/x-sql" -> MediaTypes.TextPlain,
+    "application/java-archive" -> MediaTypes.Zip,
+    Bzip2 -> "application/x-bzip"
+  )
+
+  /** Exact-name glob tier (mime/Patterns.java:40-162; all 10 non-wildcard
+    * globs in the reference DB).
+    */
+  val exactNames: Map[String, String] = Map(
+    "Makefile" -> "text/x-makefile",
+    "GNUMakefile" -> "text/x-makefile",
+    "INSTALL" -> MediaTypes.TextPlain,
+    "KEYS" -> MediaTypes.TextPlain,
+    "LICENSE" -> MediaTypes.TextPlain,
+    "NOTICE" -> MediaTypes.TextPlain,
+    "README" -> MediaTypes.TextPlain,
+    "abs-linkmap" -> MediaTypes.TextPlain,
+    "abs-menulinks" -> MediaTypes.TextPlain,
+    ".htaccess" -> MediaTypes.TextPlain
+  )
+
+  /** Regex glob tier (both regex globs in the reference DB). */
+  val regexGlobs: Seq[(java.util.regex.Pattern, String)] = Seq(
+    java.util.regex.Pattern.compile("^rdf$") -> "application/rdf+xml",
+    java.util.regex.Pattern.compile("^owl$") -> "application/rdf+xml"
+  )
+
+  /** Extension tier: the 782-entry table generated from the reference's
+    * detection suite, overridden by the curated core on conflicts.
+    */
+  def extGlobs: Map[String, String] = MimeDbGlobs.pairs
+}

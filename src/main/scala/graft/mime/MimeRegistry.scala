@@ -155,7 +155,7 @@ object MimeRegistry {
     Magic(TextPlain, 20, OrClause(Seq(
       bytes(0, 0xfe, 0xff), bytes(0, 0xff, 0xfe), bytes(0, 0xef, 0xbb, 0xbf)
     )))
-  ).sorted
+  ).appendedAll(MimeDb.magics).sorted
 
   private def utf16le(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
@@ -188,7 +188,7 @@ object MimeRegistry {
     RssXml -> Xml,
     SvgXml -> Xml,
     TextPlain -> OctetStream
-  )
+  ) ++ MimeDb.superTypes
 
   /** MediaTypeRegistry.getSupertype:185-205 — explicit edge, else
     * +xml/+zip/text heuristics, else octet-stream root.
@@ -213,13 +213,23 @@ object MimeRegistry {
     false
   }
 
-  /** Extension → type (mime/Patterns.java extension hash; curated). */
-  val extGlobs: Map[String, String] = Map(
+  /** Extension → type: the 782-entry reference-suite table under the
+    * curated core (curated entries win on conflict —
+    * mime/Patterns.java extension hash).
+    */
+  val extGlobs: Map[String, String] = MimeDb.extGlobs ++ Map(
     "html" -> Html, "htm" -> Html, "xml" -> Xml, "pdf" -> Pdf, "zip" -> Zip,
     "docx" -> Docx, "xlsx" -> Xlsx, "pptx" -> Pptx, "gz" -> Gzip,
     "rtf" -> Rtf, "eml" -> Eml, "odt" -> Odt, "ods" -> Ods, "odp" -> Odp,
     "epub" -> Epub,
-    "png" -> Png, "jpg" -> Jpeg, "jpeg" -> Jpeg, "gif" -> Gif, "txt" -> TextPlain
+    "png" -> Png, "jpg" -> Jpeg, "jpeg" -> Jpeg, "gif" -> Gif, "txt" -> TextPlain,
+    // newer-than-httpd-mime.types globs from tika-mimetypes.xml itself
+    "md" -> MimeDb.Markdown, "mkd" -> MimeDb.Markdown,
+    "mdtext" -> MimeDb.Markdown, "markdown" -> MimeDb.Markdown,
+    "json" -> MimeDb.Json, "parquet" -> MimeDb.Parquet,
+    "zst" -> MimeDb.Zstd, "lz4" -> MimeDb.Lz4, "warc" -> MimeDb.Warc,
+    "heic" -> MimeDb.Heic, "avif" -> MimeDb.Avif, "webp" -> Webp,
+    "webm" -> MimeDb.WebmVideo, "msg" -> MsOutlook
   )
 
   /** XML root-element → refined type (root-XML entries; e.g. text/html
@@ -305,10 +315,23 @@ object MimeRegistry {
       (data(i + 4) == 'l' || data(i + 4) == 'L')
   }
 
-  /** Name-glob hint (Patterns.java:141-162, extension tier only). */
+  /** Name-glob hint, all three Patterns tiers (Patterns.java:40-162):
+    * exact-name hash → extension hash → regex globs.
+    */
   def fromName(name: String): Option[String] = {
-    val dot = name.lastIndexOf('.')
-    if (dot < 0 || dot == name.length - 1) None
-    else extGlobs.get(name.substring(dot + 1).toLowerCase)
+    val base = {
+      val slash = math.max(name.lastIndexOf('/'), name.lastIndexOf('\\'))
+      if (slash >= 0) name.substring(slash + 1) else name
+    }
+    MimeDb.exactNames.get(base).orElse {
+      val dot = base.lastIndexOf('.')
+      if (dot < 0 || dot == base.length - 1) None
+      else extGlobs.get(base.substring(dot + 1).toLowerCase)
+    }.orElse {
+      // regex tier matches the whole file name (Patterns.java:141-162)
+      MimeDb.regexGlobs.collectFirst {
+        case (p, t) if p.matcher(base).matches() => t
+      }
+    }
   }
 }
