@@ -305,20 +305,26 @@ object SparkEntry {
         .groupBy("mime").agg(count(lit(1)).as("n"))
     }),
 
-    // ---- multimodal plumbing (stub decode; rows-only)
+    // ---- multimodal: REAL container metadata from payload bytes; the
+    // stub decode remains only for payload-less blob:// references
     "q21_media_features" -> ((s, dir) => {
       import s.implicits._
-      val refs = Pipeline.extract(Corpus.docRows(s, 1000)).toDF()
-        .select(explode(col("spans")).as("span"))
-        .filter(col("span.kind") === "media")
-        .select(col("span.media_ref").as("media_ref")).distinct()
+      val media = s.range(0, 1000, 1, 8).as[Long]
+        .mapPartitions(_.filter(i => Corpus.kindOf(i) == "media").map { i =>
+          val row = Corpus.row(i)
+          val sp = row.spans.head
+          if (sp.kind == graft.core.Span.KindMedia)
+            (sp.media_ref, null: Array[Byte]) // external ref, no payload
+          else (s"corpus://${row.doc_id}", graft.engine.Extractor.payloadBytes(sp))
+        }).toDF("media_ref", "payload")
       // Contract output is scalar-only: the raw array<float> feature
       // column crashed the driver's pandas compare in round 1 (unhashable
       // ndarray). The vector stays in the internal DataFrame; the
       // contract row carries its dimension + a deterministic fingerprint.
-      Multimodal.extractFeatures(refs)
-        .select(col("media_ref"), col("media_type"),
+      Multimodal.extractFeatures(media)
+        .select(col("media_ref"), col("media_type"), col("mime"),
           col("width"), col("height"), col("n_frames"),
+          col("duration_ms"), col("sample_rate"),
           size(col("feature")).as("feature_dim"),
           hash(col("feature")).as("feature_fingerprint"))
     })

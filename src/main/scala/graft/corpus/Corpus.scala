@@ -63,7 +63,8 @@ object Corpus {
     else if (m < 485) "xlsx"
     else if (m < 510) "pptx"
     else if (m < 595) "pdf"
-    else if (m < 685) "zip"
+    else if (m < 675) "zip"
+    else if (m < 685) "tar"
     else if (m < 730) "text"
     else if (m < 760) "csv"
     else if (m < 800) "xml"
@@ -81,7 +82,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 9
+  val Version = 10
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -117,7 +118,31 @@ object Corpus {
         Seq(Span("zip", b64(bytes), null, 0))
       case "text" => Seq(Span("text", b64(textDoc(r, index)), null, 0))
       case "xml" => Seq(Span("xml", xmlDoc(r), null, 0))
-      case "media" => Seq(Span(Span.KindMedia, "", s"blob://${sha8(id)}", 0))
+      case "tar" =>
+        val entries = (1 to 2 + r.nextInt(2)).map { i =>
+          r.nextInt(3) match {
+            case 0 => s"member$i.txt" -> paragraph(r, 3).getBytes(StandardCharsets.UTF_8)
+            case 1 => s"member$i.html" -> htmlFragment(r).getBytes(StandardCharsets.UTF_8)
+            case _ => s"dir/member$i.xml" -> xmlDoc(r).getBytes(StandardCharsets.UTF_8)
+          }
+        }
+        val tarBytes = graft.pkgx.TarUtil.write(entries)
+        // every other tar row ships gzip-wrapped (tar.gz recursion path)
+        val payload = if (index % 2 == 0) tarBytes else gzipBytes(tarBytes)
+        Seq(Span("bytes", b64(payload), null, 0))
+      case "media" =>
+        // real container payloads (metadata-recoverable) in 7 of 8 rows;
+        // the 8th stays a payload-less blob:// reference (stub path)
+        (index % 8) match {
+          case 0 => Seq(Span(Span.KindMedia, "", s"blob://${sha8(id)}", 0))
+          case 1 => Seq(Span("bytes", b64(MediaCorpus.png(r)), null, 0))
+          case 2 => Seq(Span("bytes", b64(MediaCorpus.jpeg(r)), null, 0))
+          case 3 => Seq(Span("bytes", b64(MediaCorpus.gif(r)), null, 0))
+          case 4 => Seq(Span("bytes", b64(MediaCorpus.bmp(r)), null, 0))
+          case 5 => Seq(Span("bytes", b64(MediaCorpus.wav(r)), null, 0))
+          case 6 => Seq(Span("bytes", b64(MediaCorpus.mp3(r)), null, 0))
+          case _ => Seq(Span("bytes", b64(MediaCorpus.mp4(r)), null, 0))
+        }
       case _ => // junk
         val junk = new Array[Byte](256 + r.nextInt(512))
         r.nextBytes(junk)
@@ -187,15 +212,20 @@ $paras
 </record>"""
   }
 
-  // ---- text (mixed charsets) ----------------------------------------
+  // ---- text (mixed charsets; accents make the statistical charset
+  // fallback observable — pure-ASCII latin-1 is indistinguishable) ----
   def textDoc(r: Random, index: Long): Array[Byte] = {
     val content = paragraph(r, 4 + r.nextInt(6))
-    (index % 3) match {
-      case 0 => content.getBytes(StandardCharsets.UTF_8)
-      case 1 => content.getBytes(StandardCharsets.ISO_8859_1)
-      case _ => // UTF-16LE with BOM
+    (index % 4) match {
+      case 0 => (content + " café naïve").getBytes(StandardCharsets.UTF_8)
+      case 1 => // ISO-8859-1 accents, no C1 bytes, no BOM/meta
+        (content + " café résumé").getBytes(StandardCharsets.ISO_8859_1)
+      case 2 => // UTF-16LE with BOM
         val bom = Array(0xff.toByte, 0xfe.toByte)
         bom ++ content.getBytes(StandardCharsets.UTF_16LE)
+      case _ => // windows-1252: C1 bytes (em-dash 0x97, euro 0x80)
+        (content + " price — 5 €").getBytes(
+          java.nio.charset.Charset.forName("windows-1252"))
     }
   }
 

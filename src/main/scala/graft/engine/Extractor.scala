@@ -35,7 +35,12 @@ object Extractor {
   private val MediaMimes: Set[String] = Set(
     MediaTypes.Png, MediaTypes.Jpeg, MediaTypes.Gif, MediaTypes.Tiff,
     MediaTypes.Bmp, MediaTypes.Webp, MediaTypes.Mp3, MediaTypes.Wav,
-    MediaTypes.Ogg, MediaTypes.Mp4, MediaTypes.Avi, MediaTypes.Matroska)
+    MediaTypes.Ogg, MediaTypes.Mp4, MediaTypes.Avi, MediaTypes.Matroska,
+    graft.mime.MimeDb.Flac, graft.mime.MimeDb.Midi, graft.mime.MimeDb.M4a,
+    graft.mime.MimeDb.M4v, graft.mime.MimeDb.Flv, graft.mime.MimeDb.MpegVideo,
+    graft.mime.MimeDb.QuickTime, graft.mime.MimeDb.WebmVideo,
+    graft.mime.MimeDb.Heic, graft.mime.MimeDb.Avif, graft.mime.MimeDb.Jp2,
+    graft.mime.MimeDb.Ico, graft.mime.MimeDb.Psd)
 
   private val MediaExt: Map[String, String] = Map(
     MediaTypes.Jpeg -> "jpg", MediaTypes.Tiff -> "tif", MediaTypes.Mp3 -> "mp3",
@@ -175,6 +180,21 @@ object Extractor {
             recurseZip(bytes, idPath, depth)
           case MediaTypes.Zip =>
             recurseZip(bytes, idPath, depth)
+          case m if m == graft.mime.MimeDb.Tar || m == graft.mime.MimeDb.Gtar =>
+            // PackageParser.parseEntry (pkg/PackageParser.java:164-193):
+            // each archive member becomes an embedded doc with an ordinal
+            // id path; tar.gz arrives here through the gzip branch's
+            // inner re-detect
+            graft.pkgx.TarUtil.entries(bytes).foreach { e =>
+              if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
+                embeddedCount += 1
+                val childPath = s"$idPath/$embeddedCount"
+                meta.add("embedded:path", s"$childPath:${e.name}")
+                sink.embeddedOpen(childPath)
+                parseNode(e.data, childPath, Some(e.name), depth + 1)
+                sink.embeddedClose(childPath)
+              }
+            }
           case MediaTypes.Gzip =>
             if (depth >= cfg.maxDepth || embeddedCount >= cfg.maxEmbedded)
               sawUnsupported = true
@@ -187,13 +207,28 @@ object Extractor {
               sink.embeddedClose(childPath)
             }
           case m if MediaMimes.contains(m) =>
-            // image/audio/video payloads: no text extraction (reference
-            // AV parsers are metadata-only — SURVEY §2.7); media span
-            // with a synthetic name ("embedded-N.ext",
+            // image/audio/video payloads: metadata-only extraction, like
+            // the reference's JpegParser/Mp3Parser/MP4Parser (SURVEY
+            // §2.7) — dimensions/duration/sample-rate parsed from the
+            // container bytes into metadata, payload rides along as a
+            // media span with a synthetic name ("embedded-N.ext",
             // EmbeddedDocumentUtil.java:225-262)
             embeddedCount += 1
             val ext = MediaExt.getOrElse(mime, mime.substring(mime.indexOf('/') + 1))
-            sink.media(s"embedded:embedded-$embeddedCount.$ext")
+            val ref = s"embedded:embedded-$embeddedCount.$ext"
+            graft.media.MediaParser.parse(bytes).foreach { mm =>
+              if (mm.width > 0) {
+                meta.add(s"media:$ref:width", mm.width.toString)
+                meta.add(s"media:$ref:height", mm.height.toString)
+              }
+              if (mm.durationMs > 0)
+                meta.add(s"media:$ref:duration_ms", mm.durationMs.toString)
+              if (mm.sampleRate > 0)
+                meta.add(s"media:$ref:sample_rate", mm.sampleRate.toString)
+              if (mm.orientation > 0)
+                meta.add(s"media:$ref:orientation", mm.orientation.toString)
+            }
+            sink.media(ref)
           case MediaTypes.MsWord =>
             graft.ole2.DocExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsExcel =>

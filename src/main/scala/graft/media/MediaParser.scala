@@ -1,0 +1,225 @@
+package graft.media
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Image/audio/video metadata extraction from payload bytes — the
+  * columns a multimodal training pipeline needs (width/height/duration/
+  * sample rate), parsed from the public container formats with the JDK
+  * only.
+  *
+  * Reference analog: tika's image & audiovideo modules (JpegParser /
+  * TiffParser / Mp3Parser / MP4Parser, SURVEY.md §2.7) extract metadata
+  * only — no pixel/sample decode — which is exactly this surface.
+  */
+object MediaParser {
+
+  final case class Meta(
+      mime: String,
+      kind: String,           // image | audio | video
+      width: Int = 0,
+      height: Int = 0,
+      durationMs: Long = 0L,
+      sampleRate: Int = 0,
+      channels: Int = 0,
+      orientation: Int = 0)   // EXIF orientation 1-8, 0 = absent
+
+  def parse(bytes: Array[Byte]): Option[Meta] = {
+    if (bytes.length < 12) return None
+    try {
+      if (matches(bytes, 0, 0x89, 'P', 'N', 'G')) parsePng(bytes)
+      else if (matches(bytes, 0, 0xff, 0xd8, 0xff)) parseJpeg(bytes)
+      else if (matches(bytes, 0, 'G', 'I', 'F', '8')) parseGif(bytes)
+      else if (matches(bytes, 0, 'B', 'M')) parseBmp(bytes)
+      else if (matches(bytes, 0, 'R', 'I', 'F', 'F') &&
+               matches(bytes, 8, 'W', 'A', 'V', 'E')) parseWav(bytes)
+      else if (matches(bytes, 0, 'I', 'D', '3') ||
+               (bytes.length > 1 && (bytes(0) & 0xff) == 0xff &&
+                 (bytes(1) & 0xe0) == 0xe0)) parseMp3(bytes)
+      else if (bytes.length > 11 && matches(bytes, 4, 'f', 't', 'y', 'p'))
+        parseMp4(bytes)
+      else None
+    } catch { case _: Exception => None }
+  }
+
+  private def matches(b: Array[Byte], off: Int, vals: Int*): Boolean =
+    off + vals.length <= b.length &&
+      vals.zipWithIndex.forall { case (v, i) => (b(off + i) & 0xff) == (v & 0xff) }
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** PNG IHDR: always the first chunk — width/height big-endian at 16/20. */
+  private def parsePng(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 24 || !matches(b, 12, 'I', 'H', 'D', 'R')) return None
+    Some(Meta("image/png", "image",
+      width = be32(b, 16).toInt, height = be32(b, 20).toInt))
+  }
+
+  /** JPEG: walk FF-marker segments to the first SOFn (C0-CF minus
+    * C4/C8/CC): height/width big-endian at +3/+5; EXIF orientation from
+    * an APP1 "Exif" TIFF IFD0 tag 0x0112 when present.
+    */
+  private def parseJpeg(b: Array[Byte]): Option[Meta] = {
+    var p = 2
+    var w, h, orient = 0
+    while (p + 4 <= b.length) {
+      if ((b(p) & 0xff) != 0xff) return finishJpeg(w, h, orient)
+      val marker = b(p + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { p += 2 }
+      else if (marker == 0xd9 || marker == 0xda) return finishJpeg(w, h, orient)
+      else {
+        val len = be16(b, p + 2)
+        if (len < 2 || p + 2 + len > b.length) return finishJpeg(w, h, orient)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          h = be16(b, p + 5); w = be16(b, p + 7)
+        } else if (marker == 0xe1 && len >= 16 &&
+            matches(b, p + 4, 'E', 'x', 'i', 'f', 0, 0)) {
+          orient = exifOrientation(b, p + 10, len - 8)
+        }
+        p += 2 + len
+      }
+    }
+    finishJpeg(w, h, orient)
+  }
+
+  private def finishJpeg(w: Int, h: Int, orient: Int): Option[Meta] =
+    if (w > 0 && h > 0)
+      Some(Meta("image/jpeg", "image", width = w, height = h, orientation = orient))
+    else None
+
+  /** Minimal TIFF IFD0 walk for tag 0x0112 (orientation). `tiff` is the
+    * offset of the TIFF header inside the APP1 payload.
+    */
+  private def exifOrientation(b: Array[Byte], tiff: Int, max: Int): Int = {
+    if (tiff + 8 > b.length) return 0
+    val le = b(tiff) == 'I'
+    def u16(o: Int) = if (le) le16(b, o) else be16(b, o)
+    def u32(o: Int) = if (le) le32(b, o) else be32(b, o)
+    val ifd = tiff + u32(tiff + 4).toInt
+    if (ifd + 2 > b.length) return 0
+    val n = u16(ifd)
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      if (e + 12 > b.length) return 0
+      if (u16(e) == 0x0112) return u16(e + 8)
+      i += 1
+    }
+    0
+  }
+
+  /** GIF logical screen descriptor: width/height little-endian at 6/8. */
+  private def parseGif(b: Array[Byte]): Option[Meta] =
+    if (b.length < 10) None
+    else Some(Meta("image/gif", "image", width = le16(b, 6), height = le16(b, 8)))
+
+  /** BMP BITMAPINFOHEADER: width/height little-endian at 18/22. */
+  private def parseBmp(b: Array[Byte]): Option[Meta] =
+    if (b.length < 26) None
+    else Some(Meta("image/bmp", "image",
+      width = le32(b, 18).toInt, height = math.abs(le32(b, 22).toInt)))
+
+  /** WAV: fmt chunk → channels/sampleRate/byteRate; data chunk size →
+    * duration.
+    */
+  private def parseWav(b: Array[Byte]): Option[Meta] = {
+    var p = 12
+    var channels, rate = 0
+    var byteRate = 0L
+    var dataLen = -1L
+    while (p + 8 <= b.length) {
+      val id = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = le32(b, p + 4)
+      if (id == "fmt " && p + 24 <= b.length) {
+        channels = le16(b, p + 10)
+        rate = le32(b, p + 12).toInt
+        byteRate = le32(b, p + 16)
+      } else if (id == "data") dataLen = len
+      p += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (rate == 0) return None
+    val dur = if (byteRate > 0 && dataLen >= 0) dataLen * 1000 / byteRate else 0L
+    Some(Meta("audio/vnd.wave", "audio", durationMs = dur,
+      sampleRate = rate, channels = channels))
+  }
+
+  private val Mp3Bitrates = // kbps, MPEG1 Layer III (index 1-14)
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000, 0)
+
+  /** MP3: skip ID3v2 (syncsafe size), read the first MPEG frame header;
+    * duration estimated from stream length at that frame's bitrate (CBR
+    * assumption — same estimate Mp3Parser makes without a Xing header).
+    */
+  private def parseMp3(b: Array[Byte]): Option[Meta] = {
+    var p = 0
+    if (matches(b, 0, 'I', 'D', '3') && b.length >= 10) {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      p = 10 + size
+    }
+    // find frame sync
+    while (p + 4 <= b.length &&
+      !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xe0) == 0xe0)) p += 1
+    if (p + 4 > b.length) return None
+    val bitrateIdx = (b(p + 2) & 0xf0) >> 4
+    val rateIdx = (b(p + 2) & 0x0c) >> 2
+    if (bitrateIdx == 0 || bitrateIdx == 15 || rateIdx == 3) return None
+    val kbps = Mp3Bitrates(bitrateIdx)
+    val rate = Mp3Rates(rateIdx)
+    val dur = (b.length - p).toLong * 8 / kbps // bytes*8 / (kbps) = ms
+    Some(Meta("audio/mpeg", "audio", durationMs = dur, sampleRate = rate,
+      channels = if (((b(p + 3) & 0xc0) >> 6) == 3) 1 else 2))
+  }
+
+  /** MP4/ISOBMFF: box walk — mvhd gives timescale+duration, the first
+    * video tkhd gives width/height (16.16 fixed point).
+    */
+  private def parseMp4(b: Array[Byte]): Option[Meta] = {
+    var durMs = 0L
+    var w, h = 0
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      if (depth > 8) return
+      var p = from
+      while (p + 8 <= to) {
+        val size0 = be32(b, p.toInt)
+        val typ = new String(b, p.toInt + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val size = if (size0 == 1) return else if (size0 == 0) to - p else size0
+        if (size < 8 || p + size > to) return
+        typ match {
+          case "moov" | "trak" => walk(p + 8, p + size, depth + 1)
+          case "mvhd" =>
+            val v = b(p.toInt + 8) & 0xff
+            if (v == 0 && p + 28 <= to) {
+              val timescale = be32(b, p.toInt + 20)
+              val duration = be32(b, p.toInt + 24)
+              if (timescale > 0) durMs = duration * 1000 / timescale
+            }
+          case "tkhd" =>
+            val v = b(p.toInt + 8) & 0xff
+            val base = p.toInt + (if (v == 1) 96 else 84)
+            if (w == 0 && base + 8 <= to) {
+              val tw = (be32(b, base) >> 16).toInt
+              val th = (be32(b, base + 4) >> 16).toInt
+              if (tw > 0 && th > 0) { w = tw; h = th }
+            }
+          case _ =>
+        }
+        p += size
+      }
+    }
+    walk(0, b.length, 0)
+    Some(Meta("video/mp4", if (w > 0) "video" else "audio",
+      width = w, height = h, durationMs = durMs))
+  }
+}

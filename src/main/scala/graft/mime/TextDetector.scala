@@ -149,11 +149,42 @@ object EncodingDetector {
           try Some(Charset.forName(name)) catch { case _: Exception => None }
         } match {
           case Some(cs) => (cs, 0)
-          case None =>
-            if (validUtf8(data)) (StandardCharsets.UTF_8, 0)
-            else (StandardCharsets.ISO_8859_1, 0)
+          case None => (statistical(data), 0)
         }
     }
+  }
+
+  /** Statistical fallback when BOM and declared charset are both absent
+    * (reference chain: detect/CompositeEncodingDetector.java over the
+    * icu4j/universalchardet modules — this is the compact heuristic
+    * subset):
+    *  - valid UTF-8 multibyte structure → UTF-8;
+    *  - NUL bytes concentrated on one parity → BOM-less UTF-16 (LE when
+    *    the high bytes sit at odd offsets);
+    *  - any C1 byte (0x80-0x9F: smart quotes, €, em-dash) → windows-1252,
+    *    where those are printable — the browsers' latin-1 superset rule;
+    *  - else ISO-8859-1.
+    */
+  def statistical(data: Array[Byte]): Charset = {
+    // NUL-parity first: NUL is technically valid UTF-8, so BOM-less
+    // UTF-16 would otherwise slip through the UTF-8 validity test
+    val n = math.min(data.length, 8192)
+    var nulEven, nulOdd, c1 = 0
+    var i = 0
+    while (i < n) {
+      val b = data(i) & 0xff
+      if (b == 0) { if ((i & 1) == 0) nulEven += 1 else nulOdd += 1 }
+      else if (b >= 0x80 && b <= 0x9f) c1 += 1
+      i += 1
+    }
+    val half = n / 2
+    if (half > 4 && nulOdd > half * 2 / 5 && nulEven < half / 10)
+      StandardCharsets.UTF_16LE
+    else if (half > 4 && nulEven > half * 2 / 5 && nulOdd < half / 10)
+      StandardCharsets.UTF_16BE
+    else if (validUtf8(data)) StandardCharsets.UTF_8
+    else if (c1 > 0) Charset.forName("windows-1252")
+    else StandardCharsets.ISO_8859_1
   }
 
   def decode(data: Array[Byte]): String = {

@@ -3,18 +3,20 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.media.MediaParser
+
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media payloads travel as opaque `binary` columns + typed metadata
-  * structs; decode / feature-extract run as partition-local batch
-  * functions (`mapPartitions`) so a real codec binding drops in without
-  * changing the plan shape. The decode step itself is STUBBED with a
-  * deterministic fake — image/audio libraries are not available in this
-  * container — but schema, batching, and partitioning are real.
-  *
-  * Reference analog: tika's image/AV parsers extract *metadata only*
-  * (JpegParser/Mp3Parser etc., SURVEY.md §2.7) — media rows stay opaque
-  * and ride along as `media` spans.
+  * structs. Metadata (dimensions, duration, sample rate) is REAL — parsed
+  * from the container bytes by [[graft.media.MediaParser]], mirroring the
+  * reference's metadata-only media parsers (JpegParser/Mp3Parser etc.,
+  * SURVEY.md §2.7). Only the ML *feature* vector is a disclosed
+  * deterministic stub (no codec/model runtime in this sandbox): it hashes
+  * payload bytes into an 8-dim vector with the exact batching/plan shape
+  * a real encoder would use. Rows with a `media_ref` but no payload
+  * (external blob:// references) fall back to the stub decode for ALL
+  * fields — the only remaining fake path.
   */
 object Multimodal {
 
@@ -24,13 +26,13 @@ object Multimodal {
       width: Int, height: Int, n_frames: Int, duration_ms: Long)
 
   final case class MediaFeature(
-      media_ref: String, media_type: String,
+      media_ref: String, media_type: String, mime: String,
       width: Int, height: Int, n_frames: Int,
+      duration_ms: Long, sample_rate: Int,
       feature: Array[Float])
 
-  /** STUB decode: deterministic pseudo-metadata + a 8-dim fake feature
-    * vector derived from the media_ref hash. Replace the body with a real
-    * codec call (same signature) when codecs are available.
+  /** STUB decode for payload-less refs: deterministic pseudo-metadata +
+    * an 8-dim fake feature vector derived from the media_ref hash.
     */
   def fakeDecode(mediaRef: String): MediaFeature = {
     var h = mediaRef.hashCode.toLong & 0xffffffffL
@@ -43,20 +45,52 @@ object Multimodal {
     val frames = if (mt == "video") (24 + next() % 240).toInt
                  else if (mt == "image") 1 else 0
     val feat = Array.tabulate(8)(i => ((next() % 2000) - 1000) / 1000.0f)
-    MediaFeature(mediaRef, mt, w, ht, frames, feat)
+    MediaFeature(mediaRef, mt, "application/octet-stream", w, ht, frames, 0L, 0, feat)
   }
 
-  /** Batch feature extraction over a media_ref column: one decoder init
-    * per partition (the expensive part with real codecs), rows streamed
-    * through it.
+  /** Real decode from payload bytes: container metadata via MediaParser;
+    * the feature vector is the disclosed stub (byte-hash embedding).
+    */
+  def decodeBytes(mediaRef: String, payload: Array[Byte]): MediaFeature =
+    MediaParser.parse(payload) match {
+      case Some(m) =>
+        val frames =
+          if (m.kind == "video") (m.durationMs * 30 / 1000).toInt // nominal 30fps
+          else if (m.kind == "image") 1 else 0
+        MediaFeature(mediaRef, m.kind, m.mime, m.width, m.height, frames,
+          m.durationMs, m.sampleRate, hashFeature(payload))
+      case None => fakeDecode(mediaRef)
+    }
+
+  /** Deterministic 8-dim byte-hash "embedding" — the stub encoder. */
+  private def hashFeature(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Long](8)
+    var i = 0
+    while (i < payload.length) {
+      acc(i & 7) = acc(i & 7) * 31 + (payload(i) & 0xff)
+      i += 1
+    }
+    acc.map(a => ((a % 2000 + 2000) % 2000 - 1000) / 1000.0f)
+  }
+
+  /** Batch feature extraction over (media_ref, payload) rows: one decoder
+    * init per partition (the expensive part with real codecs), rows
+    * streamed through it. `payload` may be null → stub path.
     */
   def extractFeatures(refs: DataFrame): DataFrame = {
     val spark = refs.sparkSession
     import spark.implicits._
-    refs.select("media_ref").as[String].mapPartitions { it =>
-      // real impl: val decoder = Codec.open() — once per partition
-      it.map(fakeDecode)
-    }.toDF()
+    val withPayload = if (refs.columns.contains("payload")) refs
+                      else refs.withColumn("payload", lit(null).cast("binary"))
+    withPayload.select(col("media_ref"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: val codec = Codec.open() — once per partition
+        it.map { case (ref, payload) =>
+          if (payload == null || payload.isEmpty) fakeDecode(ref)
+          else decodeBytes(ref, payload)
+        }
+      }.toDF()
   }
 
   /** Frame sampling plan for video media: every `stride`-th frame index,

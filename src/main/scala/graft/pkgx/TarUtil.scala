@@ -1,0 +1,114 @@
+package graft.pkgx
+
+import java.nio.charset.StandardCharsets
+
+/** USTAR (POSIX tar) archive reader — pure JDK, header-only format.
+  *
+  * Reference analog: tika-parsers pkg-module PackageParser.java:64-193
+  * routes tar through commons-compress and emits each entry as an
+  * embedded document; this reader yields the same entry stream for the
+  * Extractor's work-stack recursion. Supports the GNU long-name ('L')
+  * extension and skips pax headers ('x'/'g') and non-file entries.
+  */
+object TarUtil {
+
+  final case class Entry(name: String, data: Array[Byte])
+
+  private val BlockSize = 512
+
+  /** Parse the octal number fields (NUL/space padded). */
+  private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var i = off
+    val end = off + len
+    while (i < end) {
+      val c = b(i)
+      if (c >= '0' && c <= '7') v = (v << 3) + (c - '0')
+      else if (v > 0) return v // stop at first non-digit after digits
+      i += 1
+    }
+    v
+  }
+
+  private def str(b: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    val max = off + len
+    while (end < max && b(end) != 0) end += 1
+    new String(b, off, end - off, StandardCharsets.UTF_8)
+  }
+
+  def isTar(bytes: Array[Byte]): Boolean =
+    bytes.length >= 263 && bytes(257) == 'u' && bytes(258) == 's' &&
+      bytes(259) == 't' && bytes(260) == 'a' && bytes(261) == 'r'
+
+  def entries(bytes: Array[Byte], maxEntries: Int = 10000): Vector[Entry] = {
+    val out = Vector.newBuilder[Entry]
+    var p = 0
+    var pendingLongName: String = null
+    var n = 0
+    while (p + BlockSize <= bytes.length && n < maxEntries) {
+      // two consecutive zero blocks end the archive; one zero name ends too
+      if (bytes(p) == 0) return out.result()
+      val size = octal(bytes, p + 124, 12)
+      val typeflag = bytes(p + 156)
+      val dataBlocks = ((size + BlockSize - 1) / BlockSize).toInt
+      val dataStart = p + BlockSize
+      val dataEnd = math.min(dataStart + size, bytes.length.toLong).toInt
+      typeflag match {
+        case 'L' => // GNU long name: data is the next entry's name
+          pendingLongName = str(bytes, dataStart, dataEnd - dataStart)
+        case '0' | 0 =>
+          val name = {
+            val base = str(bytes, p, 100)
+            val prefix = str(bytes, p + 345, 155)
+            val full = if (prefix.nonEmpty) prefix + "/" + base else base
+            if (pendingLongName != null) pendingLongName else full
+          }
+          pendingLongName = null
+          if (name.nonEmpty)
+            out += Entry(name, java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
+        case _ => // directories, links, pax headers: skip (data consumed below)
+          pendingLongName = null
+      }
+      p = dataStart + dataBlocks * BlockSize
+      n += 1
+    }
+    out.result()
+  }
+
+  /** Build a USTAR archive (fixture/corpus writer; fixed mtime for
+    * byte-identical output like Corpus.zip).
+    */
+  def write(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, data) =>
+      val h = new Array[Byte](BlockSize)
+      val nm = name.getBytes(StandardCharsets.UTF_8)
+      require(nm.length <= 100, s"name too long: $name")
+      System.arraycopy(nm, 0, h, 0, nm.length)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes(StandardCharsets.US_ASCII)
+        System.arraycopy(b, 0, h, off, b.length)
+      }
+      put(100, "0000644")                  // mode
+      put(108, "0000000")                  // uid
+      put(116, "0000000")                  // gid
+      put(124, f"${data.length}%011o")     // size
+      put(136, f"${1735689600L}%011o")     // mtime (fixed)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum spaces
+      h(156) = '0'                         // regular file
+      put(257, "ustar")                    // magic + NUL (zero-filled)
+      put(263, "00")                       // version
+      var sum = 0L
+      h.foreach(b => sum += (b & 0xff))
+      put(148, f"$sum%06o")
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(data)
+      val pad = (BlockSize - data.length % BlockSize) % BlockSize
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](BlockSize * 2))
+    out.toByteArray
+  }
+}
