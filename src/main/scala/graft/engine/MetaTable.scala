@@ -49,6 +49,7 @@ object BucketedRun {
     val extracted = Pipeline.extract(remaining.drop("part_bucket").as[DocRow], cfg)
       .toDF()
       .withColumn("part_bucket", bucketUdf(col("doc_id")))
+      .cache()
 
     // dynamic partition overwrite: reruns of a half-written bucket replace
     // it rather than duplicating rows
@@ -58,7 +59,12 @@ object BucketedRun {
       .partitionBy("part_bucket")
       .parquet(s"$root/data")
 
-    val stats = spark.read.parquet(s"$root/data")
+    // Incremental manifest: stats are aggregated ONLY over this run's
+    // buckets (from the cached frame just written — no re-scan) and
+    // merged with the previous manifest's rows for untouched buckets.
+    // Round-1 verdict: re-reading $root/data made every resume O(total
+    // committed data) — at 100 TB that defeats per-bucket commits.
+    val newStats = extracted
       .groupBy("part_bucket")
       .agg(count(lit(1)).as("n_docs"), sum("n_spans").as("n_spans"),
         sum("n_chars").as("n_chars"),
@@ -67,7 +73,11 @@ object BucketedRun {
       .collect()
       .map(r => BucketStat(r.getAs[Int]("part_bucket"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("n_spans"), r.getAs[Long]("n_chars"), r.getAs[Long]("n_failed")))
-    commitManifest(root, stats)
+    extracted.unpersist()
+    val newBuckets = newStats.map(_.bucket).toSet
+    val carried = latestManifest(root).getOrElse(Vector.empty)
+      .filterNot(s => newBuckets.contains(s.bucket))
+    commitManifest(root, carried ++ newStats)
   }
 
   /** Buckets recorded in the newest manifest (empty when none). */

@@ -95,6 +95,51 @@ class BucketedRunSpec extends AnyFunSuite {
     assert(resumed.count() == 300)
     assert(BucketedRun.latestManifest(root).get.map(_.n_docs).sum == 300)
   }
+
+  test("resume aggregates only the new buckets — committed data is not re-read") {
+    val root = java.nio.file.Files.createTempDirectory("graftbuck2").toString
+    val input = Corpus.docRows(spark, 300, 4)
+    BucketedRun.run(spark, input, root)
+    val manifest = BucketedRun.latestManifest(root).get
+    // drop one bucket from the manifest (uncommitted) and CORRUPT a
+    // different, still-committed bucket's data files: if the resume run
+    // recomputed stats by re-reading $root/data (the round-1 behavior),
+    // the corrupted bucket's manifest row would change — with the
+    // incremental merge it must be carried forward verbatim.
+    val uncommitted = manifest.head.bucket
+    val corrupted = manifest.last.bucket
+    assert(uncommitted != corrupted)
+    BucketedRun.commitManifest(root, manifest.filterNot(_.bucket == uncommitted))
+    val dir = new java.io.File(s"$root/data/part_bucket=$corrupted")
+    dir.listFiles().foreach(_.delete()); dir.delete()
+
+    BucketedRun.run(spark, input, root)
+    val after = BucketedRun.latestManifest(root).get
+    assert(after.map(_.n_docs).sum == 300) // carried rows intact
+    assert(after.find(_.bucket == corrupted).get ==
+      manifest.find(_.bucket == corrupted).get)
+    // and the data on disk is genuinely missing the corrupted bucket —
+    // proof the stats did NOT come from a re-scan
+    val onDisk = spark.read.parquet(s"$root/data").count()
+    assert(onDisk == 300 - manifest.find(_.bucket == corrupted).get.n_docs)
+  }
+
+  test("runRanged + resumeFilterByRange: pure-predicate resume, no join") {
+    val base = java.nio.file.Files.createTempDirectory("graftrange").toString
+    val outDir = s"$base/out"; val metricsDir = s"$base/metrics"
+    Pipeline.runRanged(spark, Corpus.docRows(spark, 200, 4), outDir, metricsDir,
+      numPartitions = 4)
+    // full coverage → nothing left
+    assert(Pipeline.resumeFilterByRange(Corpus.docRows(spark, 200, 4),
+      metricsDir).count() == 0)
+    // larger input → exactly the delta survives the range predicate
+    val remaining = Pipeline.resumeFilterByRange(Corpus.docRows(spark, 260, 4),
+      metricsDir)
+    assert(remaining.count() == 60)
+    // plan is a Filter over the scan — no join/shuffle in the resume path
+    val plan = remaining.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {
