@@ -82,7 +82,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 10
+  val Version = 11
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -501,6 +501,8 @@ $attachment
     * testExtraSpaces.pdf territory). index parity picks FlateDecode.
     */
   def pdfDoc(r: Random, index: Long): Array[Byte] = {
+    if (index % 11 == 3) return encryptedPdf(r)
+    if (index % 13 == 4) return featuredPdf(r)
     if (index % 7 == 2) return type0Pdf(r)
     if (index % 5 == 1) return subsetFontPdf(r)
     val nPages = 1 + r.nextInt(2)
@@ -619,6 +621,93 @@ end"""
 
   def pdfEscape(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /** RC4-encrypted one-page PDF (standard security handler R3/V2,
+    * 128-bit, empty user+owner password) — the empty-password decrypt
+    * path the reference exercises (PDFParser.java:176-188).
+    */
+  def encryptedPdf(r: Random): Array[Byte] = {
+    import graft.pdf.PdfCrypto
+    val lines = (1 to 2 + r.nextInt(3)).map(_ => sentence(r, 3 + r.nextInt(4)))
+    val content = {
+      val sb = new StringBuilder("BT\n/F1 12 Tf\n72 712 Td\n")
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (i > 0) sb.append("0 -14 Td\n")
+        sb.append(s"(${pdfEscape(l)}) Tj\n")
+      }
+      sb.append("ET\n").toString.getBytes(StandardCharsets.ISO_8859_1)
+    }
+    val title = sentence(r, 3).dropRight(1)
+    val id0 = Array.tabulate[Byte](16)(i => (r.nextInt(256) ^ i).toByte)
+    val p = -44L & 0xFFFFFFFFL
+    val keyLen = 16
+    val o = PdfCrypto.computeO(Array.emptyByteArray, Array.emptyByteArray, 3, keyLen)
+    val key = PdfCrypto.fileKey(o, p, id0, 3, keyLen)
+    val u = PdfCrypto.computeU(key, id0, 3)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    def encFor(num: Int) = PdfCrypto.objectKey(key, num, 0)
+    val encContent = PdfCrypto.rc4(encFor(5), content)
+    val encTitle = PdfCrypto.rc4(encFor(6), title.getBytes(StandardCharsets.ISO_8859_1))
+
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.6\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${encContent.length} >>\nstream\n")
+    out.write(encContent)
+    w("\nendstream\nendobj\n")
+    w(s"6 0 obj\n<< /Title <${hex(encTitle)}> >>\nendobj\n")
+    w(s"7 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+      s"/P -44 /O <${hex(o)}> /U <${hex(u)}> >>\nendobj\n")
+    w(s"trailer\n<< /Root 1 0 R /Info 6 0 R /Encrypt 7 0 R " +
+      s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** One-page PDF with the AbstractPDF2XHTML extras: an embedded file
+    * (Names/EmbeddedFiles FILESPEC), a URI + text annotation, an
+    * AcroForm field and outline bookmarks.
+    */
+  def featuredPdf(r: Random): Array[Byte] = {
+    val body = sentence(r, 4 + r.nextInt(4))
+    val content = s"BT\n/F1 12 Tf\n72 712 Td\n(${pdfEscape(body)}) Tj\nET\n"
+    val attachment = paragraph(r, 2).getBytes(StandardCharsets.UTF_8)
+    val annotText = sentence(r, 3)
+    val fieldVal = Words(r.nextInt(Words.length))
+    val bm1 = sentence(r, 2).dropRight(1)
+    val bm2 = sentence(r, 2).dropRight(1)
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.6\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R " +
+      "/Names << /EmbeddedFiles << /Names [(notes.txt) 8 0 R] >> >> " +
+      "/AcroForm << /Fields [10 0 R] >> /Outlines 11 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R " +
+      "/Annots [6 0 R] >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    w(s"6 0 obj\n<< /Type /Annot /Subtype /Link /Rect [72 700 200 712] " +
+      s"/Contents (${pdfEscape(annotText)}) " +
+      "/A << /S /URI /URI (http://example.com/ref) >> >>\nendobj\n")
+    w(s"8 0 obj\n<< /Type /Filespec /F (notes.txt) /EF << /F 9 0 R >> >>\nendobj\n")
+    w(s"9 0 obj\n<< /Type /EmbeddedFile /Length ${attachment.length} >>\nstream\n")
+    out.write(attachment)
+    w("\nendstream\nendobj\n")
+    w(s"10 0 obj\n<< /T (comment) /V (${pdfEscape(fieldVal)}) >>\nendobj\n")
+    w("11 0 obj\n<< /Type /Outlines /First 12 0 R >>\nendobj\n")
+    w(s"12 0 obj\n<< /Title (${pdfEscape(bm1)}) /Next 13 0 R >>\nendobj\n")
+    w(s"13 0 obj\n<< /Title (${pdfEscape(bm2)}) >>\nendobj\n")
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
 
   def buildPdf(pageContents: Seq[Array[Byte]], flate: Boolean): Array[Byte] =
     buildPdf(pageContents, flate, None)

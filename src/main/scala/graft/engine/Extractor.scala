@@ -130,7 +130,16 @@ object Extractor {
                 sink.newline()
             }
           case MediaTypes.Pdf =>
-            PdfExtractor.extract(bytes, sink, meta)
+            PdfExtractor.extract(bytes, sink, meta, (name, data) => {
+              if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
+                embeddedCount += 1
+                val childPath = s"$idPath/$embeddedCount"
+                name.foreach(nm => meta.add("embedded:path", s"$childPath:$nm"))
+                sink.embeddedOpen(childPath)
+                parseNode(data, childPath, name, depth + 1)
+                sink.embeddedClose(childPath)
+              }
+            })
           case MediaTypes.Docx =>
             DocxExtractor.extract(bytes, sink, meta)
           case MediaTypes.Xlsx =>

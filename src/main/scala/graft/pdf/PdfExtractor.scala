@@ -42,9 +42,11 @@ object PdfExtractor {
   val SpacingTolerance = 0.5 // ×space width (PDFParserConfig.java:110)
   val DropThreshold = 2.5    // vertical pts ~ superscript guard (:114)
 
-  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
+      onEmbedded: (Option[String], Array[Byte]) => Unit = (_, _) => ()): Unit = {
     val doc = new PdfDoc(bytes)
     extractInfo(doc, meta)
+    if (doc.wasDecrypted) meta.set("pdf:encrypted", "true")
     val pages = doc.pages
     if (pages.isEmpty)
       // no page tree resolvable: broken/bomb PDF — surface as a parse
@@ -55,11 +57,143 @@ object PdfExtractor {
       val content = doc.pageContent(page)
       val resources = doc.pageResources(page)
       interpretPage(doc, content, resources, sink)
+      extractAnnotations(doc, page, sink, meta)
       // endPage: </p></div> → "\n" + span flush ("page-separated spans")
       sink.chars("\n")
       sink.newline()
     }
+    extractAcroForm(doc, sink)
+    extractBookmarks(doc, sink)
+    extractEmbeddedFiles(doc, onEmbedded)
   }
+
+  /** Page /Annots: URI link actions and text-annotation /Contents become
+    * spans (AbstractPDF2XHTML annotations section, :862-897).
+    */
+  private def extractAnnotations(doc: PdfDoc, page: PDict, sink: SpanSink,
+      meta: MetaSink): Unit = {
+    doc.resolve(page.get("Annots").getOrElse(PNull)) match {
+      case PArr(items) => items.foreach { a =>
+        doc.dict(a).foreach { ann =>
+          doc.dict(ann.get("A").getOrElse(PNull)).foreach { action =>
+            doc.resolve(action.get("URI").getOrElse(PNull)) match {
+              case PStr(b) =>
+                meta.add("pdf:annotation:uri",
+                  new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+              case _ => ()
+            }
+          }
+          doc.resolve(ann.get("Contents").getOrElse(PNull)) match {
+            case PStr(b) if b.nonEmpty =>
+              sink.chars(pdfText(b)); sink.newline()
+            case _ => ()
+          }
+        }
+      }
+      case _ => ()
+    }
+  }
+
+  /** Catalog /AcroForm /Fields: field name + value text
+    * (AbstractPDF2XHTML acroform section, :1355-1365).
+    */
+  private def extractAcroForm(doc: PdfDoc, sink: SpanSink): Unit = {
+    for {
+      cat <- doc.catalog
+      form <- doc.dict(cat.get("AcroForm").getOrElse(PNull))
+    } doc.resolve(form.get("Fields").getOrElse(PNull)) match {
+      case PArr(fields) => fields.foreach { f =>
+        doc.dict(f).foreach { fd =>
+          val nameS = doc.resolve(fd.get("T").getOrElse(PNull)) match {
+            case PStr(b) => pdfText(b); case _ => ""
+          }
+          val valueS = doc.resolve(fd.get("V").getOrElse(PNull)) match {
+            case PStr(b) => pdfText(b)
+            case PName(n) => n
+            case _ => ""
+          }
+          if (nameS.nonEmpty || valueS.nonEmpty) {
+            sink.chars(if (valueS.isEmpty) nameS else s"$nameS:\t$valueS")
+            sink.newline()
+          }
+        }
+      }
+      case _ => ()
+    }
+  }
+
+  /** Catalog /Outlines chain: bookmark titles in order (bounded walk). */
+  private def extractBookmarks(doc: PdfDoc, sink: SpanSink): Unit = {
+    def walk(node: Option[PDict], depth: Int, budget: Int): Int = {
+      var left = budget
+      var cur = node
+      while (cur.isDefined && left > 0 && depth < 16) {
+        val d = cur.get
+        doc.resolve(d.get("Title").getOrElse(PNull)) match {
+          case PStr(b) => sink.chars(pdfText(b)); sink.newline()
+          case _ => ()
+        }
+        left = walk(doc.dict(d.get("First").getOrElse(PNull)), depth + 1, left - 1)
+        cur = doc.dict(d.get("Next").getOrElse(PNull))
+      }
+      left
+    }
+    for {
+      cat <- doc.catalog
+      outlines <- doc.dict(cat.get("Outlines").getOrElse(PNull))
+    } walk(doc.dict(outlines.get("First").getOrElse(PNull)), 0, 256)
+  }
+
+  /** Catalog /Names /EmbeddedFiles name tree → FILESPEC /EF /F streams
+    * recursed as embedded documents (AbstractPDF2XHTML
+    * extractEmbeddedDocuments, :357-369).
+    */
+  private def extractEmbeddedFiles(doc: PdfDoc,
+      onEmbedded: (Option[String], Array[Byte]) => Unit): Unit = {
+    def filespec(fs: PDict, fallbackName: Option[String]): Unit = {
+      val name = doc.resolve(fs.get("F").getOrElse(PNull)) match {
+        case PStr(b) => Some(pdfText(b))
+        case _ => fallbackName
+      }
+      for {
+        ef <- doc.dict(fs.get("EF").getOrElse(PNull))
+        fObj = doc.resolve(ef.get("F").getOrElse(PNull))
+      } fObj match {
+        case s: PStream => onEmbedded(name, doc.decodeStream(s))
+        case _ => ()
+      }
+    }
+    def nameTree(node: PDict, depth: Int): Unit = {
+      if (depth > 16) return
+      doc.resolve(node.get("Names").getOrElse(PNull)) match {
+        case PArr(items) =>
+          items.grouped(2).foreach {
+            case Vector(k, v) =>
+              val nm = doc.resolve(k) match {
+                case PStr(b) => Some(pdfText(b)); case _ => None
+              }
+              doc.dict(v).foreach(filespec(_, nm))
+            case _ => ()
+          }
+        case _ => ()
+      }
+      doc.resolve(node.get("Kids").getOrElse(PNull)) match {
+        case PArr(kids) => kids.foreach(k => doc.dict(k).foreach(nameTree(_, depth + 1)))
+        case _ => ()
+      }
+    }
+    for {
+      cat <- doc.catalog
+      names <- doc.dict(cat.get("Names").getOrElse(PNull))
+      ef <- doc.dict(names.get("EmbeddedFiles").getOrElse(PNull))
+    } nameTree(ef, 0)
+  }
+
+  /** PDF text string: UTF-16BE with BOM, else PDFDocEncoding≈cp1252. */
+  private def pdfText(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(b, java.nio.charset.Charset.forName("windows-1252"))
 
   /** Trailer /Info → title/author/subject metadata (the reference's
     * PDFParser metadata step, PDFParser.java:208-210). PDF text strings

@@ -308,8 +308,12 @@ final class PdfLexer(data: Array[Byte]) {
 /** A parsed PDF document: object table + page list. */
 final class PdfDoc(data: Array[Byte]) {
   private val objects = scala.collection.mutable.Map[Int, PdfObj]()
+  private val gens = scala.collection.mutable.Map[Int, Int]()
   private var trailer: PDict = PDict(Map.empty)
+  /** True when the doc was encrypted and opened with the empty password. */
+  var wasDecrypted: Boolean = false
   parseAll()
+  decryptIfNeeded()
 
   /** Scan-based object table build: robust to broken xref (the reference
     * also rescans for incremental updates, PDFParser.java:299-349). We
@@ -354,6 +358,7 @@ final class PdfDoc(data: Array[Byte]) {
             val obj = l2.parseObject()
             // later objects (incremental updates) override earlier ones
             objects(num) = obj
+            gens(num) = if (header(1).forall(_.isDigit)) header(1).toInt else 0
             // resume the scan AFTER this object so ' obj'-shaped byte
             // runs inside its (compressed) stream payload cannot be
             // mistaken for real object headers
@@ -388,6 +393,62 @@ final class PdfDoc(data: Array[Byte]) {
           trailer = PDict(Map("Root" -> PRef(num, 0)))
       }
     }
+  }
+
+  /** Standard-security-handler decrypt with the empty user password —
+    * the reference's default attempt (PDFParser.java:176-188). RC4
+    * /V 1-2, /R 2-3; AES and non-Standard filters raise (the document
+    * fails as a recorded parse exception, not a crash). All strings and
+    * stream payloads are rewritten in place with their per-object keys,
+    * so every downstream reader (Info, content, embedded files) sees
+    * plaintext.
+    */
+  private def decryptIfNeeded(): Unit = {
+    val encRef = trailer.get("Encrypt").getOrElse(return)
+    val encNum = encRef match { case PRef(n, _) => n; case _ => -1 }
+    val enc = dict(encRef).getOrElse(return)
+    def name(k: String) = resolve(enc.get(k).getOrElse(PNull)) match {
+      case PName(n) => n; case _ => ""
+    }
+    def num(k: String, dflt: Int) = resolve(enc.get(k).getOrElse(PNull)) match {
+      case PNum(n) => n.toLong; case _ => dflt.toLong
+    }
+    def str(k: String) = resolve(enc.get(k).getOrElse(PNull)) match {
+      case PStr(b) => b; case _ => Array.emptyByteArray
+    }
+    if (name("Filter") != "Standard")
+      throw new PdfParseException(s"unsupported encryption filter ${name("Filter")}")
+    val v = num("V", 0).toInt
+    val r = num("R", 2).toInt
+    if (v != 1 && v != 2)
+      throw new PdfParseException(s"unsupported encryption V=$v (AES not in scope)")
+    val keyLen = if (v == 1) 5 else (num("Length", 40) / 8).toInt
+    val id0 = resolve(trailer.get("ID").getOrElse(PNull)) match {
+      case PArr(items) => resolve(items.head) match {
+        case PStr(b) => b; case _ => Array.emptyByteArray
+      }
+      case _ => Array.emptyByteArray
+    }
+    val o = str("O"); val u = str("U"); val p = num("P", -1)
+    if (!PdfCrypto.emptyPasswordWorks(o, u, p, id0, r, keyLen))
+      throw new PdfParseException("encrypted with a non-empty password")
+    val fileKey = PdfCrypto.fileKey(o, p, id0, r, keyLen)
+
+    def transform(obj: PdfObj, key: Array[Byte]): PdfObj = obj match {
+      case PStr(b) => PStr(PdfCrypto.rc4(key, b))
+      case PStream(d, raw) =>
+        PStream(transform(d, key).asInstanceOf[PDict], PdfCrypto.rc4(key, raw))
+      case PArr(items) => PArr(items.map(transform(_, key)))
+      case PDict(e) => PDict(e.map { case (k2, v2) => k2 -> transform(v2, key) })
+      case other => other
+    }
+    objects.keys.toVector.foreach { n =>
+      if (n != encNum) {
+        val key = PdfCrypto.objectKey(fileKey, n, gens.getOrElse(n, 0))
+        objects(n) = transform(objects(n), key)
+      }
+    }
+    wasDecrypted = true
   }
 
   def resolve(o: PdfObj): PdfObj = o match {

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import graft.core.{DocRow, Span, Status}
+import graft.corpus.Corpus
+import graft.engine.{Extractor, MetaSink, SpanSink}
+import graft.pdf.{PdfCrypto, PdfExtractor}
+
+/** Round-2 PDF features: empty-password RC4 decrypt, FILESPEC embedded
+  * files, annotations, acroform, bookmarks.
+  */
+class PdfCryptoSpec extends AnyFunSuite {
+
+  test("RC4 is an involution and O/U/key derivation round-trips") {
+    val key = Array.tabulate[Byte](16)(_.toByte)
+    val msg = "attack at dawn".getBytes("UTF-8")
+    assert(PdfCrypto.rc4(key, PdfCrypto.rc4(key, msg)).toSeq == msg.toSeq)
+    val id0 = Array.tabulate[Byte](16)(i => (i * 7).toByte)
+    val o = PdfCrypto.computeO(Array.emptyByteArray, Array.emptyByteArray, 3, 16)
+    assert(PdfCrypto.emptyPasswordWorks(o,
+      PdfCrypto.computeU(PdfCrypto.fileKey(o, -44L, id0, 3, 16), id0, 3),
+      -44L, id0, 3, 16))
+  }
+
+  test("encrypted PDF: empty-password decrypt recovers text and title") {
+    val r = new Random(21)
+    val lines = Seq("Secret content line one", "And the second line")
+    // deterministic content via the corpus generator's own path
+    val bytes = Corpus.encryptedPdf(r)
+    val sink = new SpanSink(); val meta = new MetaSink
+    PdfExtractor.extract(bytes, sink, meta)
+    val text = sink.result().filter(_.kind == "text").map(_.text).mkString
+    assert(text.trim.nonEmpty, "no text decrypted")
+    // decrypted text must be printable prose, not RC4 noise
+    assert(text.count(c => c.isLetter || c == ' ' || c == '.') > text.length / 2)
+    assert(meta.result().contains("pdf:encrypted"))
+    assert(meta.result().contains("dc:title"))
+    val title = meta.result()("dc:title").head
+    assert(title.forall(c => c >= ' ' && c < 127), s"garbled title: $title")
+    assert(lines.nonEmpty) // anchor for the seeded generator contract
+  }
+
+  test("non-empty-password PDF fails as a recorded parse exception") {
+    // flip one byte of /U so the empty password no longer verifies
+    val bytes = Corpus.encryptedPdf(new Random(22))
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val uPos = s.indexOf("/U <") + 4
+    val corrupted = bytes.clone()
+    corrupted(uPos) = if (corrupted(uPos) == '0') '1' else '0'
+    val out = Extractor.extract(DocRow("enc1",
+      Seq(Span("bytes", Corpus.b64(corrupted), null, 0))))
+    assert(out.status == Status.ParseException)
+    assert(out.spans.isEmpty)
+  }
+
+  test("featured PDF: attachment recursed, annotations/acroform/bookmarks emitted") {
+    val bytes = Corpus.featuredPdf(new Random(23))
+    val out = Extractor.extract(DocRow("feat1",
+      Seq(Span("bytes", Corpus.b64(bytes), null, 0))))
+    assert(out.status == Status.ParseSuccess)
+    // FILESPEC attachment became an embedded doc with an ordinal id path
+    assert(out.spans.exists(s => s.kind == "embedded-open" && s.media_ref == "/1"))
+    assert(out.meta("embedded:path").exists(_.endsWith(":notes.txt")))
+    val text = out.spans.filter(_.kind == "text").map(_.text).mkString("\n")
+    assert(out.meta.contains("pdf:annotation:uri"))
+    assert(text.contains("comment:"), s"acroform field missing in: $text")
+    // two bookmark titles present
+    assert(out.meta("pdf:annotation:uri").head == "http://example.com/ref")
+  }
+
+  test("corpus pdf rows incl. encrypted/featured variants extract cleanly") {
+    val pdfIdx = (0L until 1000L).filter(i => Corpus.kindOf(i) == "pdf")
+    val enc = pdfIdx.find(_ % 11 == 3).get
+    val feat = pdfIdx.find(i => i % 13 == 4 && i % 11 != 3).get
+    for (idx <- Seq(enc, feat)) {
+      val out = Extractor.extract(Corpus.row(idx))
+      assert(out.mime == graft.mime.MediaTypes.Pdf)
+      assert(out.status == Status.ParseSuccess, s"pdf row $idx -> ${out.status}")
+      assert(out.n_chars > 0)
+    }
+  }
+}
