@@ -24,13 +24,8 @@ object Main {
         "usage: graft.Main <inputParquet> <outputDir> [spans|text|xml|markdown|rmeta|unpack] [metricsDir]")
       sys.exit(2)
     }
-    val input = args(0)
-    val outDir = args(1)
-    val mode = if (args.length > 2) args(2) else "spans"
-    val metricsDir = if (args.length > 3) Some(args(3)) else None
-
     val spark = SparkSession.builder()
-      .appName(s"graft-extract-$mode")
+      .appName(s"graft-extract-${if (args.length > 2) args(2) else "spans"}")
       // spark-submit injects spark.master; standalone runs default local
       .config("spark.master", sys.props.getOrElse("spark.master", "local[*]"))
       .config("spark.sql.shuffle.partitions",
@@ -38,8 +33,19 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "32m")
       .getOrCreate()
-    import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
+    try run(args, spark) finally spark.stop()
+  }
+
+  /** CLI body on a caller-provided session (testable without tearing the
+    * shared session down).
+    */
+  def run(args: Array[String], spark: SparkSession): Unit = {
+    val input = args(0)
+    val outDir = args(1)
+    val mode = if (args.length > 2) args(2) else "spans"
+    val metricsDir = if (args.length > 3) Some(args(3)) else None
+    import spark.implicits._
 
     val rows0 = spark.read.parquet(input).as[graft.core.DocRow]
     val rows = metricsDir match {
@@ -75,10 +81,9 @@ object Main {
             extracted.map(d => (d.doc_id, graft.ops.Projections.toRmetaJson(d)))
               .toDF("doc_id", "rmeta")
           case other =>
-            System.err.println(s"unknown mode: $other"); sys.exit(2); null
+            throw new IllegalArgumentException(s"unknown mode: $other")
         }
         projected.write.mode("append").parquet(outDir)
     }
-    spark.stop()
   }
 }

@@ -151,6 +151,10 @@ object Extractor {
             sawUnsupported = true
           case MediaTypes.Rtf =>
             graft.textparse.RtfExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Markdown =>
+            // reached via the .md name-hint glob (no magic exists);
+            // reference analog: tika text-module MarkdownParser
+            graft.textparse.MarkdownExtractor.extract(bytes, sink, meta)
           case MediaTypes.Mbox =>
             // each member message becomes an embedded rfc822 doc; members
             // past the resource budget are counted in mbox:dropped and

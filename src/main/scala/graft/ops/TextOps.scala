@@ -34,6 +34,29 @@ object TextOps {
   private def stopCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** CJK ideograph count — whitespace tokenization is meaningless for
+    * Chinese, so zh detection runs at the character level: a document
+    * whose CJK fraction exceeds 5% of its characters is zh. The common-
+    * token analog for zh counts high-frequency function characters.
+    */
+  private val CjkRange = "[\\x{4e00}-\\x{9fff}]"
+  private val ZhCommonChars = "[的了是在和不有我他这]"
+  private def cjkCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, CjkRange, ""))
+  private def zhCommonCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, ZhCommonChars, ""))
+
+  /** Shared lang_pred expression: char-level zh rule first, then
+    * stopword-hit voting over {en,de,fr,es} with deterministic tie-break.
+    */
+  private def langPred: Column =
+    when(col("c_zh") > greatest(col("n_chars"), lit(1)) * 0.05, "zh")
+      .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
+            col("c_en") >= col("c_es"), "en")
+      .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
+      .when(col("c_fr") >= col("c_es"), "fr")
+      .otherwise("es")
+
   /** Per-doc token/char statistics (BasicTokenCountStatsCalculator +
     * ContentLengthCalculator analogs).
     */
@@ -56,25 +79,34 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
 
-  /** Language ID: stopword-hit voting over {en,de,fr,es}, deterministic
-    * tie-break by that order. (n-gram-histogram LID would need model
-    * weights; stopword voting is the standard cheap heuristic.)
+  /** Language ID: char-level CJK rule for zh, then stopword-hit voting
+    * over {en,de,fr,es} with deterministic tie-break by that order.
+    * (n-gram-histogram LID would need model weights; stopword voting is
+    * the standard cheap heuristic — reference analog tika-langdetect /
+    * LanguageIDWrapper.)
     */
   def langId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     docs.select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        cjkCount(col("text")).as("c_zh"),
         stopCount(toks, StopwordsEn).as("c_en"),
         stopCount(toks, StopwordsDe).as("c_de"),
         stopCount(toks, StopwordsFr).as("c_fr"),
         stopCount(toks, StopwordsEs).as("c_es"))
-      .withColumn("lang_pred",
-        when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
-             col("c_en") >= col("c_es"), "en")
-        .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
-        .when(col("c_fr") >= col("c_es"), "fr")
-        .otherwise("es"))
-      .select("doc_id", "lang_pred", "c_en", "c_de", "c_fr", "c_es")
+      .withColumn("lang_pred", langPred)
+      .select("doc_id", "lang_pred", "c_en", "c_de", "c_fr", "c_es", "c_zh")
   }
+
+  /** Confusion matrix of predicted vs labeled language over a documents
+    * table carrying a `lang` ground-truth column — the LID accuracy
+    * check a training pipeline gates ingestion on.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
 
   /** Quality scoring: length, stopword ratio, punctuation density, mean
     * token length (tika-eval ReplacementCharCounter/NonAsciiCharCounter
@@ -109,23 +141,26 @@ object TextOps {
     val toks = tokens(col("text"))
     docs.select(col("doc_id"),
         size(toks).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        cjkCount(col("text")).as("c_zh"),
+        zhCommonCount(col("text")).as("c_zh_common"),
         stopCount(toks, StopwordsEn).as("c_en"),
         stopCount(toks, StopwordsDe).as("c_de"),
         stopCount(toks, StopwordsFr).as("c_fr"),
         stopCount(toks, StopwordsEs).as("c_es"))
-      .withColumn("lang_pred",
-        when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
-             col("c_en") >= col("c_es"), "en")
-        .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
-        .when(col("c_fr") >= col("c_es"), "fr")
-        .otherwise("es"))
+      .withColumn("lang_pred", langPred)
       .withColumn("common_hits",
-        when(col("lang_pred") === "en", col("c_en"))
+        when(col("lang_pred") === "zh", col("c_zh_common"))
+        .when(col("lang_pred") === "en", col("c_en"))
         .when(col("lang_pred") === "de", col("c_de"))
         .when(col("lang_pred") === "fr", col("c_fr"))
         .otherwise(col("c_es")))
+      // zh OOV runs per CJK character (whitespace tokens are meaningless
+      // for unsegmented text); latin languages per token
       .withColumn("oov_rate", round(lit(1.0) -
-        col("common_hits").cast("double") / greatest(col("n_tokens"), lit(1)), 4))
+        col("common_hits").cast("double") /
+          greatest(when(col("lang_pred") === "zh", col("c_zh"))
+            .otherwise(col("n_tokens")), lit(1)), 4))
       .select("doc_id", "lang_pred", "n_tokens", "common_hits", "oov_rate")
   }
 

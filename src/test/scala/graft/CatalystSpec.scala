@@ -109,4 +109,32 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
   }
+
+  test("q04: dimension side broadcast, date filters pushed to the scans") {
+    val q = SparkEntry.queries("q04_shipping_priority")(spark, TestSpark.SfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // both date predicates reach the parquet scans as pushed filters
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(o_orderdate"),
+      plan)
+    assert(plan.contains("GreaterThan(l_shipdate"), plan)
+  }
+
+  test("q07: 6-table join keeps all three dimension joins broadcast") {
+    val q = SparkEntry.queries("q07_local_supplier_volume")(spark, TestSpark.SfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    val bc = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bc >= 3, s"expected >=3 broadcast joins, got $bc:\n$plan")
+    // the fact-side join keys shuffle at most twice (customer⋈orders,
+    // orders⋈lineitem); region/nation/supplier must NOT add exchanges
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 4, s"too many shuffles ($exchanges):\n$plan")
+  }
+
+  test("q06: pure scan+filter+agg — no hash-partition exchange at all") {
+    val q = SparkEntry.queries("q06_revenue_forecast")(spark, TestSpark.SfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("PushedFilters"), plan)
+  }
 }
