@@ -269,6 +269,24 @@ object SparkEntry {
         nClusters = 16, nprobe = 16)
         .select("query_id", "rank", "neighbor_id")
     }),
+    "q30_embedding_neardups" -> ((s, dir) =>
+      // exact all-pairs cosine baseline — oracle-checkable; the blocked
+      // scale path is q31 with measured recall
+      Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), threshold = 0.4)),
+    "q31_embedding_neardups_lsh" -> ((s, dir) => {
+      // LSH-bucketed candidates + exact verify, reported as measured
+      // pair-recall vs the exact baseline (never all-pairs at scale)
+      val e = tbl(s, dir, "embeddings")
+      val exact = Dedup.embeddingNearDups(e, threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+      val lsh = Dedup.embeddingNearDupsLsh(e, threshold = 0.4, dim = 64)
+        .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+      exact.join(lsh, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_found"))
+        .withColumn("recall",
+          round(col("n_found").cast("double") / greatest(col("n_exact"), lit(1)), 4))
+    }),
     "q28_ann_ivf_recall" -> ((s, dir) => {
       // The real approximate IVF operating point (nprobe=4 of 16),
       // reported as measured per-query recall vs exact.
@@ -565,6 +583,12 @@ object SparkEntry {
            FROM embeddings q, embeddings c
            WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
          WHERE rank <= 5""",
+    "q30_embedding_neardups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+             AS DOUBLE), 4) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
     // q26 probes ALL posting lists (nprobe = nClusters) → exhaustive,
     // equal to brute force by construction, so the IVF plumbing shares
     // q19's oracle.

@@ -78,6 +78,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicates, exact: all vector pairs with
+    * cosine ≥ threshold. O(n²) scoring — the correctness baseline the
+    * DuckDB oracle can replicate (`list_cosine_similarity`); the scale
+    * path is [[embeddingNearDupsLsh]], which blocks candidates through
+    * random-hyperplane buckets exactly like the ANN search path.
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    val cos = SimSearch.cosineCol(col("a.embedding"), col("b.embedding"))
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cos.as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  /** LSH-blocked embedding near-dup: candidates must share a signature
+    * band (SimSearch hyperplane buckets), then exact cosine verifies.
+    * Never all-pairs — the 100 TB path; recall < 1 by construction and
+    * is measured against [[embeddingNearDups]] in the contract query.
+    */
+  def embeddingNearDupsLsh(emb: DataFrame, threshold: Double, dim: Int,
+      nBits: Int = 16, bands: Int = 8): DataFrame = {
+    val rows = nBits / bands
+    val buckets = SimSearch.lshSignature(emb, dim, nBits)
+      .select(col("vec_id"),
+        explode(array((0 until bands).map(b =>
+          concat_ws(":", lit(b),
+            shiftrightunsigned(col("lsh_sig"), b * rows)
+              .bitwiseAND((1L << rows) - 1))): _*)).as("bucket"))
+    val candidates = buckets.as("x").join(buckets.as("y"), "bucket")
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val cos = SimSearch.cosineCol(col("ea.embedding"), col("eb.embedding"))
+    candidates
+      .join(emb.as("ea"), col("id_a") === col("ea.vec_id"))
+      .join(emb.as("eb"), col("id_b") === col("eb.vec_id"))
+      .select(col("id_a"), col("id_b"), cos.as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** MinHash signatures: k hash functions h_i(x) = xxhash64(x, seed=i),
     * signature_i = min over shingles. One groupBy, no joins.
     */

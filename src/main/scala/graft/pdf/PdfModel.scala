@@ -312,8 +312,16 @@ final class PdfDoc(data: Array[Byte]) {
   private var trailer: PDict = PDict(Map.empty)
   /** True when the doc was encrypted and opened with the empty password. */
   var wasDecrypted: Boolean = false
+  // declared BEFORE the constructor statements below: class-body vals
+  // initialize in order, and expandObjectStreams() inflates at
+  // construction time — a later declaration would still read 0 here
+  private val ZipBudget = 64 * 1024 * 1024
   parseAll()
   decryptIfNeeded()
+  // after decryption: ObjStm payloads are stream-encrypted as a whole,
+  // member strings carry no per-object encryption of their own (§7.5.7)
+  expandObjectStreams()
+  resolveTrailerFallback()
 
   /** Scan-based object table build: robust to broken xref (the reference
     * also rescans for incremental updates, PDFParser.java:299-349). We
@@ -386,12 +394,63 @@ final class PdfDoc(data: Array[Byte]) {
         } catch { case _: Exception => searchEnd = t }
       }
     }
+  }
+
+  /** xref-stream PDFs without a classic `trailer` keyword: find the
+    * catalog by type scan — runs AFTER ObjStm expansion so a catalog
+    * living inside a compressed object stream is still found.
+    */
+  private def resolveTrailerFallback(): Unit = {
     if (trailer.entries.isEmpty) {
-      // xref-stream PDFs: find the catalog by type scan
       objects.collectFirst {
         case (num, d: PDict) if d.get("Type").contains(PName("Catalog")) =>
           trailer = PDict(Map("Root" -> PRef(num, 0)))
       }
+    }
+  }
+
+  /** Compressed object streams (/Type /ObjStm, PDF 32000-1:2008 §7.5.7):
+    * decoded payload = N (objnum, offset) integer pairs then the objects
+    * themselves from /First. The reference reads these through PDFBox's
+    * xref-stream machinery; our scan finds the ObjStm containers and
+    * expands their members. Direct objects win over stream members (a
+    * direct object in a later incremental update supersedes).
+    */
+  private def expandObjectStreams(): Unit = {
+    val streams = objects.collect {
+      case (_, s @ PStream(d, _)) if d.get("Type").contains(PName("ObjStm")) => s
+    }.toVector
+    streams.foreach { s =>
+      try {
+        val data = decodeStream(s)
+        val n = resolve(s.dict.get("N").getOrElse(PNull)) match {
+          case PNum(v) => v.toInt; case _ => 0
+        }
+        val first = resolve(s.dict.get("First").getOrElse(PNull)) match {
+          case PNum(v) => v.toInt; case _ => 0
+        }
+        if (n > 0 && first > 0 && first <= data.length) {
+          val header = new PdfLexer(data)
+          val pairs = (0 until n).flatMap { _ =>
+            val numTok = header.readToken()
+            val offTok = header.readToken()
+            (numTok.toIntOption, offTok.toIntOption) match {
+              case (Some(num), Some(off)) => Some((num, off))
+              case _ => None
+            }
+          }
+          pairs.foreach { case (num, off) =>
+            if (!objects.contains(num) && first + off < data.length) {
+              val lex = new PdfLexer(data)
+              lex.pos = first + off
+              try {
+                objects(num) = lex.parseObject()
+                gens(num) = 0
+              } catch { case _: Exception => () }
+            }
+          }
+        }
+      } catch { case _: Exception => () }
     }
   }
 
@@ -545,8 +604,6 @@ final class PdfDoc(data: Array[Byte]) {
       case _: java.util.zip.DataFormatException => out.toByteArray
     } finally inf.end()
   }
-
-  private val ZipBudget = 64 * 1024 * 1024
 
   def objectCount: Int = objects.size
 }

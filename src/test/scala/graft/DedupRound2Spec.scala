@@ -125,6 +125,18 @@ class DedupRound2Spec extends AnyFunSuite {
     assert(rec >= 0.9, s"q20 mean recall $rec < 0.9 — retune bands")
   }
 
+  test("embedding-cosine near-dup: LSH candidates are a verified subset of exact") {
+    val e = spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+    val exact = Dedup.embeddingNearDups(e, threshold = 0.4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exact.nonEmpty, "no exact pairs at 0.4 — threshold vacuous")
+    val lsh = Dedup.embeddingNearDupsLsh(e, threshold = 0.4, dim = 64).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lsh.subsetOf(exact)) // exact verify means no false positives
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH pair recall $recall too low — retune bands")
+  }
+
   test("TopK aggregator matches the sort-based top-k") {
     val docs = docsTable
     val viaAgg = TopK.topTokens(docs, 50)

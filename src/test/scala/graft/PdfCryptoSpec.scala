@@ -69,6 +69,41 @@ class PdfCryptoSpec extends AnyFunSuite {
     assert(out.meta("pdf:annotation:uri").head == "http://example.com/ref")
   }
 
+  test("ObjStm: objects inside compressed object streams are expanded") {
+    // catalog/pages/page/font live INSIDE a FlateDecode'd /Type /ObjStm;
+    // only the content stream is a direct object (modern xref-stream
+    // layout). The scan alone would find no catalog.
+    val content = "BT\n/F1 12 Tf\n72 712 Td\n(Inside objstm text) Tj\nET\n"
+    val members = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"),
+      4 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    val bodies = members.map(_._2)
+    val offsets = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = members.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = (header + bodies.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val first = header.length
+    val deflated = Corpus.deflate(payload)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.6\n")
+    w(s"10 0 obj\n<< /Type /ObjStm /N ${members.size} /First $first " +
+      s"/Length ${deflated.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(deflated)
+    w("\nendstream\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    w("%%EOF\n") // no classic trailer: catalog must be found via ObjStm
+    val sink = new SpanSink(); val meta = new MetaSink
+    PdfExtractor.extract(out.toByteArray, sink, meta)
+    val text = sink.result().filter(_.kind == "text").map(_.text).mkString
+    assert(text.contains("Inside objstm text"), s"got: $text")
+  }
+
   test("corpus pdf rows incl. encrypted/featured variants extract cleanly") {
     val pdfIdx = (0L until 1000L).filter(i => Corpus.kindOf(i) == "pdf")
     val enc = pdfIdx.find(_ % 11 == 3).get
