@@ -76,6 +76,20 @@ object SparkEntry {
         .map(d => (d.doc_id, graft.ops.Projections.toRmetaJson(d)))
         .toDF("doc_id", "rmeta")
     }),
+    "x08_media_meta" -> ((s, dir) => {
+      // media metadata THROUGH the pipeline: width/height/duration/
+      // sample-rate/orientation parsed from payload bytes during
+      // extraction (MediaParser), surfaced as media:* metadata entries
+      import s.implicits._
+      Pipeline.extract(Corpus.docRows(s, 1000)).toDF()
+        .select(col("doc_id"), col("mime"), explode(col("meta")).as(Seq("k", "vs")))
+        .filter(col("k").startsWith("media:"))
+        .withColumn("field", element_at(split(col("k"), ":"), -1))
+        .groupBy("mime", "field")
+        .agg(count(lit(1)).as("n"),
+          min(element_at(col("vs"), 1).cast("long")).as("min_v"),
+          max(element_at(col("vs"), 1).cast("long")).as("max_v"))
+    }),
     "x06_unpack" -> ((s, dir) => {
       graft.engine.Unpack.unpack(Corpus.docRows(s, 1000)).select(
         col("doc_id"), col("id_path"), col("name"), col("mime"),
