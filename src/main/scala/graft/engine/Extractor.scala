@@ -197,16 +197,19 @@ object Extractor {
             // PackageParser.parseEntry (pkg/PackageParser.java:164-193):
             // each archive member becomes an embedded doc with an ordinal
             // id path; tar.gz arrives here through the gzip branch's
-            // inner re-detect
-            graft.pkgx.TarUtil.entries(bytes).foreach { e =>
-              if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
+            // inner re-detect. Budget exhaustion is RECORDED (like
+            // recurseZip) — a depth-capped tar must not read as a clean
+            // empty success.
+            if (depth >= cfg.maxDepth) sawUnsupported = true
+            else graft.pkgx.TarUtil.entries(bytes).foreach { e =>
+              if (embeddedCount < cfg.maxEmbedded) {
                 embeddedCount += 1
                 val childPath = s"$idPath/$embeddedCount"
                 meta.add("embedded:path", s"$childPath:${e.name}")
                 sink.embeddedOpen(childPath)
                 parseNode(e.data, childPath, Some(e.name), depth + 1)
                 sink.embeddedClose(childPath)
-              }
+              } else sawUnsupported = true
             }
           case MediaTypes.Gzip =>
             if (depth >= cfg.maxDepth || embeddedCount >= cfg.maxEmbedded)

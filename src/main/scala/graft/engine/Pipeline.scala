@@ -68,23 +68,39 @@ object Pipeline {
     */
   def run(spark: SparkSession, input: Dataset[DocRow], outDir: String,
       metricsDir: String, numPartitions: Int = 32,
-      cfg: Extractor.Config = Extractor.DefaultConfig): Unit = {
+      cfg: Extractor.Config = Extractor.DefaultConfig): Unit =
+    writeWithMetrics(spark,
+      extractWithPartitionId(
+        input.repartition(numPartitions, col("doc_id")), cfg),
+      outDir, metricsDir)
+
+  /** Write output + per-partition lineage. Each run lands in its own
+    * `run_id=<uuid>/` partition directory, so the lineage aggregation
+    * reads back ONLY this run's committed files — O(this run), never
+    * O(all data ever written) (the same scale bug fixed in BucketedRun's
+    * manifest this round), and it is exactly what the sink committed.
+    * (Aggregating a cached pre-write frame instead is unsound here: the
+    * append invalidates any cached plan that references outDir — e.g. a
+    * resume anti-join input — and the recompute re-lists the directory
+    * it just wrote to.) Readers of outDir get `run_id` back via
+    * partition discovery. Metrics are written only after the data write
+    * commits, so a failed run leaves no lineage row.
+    */
+  private def writeWithMetrics(spark: SparkSession,
+      extracted: DataFrame, outDir: String, metricsDir: String): Unit = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
     val runId = java.util.UUID.randomUUID().toString
-    val out = extractWithPartitionId(
-      input.repartition(numPartitions, col("doc_id")), cfg)
-      .withColumn("run_id", lit(runId))
-    out.write.mode("append").parquet(outDir)
+    extracted.withColumn("run_id", lit(runId))
+      .write.mode("append").partitionBy("run_id").parquet(outDir)
     val wall = System.currentTimeMillis() - t0
-    // lineage from the written table (exactly what the sink committed),
-    // scoped to THIS run — appended runs must not merge into one
-    // partition_id row or inherit the wrong wall_ms. mergeSchema handles
-    // resuming into an outDir written before run_id existed (legacy rows
-    // read run_id=null and drop out of the filter).
-    val metrics = spark.read.option("mergeSchema", "true").parquet(outDir)
-      .filter($"run_id" === runId)
-      .groupBy($"run_id", $"partition_id")
+    // an empty input (fully-resumed rerun) writes no rows and therefore
+    // no run directory — a no-op run adds no lineage row
+    val committed =
+      try spark.read.parquet(s"$outDir/run_id=$runId")
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    val metrics = committed
+      .groupBy($"partition_id")
       .agg(
         min($"doc_id").as("doc_id_min"), max($"doc_id").as("doc_id_max"),
         count(lit(1)).as("n_docs"), sum($"n_spans").as("n_spans"),
@@ -93,6 +109,7 @@ object Pipeline {
           .as("n_success"),
         sum(when($"status".startsWith("parse_success"), 0L).otherwise(1L))
           .as("n_failed"))
+      .withColumn("run_id", lit(runId))
       .withColumn("parser_version", lit(Model.ParserVersion))
       .withColumn("wall_ms", lit(wall))
     metrics.write.mode("append").parquet(metricsDir)
@@ -142,39 +159,27 @@ object Pipeline {
     */
   def runRanged(spark: SparkSession, input: Dataset[DocRow], outDir: String,
       metricsDir: String, numPartitions: Int = 32,
-      cfg: Extractor.Config = Extractor.DefaultConfig): Unit = {
-    import spark.implicits._
-    val t0 = System.currentTimeMillis()
-    val runId = java.util.UUID.randomUUID().toString
-    val out = extractWithPartitionId(
-      input.repartitionByRange(numPartitions, col("doc_id")), cfg)
-      .withColumn("run_id", lit(runId))
-    out.write.mode("append").parquet(outDir)
-    val wall = System.currentTimeMillis() - t0
-    val metrics = spark.read.option("mergeSchema", "true").parquet(outDir)
-      .filter($"run_id" === runId)
-      .groupBy($"run_id", $"partition_id")
-      .agg(
-        min($"doc_id").as("doc_id_min"), max($"doc_id").as("doc_id_max"),
-        count(lit(1)).as("n_docs"), sum($"n_spans").as("n_spans"),
-        sum($"n_chars").as("n_chars"),
-        sum(when($"status".startsWith("parse_success"), 1L).otherwise(0L))
-          .as("n_success"),
-        sum(when($"status".startsWith("parse_success"), 0L).otherwise(1L))
-          .as("n_failed"))
-      .withColumn("parser_version", lit(Model.ParserVersion))
-      .withColumn("wall_ms", lit(wall))
-    metrics.write.mode("append").parquet(metricsDir)
-  }
+      cfg: Extractor.Config = Extractor.DefaultConfig): Unit =
+    writeWithMetrics(spark,
+      extractWithPartitionId(
+        input.repartitionByRange(numPartitions, col("doc_id")), cfg),
+      outDir, metricsDir)
 
   /** Resume as a partition-prunable range predicate (the variant the
     * round-1 comment promised): committed (doc_id_min, doc_id_max)
     * intervals from the metrics table are merged on the driver (tiny —
     * one per committed partition) and compiled into a NOT-in-any-range
     * filter. No shuffle, no join; Parquet/Iceberg min-max stats prune
-    * whole input files. Correct when runs were written by [[runRanged]]
-    * (contiguous doc_id ranges per partition); O(done) work in
-    * [[resumeFilter]] drops to O(committed partitions).
+    * whole input files; O(done) work in [[resumeFilter]] drops to
+    * O(committed partitions).
+    *
+    * NOT a drop-in equivalent of the anti-join: a committed interval is
+    * treated as FULLY covered, so any doc_id that sorts inside
+    * [min, max] of a committed partition is skipped even if that exact
+    * id was never extracted. Correct for the append-only ingest layout
+    * this targets (monotone doc_id batches written by [[runRanged]]);
+    * for inputs with late-arriving/backfilled ids inside committed
+    * ranges, use [[resumeFilter]].
     */
   def resumeFilterByRange(input: Dataset[DocRow], metricsDir: String): Dataset[DocRow] = {
     val spark = input.sparkSession

@@ -84,8 +84,13 @@ object MappedXhtml {
   def serialize(html: String, mapper: HtmlMapper): String = {
     val out = new StringBuilder
     var discard = 0
-    // track which open elements were emitted, so end tags balance
-    val emitted = scala.collection.mutable.Stack[Option[String]]()
+    // open-element stack of (source name, emitted mapped name): end tags
+    // close BY NAME — sloppy HTML omits </li>/</p> and stray end tags
+    // must not close an unrelated element (that produced malformed
+    // XHTML from a serializer whose contract is strict output)
+    val open = scala.collection.mutable.Stack[(String, Option[String])]()
+    def closeTop(): Unit =
+      open.pop()._2.foreach(m => out.append("</").append(m).append('>'))
     HtmlTokenizer.tokenize(html).foreach {
       case StartTag(name, attrs, selfClosing) =>
         if (mapper.isDiscardElement(name)) {
@@ -101,17 +106,22 @@ object MappedXhtml {
             if (selfClosing || HtmlTables.Void.contains(name)) out.append("/>")
             else out.append('>')
           }
-          if (!selfClosing && !HtmlTables.Void.contains(name)) emitted.push(mapped)
+          if (!selfClosing && !HtmlTables.Void.contains(name))
+            open.push((name, mapped))
         }
       case EndTag(name) =>
         if (mapper.isDiscardElement(name)) { if (discard > 0) discard -= 1 }
-        else if (discard == 0 && !HtmlTables.Void.contains(name) &&
-                 emitted.nonEmpty) {
-          emitted.pop().foreach(m => out.append("</").append(m).append('>'))
+        else if (discard == 0 && !HtmlTables.Void.contains(name)) {
+          if (open.exists(_._1 == name)) {
+            // implicitly close unclosed children, then the element itself
+            while (open.top._1 != name) closeTop()
+            closeTop()
+          } // stray end tag with no matching open element: ignored
         }
       case TextRun(text) =>
         if (discard == 0) out.append(esc(text))
     }
+    while (open.nonEmpty) closeTop() // EOF closes what the input left open
     out.toString
   }
 }

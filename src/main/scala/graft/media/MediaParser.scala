@@ -100,18 +100,24 @@ object MediaParser {
     * offset of the TIFF header inside the APP1 payload.
     */
   private def exifOrientation(b: Array[Byte], tiff: Int, max: Int): Int = {
-    if (tiff + 8 > b.length) return 0
+    // the IFD walk is bounded by the APP1 segment, not the file — a
+    // truncated/crafted segment must not read tags out of scan data
+    val limit = math.min(b.length, tiff + math.max(max, 0))
+    if (tiff + 8 > limit) return 0
     val le = b(tiff) == 'I'
     def u16(o: Int) = if (le) le16(b, o) else be16(b, o)
     def u32(o: Int) = if (le) le32(b, o) else be32(b, o)
     val ifd = tiff + u32(tiff + 4).toInt
-    if (ifd + 2 > b.length) return 0
-    val n = u16(ifd)
+    if (ifd < tiff || ifd + 2 > limit) return 0
+    val n = math.min(u16(ifd), (limit - ifd - 2) / 12)
     var i = 0
     while (i < n) {
       val e = ifd + 2 + i * 12
-      if (e + 12 > b.length) return 0
-      if (u16(e) == 0x0112) return u16(e + 8)
+      if (e + 12 > limit) return 0
+      if (u16(e) == 0x0112) {
+        val v = u16(e + 8)
+        return if (v >= 1 && v <= 8) v else 0
+      }
       i += 1
     }
     0
@@ -132,19 +138,25 @@ object MediaParser {
     * duration.
     */
   private def parseWav(b: Array[Byte]): Option[Meta] = {
-    var p = 12
+    var p = 12L
     var channels, rate = 0
     var byteRate = 0L
     var dataLen = -1L
-    while (p + 8 <= b.length) {
-      val id = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val len = le32(b, p + 4)
-      if (id == "fmt " && p + 24 <= b.length) {
-        channels = le16(b, p + 10)
-        rate = le32(b, p + 12).toInt
-        byteRate = le32(b, p + 16)
+    var going = true
+    while (going && p + 8 <= b.length) {
+      val pi = p.toInt
+      val id = new String(b, pi, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = le32(b, pi + 4) // unsigned 32-bit as Long
+      if (id == "fmt " && pi + 24 <= b.length) {
+        channels = le16(b, pi + 10)
+        rate = le32(b, pi + 12).toInt
+        byteRate = le32(b, pi + 16)
       } else if (id == "data") dataLen = len
-      p += 8 + len.toInt + (len.toInt & 1)
+      // Long math + monotonic guard: a forged chunk length must never
+      // stall the walk (no sink call happens here, so the per-doc
+      // deadline would not fire on a spin)
+      val advance = 8L + len + (len & 1L)
+      if (advance <= 0) going = false else p += advance
     }
     if (rate == 0) return None
     val dur = if (byteRate > 0 && dataLen >= 0) dataLen * 1000 / byteRate else 0L
@@ -184,6 +196,9 @@ object MediaParser {
   /** MP4/ISOBMFF: box walk — mvhd gives timescale+duration, the first
     * video tkhd gives width/height (16.16 fixed point).
     */
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
   private def parseMp4(b: Array[Byte]): Option[Meta] = {
     var durMs = 0L
     var w, h = 0
@@ -194,15 +209,27 @@ object MediaParser {
         val size0 = be32(b, p.toInt)
         val typ = new String(b, p.toInt + 4, 4,
           java.nio.charset.StandardCharsets.US_ASCII)
-        val size = if (size0 == 1) return else if (size0 == 0) to - p else size0
-        if (size < 8 || p + size > to) return
+        // size0==1: 64-bit largesize follows (common for >4 GB mdat) —
+        // skip over it rather than aborting the walk; moov may follow
+        val size =
+          if (size0 == 1) { if (p + 16 <= to) be64(b, p.toInt + 8) else return }
+          else if (size0 == 0) to - p
+          else size0.toLong
+        val headerLen = if (size0 == 1) 16 else 8
+        if (size < headerLen || p + size > to) return
         typ match {
-          case "moov" | "trak" => walk(p + 8, p + size, depth + 1)
+          case "moov" | "trak" => walk(p + headerLen, p + size, depth + 1)
           case "mvhd" =>
             val v = b(p.toInt + 8) & 0xff
             if (v == 0 && p + 28 <= to) {
               val timescale = be32(b, p.toInt + 20)
               val duration = be32(b, p.toInt + 24)
+              if (timescale > 0) durMs = duration * 1000 / timescale
+            } else if (v == 1 && p + 40 <= to) {
+              // version 1: 64-bit ctime/mtime, 32-bit timescale @ +28,
+              // 64-bit duration @ +32
+              val timescale = be32(b, p.toInt + 28)
+              val duration = be64(b, p.toInt + 32)
               if (timescale > 0) durMs = duration * 1000 / timescale
             }
           case "tkhd" =>

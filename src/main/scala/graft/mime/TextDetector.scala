@@ -178,9 +178,12 @@ object EncodingDetector {
       i += 1
     }
     val half = n / 2
-    if (half > 4 && nulOdd > half * 2 / 5 && nulEven < half / 10)
+    // the "other parity is (near) NUL-free" bound must allow 0 for short
+    // inputs: half/10 is 0 below 20 bytes and `< 0` can never hold
+    val parityBound = math.max(half / 10, 1)
+    if (half > 4 && nulOdd > half * 2 / 5 && nulEven < parityBound)
       StandardCharsets.UTF_16LE
-    else if (half > 4 && nulEven > half * 2 / 5 && nulOdd < half / 10)
+    else if (half > 4 && nulEven > half * 2 / 5 && nulOdd < parityBound)
       StandardCharsets.UTF_16BE
     else if (validUtf8(data)) StandardCharsets.UTF_8
     else if (c1 > 0) Charset.forName("windows-1252")

@@ -41,32 +41,47 @@ object TarUtil {
     bytes.length >= 263 && bytes(257) == 'u' && bytes(258) == 's' &&
       bytes(259) == 't' && bytes(260) == 'a' && bytes(261) == 'r'
 
+  /** Total-extraction budget: like the zip path's bomb guard, a tar
+    * whose headers forge huge sizes must fail the DOCUMENT (caught as
+    * ZipBombDetected by the engine), not OOM the executor.
+    */
+  val MaxTotalBytes: Long = 256L * 1024 * 1024
+
   def entries(bytes: Array[Byte], maxEntries: Int = 10000): Vector[Entry] = {
     val out = Vector.newBuilder[Entry]
-    var p = 0
+    var p = 0L
     var pendingLongName: String = null
     var n = 0
+    var extracted = 0L
     while (p + BlockSize <= bytes.length && n < maxEntries) {
+      val pi = p.toInt
       // two consecutive zero blocks end the archive; one zero name ends too
-      if (bytes(p) == 0) return out.result()
-      val size = octal(bytes, p + 124, 12)
-      val typeflag = bytes(p + 156)
-      val dataBlocks = ((size + BlockSize - 1) / BlockSize).toInt
+      if (bytes(pi) == 0) return out.result()
+      val size = octal(bytes, pi + 124, 12)
+      val typeflag = bytes(pi + 156)
+      // Long math throughout: forged 8 GB sizes must advance the cursor
+      // past EOF, not overflow Int into a same-bytes re-read loop
+      val dataBlocks = (size + BlockSize - 1) / BlockSize
       val dataStart = p + BlockSize
-      val dataEnd = math.min(dataStart + size, bytes.length.toLong).toInt
+      val dataEnd = math.min(dataStart + size, bytes.length.toLong)
       typeflag match {
         case 'L' => // GNU long name: data is the next entry's name
-          pendingLongName = str(bytes, dataStart, dataEnd - dataStart)
+          pendingLongName = str(bytes, dataStart.toInt,
+            (dataEnd - dataStart).toInt)
         case '0' | 0 =>
           val name = {
-            val base = str(bytes, p, 100)
-            val prefix = str(bytes, p + 345, 155)
+            val base = str(bytes, pi, 100)
+            val prefix = str(bytes, pi + 345, 155)
             val full = if (prefix.nonEmpty) prefix + "/" + base else base
             if (pendingLongName != null) pendingLongName else full
           }
           pendingLongName = null
-          if (name.nonEmpty)
-            out += Entry(name, java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
+          if (name.nonEmpty) {
+            extracted += dataEnd - dataStart
+            if (extracted > MaxTotalBytes) throw new graft.engine.ZipBombDetected
+            out += Entry(name,
+              java.util.Arrays.copyOfRange(bytes, dataStart.toInt, dataEnd.toInt))
+          }
         case _ => // directories, links, pax headers: skip (data consumed below)
           pendingLongName = null
       }

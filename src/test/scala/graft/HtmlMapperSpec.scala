@@ -43,6 +43,22 @@ class HtmlMapperSpec extends AnyFunSuite {
     assert(out.contains("tracker();")) // nothing discarded
   }
 
+  test("end tags close by name: omitted/stray close tags stay balanced") {
+    // omitted </li> (valid HTML): EndTag(ul) must close the open li's
+    // and then ul itself — not pop an unrelated element
+    val out = MappedXhtml.serialize("<ul><li>a<li>b</ul>", DefaultMapper)
+    val opens = "<li>".r.findAllIn(out).length + "<ul>".r.findAllIn(out).length
+    val closes = "</li>".r.findAllIn(out).length + "</ul>".r.findAllIn(out).length
+    assert(opens == closes, out)
+    assert(out.endsWith("</ul>"), out)
+    // stray end tag with no matching open element is ignored
+    val stray = MappedXhtml.serialize("<p>x</div></p>", DefaultMapper)
+    assert(stray == "<p>x</p>", stray)
+    // EOF closes what the input left open
+    val eof = MappedXhtml.serialize("<p>unclosed", DefaultMapper)
+    assert(eof == "<p>unclosed</p>", eof)
+  }
+
   test("serializer escapes text and attribute values") {
     val out = MappedXhtml.serialize(
       """<p>a &lt; b &amp; c</p><a href="x?a=1&amp;b=2">t</a>""", DefaultMapper)

@@ -102,6 +102,26 @@ class MediaTarCharsetSpec extends AnyFunSuite {
     assert(EncodingDetector.decode(be) == "hello utf sixteen")
   }
 
+  test("review regressions: hostile containers terminate, short UTF-16 detects") {
+    // forged tar size (8 GB in the octal field): Long math must advance
+    // the cursor past EOF instead of overflowing into a re-read loop
+    val tar = TarUtil.write(Seq("a.txt" -> "x".getBytes("UTF-8")))
+    val forged = tar.clone()
+    val huge = "77777777777".getBytes("US-ASCII") // ~8G octal
+    System.arraycopy(huge, 0, forged, 124, huge.length)
+    val es = TarUtil.entries(forged)
+    assert(es.length <= 1) // clamped to EOF, one truncated entry at most
+    // WAV with a negative/overflowing chunk length must not spin forever
+    val wav = MediaCorpus.wav(new Random(3))
+    val badWav = wav.clone()
+    badWav(16) = 0xf8.toByte; badWav(17) = 0xff.toByte
+    badWav(18) = 0xff.toByte; badWav(19) = 0xff.toByte // fmt len = -8
+    MediaParser.parse(badWav) // returns (possibly None) — no hang
+    // BOM-less UTF-16 under 20 bytes (integer-division bound was 0)
+    assert(EncodingDetector.decode("hi utf".getBytes("UTF-16LE")) == "hi utf")
+    assert(EncodingDetector.decode("hi utf".getBytes("UTF-16BE")) == "hi utf")
+  }
+
   test("corpus text rows decode accents through the engine") {
     val textIdx = (0L until 1000L).filter(i => Corpus.kindOf(i) == "text")
     val latin = textIdx.find(_ % 4 == 1).get
