@@ -311,6 +311,22 @@ object SparkEntry {
         e, e.filter(col("vec_id") < 20), k = 5)
     }),
 
+    "q32_distinct_sketch" -> ((s, dir) => {
+      // HLL++ sketch vs exact distinct-token count with the relative
+      // error measured in-plan (tika-eval's unique-token stat at the
+      // scale where exact distinct is a full shuffle: the sketch is
+      // merge-only, one pass, no token shuffle). Deterministic — HLL
+      // register merges are order-independent — but engine-specific, so
+      // rows-only with the error as the checkable quantity.
+      val toks = tbl(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      toks.agg(countDistinct(col("token")).as("n_exact"),
+          approx_count_distinct(col("token"), 0.02).as("n_approx"))
+        .withColumn("rel_error",
+          round(abs(col("n_approx") - col("n_exact")).cast("double") /
+            greatest(col("n_exact"), lit(1)), 4))
+    }),
+
     // ---- projections / comparer / top-k
     "q22_topk_tokens" -> ((s, dir) => {
       TextOps.tokenCounts(tbl(s, dir, "documents"), minCount = 1)

@@ -137,6 +137,15 @@ class DedupRound2Spec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH pair recall $recall too low — retune bands")
   }
 
+  test("q32 sketch: HLL distinct-token estimate within the configured rsd") {
+    val out = SparkEntry.queries("q32_distinct_sketch")(spark, TestSpark.SfDir)
+      .collect().head
+    val exact = out.getAs[Long]("n_exact")
+    val err = out.getAs[Double]("rel_error")
+    assert(exact > 0)
+    assert(err <= 0.05, s"rel_error $err above tolerance") // rsd=0.02, 2.5x slack
+  }
+
   test("TopK aggregator matches the sort-based top-k") {
     val docs = docsTable
     val viaAgg = TopK.topTokens(docs, 50)
