@@ -85,6 +85,11 @@ object Pipeline {
     * it just wrote to.) Readers of outDir get `run_id` back via
     * partition discovery. Metrics are written only after the data write
     * commits, so a failed run leaves no lineage row.
+    *
+    * Layout note: outDir uses Hive-style `run_id=` directories from this
+    * version on; an outDir written by the flat pre-run_id layout cannot
+    * be appended to (Spark partition discovery rejects mixed depths,
+    * loudly) — resume into a fresh directory instead of mixing layouts.
     */
   private def writeWithMetrics(spark: SparkSession,
       extracted: DataFrame, outDir: String, metricsDir: String): Unit = {
@@ -95,10 +100,16 @@ object Pipeline {
       .write.mode("append").partitionBy("run_id").parquet(outDir)
     val wall = System.currentTimeMillis() - t0
     // an empty input (fully-resumed rerun) writes no rows and therefore
-    // no run directory — a no-op run adds no lineage row
+    // no run directory — a no-op run adds no lineage row. ONLY the
+    // missing-path case may be swallowed: any other failure must
+    // surface, or a committed run would silently lack its lineage row
+    // and later resumes would re-extract it.
     val committed =
       try spark.read.parquet(s"$outDir/run_id=$runId")
-      catch { case _: org.apache.spark.sql.AnalysisException => return }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") => return
+      }
     val metrics = committed
       .groupBy($"partition_id")
       .agg(

@@ -87,10 +87,18 @@ object MappedXhtml {
     // open-element stack of (source name, emitted mapped name): end tags
     // close BY NAME — sloppy HTML omits </li>/</p> and stray end tags
     // must not close an unrelated element (that produced malformed
-    // XHTML from a serializer whose contract is strict output)
+    // XHTML from a serializer whose contract is strict output).
+    // openCounts answers the is-this-name-open membership test in O(1);
+    // a per-end-tag stack scan would be O(n²) on hostile input with no
+    // sink call to trip the per-doc deadline.
     val open = scala.collection.mutable.Stack[(String, Option[String])]()
-    def closeTop(): Unit =
-      open.pop()._2.foreach(m => out.append("</").append(m).append('>'))
+    val openCounts = scala.collection.mutable.Map.empty[String, Int]
+    def closeTop(): Unit = {
+      val (nm, mapped) = open.pop()
+      val c = openCounts.getOrElse(nm, 1)
+      if (c <= 1) openCounts.remove(nm) else openCounts(nm) = c - 1
+      mapped.foreach(m => out.append("</").append(m).append('>'))
+    }
     HtmlTokenizer.tokenize(html).foreach {
       case StartTag(name, attrs, selfClosing) =>
         if (mapper.isDiscardElement(name)) {
@@ -106,13 +114,15 @@ object MappedXhtml {
             if (selfClosing || HtmlTables.Void.contains(name)) out.append("/>")
             else out.append('>')
           }
-          if (!selfClosing && !HtmlTables.Void.contains(name))
+          if (!selfClosing && !HtmlTables.Void.contains(name)) {
             open.push((name, mapped))
+            openCounts(name) = openCounts.getOrElse(name, 0) + 1
+          }
         }
       case EndTag(name) =>
         if (mapper.isDiscardElement(name)) { if (discard > 0) discard -= 1 }
         else if (discard == 0 && !HtmlTables.Void.contains(name)) {
-          if (open.exists(_._1 == name)) {
+          if (openCounts.contains(name)) {
             // implicitly close unclosed children, then the element itself
             while (open.top._1 != name) closeTop()
             closeTop()

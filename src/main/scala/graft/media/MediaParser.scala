@@ -216,7 +216,9 @@ object MediaParser {
           else if (size0 == 0) to - p
           else size0.toLong
         val headerLen = if (size0 == 1) 16 else 8
-        if (size < headerLen || p + size > to) return
+        // overflow-safe bound: `p + size > to` wraps negative for a
+        // crafted largesize near Long.MaxValue and would pass the check
+        if (size < headerLen || size > to - p) return
         typ match {
           case "moov" | "trak" => walk(p + headerLen, p + size, depth + 1)
           case "mvhd" =>

@@ -77,7 +77,10 @@ object TarUtil {
           }
           pendingLongName = null
           if (name.nonEmpty) {
-            extracted += dataEnd - dataStart
+            // budget the CLAIMED size, not the EOF-clamped copy: a tar
+            // forging absurd sizes is failed as hostile (like the zip
+            // guard) instead of silently yielding truncated members
+            extracted += size
             if (extracted > MaxTotalBytes) throw new graft.engine.ZipBombDetected
             out += Entry(name,
               java.util.Arrays.copyOfRange(bytes, dataStart.toInt, dataEnd.toInt))

@@ -103,7 +103,12 @@ object StreamingPipeline {
       ts.foreach { t =>
         cur match {
           case Some(s) if t - s.lastTs <= gapMs =>
-            cur = Some(s.copy(nEvents = s.nEvents + 1, lastTs = t))
+            // min/max, not assignment: events are only sorted WITHIN a
+            // batch — a late cross-batch event must never regress lastTs
+            // (negative durations) or it would fake a gap for the next
+            // on-time event
+            cur = Some(SessionState(s.nEvents + 1,
+              math.min(s.firstTs, t), math.max(s.lastTs, t)))
           case Some(s) => // gap exceeded: close and start fresh
             out += SessionOut(user, s.nEvents, new Timestamp(s.firstTs),
               new Timestamp(s.lastTs), s.lastTs - s.firstTs)

@@ -104,13 +104,13 @@ class MediaTarCharsetSpec extends AnyFunSuite {
 
   test("review regressions: hostile containers terminate, short UTF-16 detects") {
     // forged tar size (8 GB in the octal field): Long math must advance
-    // the cursor past EOF instead of overflowing into a re-read loop
+    // the cursor past EOF instead of overflowing into a re-read loop,
+    // and the claimed-size budget fails the document as hostile
     val tar = TarUtil.write(Seq("a.txt" -> "x".getBytes("UTF-8")))
     val forged = tar.clone()
     val huge = "77777777777".getBytes("US-ASCII") // ~8G octal
     System.arraycopy(huge, 0, forged, 124, huge.length)
-    val es = TarUtil.entries(forged)
-    assert(es.length <= 1) // clamped to EOF, one truncated entry at most
+    intercept[graft.engine.ZipBombDetected] { TarUtil.entries(forged) }
     // WAV with a negative/overflowing chunk length must not spin forever
     val wav = MediaCorpus.wav(new Random(3))
     val badWav = wav.clone()

@@ -88,4 +88,30 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(out2.map(_.n_events) == Vector(1L))
     assert(s2.isRemoved)
   }
+
+  test("sessionStep tolerates cross-batch out-of-order events") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    import graft.streaming.StreamingPipeline.SessionState
+    val step = StreamingPipeline.sessionStep(60 * 1000L) _
+    def st(prev: Option[SessionState]) = TestGroupState.create[SessionState](
+      prev.map(Optional.of[SessionState]).getOrElse(Optional.empty[SessionState]()),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]],
+      hasTimedOut = false)
+    // batch 1: event at 10:05; batch 2: LATE event at 10:04:30
+    val s0 = st(None)
+    step(1L, Iterator((1L, ts(5))), s0)
+    val s1 = st(Some(s0.get))
+    val late = step(1L, Iterator((1L, ts(4, 30))), s1).toVector
+    assert(late.isEmpty) // within gap: merged, no close
+    assert(s1.get.lastTs == ts(5).getTime)      // lastTs must NOT regress
+    assert(s1.get.firstTs == ts(4, 30).getTime) // firstTs extends back
+    // an on-time event 30s after the true last event stays in-session
+    val s2 = st(Some(s1.get))
+    val cont = step(1L, Iterator((1L, ts(5, 30))), s2).toVector
+    assert(cont.isEmpty)
+    assert(s2.get.nEvents == 3)
+  }
 }
