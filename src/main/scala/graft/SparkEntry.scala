@@ -311,6 +311,26 @@ object SparkEntry {
         e, e.filter(col("vec_id") < 20), k = 5)
     }),
 
+    "q33_minhash_quality" -> ((s, dir) => {
+      // MinHash-LSH measured against the exact n-gram Jaccard pairs at
+      // the same threshold: pair precision + recall in-plan, the same
+      // honesty pattern as q20/q28/q31 (q17's raw pair list is not
+      // SQL-oracle-able because the signature family is engine-side)
+      val docs = tbl(s, dir, "documents")
+      val exact = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5, maxDf = 5)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("in_exact"))
+      val lsh = Dedup.minhashLsh(docs, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("in_lsh"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(sum(coalesce(col("in_exact"), lit(0))).as("n_exact"),
+          sum(coalesce(col("in_lsh"), lit(0))).as("n_lsh"),
+          sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"))
+        .withColumn("recall",
+          round(col("n_both").cast("double") / greatest(col("n_exact"), lit(1)), 4))
+        .withColumn("precision",
+          round(col("n_both").cast("double") / greatest(col("n_lsh"), lit(1)), 4))
+    }),
     "q32_distinct_sketch" -> ((s, dir) => {
       // HLL++ sketch vs exact distinct-token count with the relative
       // error measured in-plan (tika-eval's unique-token stat at the

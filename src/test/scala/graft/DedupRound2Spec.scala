@@ -137,6 +137,14 @@ class DedupRound2Spec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH pair recall $recall too low — retune bands")
   }
 
+  test("q33: minhash-LSH pair recall/precision vs exact Jaccard stays high") {
+    val out = SparkEntry.queries("q33_minhash_quality")(spark, TestSpark.SfDir)
+      .collect().head
+    assert(out.getAs[Long]("n_exact") > 0)
+    assert(out.getAs[Double]("recall") >= 0.9, out.toString)
+    assert(out.getAs[Double]("precision") >= 0.9, out.toString)
+  }
+
   test("q32 sketch: HLL distinct-token estimate within the configured rsd") {
     val out = SparkEntry.queries("q32_distinct_sketch")(spark, TestSpark.SfDir)
       .collect().head
