@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   graft.Main <inputParquet> <outputDir> [mode] [metricsDir]
   *     mode ∈ spans (default) | text | xml | markdown | rmeta | unpack
+  *            | xhtml (safe-whitelist markup) | xhtml-identity
   * }}}
   *
   * Input: a (doc_id, spans) parquet table. Output: parquet in the chosen
@@ -80,6 +81,26 @@ object Main {
           case "rmeta" =>
             extracted.map(d => (d.doc_id, graft.ops.Projections.toRmetaJson(d)))
               .toDF("doc_id", "rmeta")
+          case "xhtml" | "xhtml-identity" =>
+            // mapped-markup projection over raw HTML payloads (HtmlMapper
+            // strategies: strict whitelist vs markup-preserving identity);
+            // non-HTML rows emit empty markup, mirroring the reference's
+            // body-only default for other types
+            val mapper: graft.html.HtmlMapper =
+              if (m == "xhtml") graft.html.DefaultMapper
+              else graft.html.IdentityMapper
+            rows.map { r =>
+              val html = r.spans.sortBy(_.offset).collectFirst {
+                case sp if sp.kind != graft.core.Span.KindMedia &&
+                  graft.mime.MimeRegistry.detect(
+                    graft.engine.Extractor.payloadBytes(sp), None) ==
+                    graft.mime.MediaTypes.Html =>
+                  graft.mime.EncodingDetector.decode(
+                    graft.engine.Extractor.payloadBytes(sp))
+              }
+              (r.doc_id,
+                html.map(graft.html.MappedXhtml.serialize(_, mapper)).getOrElse(""))
+            }.toDF("doc_id", "xhtml")
           case other =>
             throw new IllegalArgumentException(s"unknown mode: $other")
         }

@@ -47,6 +47,21 @@ class MainCliSpec extends AnyFunSuite {
     assert(out.columns.toSet.intersect(Set("doc_id", "name", "sha256")).size == 3)
   }
 
+  test("xhtml modes: whitelist strips, identity preserves") {
+    val dir = freshInput(120)
+    Main.run(Array(s"$dir/in", s"$dir/xh", "xhtml"), spark)
+    val safe = spark.read.parquet(s"$dir/xh")
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("xhtml")) > 0)
+    assert(safe.count() > 0)
+    val sample = safe.head.getAs[String]("xhtml")
+    assert(!sample.contains("<script") && !sample.contains("<style"))
+    Main.run(Array(s"$dir/in", s"$dir/xhi", "xhtml-identity"), spark)
+    val ident = spark.read.parquet(s"$dir/xhi")
+      .filter(org.apache.spark.sql.functions.col("xhtml").contains("<script"))
+    assert(ident.count() > 0) // identity mode keeps everything
+  }
+
   test("unknown mode raises") {
     val dir = freshInput(5)
     intercept[IllegalArgumentException] {
