@@ -22,7 +22,8 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.Main <inputParquet> <outputDir> [spans|text|xml|markdown|rmeta|unpack] [metricsDir]")
+        "usage: graft.Main <inputParquet> <outputDir> " +
+        "[spans|text|xml|markdown|rmeta|unpack|xhtml|xhtml-identity] [metricsDir]")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -83,24 +84,13 @@ object Main {
               .toDF("doc_id", "rmeta")
           case "xhtml" | "xhtml-identity" =>
             // mapped-markup projection over raw HTML payloads (HtmlMapper
-            // strategies: strict whitelist vs markup-preserving identity);
-            // non-HTML rows emit empty markup, mirroring the reference's
-            // body-only default for other types
+            // strategies: strict whitelist vs markup-preserving identity)
             val mapper: graft.html.HtmlMapper =
               if (m == "xhtml") graft.html.DefaultMapper
               else graft.html.IdentityMapper
-            rows.map { r =>
-              val html = r.spans.sortBy(_.offset).collectFirst {
-                case sp if sp.kind != graft.core.Span.KindMedia &&
-                  graft.mime.MimeRegistry.detect(
-                    graft.engine.Extractor.payloadBytes(sp), None) ==
-                    graft.mime.MediaTypes.Html =>
-                  graft.mime.EncodingDetector.decode(
-                    graft.engine.Extractor.payloadBytes(sp))
-              }
-              (r.doc_id,
-                html.map(graft.html.MappedXhtml.serialize(_, mapper)).getOrElse(""))
-            }.toDF("doc_id", "xhtml")
+            rows.map(r =>
+              (r.doc_id, graft.ops.Projections.toMappedXhtml(r.spans, mapper)))
+              .toDF("doc_id", "xhtml")
           case other =>
             throw new IllegalArgumentException(s"unknown mode: $other")
         }

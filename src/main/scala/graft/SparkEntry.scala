@@ -315,9 +315,12 @@ object SparkEntry {
       // MinHash-LSH measured against the exact n-gram Jaccard pairs at
       // the same threshold: pair precision + recall in-plan, the same
       // honesty pattern as q20/q28/q31 (q17's raw pair list is not
-      // SQL-oracle-able because the signature family is engine-side)
+      // SQL-oracle-able because the signature family is engine-side).
+      // The exact side runs UNCAPPED — MinHash estimates Jaccard over
+      // ALL shingles, so a df-capped baseline would book df-cap effects
+      // as LSH error.
       val docs = tbl(s, dir, "documents")
-      val exact = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5, maxDf = 5)
+      val exact = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), lit(1).as("in_exact"))
       val lsh = Dedup.minhashLsh(docs, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), lit(1).as("in_lsh"))

@@ -85,48 +85,49 @@ object Dedup {
     * random-hyperplane buckets exactly like the ANN search path.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
-    // Broadcast the full vector set (the exact baseline is only run at
-    // corpus sizes where all-pairs is feasible at all; 10^7 × 64 floats
-    // ≈ 2.5 GB is the practical ceiling — beyond that the LSH-blocked
-    // variant is the operator) and score pairs in a primitive loop: the
-    // higher-order-function cosine costs ~100× more per pair (lambda
-    // interpretation + per-element boxing) and made the all-pairs
-    // baseline the slowest query in the whole bench. Summation order is
-    // index 0..n left-to-right — bit-identical to the HOF fold and to
-    // the DuckDB oracle's accumulation.
+    // Collect + broadcast the vector set ONCE and fan the pair space out
+    // as index ranges (one table scan total; the previous HOF-cosine
+    // self-join cost ~100× more per pair from lambda interpretation and
+    // per-element boxing and was the slowest query in the bench). The
+    // exact baseline is only meaningful at corpus sizes where all-pairs
+    // is feasible at all — with JVM object overhead (~300 B/vector at
+    // dim 64) the practical driver ceiling is a few 10^6 vectors; past
+    // that [[embeddingNearDupsLsh]] is the operator. Null embeddings are
+    // dropped and only equal-dimension pairs score, matching the old
+    // plan's null-poisoned drops AND the DuckDB oracle (whose
+    // list_cosine_similarity rejects unequal lengths). Summation is
+    // index 0..n left-to-right — bit-identical to the HOF fold.
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val all = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
       .as[(Long, Array[Float])]
-    val all = vecs.collect().sortBy(_._1)
+      .collect().sortBy(_._1)
     val bcast = spark.sparkContext.broadcast(all)
-    vecs.mapPartitions { it =>
-      val ref = bcast.value
-      it.flatMap { case (id, v) =>
-        Iterator.range(0, ref.length).flatMap { j =>
-          val (jid, w) = ref(j)
-          if (jid <= id) None
-          else {
-            var dot, sa, sb = 0.0
-            var k = 0
-            val n = math.min(v.length, w.length)
-            while (k < n) {
-              val x = v(k).toDouble; val y = w(k).toDouble
-              dot += x * y; sa += x * x; sb += y * y
-              k += 1
+    val slices = math.max(1, math.min(all.length, 256))
+    spark.createDataset(
+      spark.sparkContext.range(0, all.length, numSlices = slices)
+        .flatMap { i0 =>
+          val ref = bcast.value
+          val i = i0.toInt
+          val (id, v) = ref(i)
+          Iterator.range(i + 1, ref.length).flatMap { j =>
+            val (jid, w) = ref(j)
+            if (v.length != w.length) None
+            else {
+              var dot, sa, sb = 0.0
+              var k = 0
+              while (k < v.length) {
+                val x = v(k).toDouble; val y = w(k).toDouble
+                dot += x * y; sa += x * x; sb += y * y
+                k += 1
+              }
+              val cos = dot / (math.sqrt(sa) * math.sqrt(sb))
+              if (cos >= threshold) Some((id, jid, cos)) else None
             }
-            // tails beyond the common length still count toward norms
-            // (zip_with pads with null→0 for dot; transform squares all)
-            var k2 = n
-            while (k2 < v.length) { val x = v(k2).toDouble; sa += x * x; k2 += 1 }
-            k2 = n
-            while (k2 < w.length) { val y = w(k2).toDouble; sb += y * y; k2 += 1 }
-            val cos = dot / (math.sqrt(sa) * math.sqrt(sb))
-            if (cos >= threshold) Some((id, jid, cos)) else None
           }
-        }
-      }
-    }.toDF("id_a", "id_b", "cos_raw")
+        })
+      .toDF("id_a", "id_b", "cos_raw")
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 

@@ -137,6 +137,22 @@ object Projections {
       extractUrls(text).as("urls"),
       extractStandards(text).as("standards"))
   }
+
+  /** Mapped-XHTML projection over a row's RAW payload spans: the first
+    * HTML payload serializes through the given HtmlMapper strategy
+    * (strict whitelist or markup-preserving identity — reference
+    * HtmlMapper/IdentityHtmlMapper); non-HTML rows yield "". Payload
+    * bytes decode exactly once per span.
+    */
+  def toMappedXhtml(spans: Seq[Span], mapper: graft.html.HtmlMapper): String =
+    spans.sortBy(_.offset).iterator
+      .filter(_.kind != Span.KindMedia)
+      .map(sp => graft.engine.Extractor.payloadBytes(sp))
+      .find(bytes => graft.mime.MimeRegistry.detect(bytes, None) ==
+        graft.mime.MediaTypes.Html)
+      .map(bytes => graft.html.MappedXhtml.serialize(
+        graft.mime.EncodingDetector.decode(bytes), mapper))
+      .getOrElse("")
 }
 
 /** tika-eval ExtractProfiler / ExtractComparer analogs — A/B comparison
