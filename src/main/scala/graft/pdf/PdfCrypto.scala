@@ -119,4 +119,34 @@ object PdfCrypto {
       (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
     java.util.Arrays.copyOf(md5(ext), math.min(fileKey.length + 5, 16))
   }
+
+  /** AES variant of Algorithm 1 (§7.6.2): the per-object MD5 additionally
+    * absorbs the "sAlT" constant.
+    */
+  def objectKeyAes(fileKey: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+    val ext = fileKey ++ Array(
+      (num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
+      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte,
+      0x73.toByte, 0x41.toByte, 0x6c.toByte, 0x54.toByte) // "sAlT"
+    java.util.Arrays.copyOf(md5(ext), math.min(fileKey.length + 5, 16))
+  }
+
+  /** AESV2 (/V 4) payload: 16-byte IV prefix + AES-128-CBC/PKCS#5. */
+  def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    if (data.length < 16) return Array.emptyByteArray
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(java.util.Arrays.copyOf(data, 16)))
+    c.doFinal(data, 16, data.length - 16)
+  }
+
+  /** Writer-side AESV2 encrypt (fixtures): explicit IV for determinism. */
+  def aesEncrypt(key: Array[Byte], iv: Array[Byte], plain: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ c.doFinal(plain)
+  }
 }

@@ -479,9 +479,23 @@ final class PdfDoc(data: Array[Byte]) {
       throw new PdfParseException(s"unsupported encryption filter ${name("Filter")}")
     val v = num("V", 0).toInt
     val r = num("R", 2).toInt
-    if (v != 1 && v != 2)
-      throw new PdfParseException(s"unsupported encryption V=$v (AES not in scope)")
-    val keyLen = if (v == 1) 5 else (num("Length", 40) / 8).toInt
+    // /V 4 delegates to a crypt filter; AESV2 (AES-128-CBC) is supported,
+    // V2-in-CF degenerates to RC4. V5/AESV3 (SHA-256 handler) stays a
+    // recorded failure.
+    val cfm: String =
+      if (v != 4) ""
+      else (for {
+        cf <- dict(enc.get("CF").getOrElse(PNull))
+        std <- dict(cf.get("StdCF").getOrElse(PNull))
+      } yield std.get("CFM").map(resolve) match {
+        case Some(PName(n)) => n
+        case _ => ""
+      }).getOrElse("")
+    val aes = cfm == "AESV2"
+    if (!(v == 1 || v == 2 || (v == 4 && (aes || cfm == "V2"))))
+      throw new PdfParseException(
+        s"unsupported encryption V=$v CFM=$cfm (AESV3/V5 not in scope)")
+    val keyLen = if (v == 1) 5 else (num("Length", 128) / 8).toInt
     val id0 = resolve(trailer.get("ID").getOrElse(PNull)) match {
       case PArr(items) => resolve(items.head) match {
         case PStr(b) => b; case _ => Array.emptyByteArray
@@ -493,17 +507,22 @@ final class PdfDoc(data: Array[Byte]) {
       throw new PdfParseException("encrypted with a non-empty password")
     val fileKey = PdfCrypto.fileKey(o, p, id0, r, keyLen)
 
+    def decryptBytes(key: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (aes) PdfCrypto.aesDecrypt(key, b) else PdfCrypto.rc4(key, b)
     def transform(obj: PdfObj, key: Array[Byte]): PdfObj = obj match {
-      case PStr(b) => PStr(PdfCrypto.rc4(key, b))
+      case PStr(b) => PStr(decryptBytes(key, b))
       case PStream(d, raw) =>
-        PStream(transform(d, key).asInstanceOf[PDict], PdfCrypto.rc4(key, raw))
+        PStream(transform(d, key).asInstanceOf[PDict], decryptBytes(key, raw))
       case PArr(items) => PArr(items.map(transform(_, key)))
       case PDict(e) => PDict(e.map { case (k2, v2) => k2 -> transform(v2, key) })
       case other => other
     }
     objects.keys.toVector.foreach { n =>
       if (n != encNum) {
-        val key = PdfCrypto.objectKey(fileKey, n, gens.getOrElse(n, 0))
+        val gen = gens.getOrElse(n, 0)
+        val key =
+          if (aes) PdfCrypto.objectKeyAes(fileKey, n, gen)
+          else PdfCrypto.objectKey(fileKey, n, gen)
         objects(n) = transform(objects(n), key)
       }
     }

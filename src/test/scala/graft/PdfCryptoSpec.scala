@@ -69,6 +69,48 @@ class PdfCryptoSpec extends AnyFunSuite {
     assert(out.meta("pdf:annotation:uri").head == "http://example.com/ref")
   }
 
+  test("AESV2 (/V 4 /R 4) PDF decrypts with the empty password") {
+    val content = "BT\n/F1 12 Tf\n72 712 Td\n(Aes secret payload line) Tj\nET\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val title = "Aes Title"
+    val rnd = new Random(31)
+    val id0 = Array.tabulate[Byte](16)(_ => rnd.nextInt(256).toByte)
+    val p = -44L
+    val o = PdfCrypto.computeO(Array.emptyByteArray, Array.emptyByteArray, 4, 16)
+    val key = PdfCrypto.fileKey(o, p, id0, 4, 16)
+    val u = PdfCrypto.computeU(key, id0, 4)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    val iv = Array.tabulate[Byte](16)(i => (i * 11 + 3).toByte)
+    val encContent = PdfCrypto.aesEncrypt(PdfCrypto.objectKeyAes(key, 5, 0), iv, content)
+    val encTitle = PdfCrypto.aesEncrypt(PdfCrypto.objectKeyAes(key, 6, 0), iv,
+      title.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.6\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${encContent.length} >>\nstream\n")
+    out.write(encContent)
+    w("\nendstream\nendobj\n")
+    w(s"6 0 obj\n<< /Title <${hex(encTitle)}> >>\nendobj\n")
+    w("7 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44 " +
+      "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O <${hex(o)}> /U <${hex(u)}> >>\nendobj\n")
+    w(s"trailer\n<< /Root 1 0 R /Info 6 0 R /Encrypt 7 0 R " +
+      s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
+    val sink = new SpanSink(); val meta = new MetaSink
+    PdfExtractor.extract(out.toByteArray, sink, meta)
+    val text = sink.result().filter(_.kind == "text").map(_.text).mkString
+    assert(text.contains("Aes secret payload line"), s"got: $text")
+    assert(meta.result()("dc:title") == Seq("Aes Title"))
+    assert(meta.result().contains("pdf:encrypted"))
+  }
+
   test("ObjStm: objects inside compressed object streams are expanded") {
     // catalog/pages/page/font live INSIDE a FlateDecode'd /Type /ObjStm;
     // only the content stream is a direct object (modern xref-stream
