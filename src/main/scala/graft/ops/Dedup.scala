@@ -245,35 +245,72 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
-  /** Hamming-ball near-dup pairs over simhash signatures, blocked on
-    * `maxHamming + 1` bit-chunks: by pigeonhole, two signatures within
-    * hamming distance `maxHamming` differ in at most `maxHamming` chunks,
-    * so they SHARE at least one of the `maxHamming + 1` chunks — recall
-    * is 1.0 at the configured radius by construction (round-1 verdict:
-    * the fixed 4×16-bit scheme silently lost pairs at distance 4–6).
-    * More chunks = wider radius but more candidate-join volume; the
-    * chunk count always tracks the requested radius.
+  /** Bit-chunk value columns: chunk c covers bits
+    * [c*64/n, (c+1)*64/n) of `sig` — widths differ by at most 1 bit.
     */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of [0,64)")
-    val nChunks = maxHamming + 1
-    // chunk c covers bits [c*64/n, (c+1)*64/n) — widths differ by <=1 bit
-    val chunkCols = (0 until nChunks).map { c =>
+  private def chunkVals(sig: org.apache.spark.sql.Column, nChunks: Int) =
+    (0 until nChunks).map { c =>
       val lo = c * 64 / nChunks
       val hi = (c + 1) * 64 / nChunks
       val width = hi - lo
       val mask = if (width >= 64) -1L else (1L << width) - 1L
-      concat_ws(":", lit(c),
-        shiftrightunsigned(col("simhash"), lo).bitwiseAND(mask))
+      shiftrightunsigned(sig, lo).bitwiseAND(mask)
     }
-    val sigs = simhash(docs).cache()
+
+  /** Candidate pairs over precomputed simhash signatures
+    * (`doc_id`, `simhash`), blocked by one of two pigeonhole schemes:
+    *
+    *  - `pairBlocking = false` — `maxHamming + 1` single chunks: two
+    *    signatures within distance d differ in at most d chunks, so they
+    *    share ≥ 1 of d+1 chunks. Recall 1.0, but chunk keys are only
+    *    64/(d+1) bits wide — at d=6 that is ~9 bits, so random
+    *    collisions alone give ~n²/512 candidate pairs (a quadratic
+    *    shuffle at corpus scale).
+    *  - `pairBlocking = true` (default) — Manku-style combination
+    *    blocking with `maxHamming + 2` chunks, keyed on ordered CHUNK
+    *    PAIRS: within distance d at least 2 of d+2 chunks are identical,
+    *    so some ordered pair of chunks matches. Recall is still 1.0 by
+    *    pigeonhole, but keys are ~2·64/(d+2) bits wide — at d=6 that is
+    *    C(8,2)=28 keys of ~16 bits, candidate volume ~n²·28/2³² instead
+    *    of n²/2⁹ (~8000× fewer random collisions for 4× the explode).
+    *    This is the 100 TB scale mode (public construction: Manku,
+    *    Jain & Sarma, WWW'07 — detecting near-duplicates for web
+    *    crawling).
+    */
+  def simhashCandidates(sigs: DataFrame, maxHamming: Int,
+      pairBlocking: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 63,
+      s"maxHamming=$maxHamming out of [0,63)")
+    val keyCols =
+      if (pairBlocking) {
+        val n = maxHamming + 2
+        val vs = chunkVals(col("simhash"), n)
+        for { i <- 0 until n; j <- (i + 1) until n }
+          yield concat_ws(":", lit(i), lit(j), vs(i), vs(j))
+      } else {
+        val n = maxHamming + 1
+        val vs = chunkVals(col("simhash"), n)
+        (0 until n).map(c => concat_ws(":", lit(c), vs(c)))
+      }
     val chunked = sigs.select(col("doc_id"), col("simhash"),
-      explode(array(chunkCols: _*)).as("chunk"))
+      explode(array(keyCols: _*)).as("chunk"))
     chunked.as("a").join(chunked.as("b"), "chunk")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
       .distinct()
+  }
+
+  /** Hamming-ball near-dup pairs over simhash signatures: pigeonhole-
+    * blocked candidates (see [[simhashCandidates]] — combination
+    * blocking by default, the scale-safe key scheme), then an exact
+    * `bit_count(xor)` verify. Recall at the configured radius is 1.0 by
+    * construction under either scheme.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      pairBlocking: Boolean = true): DataFrame = {
+    val sigs = simhash(docs).cache()
+    simhashCandidates(sigs, maxHamming, pairBlocking)
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
