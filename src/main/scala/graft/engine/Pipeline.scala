@@ -94,6 +94,20 @@ object Pipeline {
   private def writeWithMetrics(spark: SparkSession,
       extracted: DataFrame, outDir: String, metricsDir: String): Unit = {
     import spark.implicits._
+    // Legacy-layout guard: an outDir written by the flat pre-run_id
+    // layout (parquet files at the top level) cannot take a run_id=
+    // append — partition discovery would fail at READ time with an
+    // inscrutable mixed-depth error. Fail the write with an explicit
+    // migration message instead (see FIXTURES.md "Output layout").
+    val hPath = new org.apache.hadoop.fs.Path(outDir)
+    val hFs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hFs.exists(hPath) &&
+        hFs.listStatus(hPath).exists(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")))
+      throw new IllegalStateException(
+        s"outDir $outDir holds a legacy flat (pre-run_id) layout; " +
+          "write this run into a fresh directory — mixing layouts breaks " +
+          "partition discovery for every reader")
     val t0 = System.currentTimeMillis()
     val runId = java.util.UUID.randomUUID().toString
     extracted.withColumn("run_id", lit(runId))

@@ -2,11 +2,13 @@ package graft.pdf
 
 import java.security.MessageDigest
 
-/** PDF standard security handler (RC4, /R 2-3, /V 1-2) — the
-  * empty-user-password decrypt path the reference applies by default
-  * (tika-parsers .../pdf/PDFParser.java:176-188 passes "" to PDFBox;
-  * algorithms are PDF 32000-1:2008 §7.6.3). AES (/V 4-5) is out of
-  * scope and reported as an encrypted-unsupported parse failure.
+/** PDF standard security handler — the empty-user-password decrypt
+  * path the reference applies by default (tika-parsers
+  * .../pdf/PDFParser.java:176-188 passes "" to PDFBox; algorithms are
+  * PDF 32000-1:2008 §7.6.3). Supported: RC4 for /V 1-2 (/R 2-3) and
+  * AES-128-CBC for /V 4 crypt filters (/CFM AESV2, plus the V2-in-CF
+  * RC4 degenerate). Only /V 5 / AESV3 (the SHA-256 /R 6 handler)
+  * remains a recorded encrypted-unsupported parse failure.
   *
   * Used by both the reader (PdfDoc decrypt) and the corpus writer
   * (valid /O //U generation for empty-password fixtures).

@@ -463,7 +463,23 @@ final class PdfDoc(data: Array[Byte]) {
     * plaintext.
     */
   private def decryptIfNeeded(): Unit = {
-    val encRef = trailer.get("Encrypt").getOrElse(return)
+    // Classic PDFs carry /Encrypt in the `trailer` dict; xref-stream
+    // PDFs (PDF 1.5+, no trailer keyword — the common modern layout)
+    // carry it in the /Type /XRef stream dict. Mirror the
+    // resolveTrailerFallback catalog scan: adopt the xref dict's
+    // trailer-equivalent entries (/ID is required for key derivation,
+    // /Root for the catalog) so such files take the decrypt path instead
+    // of failing downstream with misleading inflate errors.
+    val encRef = trailer.get("Encrypt").orElse {
+      objects.values.collectFirst {
+        case PStream(d, _) if d.get("Type").contains(PName("XRef")) &&
+            d.get("Encrypt").isDefined =>
+          trailer = PDict(d.entries.filter { case (k, _) =>
+            k == "Encrypt" || k == "ID" || k == "Root" || k == "Info"
+          } ++ trailer.entries)
+          d.get("Encrypt").get
+      }
+    }.getOrElse(return)
     val encNum = encRef match { case PRef(n, _) => n; case _ => -1 }
     val enc = dict(encRef).getOrElse(return)
     def name(k: String) = resolve(enc.get(k).getOrElse(PNull)) match {
@@ -495,7 +511,11 @@ final class PdfDoc(data: Array[Byte]) {
     if (!(v == 1 || v == 2 || (v == 4 && (aes || cfm == "V2"))))
       throw new PdfParseException(
         s"unsupported encryption V=$v CFM=$cfm (AESV3/V5 not in scope)")
-    val keyLen = if (v == 1) 5 else (num("Length", 128) / 8).toInt
+    // /Length defaults to 40 bits (PDF 32000-1 §7.6.1, table 20); only
+    // /V 4 crypt-filter dictionaries conventionally default to 128.
+    val keyLen =
+      if (v == 1) 5
+      else (num("Length", if (v == 4) 128 else 40) / 8).toInt
     val id0 = resolve(trailer.get("ID").getOrElse(PNull)) match {
       case PArr(items) => resolve(items.head) match {
         case PStr(b) => b; case _ => Array.emptyByteArray
@@ -517,8 +537,13 @@ final class PdfDoc(data: Array[Byte]) {
       case PDict(e) => PDict(e.map { case (k2, v2) => k2 -> transform(v2, key) })
       case other => other
     }
+    def isXrefStream(o: PdfObj): Boolean = o match {
+      case PStream(d, _) => d.get("Type").contains(PName("XRef"))
+      case _ => false
+    }
     objects.keys.toVector.foreach { n =>
-      if (n != encNum) {
+      // the cross-reference stream is never encrypted (§7.5.8.2)
+      if (n != encNum && !isXrefStream(objects(n))) {
         val gen = gens.getOrElse(n, 0)
         val key =
           if (aes) PdfCrypto.objectKeyAes(fileKey, n, gen)

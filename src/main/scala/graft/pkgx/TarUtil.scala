@@ -16,18 +16,45 @@ object TarUtil {
 
   private val BlockSize = 512
 
-  /** Parse the octal number fields (NUL/space padded). */
+  /** Malformed numeric header field — fails the DOCUMENT (a bogus size
+    * silently misaligns every subsequent entry otherwise).
+    */
+  final class TarMalformed(msg: String) extends RuntimeException(msg)
+
+  /** Parse a numeric header field: octal (NUL/space padded) or GNU
+    * base-256 (0x80 flag in the first byte, big-endian binary). Garbage
+    * fields throw [[TarMalformed]] instead of accumulating stray octal
+    * digits into a bogus length.
+    */
   private def octal(b: Array[Byte], off: Int, len: Int): Long = {
-    var v = 0L
-    var i = off
     val end = off + len
+    if ((b(off) & 0x80) != 0) {
+      // GNU base-256: value bits start in the flag byte itself
+      var v = (b(off) & 0x7fL)
+      var i = off + 1
+      while (i < end) {
+        if (v > (Long.MaxValue >> 8))
+          throw new TarMalformed("base-256 field exceeds 63 bits")
+        v = (v << 8) | (b(i) & 0xffL)
+        i += 1
+      }
+      return v
+    }
+    var i = off
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    var v = 0L
+    var digits = 0
+    while (i < end && b(i) >= '0' && b(i) <= '7') {
+      v = (v << 3) + (b(i) - '0'); digits += 1; i += 1
+    }
+    // after the digit run only padding may follow; a field with stray
+    // non-octal bytes (or digits after garbage) is a malformed header
     while (i < end) {
-      val c = b(i)
-      if (c >= '0' && c <= '7') v = (v << 3) + (c - '0')
-      else if (v > 0) return v // stop at first non-digit after digits
+      if (b(i) != ' ' && b(i) != 0)
+        throw new TarMalformed(s"non-octal byte 0x${(b(i) & 0xff).toHexString} in numeric field")
       i += 1
     }
-    v
+    v // all-padding fields (digits == 0) read as 0 — some writers leave mode empty
   }
 
   private def str(b: Array[Byte], off: Int, len: Int): String = {
