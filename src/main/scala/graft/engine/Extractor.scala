@@ -211,6 +211,48 @@ object Extractor {
                 sink.embeddedClose(childPath)
               } else sawUnsupported = true
             }
+          case m if m == graft.mime.MimeDb.Warc =>
+            // WARCParser.java:57 semantics: each `response` record is an
+            // embedded document carrying its WARC headers (warc:) and
+            // HTTP response head (warc:http:, warc:http:status) as
+            // metadata, keyed by the ordinal id path; warcinfo and other
+            // record types are skipped. .warc.gz reaches here via the
+            // gzip branch's inner re-detect.
+            if (depth >= cfg.maxDepth) sawUnsupported = true
+            else graft.warc.WarcExtractor.records(bytes).foreach { rec =>
+              if (rec.warcType == "response" && rec.body.nonEmpty) {
+                if (embeddedCount < cfg.maxEmbedded) {
+                  embeddedCount += 1
+                  val childPath = s"$idPath/$embeddedCount"
+                  val uri = rec.targetUri.getOrElse("")
+                  if (uri.nonEmpty) meta.add("embedded:path", s"$childPath:$uri")
+                  rec.headers.foreach { case (k, v) =>
+                    meta.add(s"warc:$childPath:$k", v)
+                  }
+                  val isHttp = rec.header("Content-Type")
+                    .exists(_.startsWith("application/http"))
+                  val payload = (if (isHttp) graft.warc.WarcExtractor
+                      .parseHttpHead(rec.body) else None) match {
+                    case Some(h) =>
+                      meta.add(s"warc:http:$childPath:status", h.status.toString)
+                      if (h.reason.nonEmpty)
+                        meta.add(s"warc:http:$childPath:status:reason", h.reason)
+                      h.headers.foreach { case (k, v) =>
+                        meta.add(s"warc:http:$childPath:$k", v)
+                      }
+                      java.util.Arrays.copyOfRange(rec.body, h.payloadOffset,
+                        rec.body.length)
+                    case None => rec.body
+                  }
+                  val nameHint = Some(uri).filter(_.nonEmpty)
+                    .map(u => u.substring(u.lastIndexOf('/') + 1))
+                    .filter(_.nonEmpty)
+                  sink.embeddedOpen(childPath)
+                  parseNode(payload, childPath, nameHint, depth + 1)
+                  sink.embeddedClose(childPath)
+                } else sawUnsupported = true
+              }
+            }
           case MediaTypes.Gzip =>
             if (depth >= cfg.maxDepth || embeddedCount >= cfg.maxEmbedded)
               sawUnsupported = true

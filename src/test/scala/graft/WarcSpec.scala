@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.core.{DocRow, Span, Status}
+import graft.corpus.Corpus
+import graft.engine.Extractor
+import graft.warc.WarcExtractor
+
+/** WARC web-archive parsing (round-3 verdict item #3): record framing,
+  * response recursion with warc:/warc:http: metadata, warc.gz via the
+  * gzip branch, and hostile-input behavior.
+  */
+class WarcSpec extends AnyFunSuite {
+
+  private def sampleWarc: Array[Byte] = WarcExtractor.write(Seq(
+    ("http://example.com/page.html", "text/html",
+      "<html><head><title>Warc Page</title></head><body><p>warc body text</p></body></html>"
+        .getBytes(UTF_8)),
+    ("http://example.com/notes.txt", "text/plain",
+      "plain warc member text".getBytes(UTF_8))))
+
+  test("record framing: warcinfo + responses round-trip the writer") {
+    val recs = WarcExtractor.records(sampleWarc)
+    assert(recs.map(_.warcType) == Vector("warcinfo", "response", "response"))
+    assert(recs(1).targetUri.contains("http://example.com/page.html"))
+    val http = WarcExtractor.parseHttpHead(recs(1).body).get
+    assert(http.status == 200 && http.reason == "OK")
+    assert(new String(recs(1).body, http.payloadOffset,
+      recs(1).body.length - http.payloadOffset, UTF_8).startsWith("<html>"))
+  }
+
+  test("response records recurse as embedded docs with warc metadata") {
+    val out = Extractor.extract(DocRow("w1",
+      Seq(Span("bytes", Corpus.b64(sampleWarc), null, 0))))
+    assert(out.mime == "application/warc")
+    assert(out.status == Status.ParseSuccess)
+    // two response members, ordinal id paths; warcinfo skipped
+    assert(out.spans.count(_.kind == "embedded-open") == 2)
+    assert(out.spans.exists(s => s.kind == "embedded-open" && s.media_ref == "/1"))
+    val text = out.spans.filter(_.kind == "text").map(_.text).mkString("\n")
+    assert(text.contains("warc body text"))
+    assert(text.contains("plain warc member text"))
+    assert(out.meta("embedded:path").contains("/1:http://example.com/page.html"))
+    assert(out.meta("warc:/1:WARC-Target-URI") ==
+      Seq("http://example.com/page.html"))
+    assert(out.meta("warc:http:/1:status") == Seq("200"))
+    assert(out.meta("warc:http:/1:Content-Type") == Seq("text/html"))
+    // html member parsed as html: title metadata from the embedded doc
+    assert(out.meta.get("title").exists(_.contains("Warc Page")), out.meta.keys)
+  }
+
+  test("warc.gz recurses through the gzip branch (inner re-detect)") {
+    val gz = Corpus.gzipBytes(sampleWarc)
+    val out = Extractor.extract(DocRow("w2",
+      Seq(Span("bytes", Corpus.b64(gz), null, 0))))
+    assert(out.mime == "application/gzip")
+    assert(out.status == Status.ParseSuccess)
+    assert(out.meta("embedded:/1") == Seq("application/warc"))
+    // members nest one level deeper: /1/2, /1/3 (gzip child is /1)
+    assert(out.spans.exists(s => s.kind == "embedded-open" && s.media_ref == "/1/2"))
+    val text = out.spans.filter(_.kind == "text").map(_.text).mkString("\n")
+    assert(text.contains("warc body text"))
+  }
+
+  test("renamed bytes still detect as warc via the WARC/ magic") {
+    assert(graft.mime.MimeRegistry.detect(sampleWarc, None) == "application/warc")
+  }
+
+  test("hostile input: garbage throws, trailing garbage after records tolerated") {
+    intercept[WarcExtractor.WarcMalformed] {
+      WarcExtractor.records("HTTP/1.1 200 OK\r\n\r\n".getBytes(UTF_8))
+    }
+    val withTrailer = sampleWarc ++ "not a warc record\r\n".getBytes(UTF_8)
+    assert(WarcExtractor.records(withTrailer).length == 3)
+    // truncated final record: body clamped to EOF, no crash
+    val truncated = java.util.Arrays.copyOfRange(sampleWarc, 0, sampleWarc.length - 40)
+    val recs = WarcExtractor.records(truncated)
+    assert(recs.length == 3)
+    // bad Content-Length fails the document as a recorded exception
+    val bad = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: zzz\r\n\r\n"
+      .getBytes(UTF_8)
+    val out = Extractor.extract(DocRow("w3",
+      Seq(Span("bytes", Corpus.b64(bad), null, 0))))
+    assert(out.status == Status.ParseException)
+  }
+
+  test("non-http response body is the payload as-is") {
+    val body = "raw resource bytes".getBytes(UTF_8)
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://example.com/raw.txt\r\n" +
+      "Content-Type: text/plain\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body ++
+      "\r\n\r\n".getBytes(UTF_8)
+    val out = Extractor.extract(DocRow("w4",
+      Seq(Span("bytes", Corpus.b64(rec), null, 0))))
+    assert(out.status == Status.ParseSuccess)
+    val text = out.spans.filter(_.kind == "text").map(_.text).mkString
+    assert(text.contains("raw resource bytes"))
+  }
+}
