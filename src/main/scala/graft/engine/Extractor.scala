@@ -264,6 +264,20 @@ object Extractor {
               parseNode(inner, childPath, None, depth + 1)
               sink.embeddedClose(childPath)
             }
+          case m if m == graft.mime.MimeDb.Bzip2 =>
+            // CompressorParser analog (pkg/CompressorStreamFactory route):
+            // from-scratch bzip2 decode, then inner re-detect — .tar.bz2
+            // recurses exactly like .tar.gz (graft.pkgx.Bzip2)
+            if (depth >= cfg.maxDepth || embeddedCount >= cfg.maxEmbedded)
+              sawUnsupported = true
+            else {
+              val inner = graft.pkgx.Bzip2.decompress(bytes)
+              embeddedCount += 1
+              val childPath = s"$idPath/$embeddedCount"
+              sink.embeddedOpen(childPath)
+              parseNode(inner, childPath, None, depth + 1)
+              sink.embeddedClose(childPath)
+            }
           case m if MediaMimes.contains(m) =>
             // image/audio/video payloads: metadata-only extraction, like
             // the reference's JpegParser/Mp3Parser/MP4Parser (SURVEY
