@@ -5,10 +5,10 @@ import java.security.MessageDigest
 /** PDF standard security handler — the empty-user-password decrypt
   * path the reference applies by default (tika-parsers
   * .../pdf/PDFParser.java:176-188 passes "" to PDFBox; algorithms are
-  * PDF 32000-1:2008 §7.6.3). Supported: RC4 for /V 1-2 (/R 2-3) and
-  * AES-128-CBC for /V 4 crypt filters (/CFM AESV2, plus the V2-in-CF
-  * RC4 degenerate). Only /V 5 / AESV3 (the SHA-256 /R 6 handler)
-  * remains a recorded encrypted-unsupported parse failure.
+  * PDF 32000-1:2008 §7.6.3 and ISO 32000-2 §7.6.4). Supported: RC4 for
+  * /V 1-2 (/R 2-3), AES-128-CBC for /V 4 crypt filters (/CFM AESV2,
+  * plus the V2-in-CF RC4 degenerate), and AES-256-CBC for /V 5
+  * (/CFM AESV3, /R 5-6 via the Algorithm 2.B iterated SHA-2 hash).
   *
   * Used by both the reader (PdfDoc decrypt) and the corpus writer
   * (valid /O //U generation for empty-password fixtures).
@@ -150,5 +150,114 @@ object PdfCrypto {
       new javax.crypto.spec.SecretKeySpec(key, "AES"),
       new javax.crypto.spec.IvParameterSpec(iv))
     iv ++ c.doFinal(plain)
+  }
+
+  // ==== AES-256 / R6 (ISO 32000-2 §7.6.4, the AESV3 handler) ===========
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def aesCbcRaw(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+           else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Algorithm 2.B: the iterated R6 password hash. `udata` is empty for
+    * the user-password case and the 48-byte /U for the owner case.
+    */
+  def hash2B(pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256", pwd, salt, udata)
+    var i = 0
+    var done = false
+    var e = Array.emptyByteArray
+    while (!done) {
+      val unit = pwd ++ k ++ udata
+      val k1 = new Array[Byte](unit.length * 64)
+      var j = 0
+      while (j < 64) {
+        System.arraycopy(unit, 0, k1, j * unit.length, unit.length)
+        j += 1
+      }
+      e = aesCbcRaw(encrypt = true,
+        java.util.Arrays.copyOfRange(k, 0, 16),
+        java.util.Arrays.copyOfRange(k, 16, 32), k1)
+      var mod = 0
+      j = 0
+      while (j < 16) { mod += e(j) & 0xff; j += 1 }
+      k = (mod % 3) match {
+        case 0 => sha("SHA-256", e)
+        case 1 => sha("SHA-384", e)
+        case 2 => sha("SHA-512", e)
+      }
+      i += 1
+      if (i >= 64 && (e(e.length - 1) & 0xff) <= i - 32) done = true
+    }
+    java.util.Arrays.copyOf(k, 32)
+  }
+
+  /** R6 empty-user-password check: /U = hash(32) || validation salt(8)
+    * || key salt(8); valid when hash2B(pwd, vsalt, "") matches. R5 (the
+    * deprecated AESV3 revision) uses a single SHA-256 instead.
+    */
+  def emptyPasswordWorksR6(u: Array[Byte], r: Int): Boolean = {
+    if (u.length < 48) return false
+    val vsalt = java.util.Arrays.copyOfRange(u, 32, 40)
+    val mine =
+      if (r == 5) sha("SHA-256", Array.emptyByteArray, vsalt)
+      else hash2B(Array.emptyByteArray, vsalt, Array.emptyByteArray)
+    java.util.Arrays.equals(mine,
+      java.util.Arrays.copyOfRange(u, 0, 32))
+  }
+
+  /** R6 file key from /U + /UE with the empty user password: the
+    * intermediate key (hash over the key salt) AES-CBC-decrypts /UE with
+    * a zero IV.
+    */
+  def fileKeyR6(u: Array[Byte], ue: Array[Byte], r: Int): Array[Byte] = {
+    val ksalt = java.util.Arrays.copyOfRange(u, 40, 48)
+    val ik =
+      if (r == 5) sha("SHA-256", Array.emptyByteArray, ksalt)
+      else hash2B(Array.emptyByteArray, ksalt, Array.emptyByteArray)
+    aesCbcRaw(encrypt = false, ik, new Array[Byte](16),
+      java.util.Arrays.copyOf(ue, 32))
+  }
+
+  /** Fixture writer: (/U, /UE, /O, /OE, /Perms) for an empty user and
+    * owner password around the given 32-byte file key. Salts are caller-
+    * supplied for determinism.
+    */
+  def computeR6Entries(fileKey: Array[Byte], salts: Array[Byte], p: Long)
+      : (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    require(salts.length >= 32, "need 32 salt bytes")
+    val uvs = java.util.Arrays.copyOfRange(salts, 0, 8)
+    val uks = java.util.Arrays.copyOfRange(salts, 8, 16)
+    val ovs = java.util.Arrays.copyOfRange(salts, 16, 24)
+    val oks = java.util.Arrays.copyOfRange(salts, 24, 32)
+    val empty = Array.emptyByteArray
+    val u = hash2B(empty, uvs, empty) ++ uvs ++ uks
+    val ue = aesCbcRaw(encrypt = true, hash2B(empty, uks, empty),
+      new Array[Byte](16), fileKey)
+    val o = hash2B(empty, ovs, u) ++ ovs ++ oks
+    val oe = aesCbcRaw(encrypt = true, hash2B(empty, oks, u),
+      new Array[Byte](16), fileKey)
+    val perms = new Array[Byte](16)
+    var i = 0
+    while (i < 4) { perms(i) = ((p >> (8 * i)) & 0xff).toByte; i += 1 }
+    perms(4) = 0xff.toByte; perms(5) = 0xff.toByte
+    perms(6) = 0xff.toByte; perms(7) = 0xff.toByte
+    perms(8) = 'T'; perms(9) = 'a'; perms(10) = 'd'; perms(11) = 'b'
+    val ecb = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    ecb.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+    (u, ue, o, oe, ecb.doFinal(perms))
   }
 }

@@ -495,11 +495,11 @@ final class PdfDoc(data: Array[Byte]) {
       throw new PdfParseException(s"unsupported encryption filter ${name("Filter")}")
     val v = num("V", 0).toInt
     val r = num("R", 2).toInt
-    // /V 4 delegates to a crypt filter; AESV2 (AES-128-CBC) is supported,
-    // V2-in-CF degenerates to RC4. V5/AESV3 (SHA-256 handler) stays a
-    // recorded failure.
+    // /V 4-5 delegate to a crypt filter: AESV2 (AES-128-CBC) and AESV3
+    // (AES-256, the R5/R6 SHA-2 handler, ISO 32000-2 §7.6.4) are
+    // supported; V2-in-CF degenerates to RC4.
     val cfm: String =
-      if (v != 4) ""
+      if (v != 4 && v != 5) ""
       else (for {
         cf <- dict(enc.get("CF").getOrElse(PNull))
         std <- dict(cf.get("StdCF").getOrElse(PNull))
@@ -507,10 +507,10 @@ final class PdfDoc(data: Array[Byte]) {
         case Some(PName(n)) => n
         case _ => ""
       }).getOrElse("")
-    val aes = cfm == "AESV2"
-    if (!(v == 1 || v == 2 || (v == 4 && (aes || cfm == "V2"))))
-      throw new PdfParseException(
-        s"unsupported encryption V=$v CFM=$cfm (AESV3/V5 not in scope)")
+    val aes256 = v == 5 && cfm == "AESV3" && (r == 5 || r == 6)
+    val aes = cfm == "AESV2" || aes256
+    if (!(v == 1 || v == 2 || (v == 4 && (aes || cfm == "V2")) || aes256))
+      throw new PdfParseException(s"unsupported encryption V=$v R=$r CFM=$cfm")
     // /Length defaults to 40 bits (PDF 32000-1 §7.6.1, table 20); only
     // /V 4 crypt-filter dictionaries conventionally default to 128.
     val keyLen =
@@ -523,9 +523,16 @@ final class PdfDoc(data: Array[Byte]) {
       case _ => Array.emptyByteArray
     }
     val o = str("O"); val u = str("U"); val p = num("P", -1)
-    if (!PdfCrypto.emptyPasswordWorks(o, u, p, id0, r, keyLen))
-      throw new PdfParseException("encrypted with a non-empty password")
-    val fileKey = PdfCrypto.fileKey(o, p, id0, r, keyLen)
+    val fileKey: Array[Byte] =
+      if (aes256) {
+        if (!PdfCrypto.emptyPasswordWorksR6(u, r))
+          throw new PdfParseException("encrypted with a non-empty password")
+        PdfCrypto.fileKeyR6(u, str("UE"), r)
+      } else {
+        if (!PdfCrypto.emptyPasswordWorks(o, u, p, id0, r, keyLen))
+          throw new PdfParseException("encrypted with a non-empty password")
+        PdfCrypto.fileKey(o, p, id0, r, keyLen)
+      }
 
     def decryptBytes(key: Array[Byte], b: Array[Byte]): Array[Byte] =
       if (aes) PdfCrypto.aesDecrypt(key, b) else PdfCrypto.rc4(key, b)
@@ -545,8 +552,10 @@ final class PdfDoc(data: Array[Byte]) {
       // the cross-reference stream is never encrypted (§7.5.8.2)
       if (n != encNum && !isXrefStream(objects(n))) {
         val gen = gens.getOrElse(n, 0)
+        // V5 uses the file key for every object; V1-4 derive per-object
         val key =
-          if (aes) PdfCrypto.objectKeyAes(fileKey, n, gen)
+          if (aes256) fileKey
+          else if (aes) PdfCrypto.objectKeyAes(fileKey, n, gen)
           else PdfCrypto.objectKey(fileKey, n, gen)
         objects(n) = transform(objects(n), key)
       }

@@ -111,6 +111,61 @@ class PdfCryptoSpec extends AnyFunSuite {
     assert(meta.result().contains("pdf:encrypted"))
   }
 
+  test("AES-256 (/V 5 /R 6 AESV3) PDF decrypts with the empty password") {
+    // hash2B was additionally validated against a real Adobe-produced
+    // R6 file's /U hash (reference testUnicodePassword.pdf, non-empty
+    // password) in round-3 dev — the iterated SHA-2 schedule is
+    // spec-exact, not merely self-consistent.
+    val rnd = new Random(51)
+    val fileKey = Array.tabulate[Byte](32)(_ => rnd.nextInt(256).toByte)
+    val salts = Array.tabulate[Byte](32)(_ => rnd.nextInt(256).toByte)
+    val p = -44L
+    val (u, ue, o, oe, perms) = PdfCrypto.computeR6Entries(fileKey, salts, p)
+    assert(PdfCrypto.emptyPasswordWorksR6(u, 6))
+    assert(PdfCrypto.fileKeyR6(u, ue, 6).toSeq == fileKey.toSeq)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    val iv = Array.tabulate[Byte](16)(i => (i * 7 + 1).toByte)
+    val content = "BT\n/F1 12 Tf\n72 712 Td\n(Aes256 secret r6 line) Tj\nET\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val encContent = PdfCrypto.aesEncrypt(fileKey, iv, content)
+    val encTitle = PdfCrypto.aesEncrypt(fileKey, iv,
+      "R6 Title".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-2.0\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${encContent.length} >>\nstream\n")
+    out.write(encContent)
+    w("\nendstream\nendobj\n")
+    w(s"6 0 obj\n<< /Title <${hex(encTitle)}> >>\nendobj\n")
+    w("7 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O <${hex(o)}> /U <${hex(u)}> /OE <${hex(oe)}> /UE <${hex(ue)}> " +
+      s"/Perms <${hex(perms)}> >>\nendobj\n")
+    w("trailer\n<< /Root 1 0 R /Info 6 0 R /Encrypt 7 0 R >>\n%%EOF\n")
+    val sink = new SpanSink(); val meta = new MetaSink
+    PdfExtractor.extract(out.toByteArray, sink, meta)
+    val text = sink.result().filter(_.kind == "text").map(_.text).mkString
+    assert(text.contains("Aes256 secret r6 line"), s"got: $text")
+    assert(meta.result()("dc:title") == Seq("R6 Title"))
+    assert(meta.result().contains("pdf:encrypted"))
+  }
+
+  test("R6 with a corrupted /U hash fails as non-empty-password") {
+    val rnd = new Random(52)
+    val fileKey = Array.tabulate[Byte](32)(_ => rnd.nextInt(256).toByte)
+    val salts = Array.tabulate[Byte](32)(_ => rnd.nextInt(256).toByte)
+    val (u, _, _, _, _) = PdfCrypto.computeR6Entries(fileKey, salts, -44L)
+    u(0) = (u(0) ^ 1).toByte
+    assert(!PdfCrypto.emptyPasswordWorksR6(u, 6))
+  }
+
   test("ObjStm: objects inside compressed object streams are expanded") {
     // catalog/pages/page/font live INSIDE a FlateDecode'd /Type /ObjStm;
     // only the content stream is a direct object (modern xref-stream
