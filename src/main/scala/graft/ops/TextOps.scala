@@ -18,44 +18,15 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), " "), t => t =!= "")
 
-  /** Stopword lists for the n-gram-free language-ID heuristic (public
-    * high-frequency function words; reference analog:
-    * tika-langdetect / tika-eval LanguageIDWrapper).
+  /** English stopword list for the quality gate's stop_ratio (public
+    * high-frequency function words); language ID itself uses the
+    * [[LangProfiles]] n-gram models via [[LangScorer]].
     */
   val StopwordsEn: Seq[String] = Seq("the", "and", "of", "to", "a", "in",
     "is", "that", "it", "for", "on", "with", "as", "was", "at", "by")
-  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist",
-    "von", "zu", "mit", "den", "nicht", "ein", "eine", "auf", "für")
-  val StopwordsFr: Seq[String] = Seq("le", "la", "les", "de", "des", "et",
-    "est", "un", "une", "dans", "que", "pour", "sur", "avec")
-  val StopwordsEs: Seq[String] = Seq("el", "la", "los", "las", "de", "y",
-    "es", "un", "una", "en", "que", "por", "con", "para")
 
   private def stopCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
-
-  /** CJK ideograph count — whitespace tokenization is meaningless for
-    * Chinese, so zh detection runs at the character level: a document
-    * whose CJK fraction exceeds 5% of its characters is zh. The common-
-    * token analog for zh counts high-frequency function characters.
-    */
-  private val CjkRange = "[\\x{4e00}-\\x{9fff}]"
-  private val ZhCommonChars = "[的了是在和不有我他这]"
-  private def cjkCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, CjkRange, ""))
-  private def zhCommonCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, ZhCommonChars, ""))
-
-  /** Shared lang_pred expression: char-level zh rule first, then
-    * stopword-hit voting over {en,de,fr,es} with deterministic tie-break.
-    */
-  private def langPred: Column =
-    when(col("c_zh") > greatest(col("n_chars"), lit(1)) * 0.05, "zh")
-      .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
-            col("c_en") >= col("c_es"), "en")
-      .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
-      .when(col("c_fr") >= col("c_es"), "fr")
-      .otherwise("es")
 
   /** Per-doc token/char statistics (BasicTokenCountStatsCalculator +
     * ContentLengthCalculator analogs).
@@ -79,23 +50,35 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
 
-  /** Language ID: char-level CJK rule for zh, then stopword-hit voting
-    * over {en,de,fr,es} with deterministic tie-break by that order.
-    * (n-gram-histogram LID would need model weights; stopword voting is
-    * the standard cheap heuristic — reference analog tika-langdetect /
-    * LanguageIDWrapper.)
+  /** Language ID over 32 languages: multinomial scoring of char
+    * trigrams against the [[LangProfiles]] frequency profiles
+    * (reference analog: tika-langdetect-optimaize
+    * OptimaizeLangDetector.java's n-gram language models — same
+    * algorithmic shape, profiles derived from the reference's public
+    * per-language token-frequency data).
+    *
+    * cost(doc, lang) = Σ_gram cost(gram|lang) + unseen·cost0(lang),
+    * all INTEGER arithmetic (quantized -1000·ln p), so the DuckDB
+    * oracle reproduces the scores bit-for-bit in any aggregation
+    * order; prediction = argmin with ascending-code tie-break.
+    *
+    * Scale: one pass, no shuffle — the profile table is a per-executor
+    * constant (6.4k grams); each partition scores locally. The 100 TB
+    * cost is the scan itself.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(col("doc_id"),
-        length(col("text")).as("n_chars"),
-        cjkCount(col("text")).as("c_zh"),
-        stopCount(toks, StopwordsEn).as("c_en"),
-        stopCount(toks, StopwordsDe).as("c_de"),
-        stopCount(toks, StopwordsFr).as("c_fr"),
-        stopCount(toks, StopwordsEs).as("c_es"))
-      .withColumn("lang_pred", langPred)
-      .select("doc_id", "lang_pred", "c_en", "c_de", "c_fr", "c_es", "c_zh")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("string").as("doc_id_str"), col("text"))
+      .as[(String, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (pred, nGrams, best) = LangScorer.score(text)
+        (id, pred, nGrams, best)
+      })
+      .toDF("doc_id_str", "lang_pred", "n_grams", "cost_best")
+      .withColumn("doc_id",
+        col("doc_id_str").cast(docs.schema("doc_id").dataType))
+      .select("doc_id", "lang_pred", "n_grams", "cost_best")
   }
 
   /** Confusion matrix of predicted vs labeled language over a documents
@@ -135,32 +118,43 @@ object TextOps {
 
   /** CommonTokens OOV rate (tika-eval CommonTokens: % of tokens NOT in
     * the language's common-words list), evaluated against the PREDICTED
-    * language's stopword list.
+    * language's top-200 common-word list (32 languages,
+    * [[LangProfiles.CommonWords]]). zh keeps the char-level path —
+    * whitespace tokens are meaningless for unsegmented text, so zh OOV
+    * runs per CJK character against the common-function-character set.
     */
   def commonTokens(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(col("doc_id"),
-        size(toks).as("n_tokens"),
-        length(col("text")).as("n_chars"),
-        cjkCount(col("text")).as("c_zh"),
-        zhCommonCount(col("text")).as("c_zh_common"),
-        stopCount(toks, StopwordsEn).as("c_en"),
-        stopCount(toks, StopwordsDe).as("c_de"),
-        stopCount(toks, StopwordsFr).as("c_fr"),
-        stopCount(toks, StopwordsEs).as("c_es"))
-      .withColumn("lang_pred", langPred)
-      .withColumn("common_hits",
-        when(col("lang_pred") === "zh", col("c_zh_common"))
-        .when(col("lang_pred") === "en", col("c_en"))
-        .when(col("lang_pred") === "de", col("c_de"))
-        .when(col("lang_pred") === "fr", col("c_fr"))
-        .otherwise(col("c_es")))
-      // zh OOV runs per CJK character (whitespace tokens are meaningless
-      // for unsegmented text); latin languages per token
-      .withColumn("oov_rate", round(lit(1.0) -
-        col("common_hits").cast("double") /
-          greatest(when(col("lang_pred") === "zh", col("c_zh"))
-            .otherwise(col("n_tokens")), lit(1)), 4))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("string").as("doc_id_str"), col("text"))
+      .as[(String, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (pred, _, _) = LangScorer.score(text)
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split(' ')
+          .filter(_.nonEmpty)
+        val nTokens = toks.length
+        val (hits, denom) =
+          if (pred == "zh") {
+            var cjk = 0; var common = 0
+            var i = 0
+            while (i < text.length) {
+              val c = text.charAt(i)
+              if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+              if ("的了是在和不有我他这".indexOf(c) >= 0) common += 1
+              i += 1
+            }
+            (common, cjk)
+          } else {
+            val words = LangProfiles.CommonWords(pred)
+            (toks.count(words.contains), nTokens)
+          }
+        val oov = BigDecimal(1.0 - hits.toDouble / math.max(denom, 1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, pred, nTokens, hits, oov)
+      })
+      .toDF("doc_id_str", "lang_pred", "n_tokens", "common_hits", "oov_rate")
+      .withColumn("doc_id",
+        col("doc_id_str").cast(docs.schema("doc_id").dataType))
       .select("doc_id", "lang_pred", "n_tokens", "common_hits", "oov_rate")
   }
 
@@ -172,4 +166,126 @@ object TextOps {
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
         .as("profile_sig"),
       md5(col("text")).as("exact_sig"))
+}
+
+/** Partition-local language scorer over [[LangProfiles]], mirroring
+  * the reference's two-stage detector architecture (tika-langdetect
+  * charsoup's script routing + optimaize's n-gram models):
+  *
+  *  1. Script routing — scripts that identify a language outright
+  *     (Kana→ja, Hangul→ko, Thai→th, Hebrew→he, Greek→el,
+  *     Devanagari→hi, Han without Kana→zh) classify directly at ≥ 5%
+  *     of code points; unsegmented scripts have no usable space-token
+  *     n-grams, so this is the correct path, not a shortcut.
+  *  2. Within-script n-gram scoring — Latin / Cyrillic / Arabic script
+  *     groups argmin the integer trigram cost over the group's
+  *     languages (tokenize, pad, slide code-point trigrams).
+  *
+  * All decisions are integer arithmetic, so the DuckDB oracle
+  * reproduces them bit-for-bit. Static per-JVM; ~5k-entry hash index.
+  */
+object LangScorer {
+
+  val GramLangs: Array[String] =
+    LangProfiles.Langs.filterNot(LangProfiles.ScriptDirect).toArray
+  private val cost0: Array[Long] = GramLangs.map(LangProfiles.Cost0(_).toLong)
+  private val groupOf: Array[String] = GramLangs.map(LangProfiles.Groups(_))
+
+  /** gram -> packed (langIdx << 32 | cost) entries. */
+  private val index: java.util.HashMap[String, Array[Long]] = {
+    val m = new java.util.HashMap[String, Array[Long]]()
+    var li = 0
+    while (li < GramLangs.length) {
+      LangProfiles.Profiles(GramLangs(li)).foreach { case (g, c) =>
+        val prev = m.get(g)
+        val packed = (li.toLong << 32) | c.toLong
+        m.put(g, if (prev == null) Array(packed) else prev :+ packed)
+      }
+      li += 1
+    }
+    m
+  }
+
+  private def in(cp: Int, lo: Int, hi: Int): Boolean = cp >= lo && cp <= hi
+
+  /** Returns (lang_pred, n_grams, best_cost); best_cost = -1 for
+    * script-direct classifications. Gram ties break to the
+    * lexicographically smallest code (GramLangs is sorted).
+    */
+  def score(text: String): (String, Int, Long) = {
+    // script census over code points (DuckDB length/regexp parity)
+    var ncp = 0
+    var han = 0; var kana = 0; var hangul = 0; var thai = 0
+    var hebrew = 0; var greek = 0; var deva = 0; var arab = 0; var cyr = 0
+    var ci = 0
+    while (ci < text.length) {
+      val cp = text.codePointAt(ci)
+      ncp += 1
+      if (in(cp, 0x4e00, 0x9fff)) han += 1
+      else if (in(cp, 0x3040, 0x30ff)) kana += 1
+      else if (in(cp, 0xac00, 0xd7af)) hangul += 1
+      else if (in(cp, 0x0e00, 0x0e7f)) thai += 1
+      else if (in(cp, 0x0590, 0x05ff)) hebrew += 1
+      else if (in(cp, 0x0370, 0x03ff)) greek += 1
+      else if (in(cp, 0x0900, 0x097f)) deva += 1
+      else if (in(cp, 0x0600, 0x06ff)) arab += 1
+      else if (in(cp, 0x0400, 0x04ff)) cyr += 1
+      ci += Character.charCount(cp)
+    }
+    val n = GramLangs.length
+    val matchedCost = new Array[Long](n)
+    val matchedTf = new Array[Long](n)
+    var total = 0L
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split(' ')
+    var ti = 0
+    while (ti < toks.length) {
+      val t = toks(ti)
+      if (t.nonEmpty) {
+        val padded = " " + t + " "
+        val cps = padded.codePoints().toArray
+        var i = 0
+        while (i + 2 < cps.length) {
+          total += 1
+          val hits = index.get(new String(cps, i, 3))
+          if (hits != null) {
+            var h = 0
+            while (h < hits.length) {
+              val li = (hits(h) >>> 32).toInt
+              matchedCost(li) += hits(h) & 0xffffffffL
+              matchedTf(li) += 1
+              h += 1
+            }
+          }
+          i += 1
+        }
+      }
+      ti += 1
+    }
+    val m = math.max(ncp, 1)
+    val direct =
+      if (kana * 20 >= m) "ja"
+      else if (hangul * 20 >= m) "ko"
+      else if (thai * 20 >= m) "th"
+      else if (hebrew * 20 >= m) "he"
+      else if (greek * 20 >= m) "el"
+      else if (deva * 20 >= m) "hi"
+      else if (han * 20 >= m) "zh"
+      else null
+    if (direct != null) return (direct, total.toInt, -1L)
+    val grp =
+      if (arab * 20 >= m) "arab"
+      else if (cyr * 20 >= m) "cyr"
+      else "latin"
+    var best = -1
+    var bestCost = Long.MaxValue
+    var li = 0
+    while (li < n) {
+      if (groupOf(li) == grp) {
+        val c = matchedCost(li) + (total - matchedTf(li)) * cost0(li)
+        if (c < bestCost) { bestCost = c; best = li }
+      }
+      li += 1
+    }
+    (GramLangs(best), total.toInt, bestCost)
+  }
 }
