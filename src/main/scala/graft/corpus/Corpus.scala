@@ -58,7 +58,8 @@ object Corpus {
     */
   def kindOf(index: Long): String = {
     val m = ((index % 1000) * 379 % 1000).toInt
-    if (m < 370) "html"
+    if (m < 360) "html"
+    else if (m < 370) "warc"
     else if (m < 460) "docx"
     else if (m < 485) "xlsx"
     else if (m < 510) "pptx"
@@ -82,7 +83,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 11
+  val Version = 12
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -116,6 +117,20 @@ object Corpus {
       case "zip" =>
         val bytes = if (isBombShaped(index)) bombZip(r) else zipDoc(r)
         Seq(Span("zip", b64(bytes), null, 0))
+      case "warc" =>
+        // web-archive rows: 2-3 response records (html + text members);
+        // every other row ships gzip-wrapped (.warc.gz path)
+        val responses = (1 to 2 + r.nextInt(2)).map { i =>
+          if (r.nextInt(3) == 0)
+            (s"http://corpus.example/$id/notes$i.txt", "text/plain",
+              paragraph(r, 3).getBytes(StandardCharsets.UTF_8))
+          else
+            (s"http://corpus.example/$id/page$i.html", "text/html",
+              htmlFragment(r).getBytes(StandardCharsets.UTF_8))
+        }
+        val warcBytes = graft.warc.WarcExtractor.write(responses)
+        val payload = if (index % 2 == 0) warcBytes else gzipBytes(warcBytes)
+        Seq(Span("bytes", b64(payload), null, 0))
       case "text" => Seq(Span("text", b64(textDoc(r, index)), null, 0))
       case "xml" => Seq(Span("xml", xmlDoc(r), null, 0))
       case "tar" =>
@@ -127,8 +142,12 @@ object Corpus {
           }
         }
         val tarBytes = graft.pkgx.TarUtil.write(entries)
-        // every other tar row ships gzip-wrapped (tar.gz recursion path)
-        val payload = if (index % 2 == 0) tarBytes else gzipBytes(tarBytes)
+        // rotate the wrapper: plain tar / tar.gz / tar.bz2 recursion paths
+        val payload = (index % 3) match {
+          case 0 => tarBytes
+          case 1 => gzipBytes(tarBytes)
+          case _ => graft.pkgx.Bzip2.compress(tarBytes)
+        }
         Seq(Span("bytes", b64(payload), null, 0))
       case "media" =>
         // real container payloads (metadata-recoverable) in 7 of 8 rows;
@@ -245,11 +264,37 @@ $paras
     }.mkString + "</w:tbl>"
     val link = s"""<w:p><w:hyperlink r:id="rId4"><w:r><w:t>link text</w:t></w:r>""" +
       "</w:hyperlink></w:p>"
+    // numbered + bulleted list block (round-3: list numbering per
+    // OOXMLTikaBodyPartHandler.writeParagraphNumber)
+    val listItems = (1 to 2 + r.nextInt(2)).map { _ =>
+      s"""<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="1"/></w:numPr></w:pPr>""" +
+      s"""<w:r><w:t>${xmlEscape(sentence(r, 3 + r.nextInt(3)))}</w:t></w:r></w:p>"""
+    }.mkString
+    val nested =
+      s"""<w:p><w:pPr><w:numPr><w:ilvl w:val="1"/><w:numId w:val="1"/></w:numPr></w:pPr>""" +
+      s"""<w:r><w:t>${xmlEscape(sentence(r, 3))}</w:t></w:r></w:p>"""
+    val bullets =
+      s"""<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="2"/></w:numPr></w:pPr>""" +
+      s"""<w:r><w:t>${xmlEscape(sentence(r, 3))}</w:t></w:r></w:p>"""
+    val listBlock = listItems + nested + bullets
     val documentXml =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-<w:body>$paras$tabPara$table$link</w:body>
+<w:body>$paras$tabPara$table$link$listBlock</w:body>
 </w:document>"""
+    val numberingXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<w:numbering xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+      """<w:abstractNum w:abstractNumId="0">""" +
+      """<w:lvl w:ilvl="0"><w:start w:val="1"/><w:numFmt w:val="decimal"/><w:lvlText w:val="%1."/></w:lvl>""" +
+      """<w:lvl w:ilvl="1"><w:start w:val="1"/><w:numFmt w:val="lowerLetter"/><w:lvlText w:val="%1.%2."/></w:lvl>""" +
+      """</w:abstractNum>""" +
+      """<w:abstractNum w:abstractNumId="1">""" +
+      """<w:lvl w:ilvl="0"><w:start w:val="1"/><w:numFmt w:val="bullet"/><w:lvlText w:val="·"/></w:lvl>""" +
+      """</w:abstractNum>""" +
+      """<w:num w:numId="1"><w:abstractNumId w:val="0"/></w:num>""" +
+      """<w:num w:numId="2"><w:abstractNumId w:val="1"/></w:num>""" +
+      """</w:numbering>"""
     val contentTypes =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
@@ -295,6 +340,7 @@ $paras
       "[Content_Types].xml" -> contentTypes.getBytes(StandardCharsets.UTF_8),
       "_rels/.rels" -> rootRels.getBytes(StandardCharsets.UTF_8),
       "word/document.xml" -> documentXml.getBytes(StandardCharsets.UTF_8),
+      "word/numbering.xml" -> numberingXml.getBytes(StandardCharsets.UTF_8),
       "word/_rels/document.xml.rels" -> docRels.getBytes(StandardCharsets.UTF_8),
       "docProps/core.xml" -> core.getBytes(StandardCharsets.UTF_8)
     ) ++ aux)
@@ -316,12 +362,24 @@ $paras
       val c1 = s"""<c r="A$ri" t="s"><v>${r.nextInt(nShared)}</v></c>"""
       val c2 = s"""<c r="B$ri"><v>${r.nextInt(10000)}</v></c>"""
       val c3 = s"""<c r="C$ri" t="inlineStr"><is><t>${Words(r.nextInt(Words.length))}</t></is></c>"""
-      s"""<row r="$ri">$c1$c2$c3</row>"""
+      // styled cells (round-3: DataFormatter semantics) — a date serial
+      // (custom yyyy-mm-dd), a 2-decimal grouped number, a percent
+      val serial = 40000 + r.nextInt(8000)
+      val c4 = s"""<c r="D$ri" s="1"><v>$serial</v></c>"""
+      val c5 = s"""<c r="E$ri" s="2"><v>${r.nextInt(100000)}.${r.nextInt(1000)}</v></c>"""
+      val c6 = s"""<c r="F$ri" s="3"><v>0.${r.nextInt(100)}</v></c>"""
+      s"""<row r="$ri">$c1$c2$c3$c4$c5$c6</row>"""
     }.mkString
     val sheet =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
       """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
       s"<sheetData>$rows</sheetData></worksheet>"
+    val stylesXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy-mm-dd"/></numFmts>""" +
+      """<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="164"/>""" +
+      """<xf numFmtId="4"/><xf numFmtId="9"/></cellXfs></styleSheet>"""
     val workbook =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
       """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
@@ -349,6 +407,7 @@ $paras
       "xl/workbook.xml" -> workbook.getBytes(StandardCharsets.UTF_8),
       "xl/_rels/workbook.xml.rels" -> wbRels.getBytes(StandardCharsets.UTF_8),
       "xl/sharedStrings.xml" -> sst.getBytes(StandardCharsets.UTF_8),
+      "xl/styles.xml" -> stylesXml.getBytes(StandardCharsets.UTF_8),
       "xl/worksheets/sheet1.xml" -> sheet.getBytes(StandardCharsets.UTF_8)
     ))
   }
@@ -502,6 +561,7 @@ $attachment
     */
   def pdfDoc(r: Random, index: Long): Array[Byte] = {
     if (index % 11 == 3) return encryptedPdf(r)
+    if (index % 11 == 7 && index % 13 != 4) return encryptedPdfR6(r)
     if (index % 13 == 4) return featuredPdf(r)
     if (index % 7 == 2) return type0Pdf(r)
     if (index % 5 == 1) return subsetFontPdf(r)
@@ -666,6 +726,51 @@ end"""
       s"/P -44 /O <${hex(o)}> /U <${hex(u)}> >>\nendobj\n")
     w(s"trailer\n<< /Root 1 0 R /Info 6 0 R /Encrypt 7 0 R " +
       s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** AES-256 (/V 5 /R 6 AESV3, ISO 32000-2) empty-password variant:
+    * the modern encryption layout a 100 TB crawl actually contains.
+    */
+  def encryptedPdfR6(r: Random): Array[Byte] = {
+    import graft.pdf.PdfCrypto
+    val lines = (1 to 2 + r.nextInt(3)).map(_ => sentence(r, 3 + r.nextInt(4)))
+    val content = {
+      val sb = new StringBuilder("BT\n/F1 12 Tf\n72 712 Td\n")
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (i > 0) sb.append("0 -14 Td\n")
+        sb.append(s"(${pdfEscape(l)}) Tj\n")
+      }
+      sb.append("ET\n").toString.getBytes(StandardCharsets.ISO_8859_1)
+    }
+    val title = sentence(r, 3).dropRight(1)
+    val fileKey = Array.tabulate[Byte](32)(_ => r.nextInt(256).toByte)
+    val salts = Array.tabulate[Byte](32)(_ => r.nextInt(256).toByte)
+    val p = -44L
+    val (u, ue, o, oe, perms) = PdfCrypto.computeR6Entries(fileKey, salts, p)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    val iv = Array.tabulate[Byte](16)(_ => r.nextInt(256).toByte)
+    val encContent = PdfCrypto.aesEncrypt(fileKey, iv, content)
+    val encTitle = PdfCrypto.aesEncrypt(fileKey, iv,
+      title.getBytes(StandardCharsets.ISO_8859_1))
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-2.0\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${encContent.length} >>\nstream\n")
+    out.write(encContent)
+    w("\nendstream\nendobj\n")
+    w(s"6 0 obj\n<< /Title <${hex(encTitle)}> >>\nendobj\n")
+    w("7 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O <${hex(o)}> /U <${hex(u)}> /OE <${hex(oe)}> /UE <${hex(ue)}> " +
+      s"/Perms <${hex(perms)}> >>\nendobj\n")
+    w("trailer\n<< /Root 1 0 R /Info 6 0 R /Encrypt 7 0 R >>\n%%EOF\n")
     out.toByteArray
   }
 

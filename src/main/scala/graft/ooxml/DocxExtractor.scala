@@ -69,11 +69,16 @@ object DocxExtractor {
     def named(prefix: String): Seq[String] =
       parts.keys.filter(n => n.startsWith("word/" + prefix) && n.endsWith(".xml"))
         .toSeq.sortBy(partNum)
+    // one list manager for the whole document: numbered paragraphs
+    // increment their list counters in story order (reference:
+    // XWPFListManager shared across the decorator's part walk)
+    val numbering = DocxNumbering.from(parts)
     def parsePart(name: String): Unit =
       parts.get(name).foreach(b =>
-        saxParse(b, new DocumentHandler(sink, meta, relsFor(parts, name))))
+        saxParse(b, new DocumentHandler(sink, meta, relsFor(parts, name), numbering)))
     named("header").foreach(parsePart)
-    saxParse(doc, new DocumentHandler(sink, meta, relsFor(parts, "word/document.xml")))
+    saxParse(doc, new DocumentHandler(sink, meta,
+      relsFor(parts, "word/document.xml"), numbering))
     Seq("footnotes.xml", "endnotes.xml", "comments.xml")
       .map("word/" + _).foreach(parsePart)
     named("footer").foreach(parsePart)
@@ -114,7 +119,8 @@ object DocxExtractor {
 
   /** The WordprocessingML state machine. */
   private final class DocumentHandler(
-      sink: SpanSink, meta: MetaSink, rels: Map[String, String]
+      sink: SpanSink, meta: MetaSink, rels: Map[String, String],
+      numbering: DocxNumbering.Manager = DocxNumbering.Empty
   ) extends DefaultHandler {
     private var inText = false        // inside w:t
     private var inDelText = false     // inside w:delText (tracked delete)
@@ -122,6 +128,9 @@ object DocxExtractor {
     private var tableDepth = 0
     private var paraHasContent = false
     private var skipNote = false      // separator/continuation footnotes
+    private var inNumPr = false       // inside w:pPr/w:numPr
+    private var numIlvl = -1
+    private var numId = -1
 
     override def startElement(uri: String, local: String, qName: String,
         atts: Attributes): Unit = {
@@ -130,6 +139,11 @@ object DocxExtractor {
           // separator pseudo-notes carry no content (reference skips them)
           val t = attByLocal(atts, "type").getOrElse("")
           skipNote = t == "separator" || t == "continuationSeparator"
+        case "numPr" => inNumPr = true; numIlvl = 0; numId = -1
+        case "ilvl" if inNumPr =>
+          numIlvl = attByLocal(atts, "val").flatMap(_.toIntOption).getOrElse(0)
+        case "numId" if inNumPr =>
+          numId = attByLocal(atts, "val").flatMap(_.toIntOption).getOrElse(-1)
         case "t" => inText = true
         case "delText" => inDelText = true
         case "instrText" => inInstrText = true
@@ -167,6 +181,15 @@ object DocxExtractor {
     override def endElement(uri: String, local: String, qName: String): Unit = {
       localName(local, qName) match {
         case "footnote" | "endnote" => skipNote = false
+        case "numPr" =>
+          // number prefix before the paragraph's first run, like the
+          // reference's writeParagraphNumber (numPr closes inside pPr,
+          // which precedes every w:r)
+          inNumPr = false
+          if (!skipNote && numId >= 0) {
+            val n = numbering.formattedNumber(numId, numIlvl)
+            if (n.nonEmpty) sink.chars(n)
+          }
         case "t" => inText = false
         case "delText" => inDelText = false
         case "instrText" => inInstrText = false

@@ -99,3 +99,46 @@ class WarcSpec extends AnyFunSuite {
     assert(text.contains("raw resource bytes"))
   }
 }
+
+/** Corpus v12 round-trip: the new kinds land in the engine with clean
+  * statuses (warc + warc.gz rows, tar.bz2 rows, AES-256 pdf rows).
+  */
+class CorpusV12Spec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.core.Status
+
+  test("corpus warc rows: plain + gzipped both recurse") {
+    val warcIdx = (0L until 1000L).filter(i => Corpus.kindOf(i) == "warc")
+    assert(warcIdx.nonEmpty)
+    val plain = warcIdx.find(_ % 2 == 0).get
+    val gzipped = warcIdx.find(_ % 2 == 1).get
+    val o1 = Extractor.extract(Corpus.row(plain))
+    assert(o1.mime == "application/warc" && o1.status == Status.ParseSuccess,
+      s"$plain -> ${o1.mime}/${o1.status}")
+    assert(o1.spans.exists(_.kind == "embedded-open"))
+    val o2 = Extractor.extract(Corpus.row(gzipped))
+    assert(o2.mime == "application/gzip" && o2.status == Status.ParseSuccess)
+    assert(o2.meta("embedded:/1") == Seq("application/warc"))
+  }
+
+  test("corpus tar.bz2 rows recurse through the bzip2 decoder") {
+    val idx = (0L until 1000L)
+      .filter(i => Corpus.kindOf(i) == "tar").filter(_ % 3 == 2)
+    assert(idx.nonEmpty)
+    val out = Extractor.extract(Corpus.row(idx.head))
+    assert(out.mime == "application/x-bzip2", out.mime)
+    assert(out.status == Status.ParseSuccess, out.status)
+    assert(out.meta("embedded:/1") == Seq("application/x-tar"))
+    assert(out.n_chars > 0)
+  }
+
+  test("corpus AES-256 pdf rows decrypt") {
+    val idx = (0L until 1000L).filter(i => Corpus.kindOf(i) == "pdf")
+      .filter(i => i % 11 == 7 && i % 13 != 4 && i % 11 != 3)
+    assert(idx.nonEmpty)
+    val out = Extractor.extract(Corpus.row(idx.head))
+    assert(out.mime == graft.mime.MediaTypes.Pdf)
+    assert(out.status == Status.ParseSuccess, out.status)
+    assert(out.meta.contains("pdf:encrypted"))
+    assert(out.n_chars > 0)
+  }
+}

@@ -14,12 +14,16 @@ class XlsxPptxCsvSpec extends AnyFunSuite {
     val sink = new SpanSink()
     XlsxExtractor.extract(bytes, sink, new MetaSink)
     val t = sink.result().filter(_.kind == "text").map(_.text).mkString
-    // every row: 3 cells → 3 tabs then newline
+    // every row: 6 cells → 6 tabs then newline (3 plain + 3 styled)
     val rows = t.split("\n").filter(_.nonEmpty)
     assert(rows.nonEmpty)
-    assert(rows.forall(_.count(_ == '\t') == 3), t)
-    // shared-string cell content is a word, numeric cell is digits
-    assert(rows.head.split("\t").filter(_.nonEmpty).length == 3)
+    assert(rows.forall(_.count(_ == '\t') == 6), t)
+    assert(rows.head.split("\t").filter(_.nonEmpty).length == 6)
+    // styled cells render formatted: date serial, grouped decimal, percent
+    val cells = rows.head.split("\t").filter(_.nonEmpty)
+    assert(cells(3).matches("\\d{4}-\\d{2}-\\d{2}"), cells.mkString("|"))
+    assert(cells(4).matches("[\\d,]+\\.\\d{2}"), cells.mkString("|"))
+    assert(cells(5).endsWith("%"), cells.mkString("|"))
   }
 
   test("xlsx through the engine: detected + parsed") {
