@@ -396,11 +396,14 @@ object SparkEntry {
         .groupBy("mime").agg(count(lit(1)).as("n"))
     }),
 
-    // ---- multimodal: REAL container metadata from payload bytes; the
-    // stub decode remains only for payload-less blob:// references
+    // ---- multimodal: REAL container metadata from payload bytes;
+    // payload-less blob:// references resolve through the fetcher stage
+    // (round-3: Fetchers.resolvePayloads — the tika-pipes fetcher
+    // analog), so the stub decode is reachable only for refs with no
+    // registered fetcher (unit-tested, never corpus rows)
     "q21_media_features" -> ((s, dir) => {
       import s.implicits._
-      val media = s.range(0, 1000, 1, 8).as[Long]
+      val media0 = s.range(0, 1000, 1, 8).as[Long]
         .mapPartitions(_.filter(i => Corpus.kindOf(i) == "media").map { i =>
           val row = Corpus.row(i)
           val sp = row.spans.head
@@ -408,6 +411,8 @@ object SparkEntry {
             (sp.media_ref, null: Array[Byte]) // external ref, no payload
           else (s"corpus://${row.doc_id}", graft.engine.Extractor.payloadBytes(sp))
         }).toDF("media_ref", "payload")
+      val media = graft.engine.Fetchers.resolvePayloads(media0,
+        Seq(new graft.engine.Fetchers.CorpusBlobFetcher))
       // Contract output is scalar-only: the raw array<float> feature
       // column crashed the driver's pandas compare in round 1 (unhashable
       // ndarray). The vector stays in the internal DataFrame; the

@@ -30,7 +30,17 @@ object BucketedRun {
 
   val NumBuckets = 64
 
-  def bucketOf = (docId: String) => math.floorMod(docId.hashCode, NumBuckets)
+  /** Codegen'd bucket expression — `pmod(hash(doc_id), 64)` stays inside
+    * whole-stage codegen where the round-2 Scala UDF (String.hashCode)
+    * forced an eval boundary. Bucket ASSIGNMENT changes vs round 2, but
+    * buckets are an internal partitioning detail: manifests carry only
+    * bucket ids and any in-flight root must be completed by the same
+    * library version (the manifest format is already version-scoped).
+    */
+  def bucketCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(docId),
+      org.apache.spark.sql.functions.lit(NumBuckets))
 
   /** Run extraction bucket-partitioned with per-bucket atomic commits.
     * A killed job leaves committed buckets in the manifest; rerunning
@@ -40,15 +50,14 @@ object BucketedRun {
       cfg: Extractor.Config = Extractor.DefaultConfig): Unit = {
     import spark.implicits._
     val done = committedBuckets(root)
-    val bucketUdf = udf(bucketOf)
     val remaining = input
-      .withColumn("part_bucket", bucketUdf(col("doc_id")))
+      .withColumn("part_bucket", bucketCol(col("doc_id")))
       .filter(!col("part_bucket").isin(done.toSeq: _*))
     if (remaining.isEmpty) return
 
     val extracted = Pipeline.extract(remaining.drop("part_bucket").as[DocRow], cfg)
       .toDF()
-      .withColumn("part_bucket", bucketUdf(col("doc_id")))
+      .withColumn("part_bucket", bucketCol(col("doc_id")))
       .cache()
 
     // dynamic partition overwrite: reruns of a half-written bucket replace

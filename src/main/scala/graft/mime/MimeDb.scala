@@ -72,6 +72,42 @@ object MimeDb {
   val MsAccess = "application/x-msaccess"
   val MsWrite = "application/x-mswrite"
   val Lzip = "application/x-lzip"
+  // round-3 tranche: fonts, executables, db/science files, AV containers
+  val Woff = "font/woff"
+  val Woff2 = "font/woff2"
+  val Chm = "application/vnd.ms-htmlhelp"
+  val Djvu = "image/vnd.djvu"
+  val Aiff = "audio/x-aiff"
+  val AuBasic = "audio/basic"
+  val Amr = "audio/amr"
+  val MachO = "application/x-mach-o"
+  val MachOFat = "application/x-mach-o-universal"
+  val Dex = "application/x-dex"
+  val Exr = "image/x-exr"
+  val Pbm = "image/x-portable-bitmap"
+  val Pgm = "image/x-portable-graymap"
+  val Ppm = "image/x-portable-pixmap"
+  val Pcx = "image/x-pcx"
+  val Pcap = "application/vnd.tcpdump.pcap"
+  val Pcapng = "application/vnd.tcpdump.pcapng"
+  val Wpd = "application/vnd.wordperfect"
+  val SquashFs = "application/x-squashfs"
+  val XarArchive = "application/x-xar"
+  val Torrent = "application/x-bittorrent"
+  val Jxl = "image/jxl"
+  val Crx = "application/x-chrome-package"
+  val Avi2 = "video/x-msvideo"
+  val RealMedia = "application/vnd.rn-realmedia"
+  val Lha = "application/x-lha"
+  val Arj = "application/x-arj"
+  val Zlib = "application/zlib"
+  val SnappyFramed = "application/x-snappy-framed"
+  val Netcdf = "application/x-netcdf"
+  val Grib = "application/x-grib"
+  val Fits = "application/fits"
+  val Dicom = "application/dicom"
+  val Wmf = "application/x-msmetafile"
+  val Emf = "image/emf"
 
   val magics: Vector[Magic] = Vector(
     // ---- archives & compressors
@@ -156,6 +192,65 @@ object MimeDb {
       string(0, "#!/"), string(0, "#! /"), string(0, "#!\t/"),
       string(0, "eval \"exec")))),
     Magic(CSrc, 50, string(0, "#include ")),
+    // ---- round-3 breadth tranche (all transcribed from the reference
+    // tika-mimetypes.xml blocks for these types)
+    Magic(Woff, 50, string(0, "wOFF")),
+    Magic(Woff2, 50, string(0, "wOF2")),
+    Magic(Chm, 50, string(0, "ITSF")),
+    Magic(Djvu, 50, string(0, "AT&TFORM")),
+    Magic(Aiff, 50, AndClause(Seq(string(0, "FORM"), OrClause(Seq(
+      string(8, "AIFF"), string(8, "AIFC"), string(8, "8SVX")))))),
+    Magic(AuBasic, 50, string(0, ".snd")),
+    Magic(Amr, 50, string(0, "#!AMR")),
+    Magic(MachO, 50, OrClause(Seq(
+      bytes(0, 0xfe, 0xed, 0xfa, 0xce), bytes(0, 0xce, 0xfa, 0xed, 0xfe),
+      bytes(0, 0xfe, 0xed, 0xfa, 0xcf), bytes(0, 0xcf, 0xfa, 0xed, 0xfe)))),
+    // fat header: CAFEBABE + small big-endian arch count disambiguates
+    // from java-vm class files (whose bytes 4-7 are minor<<16|major >= 45)
+    Magic(MachOFat, 60, AndClause(Seq(bytes(0, 0xca, 0xfe, 0xba, 0xbe),
+      OrClause((1 to 6).map(n => big32(4, n.toLong)))))),
+    Magic(Dex, 50, AndClause(Seq(string(0, "dex\n"), bytes(7, 0)))),
+    Magic(Exr, 50, bytes(0, 0x76, 0x2f, 0x31, 0x01)),
+    Magic(Pbm, 50, RegexClause("^P[14][\\x0a\\x0d\\x20]", window = 4)),
+    Magic(Pgm, 50, RegexClause("^P[25][\\x0a\\x0d\\x20]", window = 4)),
+    Magic(Ppm, 50, RegexClause("^P[36][\\x0a\\x0d\\x20]", window = 4)),
+    Magic(Pcx, 50, AndClause(Seq(bytes(0, 0x0a), OrClause(Seq(
+      bytes(1, 0), bytes(1, 2), bytes(1, 3), bytes(1, 4), bytes(1, 5)))))),
+    Magic(Pcap, 50, OrClause(Seq(
+      big32(0, 0xa1b2c3d4L), big32(0, 0xd4c3b2a1L),
+      big32(0, 0xa1b23c4dL), big32(0, 0x4d3cb2a1L)))),
+    Magic(Pcapng, 50, AndClause(Seq(bytes(0, 0x0a, 0x0d, 0x0d, 0x0a),
+      OrClause(Seq(big32(8, 0xa1b2c3d4L), little32(8, 0xa1b2c3d4L)))))),
+    Magic(Wpd, 50, big32(0, 0xFF575043L)),
+    Magic(SquashFs, 50, OrClause(Seq(string(0, "hsqs"), string(0, "sqsh")))),
+    Magic(XarArchive, 50, string(0, "xar!")),
+    Magic(Torrent, 50, string(0, "d8:announce")),
+    Magic(Jxl, 50, OrClause(Seq(bytes(0, 0xff, 0x0a),
+      bytes(0, 0x00, 0x00, 0x00, 0x0c, 0x4a, 0x58, 0x4c, 0x20,
+        0x0d, 0x0a, 0x87, 0x0a)))),
+    Magic(Crx, 50, string(0, "Cr24")),
+    Magic(Avi2, 50, AndClause(Seq(string(0, "RIFF"), string(8, "AVI ")))),
+    Magic(RealMedia, 50, string(0, ".RMF")),
+    Magic(Lha, 50, OrClause(Seq(
+      string(2, "-lh0-"), string(2, "-lh1-"), string(2, "-lh2-"),
+      string(2, "-lh4-"), string(2, "-lh5-"), string(2, "-lhd-"),
+      string(2, "-lzs-")))),
+    Magic(Arj, 50, bytes(0, 0x60, 0xea)),
+    // zlib's 2-byte header is weak — low priority like the reference's
+    Magic(Zlib, 20, OrClause(Seq(
+      bytes(0, 0x78, 0x01), bytes(0, 0x78, 0x5e),
+      bytes(0, 0x78, 0x9c), bytes(0, 0x78, 0xda)))),
+    Magic(SnappyFramed, 50, string(0, "sNaPpY")),
+    Magic(Netcdf, 50, OrClause(Seq(
+      AndClause(Seq(string(0, "CDF"), bytes(3, 1))),
+      AndClause(Seq(string(0, "CDF"), bytes(3, 2)))))),
+    Magic(Grib, 50, string(0, "GRIB")),
+    Magic(Fits, 50, string(0, "SIMPLE  =")),
+    Magic(Dicom, 50, string(128, "DICM")),
+    Magic(Wmf, 50, OrClause(Seq(
+      bytes(0, 0xd7, 0xcd, 0xc6, 0x9a, 0x00, 0x00),
+      bytes(0, 0x01, 0x00, 0x09, 0x00, 0x00, 0x03)))),
+    Magic(Emf, 50, little32(40, 0x464D4520L)),
     Magic(Ics, 50, AndClause(Seq(string(0, "BEGIN:VCALENDAR"),
       stringRange(15, 360, "\nVERSION:2.0")))),
     Magic(VCard, 50, string(0, "BEGIN:VCARD"))

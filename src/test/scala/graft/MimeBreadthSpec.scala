@@ -128,4 +128,54 @@ class MimeBreadthSpec extends AnyFunSuite {
     val md = "# Title\n\nSome prose here.\n".getBytes("UTF-8")
     assert(MimeRegistry.detect(md, Some("notes.md")) == "text/markdown")
   }
+  test("round-3 tranche: fonts, executables, science/db, AV containers") {
+    assert(det(s("wOFF") ++ b(0, 1)) == MimeDb.Woff)
+    assert(det(s("wOF2") ++ b(0, 1)) == MimeDb.Woff2)
+    assert(det(s("ITSF") ++ b(3, 0)) == MimeDb.Chm)
+    assert(det(s("AT&TFORM") ++ b(0)) == MimeDb.Djvu)
+    assert(det(s("FORM") ++ b(0, 0, 1, 0) ++ s("AIFF")) == MimeDb.Aiff)
+    assert(det(s("FORM") ++ b(0, 0, 1, 0) ++ s("AIFC")) == MimeDb.Aiff)
+    assert(det(s(".snd") ++ b(0, 0, 0, 24)) == MimeDb.AuBasic)
+    assert(det(s("#!AMR\n")) == MimeDb.Amr)
+    assert(det(b(0xfe, 0xed, 0xfa, 0xce, 0, 0, 0, 18)) == MimeDb.MachO)
+    assert(det(b(0xcf, 0xfa, 0xed, 0xfe, 7, 0, 0, 1)) == MimeDb.MachO)
+    // fat mach-o: CAFEBABE + arch count 2; java class keeps CAFEBABE+version
+    assert(det(b(0xca, 0xfe, 0xba, 0xbe, 0, 0, 0, 2)) == MimeDb.MachOFat)
+    assert(det(b(0xca, 0xfe, 0xba, 0xbe, 0, 0, 0, 52)) == MimeDb.JavaClass)
+    assert(det(s("dex\n035") ++ b(0)) == MimeDb.Dex)
+    assert(det(b(0x76, 0x2f, 0x31, 0x01)) == MimeDb.Exr)
+    assert(det(s("P4\n8 8\n")) == MimeDb.Pbm)
+    assert(det(s("P5 8 8 255 ")) == MimeDb.Pgm)
+    assert(det(s("P6\r8 8 255 ")) == MimeDb.Ppm)
+    assert(det(b(0x0a, 0x05, 0x01, 0x08)) == MimeDb.Pcx)
+    assert(det(b(0xa1, 0xb2, 0xc3, 0xd4, 0, 2)) == MimeDb.Pcap)
+    assert(det(b(0xd4, 0xc3, 0xb2, 0xa1, 0, 2)) == MimeDb.Pcap)
+    assert(det(b(0x0a, 0x0d, 0x0d, 0x0a, 0, 0, 0, 28, 0xa1, 0xb2, 0xc3, 0xd4))
+      == MimeDb.Pcapng)
+    assert(det(b(0xff, 0x57, 0x50, 0x43, 0x10)) == MimeDb.Wpd)
+    assert(det(s("hsqs") ++ b(1)) == MimeDb.SquashFs)
+    assert(det(s("xar!") ++ b(0, 28)) == MimeDb.XarArchive)
+    assert(det(s("d8:announce35:")) == MimeDb.Torrent)
+    assert(det(b(0xff, 0x0a, 0x30)) == MimeDb.Jxl)
+    assert(det(b(0x00, 0x00, 0x00, 0x0c, 0x4a, 0x58, 0x4c, 0x20,
+      0x0d, 0x0a, 0x87, 0x0a)) == MimeDb.Jxl)
+    assert(det(s("Cr24") ++ b(2, 0, 0, 0)) == MimeDb.Crx)
+    assert(det(s("RIFF") ++ b(1, 2, 3, 4) ++ s("AVI ")) == MimeDb.Avi2)
+    assert(det(s(".RMF") ++ b(0)) == MimeDb.RealMedia)
+    assert(det(b(30, 5) ++ s("-lh5-")) == MimeDb.Lha)
+    assert(det(b(0x60, 0xea, 5, 5)) == MimeDb.Arj)
+    assert(det(b(0x78, 0x9c, 0x62, 0x60)) == MimeDb.Zlib)
+    assert(det(s("sNaPpY")) == MimeDb.SnappyFramed)
+    assert(det(s("CDF") ++ b(1, 9)) == MimeDb.Netcdf)
+    assert(det(s("GRIB") ++ b(0, 0, 0, 1)) == MimeDb.Grib)
+    assert(det(s("SIMPLE  =                    T")) == MimeDb.Fits)
+    val dicom = new Array[Byte](136)
+    System.arraycopy(s("DICM"), 0, dicom, 128, 4)
+    assert(det(dicom) == MimeDb.Dicom)
+    assert(det(b(0xd7, 0xcd, 0xc6, 0x9a, 0x00, 0x00, 1)) == MimeDb.Wmf)
+    val emf = new Array[Byte](48)
+    emf(40) = 0x20; emf(41) = 'E'; emf(42) = 'M'; emf(43) = 'F'
+    assert(det(emf) == MimeDb.Emf)
+  }
+
 }
