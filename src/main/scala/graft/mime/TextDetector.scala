@@ -185,9 +185,16 @@ object EncodingDetector {
       StandardCharsets.UTF_16LE
     else if (half > 4 && nulEven > half * 2 / 5 && nulOdd < parityBound)
       StandardCharsets.UTF_16BE
+    // ISO-2022-JP rides on ESC sequences inside pure-ASCII bytes, so it
+    // must be recognized BEFORE the UTF-8 validity shortcut
+    else if (MbCharsets.looksIso2022Jp(data, n)) Charset.forName("ISO-2022-JP")
     else if (validUtf8(data)) StandardCharsets.UTF_8
-    else if (c1 > 0) Charset.forName("windows-1252")
-    else StandardCharsets.ISO_8859_1
+    else MbCharsets.detect(data, n) match {
+      case Some(cs) => cs
+      case None =>
+        if (c1 > 0) Charset.forName("windows-1252")
+        else StandardCharsets.ISO_8859_1
+    }
   }
 
   def decode(data: Array[Byte]): String = {
@@ -221,5 +228,159 @@ object EncodingDetector {
       i += len
     }
     true
+  }
+}
+
+/** East-Asian / Cyrillic legacy-charset recognition — the compact
+  * equivalent of the reference's icu4j CharsetDetector recognizers
+  * (tika-encoding-detectors; icu's CharsetRecog_mbcs/CharsetRecog_sbcs
+  * algorithmic shape): per-charset structure validation plus a
+  * frequency score against that language's most common characters.
+  * The common-code sets are DERIVED at class load from the same public
+  * per-language word lists that power language ID
+  * ([[graft.ops.LangProfiles.CommonWords]]) encoded through the JDK's
+  * own codecs, so no extra model data ships.
+  */
+object MbCharsets {
+  import java.nio.charset.Charset
+
+  private def codesOf(lang: String, charsetName: String): java.util.HashSet[Int] = {
+    val set = new java.util.HashSet[Int]()
+    val cs = Charset.forName(charsetName)
+    graft.ops.LangProfiles.CommonWords(lang).foreach { w =>
+      w.foreach { ch =>
+        if (ch > 0x7f) {
+          val b = String.valueOf(ch).getBytes(cs)
+          if (b.length == 2)
+            set.add(((b(0) & 0xff) << 8) | (b(1) & 0xff))
+          else if (b.length == 1 && (b(0) & 0xff) > 0x7f)
+            set.add(b(0) & 0xff)
+        }
+      }
+    }
+    set
+  }
+
+  private lazy val sjisCodes = codesOf("ja", "Shift_JIS")
+  private lazy val eucJpCodes = codesOf("ja", "EUC-JP")
+  private lazy val big5Codes = codesOf("zh", "Big5")
+  private lazy val gbkCodes = codesOf("zh", "GBK")
+  private lazy val koi8Codes = codesOf("ru", "KOI8-R")
+  private lazy val cp1251Codes = codesOf("ru", "windows-1251")
+
+  def looksIso2022Jp(data: Array[Byte], n0: Int): Boolean = {
+    val n = math.min(n0, data.length)
+    var i = 0
+    while (i + 2 < n) {
+      if (data(i) == 0x1b && data(i + 1) == '$' &&
+          (data(i + 2) == 'B' || data(i + 2) == '@')) return true
+      i += 1
+    }
+    false
+  }
+
+  /** (units, invalid, hits) for one double-byte charset's structure. */
+  private def scanMb(data: Array[Byte], n: Int, charset: String,
+      codes: java.util.HashSet[Int]): (Int, Int, Int) = {
+    var units, invalid, hits = 0
+    var i = 0
+    while (i < n) {
+      val b = data(i) & 0xff
+      if (b < 0x80) i += 1
+      else charset match {
+        case "sjis" =>
+          if (b >= 0xa1 && b <= 0xdf) { units += 1; i += 1 } // half-width kana
+          else if ((b >= 0x81 && b <= 0x9f) || (b >= 0xe0 && b <= 0xfc)) {
+            if (i + 1 < n) {
+              val t = data(i + 1) & 0xff
+              if (t >= 0x40 && t <= 0xfc && t != 0x7f) {
+                units += 1
+                if (codes.contains((b << 8) | t)) hits += 1
+              } else invalid += 1
+              i += 2
+            } else { invalid += 1; i += 1 }
+          } else { invalid += 1; i += 1 }
+        case "eucjp" =>
+          if (b == 0x8e) { // half-width kana: 0x8E + A1-DF
+            if (i + 1 < n && (data(i + 1) & 0xff) >= 0xa1 &&
+                (data(i + 1) & 0xff) <= 0xdf) units += 1 else invalid += 1
+            i += 2
+          } else if (b >= 0xa1 && b <= 0xfe) {
+            if (i + 1 < n) {
+              val t = data(i + 1) & 0xff
+              if (t >= 0xa1 && t <= 0xfe) {
+                units += 1
+                if (codes.contains((b << 8) | t)) hits += 1
+              } else invalid += 1
+              i += 2
+            } else { invalid += 1; i += 1 }
+          } else { invalid += 1; i += 1 }
+        case "big5" =>
+          if (b >= 0xa1 && b <= 0xf9) {
+            if (i + 1 < n) {
+              val t = data(i + 1) & 0xff
+              if ((t >= 0x40 && t <= 0x7e) || (t >= 0xa1 && t <= 0xfe)) {
+                units += 1
+                if (codes.contains((b << 8) | t)) hits += 1
+              } else invalid += 1
+              i += 2
+            } else { invalid += 1; i += 1 }
+          } else { invalid += 1; i += 1 }
+        case _ => // gbk
+          if (b >= 0x81 && b <= 0xfe) {
+            if (i + 1 < n) {
+              val t = data(i + 1) & 0xff
+              if (t >= 0x40 && t <= 0xfe && t != 0x7f) {
+                units += 1
+                if (codes.contains((b << 8) | t)) hits += 1
+              } else invalid += 1
+              i += 2
+            } else { invalid += 1; i += 1 }
+          } else { invalid += 1; i += 1 }
+      }
+    }
+    (units, invalid, hits)
+  }
+
+  /** Statistical pick among SJIS/EUC-JP/Big5/GBK/KOI8-R/cp1251 —
+    * None when nothing scores convincingly (caller falls back to the
+    * cp1252/latin-1 rules). Runs only on non-UTF-8 8-bit data.
+    */
+  def detect(data: Array[Byte], n0: Int): Option[Charset] = {
+    val n = math.min(n0, data.length)
+    val mb = Seq(
+      ("Shift_JIS", scanMb(data, n, "sjis", sjisCodes)),
+      ("EUC-JP", scanMb(data, n, "eucjp", eucJpCodes)),
+      ("Big5", scanMb(data, n, "big5", big5Codes)),
+      ("GBK", scanMb(data, n, "gbk", gbkCodes)))
+    val best = mb.flatMap { case (name, (units, invalid, hits)) =>
+      // structure must be near-clean and the common-char rate material:
+      // icu's recognizers use the same two signals (doubleByteCharCount
+      // + commonChar hits vs badCharCount)
+      if (units >= 4 && invalid * 50 <= units && hits * 10 >= units)
+        Some((name, hits.toDouble / units))
+      else None
+    }.sortBy(-_._2).headOption
+    best match {
+      case Some((name, _)) => Some(Charset.forName(name))
+      case None =>
+        // single-byte Cyrillic: score high bytes against the alphabets
+        var hi, koi, c1251 = 0
+        var i = 0
+        while (i < n) {
+          val b = data(i) & 0xff
+          if (b > 0x7f) {
+            hi += 1
+            if (koi8Codes.contains(b)) koi += 1
+            if (cp1251Codes.contains(b)) c1251 += 1
+          }
+          i += 1
+        }
+        if (hi >= 8 && koi * 5 >= hi * 4 && koi > c1251)
+          Some(Charset.forName("KOI8-R"))
+        else if (hi >= 8 && c1251 * 5 >= hi * 4 && c1251 > koi)
+          Some(Charset.forName("windows-1251"))
+        else None
+    }
   }
 }

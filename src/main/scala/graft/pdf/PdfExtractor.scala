@@ -189,11 +189,55 @@ object PdfExtractor {
     } nameTree(ef, 0)
   }
 
-  /** PDF text string: UTF-16BE with BOM, else PDFDocEncoding≈cp1252. */
-  private def pdfText(b: Array[Byte]): String =
+  /** PDF text string: UTF-16 (either BOM) or UTF-8 BOM, else
+    * PDFDocEncoding≈cp1252. Additionally repairs the broken-producer
+    * case the reference's PDFEncodedStringDecoder exists for
+    * (pdf/PDFEncodedStringDecoder.java): a string whose OCTAL ESCAPES
+    * leaked through un-decoded, i.e. literally starting with
+    * "\376\377" / "\377\376" / "\357\273\277" — those escapes are
+    * re-parsed to bytes and the string re-decoded through its BOM.
+    */
+  def pdfText(b: Array[Byte]): String = {
     if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
       new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
-    else new String(b, java.nio.charset.Charset.forName("windows-1252"))
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe)
+      new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb &&
+        (b(2) & 0xff) == 0xbf)
+      new String(b, 3, b.length - 3, java.nio.charset.StandardCharsets.UTF_8)
+    else {
+      val s = new String(b, java.nio.charset.Charset.forName("windows-1252"))
+      if (s.startsWith("\\376\\377") || s.startsWith("\\377\\376") ||
+          s.startsWith("\\357\\273\\277")) {
+        val repaired = decodeOctalEscapes(s)
+        if (repaired ne null) pdfText(repaired) else s
+      } else s
+    }
+  }
+
+  /** "\DDD"-escape sequences → bytes; null when the string is not fully
+    * octal-escape shaped (keep the original then).
+    */
+  private def decodeOctalEscapes(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(s.length / 4 + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 3 < s.length + 1) {
+        var v = 0
+        var k = 0
+        var j = i + 1
+        while (k < 3 && j < s.length && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+          v = v * 8 + (s.charAt(j) - '0'); k += 1; j += 1
+        }
+        if (k == 0) return null // stray backslash: not escape-shaped
+        out.write(v)
+        i = j
+      } else if (c < 0x80) { out.write(c); i += 1 }
+      else return null // high chars mixed in: not the leaked-escape case
+    }
+    out.toByteArray
+  }
 
   /** Trailer /Info → title/author/subject metadata (the reference's
     * PDFParser metadata step, PDFParser.java:208-210). PDF text strings
@@ -203,12 +247,7 @@ object PdfExtractor {
     doc.info.foreach { d =>
       def str(key: String, metaKey: String): Unit =
         doc.resolve(d.get(key).getOrElse(PNull)) match {
-          case PStr(b) =>
-            val s =
-              if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
-                new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
-              else new String(b, java.nio.charset.Charset.forName("windows-1252"))
-            meta.set(metaKey, s)
+          case PStr(b) => meta.set(metaKey, pdfText(b))
           case _ => ()
         }
       str("Title", "dc:title")
