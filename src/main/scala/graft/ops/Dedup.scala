@@ -138,23 +138,47 @@ object Dedup {
     */
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double, dim: Int,
       nBits: Int = 16, bands: Int = 8): DataFrame = {
+    // Vectors ride INTO the buckets (explode factor = bands), the
+    // in-bucket self-join pipelines straight into a primitive cosine
+    // kernel, and only pairs PASSING the threshold reach the final
+    // distinct. Shuffle volume = bands × vectors + surviving pairs —
+    // never the candidate pair space with vectors attached (the
+    // round-2 shape re-joined every candidate to both embedding rows:
+    // two extra shuffles carrying ~n²/2^rows × dim floats, and scored
+    // through interpreted HOFs ~100× slower per pair).
+    val spark = emb.sparkSession
+    import spark.implicits._
     val rows = nBits / bands
     val buckets = SimSearch.lshSignature(emb, dim, nBits)
-      .select(col("vec_id"),
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
         explode(array((0 until bands).map(b =>
           concat_ws(":", lit(b),
             shiftrightunsigned(col("lsh_sig"), b * rows)
               .bitwiseAND((1L << rows) - 1))): _*)).as("bucket"))
-    val candidates = buckets.as("x").join(buckets.as("y"), "bucket")
+    buckets.as("x").join(buckets.as("y"), "bucket")
       .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
-    val cos = SimSearch.cosineCol(col("ea.embedding"), col("eb.embedding"))
-    candidates
-      .join(emb.as("ea"), col("id_a") === col("ea.vec_id"))
-      .join(emb.as("eb"), col("id_b") === col("eb.vec_id"))
-      .select(col("id_a"), col("id_b"), cos.as("cos_raw"))
-      .filter(col("cos_raw") >= threshold)
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("x.embedding").as("va"), col("y.embedding").as("vb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.flatMap { case (a, b, va, vb) =>
+        if (va.length != vb.length) None
+        else {
+          // index 0..n left-to-right — bit-identical to the exact kernel
+          var dot, sa, sb = 0.0
+          var k = 0
+          while (k < va.length) {
+            val x = va(k).toDouble; val y = vb(k).toDouble
+            dot += x * y; sa += x * x; sb += y * y
+            k += 1
+          }
+          val cos = dot / (math.sqrt(sa) * math.sqrt(sb))
+          if (cos >= threshold) Some((a, b, cos)) else None
+        }
+      })
+      .toDF("id_a", "id_b", "cos_raw")
+      .distinct() // a pair may collide in several bands; same score each time
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
