@@ -27,7 +27,10 @@ object Extractor {
       writeLimit: Int = 100000,        // BodyContentHandler default :83-92
       bombOutputThreshold: Long = 1000000L, // SecureContentHandler.java:62
       bombMaxRatio: Long = 100L,
-      softDeadlineMs: Long = 60000L    // PipesServer per-task timeout analog
+      softDeadlineMs: Long = 60000L,   // PipesServer per-task timeout analog
+      // opt-in like the reference's StringsParser (requires explicit
+      // config there): printable-run extraction for types nothing parses
+      stringsFallback: Boolean = false
   )
   val DefaultConfig: Config = Config()
 
@@ -155,6 +158,9 @@ object Extractor {
             // reached via the .md name-hint glob (no magic exists);
             // reference analog: tika text-module MarkdownParser
             graft.textparse.MarkdownExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Anpa =>
+            // IPTC 7901 / ANPA-1312 newswire (news-module IptcAnpaParser)
+            graft.textparse.IptcAnpaExtractor.extract(bytes, sink, meta)
           case MediaTypes.Mbox =>
             // each member message becomes an embedded rfc822 doc; members
             // past the resource budget are counted in mbox:dropped and
@@ -338,6 +344,15 @@ object Extractor {
                 case _ =>
                   cur = MimeRegistry.superType(cur.get)
               }
+            }
+            if (!handled && cfg.stringsFallback && bytes.nonEmpty) {
+              // opt-in StringsParser analog: when configured, it IS the
+              // parser for otherwise-unsupported binaries (a successful
+              // parse, like the reference's strings route); the source
+              // mime is recorded so consumers can tell salvage from text
+              graft.textparse.StringsExtractor.extract(bytes, sink)
+              meta.add("strings:fallback", mime)
+              handled = true
             }
             if (!handled) sawUnsupported = true
         }

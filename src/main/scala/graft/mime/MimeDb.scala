@@ -108,6 +108,7 @@ object MimeDb {
   val Dicom = "application/dicom"
   val Wmf = "application/x-msmetafile"
   val Emf = "image/emf"
+  val Anpa = "text/vnd.iptc.anpa"
 
   val magics: Vector[Magic] = Vector(
     // ---- archives & compressors
@@ -251,6 +252,7 @@ object MimeDb {
       bytes(0, 0xd7, 0xcd, 0xc6, 0x9a, 0x00, 0x00),
       bytes(0, 0x01, 0x00, 0x09, 0x00, 0x00, 0x03)))),
     Magic(Emf, 50, little32(40, 0x464D4520L)),
+    Magic(Anpa, 50, bytes(0, 0x16, 0x16, 0x01)),
     Magic(Ics, 50, AndClause(Seq(string(0, "BEGIN:VCALENDAR"),
       stringRange(15, 360, "\nVERSION:2.0")))),
     Magic(VCard, 50, string(0, "BEGIN:VCARD"))

@@ -172,9 +172,21 @@ object PdfCrypto {
 
   /** Algorithm 2.B: the iterated R6 password hash. `udata` is empty for
     * the user-password case and the 48-byte /U for the owner case.
+    *
+    * The KDF is expensive by DESIGN (64+ rounds of AES-CBC over 2 KB) —
+    * but the provider lookups must not be: one Cipher and one
+    * MessageDigest per algorithm are created per invocation and re-used
+    * across rounds (Cipher.getInstance per round made R6 docs dominate
+    * the pdf class in the round-3 bench).
     */
   def hash2B(pwd: Array[Byte], salt: Array[Byte],
       udata: Array[Byte]): Array[Byte] = {
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    val digests = scala.collection.mutable.Map[String, MessageDigest]()
+    def shaOf(alg: String, data: Array[Byte]): Array[Byte] = {
+      val d = digests.getOrElseUpdate(alg, MessageDigest.getInstance(alg))
+      d.reset(); d.update(data); d.digest()
+    }
     var k = sha("SHA-256", pwd, salt, udata)
     var i = 0
     var done = false
@@ -187,16 +199,19 @@ object PdfCrypto {
         System.arraycopy(unit, 0, k1, j * unit.length, unit.length)
         j += 1
       }
-      e = aesCbcRaw(encrypt = true,
-        java.util.Arrays.copyOfRange(k, 0, 16),
-        java.util.Arrays.copyOfRange(k, 16, 32), k1)
+      cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(
+          java.util.Arrays.copyOfRange(k, 0, 16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(
+          java.util.Arrays.copyOfRange(k, 16, 32)))
+      e = cipher.doFinal(k1)
       var mod = 0
       j = 0
       while (j < 16) { mod += e(j) & 0xff; j += 1 }
       k = (mod % 3) match {
-        case 0 => sha("SHA-256", e)
-        case 1 => sha("SHA-384", e)
-        case 2 => sha("SHA-512", e)
+        case 0 => shaOf("SHA-256", e)
+        case 1 => shaOf("SHA-384", e)
+        case 2 => shaOf("SHA-512", e)
       }
       i += 1
       if (i >= 64 && (e(e.length - 1) & 0xff) <= i - 32) done = true

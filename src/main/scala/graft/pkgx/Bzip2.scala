@@ -70,34 +70,47 @@ object Bzip2 {
       ((cur >>> nBits) & ((1L << n) - 1)).toInt
     }
     def bit(): Int = bits(1)
+    /** Byte offset of the first unconsumed whole byte (drops the
+      * sub-byte padding remainder) — multi-stream restart point.
+      */
+    def alignedPos: Int = pos - (nBits >> 3)
   }
 
   def isBzip2(bytes: Array[Byte]): Boolean =
     bytes.length > 4 && bytes(0) == 'B' && bytes(1) == 'Z' && bytes(2) == 'h' &&
       bytes(3) >= '1' && bytes(3) <= '9'
 
+  /** Full (possibly multi-stream) decompress: pbzip2/lbzip2 concatenate
+    * whole byte-aligned streams, like gzip members — keep reading while
+    * another BZh header follows.
+    */
   def decompress(bytes: Array[Byte]): Array[Byte] = {
     if (!isBzip2(bytes)) throw new Bzip2Malformed("bad BZh header")
-    val level = bytes(3) - '0'
-    val blockMax = level * 100000
-    val in = new BitReader(bytes, 4)
     val out = new java.io.ByteArrayOutputStream()
-    var combined = 0
-    var done = false
-    while (!done) {
-      val magicHi = in.bits(24)
-      val magicLo = in.bits(24)
-      if (magicHi == 0x177245 && magicLo == 0x385090) {
-        val footerCrc = (in.bits(16) << 16) | in.bits(16)
-        if (footerCrc != combined)
-          throw new Bzip2Malformed(
-            f"stream CRC mismatch: ${footerCrc}%08x != ${combined}%08x")
-        done = true
-      } else if (magicHi == 0x314159 && magicLo == 0x265359) {
-        val blockCrc = decodeBlock(in, blockMax, out)
-        combined = ((combined << 1) | (combined >>> 31)) ^ blockCrc
-        if (out.size() > MaxOutputBytes) throw new graft.engine.ZipBombDetected
-      } else throw new Bzip2Malformed(f"bad block magic $magicHi%06x$magicLo%06x")
+    var start = 0
+    while (start + 4 < bytes.length && bytes(start) == 'B' &&
+        bytes(start + 1) == 'Z' && bytes(start + 2) == 'h' &&
+        bytes(start + 3) >= '1' && bytes(start + 3) <= '9') {
+      val blockMax = (bytes(start + 3) - '0') * 100000
+      val in = new BitReader(bytes, start + 4)
+      var combined = 0
+      var done = false
+      while (!done) {
+        val magicHi = in.bits(24)
+        val magicLo = in.bits(24)
+        if (magicHi == 0x177245 && magicLo == 0x385090) {
+          val footerCrc = (in.bits(16) << 16) | in.bits(16)
+          if (footerCrc != combined)
+            throw new Bzip2Malformed(
+              f"stream CRC mismatch: ${footerCrc}%08x != ${combined}%08x")
+          done = true
+        } else if (magicHi == 0x314159 && magicLo == 0x265359) {
+          val blockCrc = decodeBlock(in, blockMax, out)
+          combined = ((combined << 1) | (combined >>> 31)) ^ blockCrc
+          if (out.size() > MaxOutputBytes) throw new graft.engine.ZipBombDetected
+        } else throw new Bzip2Malformed(f"bad block magic $magicHi%06x$magicLo%06x")
+      }
+      start = in.alignedPos
     }
     out.toByteArray
   }

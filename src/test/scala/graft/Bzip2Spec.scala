@@ -50,6 +50,28 @@ class Bzip2Spec extends AnyFunSuite {
     assert(samples.last.length > 79000)
   }
 
+  test("decodes the reference's real-world bz2 fixtures (incl. lbzip2)") {
+    val dir = java.nio.file.Path.of("/root/reference/tika-core/src/test/" +
+      "resources/test-documents/bz2")
+    org.scalatest.Assertions.assume(java.nio.file.Files.isDirectory(dir),
+      "reference fixtures not present")
+    val expect = Map(
+      "bzip2-8-file.txt.bz2" -> 4, "lbzip2-8-file.txt.bz2" -> 5,
+      "test-file-1.csv.bz2" -> 445, "empty-file.txt.bz2" -> 0,
+      "small-file.txt.bz2" -> 6)
+    expect.foreach { case (name, plainLen) =>
+      val bytes = java.nio.file.Files.readAllBytes(dir.resolve(name))
+      assert(Bzip2.decompress(bytes).length == plainLen, name)
+    }
+  }
+
+  test("multi-stream (pbzip2/lbzip2-style) concatenation decodes fully") {
+    val a = "first stream content here".getBytes(UTF_8)
+    val b = "and a second independent stream".getBytes(UTF_8)
+    val cat = Bzip2.compress(a) ++ Bzip2.compress(b)
+    assert(Bzip2.decompress(cat).toSeq == (a ++ b).toSeq)
+  }
+
   test("hostile input: bad header, corrupt CRC, truncation all throw") {
     intercept[Bzip2.Bzip2Malformed] {
       Bzip2.decompress("NOTBZ".getBytes(UTF_8))
