@@ -85,6 +85,26 @@ class WarcSpec extends AnyFunSuite {
     assert(out.status == Status.ParseException)
   }
 
+  test("wacz-shaped zip: a .warc member recurses through zip → warc → html") {
+    // WACZ (reference wacz/WACZParser.java) is a zip with archive/*.warc.gz
+    // members; our container recursion composes zip → (gzip →) warc
+    // without a dedicated parser
+    val wacz = Corpus.zip(Seq(
+      "archive/data.warc" -> sampleWarc,
+      "archive/data2.warc.gz" -> Corpus.gzipBytes(sampleWarc),
+      "pages/pages.jsonl" -> "{\"url\":\"http://example.com/\"}\n".getBytes(UTF_8)))
+    val out = Extractor.extract(DocRow("wz1",
+      Seq(Span("zip", Corpus.b64(wacz), null, 0))))
+    assert(out.status == Status.ParseSuccess)
+    // both warc members parsed: 2 html + 2 txt responses extracted
+    val text = out.spans.filter(_.kind == "text").map(_.text).mkString("\n")
+    assert(text.split("warc body text", -1).length - 1 == 2, text.take(400))
+    assert(out.meta("embedded:path").exists(_.endsWith(":archive/data.warc")))
+    // the inner warc members carry their target URIs under nested paths
+    assert(out.meta.keys.exists(k => k.startsWith("warc:/1/") &&
+      k.endsWith("WARC-Target-URI")), out.meta.keys.filter(_.startsWith("warc")))
+  }
+
   test("non-http response body is the payload as-is") {
     val body = "raw resource bytes".getBytes(UTF_8)
     val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
