@@ -270,14 +270,17 @@ object Extractor {
               parseNode(inner, childPath, None, depth + 1)
               sink.embeddedClose(childPath)
             }
-          case m if m == graft.mime.MimeDb.Bzip2 =>
+          case m if m == graft.mime.MimeDb.Bzip2 || m == graft.mime.MimeDb.Xz =>
             // CompressorParser analog (pkg/CompressorStreamFactory route):
-            // from-scratch bzip2 decode, then inner re-detect — .tar.bz2
-            // recurses exactly like .tar.gz (graft.pkgx.Bzip2)
+            // from-scratch bzip2/xz decode, then inner re-detect —
+            // .tar.bz2/.tar.xz recurse exactly like .tar.gz
+            // (graft.pkgx.Bzip2 / graft.pkgx.Xz)
             if (depth >= cfg.maxDepth || embeddedCount >= cfg.maxEmbedded)
               sawUnsupported = true
             else {
-              val inner = graft.pkgx.Bzip2.decompress(bytes)
+              val inner =
+                if (m == graft.mime.MimeDb.Xz) graft.pkgx.Xz.decompress(bytes)
+                else graft.pkgx.Bzip2.decompress(bytes)
               embeddedCount += 1
               val childPath = s"$idPath/$embeddedCount"
               sink.embeddedOpen(childPath)
