@@ -270,16 +270,18 @@ object Extractor {
               parseNode(inner, childPath, None, depth + 1)
               sink.embeddedClose(childPath)
             }
-          case m if m == graft.mime.MimeDb.Bzip2 || m == graft.mime.MimeDb.Xz =>
+          case m if m == graft.mime.MimeDb.Bzip2 || m == graft.mime.MimeDb.Xz ||
+              m == graft.mime.MimeDb.Lz4 =>
             // CompressorParser analog (pkg/CompressorStreamFactory route):
-            // from-scratch bzip2/xz decode, then inner re-detect —
-            // .tar.bz2/.tar.xz recurse exactly like .tar.gz
-            // (graft.pkgx.Bzip2 / graft.pkgx.Xz)
+            // from-scratch bzip2/xz/lz4 decode, then inner re-detect —
+            // .tar.bz2/.tar.xz/.tar.lz4 recurse exactly like .tar.gz
+            // (graft.pkgx.{Bzip2, Xz, Lz4})
             if (depth >= cfg.maxDepth || embeddedCount >= cfg.maxEmbedded)
               sawUnsupported = true
             else {
               val inner =
                 if (m == graft.mime.MimeDb.Xz) graft.pkgx.Xz.decompress(bytes)
+                else if (m == graft.mime.MimeDb.Lz4) graft.pkgx.Lz4.decompress(bytes)
                 else graft.pkgx.Bzip2.decompress(bytes)
               embeddedCount += 1
               val childPath = s"$idPath/$embeddedCount"
