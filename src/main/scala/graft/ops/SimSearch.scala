@@ -20,9 +20,6 @@ object SimSearch {
   /** cosine(a, b) in double precision (deterministic left-to-right sums);
     * shared with Dedup's embedding near-dup operators.
     */
-  private[ops] def cosineCol(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = cosine(a, b)
-
   private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

@@ -173,7 +173,9 @@ object Lz4 {
       else {
         val uncompressed = (raw & 0x80000000) != 0
         val size = raw & 0x7fffffff
-        if (pos + size > bytes.length) throw new Lz4Malformed("truncated block")
+        // Long math: a forged ~2^31 size must not overflow the bound check
+        if (pos.toLong + size > bytes.length)
+          throw new Lz4Malformed("truncated block")
         if (uncompressed) window.write(bytes, pos, size)
         else decodeBlock(bytes, pos, size, window)
         if (blockChecksum) {
