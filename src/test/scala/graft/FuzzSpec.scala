@@ -68,4 +68,42 @@ class FuzzSpec extends AnyFunSuite {
       assert(graft.mime.MimeRegistry.detect(b) == graft.mime.MimeRegistry.detect(b))
     }
   }
+  /** Round-3 decoders under mutation: valid warc/bz2/xz/lz4 payloads
+    * with truncation and bit flips must always CLASSIFY (document-level
+    * status), never throw or hang.
+    */
+  test("property: mutated warc/bzip2/xz/lz4 payloads never escape the envelope") {
+    val rnd = new scala.util.Random(7)
+    val tar = graft.pkgx.TarUtil.write(Seq(
+      "a.txt" -> ("fuzz seed content " * 20).getBytes("UTF-8")))
+    val warc = graft.warc.WarcExtractor.write(Seq(
+      ("http://x/y.html", "text/html", "<html><body>f</body></html>".getBytes("UTF-8"))))
+    val seeds = Seq(
+      graft.pkgx.Bzip2.compress(tar),
+      graft.pkgx.Xz.compress(tar),
+      graft.pkgx.Lz4.compress(tar),
+      warc)
+    seeds.foreach { valid =>
+      (0 until 60).foreach { i =>
+        val mutated = valid.clone()
+        i % 3 match {
+          case 0 => // single bit flip at a seeded position
+            val p = rnd.nextInt(mutated.length)
+            mutated(p) = (mutated(p) ^ (1 << rnd.nextInt(8))).toByte
+          case 1 => // truncate
+            val n = 1 + rnd.nextInt(mutated.length)
+            val out = Extractor.extract(DocRow("f",
+              Seq(Span("bytes", Corpus.b64(java.util.Arrays.copyOf(mutated, n)), null, 0))))
+            assert(out.status != null && out.mime != null)
+          case _ => // splice random tail
+            val p = rnd.nextInt(mutated.length)
+            (p until mutated.length).foreach(j => mutated(j) = rnd.nextInt(256).toByte)
+        }
+        val out = Extractor.extract(DocRow("f",
+          Seq(Span("bytes", Corpus.b64(mutated), null, 0))))
+        assert(out.status != null && out.mime != null)
+      }
+    }
+  }
+
 }
