@@ -271,17 +271,18 @@ object Extractor {
               sink.embeddedClose(childPath)
             }
           case m if m == graft.mime.MimeDb.Bzip2 || m == graft.mime.MimeDb.Xz ||
-              m == graft.mime.MimeDb.Lz4 =>
+              m == graft.mime.MimeDb.Lz4 || m == graft.mime.MimeDb.Zstd =>
             // CompressorParser analog (pkg/CompressorStreamFactory route):
-            // from-scratch bzip2/xz/lz4 decode, then inner re-detect —
-            // .tar.bz2/.tar.xz/.tar.lz4 recurse exactly like .tar.gz
-            // (graft.pkgx.{Bzip2, Xz, Lz4})
+            // from-scratch bzip2/xz/lz4/zstd decode, then inner re-detect —
+            // .tar.{bz2,xz,lz4,zst} recurse exactly like .tar.gz
+            // (graft.pkgx.{Bzip2, Xz, Lz4, Zstd})
             if (depth >= cfg.maxDepth || embeddedCount >= cfg.maxEmbedded)
               sawUnsupported = true
             else {
               val inner =
                 if (m == graft.mime.MimeDb.Xz) graft.pkgx.Xz.decompress(bytes)
                 else if (m == graft.mime.MimeDb.Lz4) graft.pkgx.Lz4.decompress(bytes)
+                else if (m == graft.mime.MimeDb.Zstd) graft.pkgx.Zstd.decompress(bytes)
                 else graft.pkgx.Bzip2.decompress(bytes)
               embeddedCount += 1
               val childPath = s"$idPath/$embeddedCount"
