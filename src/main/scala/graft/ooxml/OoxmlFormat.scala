@@ -107,15 +107,22 @@ object DocxNumbering {
 
   /** Per-document manager: numId -> shared counter (reference keeps one
     * counter per list instance, applied to numbered paragraphs in
-    * document order).
+    * document order). `overrides` are <w:num>/<w:lvlOverride> level
+    * redefinitions and start overrides (reference: AbstractListManager's
+    * overrideLevelTuples parameter).
     */
   final class Manager(numToAbstract: Map[Int, Int],
-      abstractLevels: Map[Int, Map[Int, Level]]) {
+      abstractLevels: Map[Int, Map[Int, Level]],
+      overrides: Map[Int, Map[Int, Level]] = Map.empty) {
     private val counters = mutable.Map[Int, ListCounter]()
     def formattedNumber(numId: Int, ilvl: Int): String = {
       if (numId < 0 || ilvl < 0) return ""
-      val levels = numToAbstract.get(numId).flatMap(abstractLevels.get)
+      val base = numToAbstract.get(numId).flatMap(abstractLevels.get)
         .getOrElse(return "")
+      val levels = overrides.get(numId) match {
+        case Some(ovr) => base ++ ovr
+        case None => base
+      }
       counters.getOrElseUpdate(numId, new ListCounter(levels))
         .incrementLevel(ilvl)
     }
@@ -123,17 +130,22 @@ object DocxNumbering {
 
   val Empty = new Manager(Map.empty, Map.empty)
 
-  /** Parse word/numbering.xml. */
+  /** Parse word/numbering.xml (abstractNum levels, num→abstractNum
+    * mapping, and num-level lvlOverride redefinitions/startOverrides).
+    */
   def from(parts: Map[String, Array[Byte]]): Manager =
     parts.get("word/numbering.xml").map { bytes =>
       val abstractLevels = mutable.Map[Int, mutable.Map[Int, Level]]()
       val numToAbstract = mutable.Map[Int, Int]()
+      val overrideLvl = mutable.Map[(Int, Int), Level]()
+      val overrideStart = mutable.Map[(Int, Int), Int]()
       var curAbstract = -1
       var curIlvl = -1
       var curFmt = "decimal"
       var curText = ""
       var curStart = 1
       var curNum = -1
+      var curOvIlvl = -1
       def attVal(a: Attributes): String = {
         var i = 0
         while (i < a.getLength) {
@@ -157,12 +169,12 @@ object DocxNumbering {
               }
               if (curAbstract >= 0)
                 abstractLevels.getOrElseUpdate(curAbstract, mutable.Map())
-            case "lvl" if curAbstract >= 0 =>
+            case "lvl" if curAbstract >= 0 || curOvIlvl >= 0 =>
               var i = 0
-              curIlvl = -1
+              if (curAbstract >= 0) curIlvl = -1 else curIlvl = curOvIlvl
               while (i < a.getLength) {
                 if (a.getQName(i).endsWith("ilvl"))
-                  curIlvl = a.getValue(i).toIntOption.getOrElse(-1)
+                  curIlvl = a.getValue(i).toIntOption.getOrElse(curIlvl)
                 i += 1
               }
               curFmt = "decimal"; curText = ""; curStart = 1
@@ -179,6 +191,17 @@ object DocxNumbering {
               }
             case "abstractNumId" if curNum >= 0 =>
               attVal(a).toIntOption.foreach(aid => numToAbstract(curNum) = aid)
+            case "lvlOverride" if curNum >= 0 =>
+              curOvIlvl = -1
+              var i = 0
+              while (i < a.getLength) {
+                if (a.getQName(i).endsWith("ilvl"))
+                  curOvIlvl = a.getValue(i).toIntOption.getOrElse(-1)
+                i += 1
+              }
+            case "startOverride" if curNum >= 0 && curOvIlvl >= 0 =>
+              attVal(a).toIntOption.foreach(v =>
+                overrideStart((curNum, curOvIlvl)) = v)
             case _ => ()
           }
         }
@@ -189,14 +212,35 @@ object DocxNumbering {
               abstractLevels(curAbstract)(curIlvl) =
                 Level(curFmt, curText, curStart)
               curIlvl = -1
+            case "lvl" if curNum >= 0 && curIlvl >= 0 =>
+              // full level redefinition inside lvlOverride
+              overrideLvl((curNum, curIlvl)) = Level(curFmt, curText, curStart)
+              curIlvl = -1
+            case "lvlOverride" => curOvIlvl = -1
             case "abstractNum" => curAbstract = -1
             case "num" => curNum = -1
             case _ => ()
           }
         }
       })
+      // resolve start-only overrides against the base levels; full level
+      // redefinitions win over startOverride
+      val overrides = mutable.Map[Int, mutable.Map[Int, Level]]()
+      overrideLvl.foreach { case ((num, ilvl), lvl) =>
+        overrides.getOrElseUpdate(num, mutable.Map())(ilvl) = lvl
+      }
+      overrideStart.foreach { case ((num, ilvl), start) =>
+        if (!overrideLvl.contains((num, ilvl))) {
+          val base = numToAbstract.get(num).flatMap(abstractLevels.get)
+            .flatMap(_.get(ilvl))
+          base.foreach(b =>
+            overrides.getOrElseUpdate(num, mutable.Map())(ilvl) =
+              b.copy(start = start))
+        }
+      }
       new Manager(numToAbstract.toMap,
-        abstractLevels.map { case (k, v) => k -> v.toMap }.toMap)
+        abstractLevels.map { case (k, v) => k -> v.toMap }.toMap,
+        overrides.map { case (k, v) => k -> v.toMap }.toMap)
     }.getOrElse(Empty)
 }
 

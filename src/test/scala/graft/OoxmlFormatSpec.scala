@@ -116,4 +116,43 @@ class OoxmlFormatSpec extends AnyFunSuite {
     assert(lines(5) == "3.a. restarted nest", lines) // deeper level restarted
     assert(lines(6) == "· a bullet", lines)
   }
+  private def overrideDocx: Array[Byte] = {
+    // numId 1 uses abstract 0 but overrides level 0: startOverride 5;
+    // numId 2 fully redefines level 0 as upperRoman "(%1)"
+    val numbering =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<w:numbering xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+      """<w:abstractNum w:abstractNumId="0">""" +
+      """<w:lvl w:ilvl="0"><w:start w:val="1"/><w:numFmt w:val="decimal"/><w:lvlText w:val="%1."/></w:lvl>""" +
+      """</w:abstractNum>""" +
+      """<w:num w:numId="1"><w:abstractNumId w:val="0"/>""" +
+      """<w:lvlOverride w:ilvl="0"><w:startOverride w:val="5"/></w:lvlOverride></w:num>""" +
+      """<w:num w:numId="2"><w:abstractNumId w:val="0"/>""" +
+      """<w:lvlOverride w:ilvl="0"><w:lvl w:ilvl="0"><w:start w:val="1"/>""" +
+      """<w:numFmt w:val="upperRoman"/><w:lvlText w:val="(%1)"/></w:lvl></w:lvlOverride></w:num>""" +
+      """</w:numbering>"""
+    def p(numId: Int, text: String) =
+      s"""<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="$numId"/></w:numPr></w:pPr>""" +
+      s"""<w:r><w:t>$text</w:t></w:r></w:p>"""
+    val doc =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+      p(1, "starts at five") + p(1, "then six") +
+      p(2, "roman one") + p(2, "roman two") +
+      """</w:body></w:document>"""
+    Corpus.zip(Seq(
+      "word/document.xml" -> doc.getBytes(UTF_8),
+      "word/numbering.xml" -> numbering.getBytes(UTF_8)))
+  }
+
+  test("lvlOverride: startOverride and full level redefinition") {
+    val sink = new SpanSink(); val meta = new MetaSink
+    DocxExtractor.extract(overrideDocx, sink, meta)
+    val lines = sink.result().map(_.text).mkString.split("\n").toVector
+    assert(lines(0) == "5. starts at five", lines)
+    assert(lines(1) == "6. then six", lines)
+    assert(lines(2) == "(I) roman one", lines)
+    assert(lines(3) == "(II) roman two", lines)
+  }
+
 }
