@@ -81,9 +81,74 @@ object Extractor {
 
     def noteMime(m: String): Unit = if (topMime == null) topMime = m
 
-    /** Recursive parse of one payload; returns false on per-node failure
-      * (recorded, parse continues — CompositeParser.java:323-352 hoists
-      * embedded exceptions instead of failing the container).
+    // ---- explicit embedded-doc frame stack -------------------------------
+    // Container recursion (zip/tar/warc/mbox/gzip/bzip2/xz/lz4/zstd chains —
+    // the unbounded-nesting inputs) runs over this heap stack, NOT the JVM
+    // stack: a node's children are pushed as NodeFrames and popped LIFO, so
+    // the traversal order (and therefore every span, ordinal id path and
+    // meta record) is byte-identical to direct recursion while stack depth
+    // stays O(1) JVM frames regardless of nesting. Only the mid-parse
+    // callback parsers (HTML data-URIs, PDF attachments, EML parts) still
+    // parse children inline — their content must land at the emission point
+    // inside the parent's own span stream — and those are hard-capped by
+    // cfg.maxDepth bounded parser frames.
+    sealed trait Frame
+    /** A child payload awaiting its ordinal; the ordinal is assigned when
+      * the frame is POPPED (not scheduled) so id-path numbering matches the
+      * recursive traversal exactly. `onPop` records per-child metadata once
+      * the path is known; `onDrop` applies the branch's budget-exhaustion
+      * policy (silent for zip, recorded for tar/warc, counted for mbox).
+      */
+    final case class NodeFrame(bytes: Array[Byte], parentPath: String,
+        nameHint: Option[String], depth: Int,
+        onPop: String => Unit, onDrop: () => Unit) extends Frame
+    final case class CloseFrame(path: String) extends Frame
+    /** Runs after every frame a branch scheduled has completed (mbox's
+      * dropped-count summary). */
+    final case class AfterFrame(run: () => Unit) extends Frame
+
+    val stack = new java.util.ArrayDeque[Frame]
+
+    def popOne(f: Frame): Unit = f match {
+      case CloseFrame(p) => sink.embeddedClose(p)
+      case AfterFrame(run) => run()
+      case NodeFrame(bytes, parentPath, nameHint, depth, onPop, onDrop) =>
+        if (embeddedCount < cfg.maxEmbedded) {
+          embeddedCount += 1
+          val childPath = s"$parentPath/$embeddedCount"
+          onPop(childPath)
+          sink.embeddedOpen(childPath)
+          stack.push(CloseFrame(childPath))
+          parseNode(bytes, childPath, nameHint, depth)
+        } else onDrop()
+    }
+
+    /** Drain until the stack is back to `mark` frames (0 = fully drained). */
+    def drain(mark: Int): Unit =
+      while (stack.size > mark) popOne(stack.pop())
+
+    /** Inline child parse for the mid-parse callbacks (HTML/PDF/EML): the
+      * child (and its whole deferred subtree) completes before the parent
+      * parser resumes, so embedded content lands at its source position.
+      */
+    def inlineChild(idPath: String, depth: Int)(name: Option[String],
+        data: Array[Byte]): Unit = {
+      if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
+        embeddedCount += 1
+        val childPath = s"$idPath/$embeddedCount"
+        name.foreach(nm => meta.add("embedded:path", s"$childPath:$nm"))
+        sink.embeddedOpen(childPath)
+        val mark = stack.size
+        parseNode(data, childPath, name, depth + 1)
+        drain(mark)
+        sink.embeddedClose(childPath)
+      }
+    }
+
+    /** Parse of one payload; per-node failures are recorded and the parse
+      * continues (CompositeParser.java:323-352 hoists embedded exceptions
+      * instead of failing the container). Container children are scheduled
+      * on the frame stack, not recursed.
       */
     def parseNode(bytes: Array[Byte], idPath: String, nameHint: Option[String],
         depth: Int): Unit = {
@@ -104,16 +169,7 @@ object Extractor {
         mime match {
           case MediaTypes.Html =>
             HtmlExtractor.extract(EncodingDetector.decode(bytes), sink, meta,
-              (name, data) => {
-                if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
-                  embeddedCount += 1
-                  val childPath = s"$idPath/$embeddedCount"
-                  name.foreach(nm => meta.add("embedded:path", s"$childPath:$nm"))
-                  sink.embeddedOpen(childPath)
-                  parseNode(data, childPath, name, depth + 1)
-                  sink.embeddedClose(childPath)
-                }
-              })
+              (name, data) => inlineChild(idPath, depth)(name, data))
           case MediaTypes.AtomXml | MediaTypes.RssXml =>
             graft.xmlx.FeedExtractor.extract(bytes, sink, meta)
           case MediaTypes.Xml | MediaTypes.SvgXml =>
@@ -133,16 +189,8 @@ object Extractor {
                 sink.newline()
             }
           case MediaTypes.Pdf =>
-            PdfExtractor.extract(bytes, sink, meta, (name, data) => {
-              if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
-                embeddedCount += 1
-                val childPath = s"$idPath/$embeddedCount"
-                name.foreach(nm => meta.add("embedded:path", s"$childPath:$nm"))
-                sink.embeddedOpen(childPath)
-                parseNode(data, childPath, name, depth + 1)
-                sink.embeddedClose(childPath)
-              }
-            })
+            PdfExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(name, data))
           case MediaTypes.Docx =>
             DocxExtractor.extract(bytes, sink, meta)
           case MediaTypes.Xlsx =>
@@ -165,33 +213,29 @@ object Extractor {
             // each member message becomes an embedded rfc822 doc; members
             // past the resource budget are counted in mbox:dropped and
             // mark the status (ParseSuccessWithException)
-            var dropped = 0
-            graft.mail.EmlExtractor.splitMbox(bytes).zipWithIndex.foreach {
-              case (msg, idx) =>
-                if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
-                  embeddedCount += 1
-                  val childPath = s"$idPath/$embeddedCount"
-                  meta.add("embedded:path", s"$childPath:message-${idx + 1}.eml")
-                  sink.embeddedOpen(childPath)
-                  parseNode(msg, childPath, Some("message.eml"), depth + 1)
-                  sink.embeddedClose(childPath)
-                } else dropped += 1
-            }
-            if (dropped > 0) {
-              meta.set("mbox:dropped", dropped.toString)
-              sawUnsupported = true
+            val msgs = graft.mail.EmlExtractor.splitMbox(bytes)
+            if (depth >= cfg.maxDepth) {
+              if (msgs.nonEmpty) {
+                meta.set("mbox:dropped", msgs.size.toString)
+                sawUnsupported = true
+              }
+            } else {
+              val droppedBox = new java.util.concurrent.atomic.AtomicInteger(0)
+              stack.push(AfterFrame { () =>
+                if (droppedBox.get > 0) {
+                  meta.set("mbox:dropped", droppedBox.get.toString)
+                  sawUnsupported = true
+                }
+              })
+              msgs.zipWithIndex.reverseIterator.foreach { case (msg, idx) =>
+                stack.push(NodeFrame(msg, idPath, Some("message.eml"), depth + 1,
+                  onPop = p => meta.add("embedded:path", s"$p:message-${idx + 1}.eml"),
+                  onDrop = () => { droppedBox.incrementAndGet(); () }))
+              }
             }
           case MediaTypes.Eml =>
-            graft.mail.EmlExtractor.extract(bytes, sink, meta, (name, data) => {
-              if (embeddedCount < cfg.maxEmbedded && depth < cfg.maxDepth) {
-                embeddedCount += 1
-                val childPath = s"$idPath/$embeddedCount"
-                name.foreach(nm => meta.add("embedded:path", s"$childPath:$nm"))
-                sink.embeddedOpen(childPath)
-                parseNode(data, childPath, name, depth + 1)
-                sink.embeddedClose(childPath)
-              }
-            })
+            graft.mail.EmlExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(name, data))
           case MediaTypes.Odt | MediaTypes.Ods | MediaTypes.Odp =>
             graft.odf.OdtExtractor.extract(bytes, sink, meta)
           case MediaTypes.Epub =>
@@ -207,15 +251,10 @@ object Extractor {
             // recurseZip) — a depth-capped tar must not read as a clean
             // empty success.
             if (depth >= cfg.maxDepth) sawUnsupported = true
-            else graft.pkgx.TarUtil.entries(bytes).foreach { e =>
-              if (embeddedCount < cfg.maxEmbedded) {
-                embeddedCount += 1
-                val childPath = s"$idPath/$embeddedCount"
-                meta.add("embedded:path", s"$childPath:${e.name}")
-                sink.embeddedOpen(childPath)
-                parseNode(e.data, childPath, Some(e.name), depth + 1)
-                sink.embeddedClose(childPath)
-              } else sawUnsupported = true
+            else graft.pkgx.TarUtil.entries(bytes).reverseIterator.foreach { e =>
+              stack.push(NodeFrame(e.data, idPath, Some(e.name), depth + 1,
+                onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
+                onDrop = () => sawUnsupported = true))
             }
           case m if m == graft.mime.MimeDb.Warc =>
             // WARCParser.java:57 semantics: each `response` record is an
@@ -225,50 +264,52 @@ object Extractor {
             // record types are skipped. .warc.gz reaches here via the
             // gzip branch's inner re-detect.
             if (depth >= cfg.maxDepth) sawUnsupported = true
-            else graft.warc.WarcExtractor.records(bytes).foreach { rec =>
-              if (rec.warcType == "response" && rec.body.nonEmpty) {
-                if (embeddedCount < cfg.maxEmbedded) {
-                  embeddedCount += 1
-                  val childPath = s"$idPath/$embeddedCount"
-                  val uri = rec.targetUri.getOrElse("")
-                  if (uri.nonEmpty) meta.add("embedded:path", s"$childPath:$uri")
-                  rec.headers.foreach { case (k, v) =>
-                    meta.add(s"warc:$childPath:$k", v)
-                  }
-                  val isHttp = rec.header("Content-Type")
-                    .exists(_.startsWith("application/http"))
-                  val payload = (if (isHttp) graft.warc.WarcExtractor
-                      .parseHttpHead(rec.body) else None) match {
-                    case Some(h) =>
+            else graft.warc.WarcExtractor.records(bytes)
+              .filter(r => r.warcType == "response" && r.body.nonEmpty)
+              .reverseIterator.foreach { rec =>
+                // record → payload/head is pure, so computing it at schedule
+                // time is observationally identical to the recursive order
+                val uri = rec.targetUri.getOrElse("")
+                val isHttp = rec.header("Content-Type")
+                  .exists(_.startsWith("application/http"))
+                val head =
+                  if (isHttp) graft.warc.WarcExtractor.parseHttpHead(rec.body)
+                  else None
+                val payload = head match {
+                  case Some(h) => java.util.Arrays.copyOfRange(rec.body,
+                    h.payloadOffset, rec.body.length)
+                  case None => rec.body
+                }
+                val nameHint = Some(uri).filter(_.nonEmpty)
+                  .map(u => u.substring(u.lastIndexOf('/') + 1))
+                  .filter(_.nonEmpty)
+                stack.push(NodeFrame(payload, idPath, nameHint, depth + 1,
+                  onPop = { childPath =>
+                    if (uri.nonEmpty) meta.add("embedded:path", s"$childPath:$uri")
+                    rec.headers.foreach { case (k, v) =>
+                      meta.add(s"warc:$childPath:$k", v)
+                    }
+                    head.foreach { h =>
                       meta.add(s"warc:http:$childPath:status", h.status.toString)
                       if (h.reason.nonEmpty)
                         meta.add(s"warc:http:$childPath:status:reason", h.reason)
                       h.headers.foreach { case (k, v) =>
                         meta.add(s"warc:http:$childPath:$k", v)
                       }
-                      java.util.Arrays.copyOfRange(rec.body, h.payloadOffset,
-                        rec.body.length)
-                    case None => rec.body
-                  }
-                  val nameHint = Some(uri).filter(_.nonEmpty)
-                    .map(u => u.substring(u.lastIndexOf('/') + 1))
-                    .filter(_.nonEmpty)
-                  sink.embeddedOpen(childPath)
-                  parseNode(payload, childPath, nameHint, depth + 1)
-                  sink.embeddedClose(childPath)
-                } else sawUnsupported = true
+                    }
+                  },
+                  onDrop = () => sawUnsupported = true))
               }
-            }
           case MediaTypes.Gzip =>
             if (depth >= cfg.maxDepth || embeddedCount >= cfg.maxEmbedded)
               sawUnsupported = true
             else {
+              // the frame pops immediately after this node returns (nothing
+              // else is scheduled in between), so the budget just checked
+              // still holds at pop time
               val inner = ZipUtil.gunzip(bytes)
-              embeddedCount += 1
-              val childPath = s"$idPath/$embeddedCount"
-              sink.embeddedOpen(childPath)
-              parseNode(inner, childPath, None, depth + 1)
-              sink.embeddedClose(childPath)
+              stack.push(NodeFrame(inner, idPath, None, depth + 1,
+                onPop = _ => (), onDrop = () => sawUnsupported = true))
             }
           case m if m == graft.mime.MimeDb.Bzip2 || m == graft.mime.MimeDb.Xz ||
               m == graft.mime.MimeDb.Lz4 || m == graft.mime.MimeDb.Zstd =>
@@ -284,11 +325,8 @@ object Extractor {
                 else if (m == graft.mime.MimeDb.Lz4) graft.pkgx.Lz4.decompress(bytes)
                 else if (m == graft.mime.MimeDb.Zstd) graft.pkgx.Zstd.decompress(bytes)
                 else graft.pkgx.Bzip2.decompress(bytes)
-              embeddedCount += 1
-              val childPath = s"$idPath/$embeddedCount"
-              sink.embeddedOpen(childPath)
-              parseNode(inner, childPath, None, depth + 1)
-              sink.embeddedClose(childPath)
+              stack.push(NodeFrame(inner, idPath, None, depth + 1,
+                onPop = _ => (), onDrop = () => sawUnsupported = true))
             }
           case m if MediaMimes.contains(m) =>
             // image/audio/video payloads: metadata-only extraction, like
@@ -367,9 +405,10 @@ object Extractor {
         case t: DocTimeout => throw t
         case _: ZipBombDetected => bomb = true
         case _: StackOverflowError =>
-          // pathological nesting in a payload must fail the DOCUMENT,
-          // not the task (the parsers guard their own recursion depth;
-          // this is the last line of defense)
+          // embedded-doc recursion itself can no longer overflow (it runs
+          // on the explicit frame stack above); this guards PARSER-INTERNAL
+          // recursion on hostile payloads (e.g. pathologically nested
+          // markup), which must fail the DOCUMENT, not the executor task
           sawException = true
           meta.add("parse:exception", s"$mime stack overflow at " +
             (if (idPath.isEmpty) "/" else idPath))
@@ -387,15 +426,10 @@ object Extractor {
           case _: ZipBombDetected => bomb = true; return
           case _: Exception => sawException = true; return
         }
-      entries.foreach { e =>
-        if (embeddedCount < cfg.maxEmbedded) {
-          embeddedCount += 1
-          val childPath = s"$idPath/$embeddedCount"
-          meta.add("embedded:path", s"$childPath:${e.name}")
-          sink.embeddedOpen(childPath)
-          parseNode(e.data, childPath, Some(e.name), depth + 1)
-          sink.embeddedClose(childPath)
-        }
+      entries.reverseIterator.foreach { e =>
+        stack.push(NodeFrame(e.data, idPath, Some(e.name), depth + 1,
+          onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
+          onDrop = () => ())) // ZipParser skips past-budget entries silently
       }
     }
 
@@ -413,6 +447,7 @@ object Extractor {
               java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
                 .map(b => f"${b & 0xff}%02x").mkString)
           parseNode(bytes, "", None, 0)
+          drain(0)
         }
       }
     } catch {
