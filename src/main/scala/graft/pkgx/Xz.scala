@@ -311,6 +311,20 @@ object Lzma2 {
     pos
   }
 
+  /** Decode one raw LZMA1 stream of known unpacked size into `window` —
+    * the 7z folder-coder shape (id 0x030101): a single range-coded stream
+    * with the classic `(pb*5 + lp)*9 + lc` props byte, no chunking, no end
+    * marker needed when the size is known. Shares the LZMA2 chunk
+    * decoder's probability model (an LZMA2 compressed chunk IS an LZMA1
+    * stream with reset state).
+    */
+  def decodeLzma1(propsByte: Int, in: Array[Byte], from: Int, packed: Int,
+      unpacked: Int, window: Window): Unit = {
+    if (propsByte > 224) throw new XzMalformed("bad lzma props")
+    val lc = propsByte % 9; val lp = (propsByte / 9) % 5; val pb = propsByte / 45
+    new LzmaDecoder(lc, lp, pb).decodeChunk(in, from, packed, unpacked, window)
+  }
+
   /** One LZMA probability-model decoder (survives across mode-0 chunks). */
   private final class LzmaDecoder(lc: Int, lp: Int, pb: Int) {
     private val posMask = (1 << pb) - 1
