@@ -256,6 +256,23 @@ object Extractor {
                 onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
                 onDrop = () => sawUnsupported = true))
             }
+          case m if m == graft.mime.MimeDb.Ar || m == graft.mime.MimeDb.Deb ||
+              m == graft.mime.MimeDb.Cpio =>
+            // PackageParser ar/deb/cpio member recursion (commons-compress
+            // dispatch in the reference); .deb is an ar of control/data
+            // tarballs and recurses all the way down through the codec
+            // branches
+            if (depth >= cfg.maxDepth) sawUnsupported = true
+            else {
+              val entries =
+                if (m == graft.mime.MimeDb.Cpio) graft.pkgx.ArCpio.cpioEntries(bytes)
+                else graft.pkgx.ArCpio.arEntries(bytes)
+              entries.reverseIterator.foreach { e =>
+                stack.push(NodeFrame(e.data, idPath, Some(e.name), depth + 1,
+                  onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
+                  onDrop = () => sawUnsupported = true))
+              }
+            }
           case m if m == graft.mime.MimeDb.SevenZ =>
             // SevenZParser.java semantics via PackageParser dispatch: each
             // member is an embedded doc with its header name; encrypted
@@ -362,6 +379,8 @@ object Extractor {
                 meta.add(s"media:$ref:orientation", mm.orientation.toString)
             }
             sink.media(ref)
+          case m if m == graft.mime.MimeDb.OneNote =>
+            graft.onenote.OneNoteExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsWord =>
             graft.ole2.DocExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsExcel =>

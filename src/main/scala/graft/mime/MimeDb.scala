@@ -17,6 +17,7 @@ object MimeDb {
   // media-type constants used by dispatch / tests
   val Tar = "application/x-tar"
   val Gtar = "application/x-gtar"
+  val OneNote = "application/onenote"
   val SevenZ = "application/x-7z-compressed"
   val Rar = "application/x-rar-compressed"
   val Bzip2 = "application/x-bzip2"
@@ -116,6 +117,10 @@ object MimeDb {
     Magic(Gtar, 50, BytesClause(257, 257, ascii("ustar  ") :+ 0.toByte)),
     Magic(SevenZ, 50, AndClause(Seq(string(0, "7z"),
       bytes(2, 0xbc, 0xaf, 0x27, 0x1c)))),
+    // .one section file: header guidFileType {7B5C52E4-D88C-4DA7-AEB1-
+    // 5378D02996D3} serialized little-endian (MS-ONESTORE §2.3.1)
+    Magic(OneNote, 50, bytes(0, 0xe4, 0x52, 0x5c, 0x7b, 0x8c, 0xd8,
+      0xa7, 0x4d, 0xae, 0xb1, 0x53, 0x78, 0xd0, 0x29, 0x96, 0xd3)),
     Magic(Rar, 50, bytes(0, 'R', 'a', 'r', '!', 0x1a)),
     Magic(Bzip2, 40, RegexClause("^BZh[1-9]", window = 8)),
     Magic(Xz, 50, bytes(0, 0xfd, '7', 'z', 'X', 'Z', 0x00)),
