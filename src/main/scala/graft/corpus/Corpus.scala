@@ -64,7 +64,9 @@ object Corpus {
     else if (m < 485) "xlsx"
     else if (m < 510) "pptx"
     else if (m < 595) "pdf"
-    else if (m < 675) "zip"
+    else if (m < 655) "zip"
+    else if (m < 668) "archive" // 7z / ar / cpio rotation
+    else if (m < 675) "onenote"
     else if (m < 685) "tar"
     else if (m < 730) "text"
     else if (m < 760) "csv"
@@ -83,7 +85,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 12
+  val Version = 13
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -117,6 +119,23 @@ object Corpus {
       case "zip" =>
         val bytes = if (isBombShaped(index)) bombZip(r) else zipDoc(r)
         Seq(Span("zip", b64(bytes), null, 0))
+      case "archive" =>
+        // the round-3 container formats, same member mix as tar
+        val entries = (1 to 2 + r.nextInt(2)).map { i =>
+          r.nextInt(3) match {
+            case 0 => s"member$i.txt" -> paragraph(r, 3).getBytes(StandardCharsets.UTF_8)
+            case 1 => s"member$i.html" -> htmlFragment(r).getBytes(StandardCharsets.UTF_8)
+            case _ => s"notes/member$i.xml" -> xmlDoc(r).getBytes(StandardCharsets.UTF_8)
+          }
+        }
+        val bytes = (index % 3) match {
+          case 0 => graft.pkgx.SevenZ.write(entries)
+          case 1 => graft.pkgx.ArCpio.writeAr(entries)
+          case _ => graft.pkgx.ArCpio.writeCpio(entries)
+        }
+        Seq(Span("bytes", b64(bytes), null, 0))
+      case "onenote" =>
+        Seq(Span("bytes", b64(OneCorpus.oneFile(r)), null, 0))
       case "warc" =>
         // web-archive rows: 2-3 response records (html + text members);
         // every other row ships gzip-wrapped (.warc.gz path)

@@ -407,6 +407,68 @@ object SevenZ {
     FilesInfo(names, emptyStream, emptyFile)
   }
 
+  /** Fixture writer: a valid stored (Copy-coder) 7z archive — one folder
+    * per member, raw (unencoded) header. Real 7z tools read these; the
+    * ratio is simply 1.0 (same pattern as the Xz/Lz4 fixture writers).
+    */
+  def write(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def num(v: Long): Unit = {
+      // writer emits only the compact forms the NUMBER format allows
+      if (v < 0x80) b(v.toInt)
+      else if (v < 0x4000) { b(0x80 | (v >> 8).toInt); b((v & 0xff).toInt) }
+      else {
+        b(0xc0 | (v >> 16).toInt)
+        b((v & 0xff).toInt); b(((v >> 8) & 0xff).toInt)
+      }
+    }
+    // pack area = member bytes concatenated
+    val packArea = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (_, data) => packArea.write(data) }
+    val pack = packArea.toByteArray
+
+    // header
+    b(kHeader)
+    b(kMainStreamsInfo)
+    b(kPackInfo); num(0); num(entries.size)
+    b(kSize); entries.foreach { case (_, d) => num(d.length.toLong) }
+    b(kEnd) // ends PackInfo's property loop
+    b(kUnpackInfo)
+    b(kFolder); num(entries.size); b(0)
+    entries.foreach { _ => num(1); b(0x01); b(0x00) } // 1 coder: Copy, id size 1
+    b(kCodersUnpackSize); entries.foreach { case (_, d) => num(d.length.toLong) }
+    b(kEnd) // ends UnpackInfo's property loop
+    b(kEnd) // ends StreamsInfo
+    b(kFilesInfo); num(entries.size)
+    val names = new java.io.ByteArrayOutputStream()
+    names.write(0) // internal names
+    entries.foreach { case (n, _) =>
+      n.foreach { ch => names.write(ch & 0xff); names.write((ch >> 8) & 0xff) }
+      names.write(0); names.write(0)
+    }
+    b(kName); num(names.size().toLong); out.write(names.toByteArray)
+    b(kEnd); b(kEnd)
+    val header = out.toByteArray.drop(0)
+
+    val crc32 = { val c = new CRC32(); c.update(header); c.getValue }
+    val start = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    start.putLong(pack.length.toLong).putLong(header.length.toLong)
+      .putInt(crc32.toInt)
+    val startBytes = start.array()
+    val startCrc = { val c = new CRC32(); c.update(startBytes); c.getValue }
+    val sig = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sig.put(Signature).put(0.toByte).put(4.toByte).putInt(startCrc.toInt)
+      .put(startBytes)
+    val res = new java.io.ByteArrayOutputStream()
+    res.write(sig.array())
+    res.write(pack)
+    res.write(header)
+    res.toByteArray
+  }
+
   /** Parse a 7z archive into its member entries (directories skipped,
     * empty files kept as zero-length entries, order = header order). */
   def entries(bytes: Array[Byte], maxEntries: Int = 10000): Vector[Entry] = {
@@ -474,6 +536,10 @@ object SevenZ {
       files = Some(parseFilesInfo(r))
       id = r.num()
     }
+    if (id != kEnd)
+      // a desynced property walk must fail loudly, not read as an
+      // empty archive (parse_success with zero members)
+      throw new SevenZMalformed(s"unexpected trailing header property $id")
 
     val fi = files.getOrElse(return Vector.empty)
     // unpack every folder and split into substreams in order
