@@ -43,7 +43,17 @@ object Extractor {
     graft.mime.MimeDb.M4v, graft.mime.MimeDb.Flv, graft.mime.MimeDb.MpegVideo,
     graft.mime.MimeDb.QuickTime, graft.mime.MimeDb.WebmVideo,
     graft.mime.MimeDb.Heic, graft.mime.MimeDb.Avif, graft.mime.MimeDb.Jp2,
-    graft.mime.MimeDb.Ico, graft.mime.MimeDb.Psd)
+    graft.mime.MimeDb.Ico, graft.mime.MimeDb.Psd,
+    // round-3 second magic tranche — media containers pass through as
+    // media spans (metadata-only), like the rest of this family
+    graft.mime.MimeDb.OggVorbis, graft.mime.MimeDb.OggOpus,
+    graft.mime.MimeDb.OggTheora, graft.mime.MimeDb.OggSpeex,
+    graft.mime.MimeDb.OggFlacA, graft.mime.MimeDb.Asf,
+    graft.mime.MimeDb.Caf, graft.mime.MimeDb.AmrWb, graft.mime.MimeDb.Sid,
+    graft.mime.MimeDb.RealAudio, graft.mime.MimeDb.Mng, graft.mime.MimeDb.Jng,
+    graft.mime.MimeDb.Ac3, graft.mime.MimeDb.CanonCr2, graft.mime.MimeDb.Pcx,
+    graft.mime.MimeDb.Pam, graft.mime.MimeDb.SgiRgb, graft.mime.MimeDb.Bpg,
+    graft.mime.MimeDb.Icns, graft.mime.MimeDb.Dpx, graft.mime.MimeDb.Nitf)
 
   private val MediaExt: Map[String, String] = Map(
     MediaTypes.Jpeg -> "jpg", MediaTypes.Tiff -> "tif", MediaTypes.Mp3 -> "mp3",

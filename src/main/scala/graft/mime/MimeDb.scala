@@ -111,6 +111,56 @@ object MimeDb {
   val Emf = "image/emf"
   val Anpa = "text/vnd.iptc.anpa"
 
+  // round-3 second tranche (the bare OggS container magic already exists
+  // as audio/ogg in the curated core; the codec subtypes below outrank it)
+  val OggVorbis = "audio/vorbis"
+  val OggOpus = "audio/opus"
+  val OggTheora = "video/theora"
+  val OggSpeex = "audio/speex"
+  val OggFlacA = "audio/x-oggflac"
+  val Asf = "video/x-ms-asf"
+  val Pst = "application/vnd.ms-outlook-pst"
+  val Tnef = "application/vnd.ms-tnef"
+  val PemCert = "application/x-x509-cert;format=pem"
+  val UnixCompress = "application/x-compress"
+  val Dvi = "application/x-dvi"
+  val Type1Font = "application/x-font-type1"
+  val BPlist = "application/x-bplist"
+  val Eot = "application/vnd.ms-fontobject"
+  val BinHex = "application/mac-binhex40"
+  val ArcArchive = "application/x-internet-archive"
+  val HttpResponse = "application/x-httpresponse"
+  val Icns = "image/icns"
+  val Bpg = "image/x-bpg"
+  val Pam = "image/x-portable-arbitrarymap"
+  val SgiRgb = "image/x-rgb"
+  val CanonCr2 = "image/x-canon-cr2"
+  val Mng = "video/x-mng"
+  val Jng = "video/x-jng"
+  val Caf = "audio/x-caf"
+  val AmrWb = "audio/amr-wb"
+  val Sid = "audio/prs.sid"
+  val RealAudio = "audio/x-pn-realaudio"
+  val Vtt = "text/vtt"
+  val Dwf = "model/vnd.dwf"
+  val Dwg = "image/vnd.dwg"
+  val NesRom = "application/x-nesrom"
+  val Zoo = "application/x-zoo"
+  val StuffIt = "application/x-stuffit"
+  val Shapefile = "application/x-shapefile"
+  val SasData = "application/x-sas-data"
+  val SpssSav = "application/x-spss-sav"
+  val StataDta = "application/x-stata-dta"
+  val Jks = "application/x-java-keystore"
+  val Hwp = "application/x-hwp"
+  val Ac3 = "audio/ac3"
+  val Dpx = "image/x-dpx"
+  val Nitf = "image/nitf"
+  val E57 = "model/e57"
+  val Zim = "application/x-zim"
+  val BerkeleyDb = "application/x-berkeley-db"
+  val Diff = "text/x-diff"
+
   val magics: Vector[Magic] = Vector(
     // ---- archives & compressors
     Magic(Tar, 40, BytesClause(257, 257, ascii("ustar") :+ 0.toByte)),
@@ -260,7 +310,80 @@ object MimeDb {
     Magic(Anpa, 50, bytes(0, 0x16, 0x16, 0x01)),
     Magic(Ics, 50, AndClause(Seq(string(0, "BEGIN:VCALENDAR"),
       stringRange(15, 360, "\nVERSION:2.0")))),
-    Magic(VCard, 50, string(0, "BEGIN:VCARD"))
+    Magic(VCard, 50, string(0, "BEGIN:VCARD")),
+
+    // ---- round-3 second tranche (signatures transcribed from the
+    // reference's tika-mimetypes.xml match elements)
+    // Ogg container + codec-specialized subtypes: the first logical
+    // packet's codec marker sits at offset 28 (page header is 28 bytes);
+    // codec magics outrank the bare container magic
+    Magic(OggVorbis, 60, AndClause(Seq(string(0, "OggS"),
+      bytes(28, 0x01), string(29, "vorbis")))),
+    Magic(OggOpus, 60, AndClause(Seq(string(0, "OggS"),
+      string(28, "OpusHead")))),
+    Magic(OggTheora, 60, AndClause(Seq(string(0, "OggS"),
+      bytes(28, 0x80), string(29, "theora")))),
+    Magic(OggSpeex, 60, AndClause(Seq(string(0, "OggS"),
+      string(28, "Speex   ")))),
+    Magic(OggFlacA, 60, AndClause(Seq(string(0, "OggS"),
+      bytes(28, 0x7f), string(29, "FLAC")))),
+    Magic(Asf, 50, big32(0, 0x3026b275L)),
+    Magic(Pst, 50, AndClause(Seq(string(0, "!BDN"), string(8, "SM")))),
+    Magic(Tnef, 50, little32(0, 0x223e9f78L)),
+    Magic(PemCert, 50, string(0, "-----BEGIN CERTIFICATE-----")),
+    Magic(UnixCompress, 50, bytes(0, 0x1f, 0x9d)),
+    Magic(Dvi, 50, little16(0, 0x02f7)),
+    Magic(Type1Font, 50, OrClause(Seq(
+      string(0, "%!PS-AdobeFont-1.0"),
+      AndClause(Seq(bytes(0, 0x80, 0x01), string(6, "%!PS-AdobeFont")))))),
+    Magic(BPlist, 50, string(0, "bplist0")),
+    Magic(Eot, 50, AndClause(Seq(bytes(8, 0x02, 0x00, 0x02, 0x00),
+      bytes(34, 0x4c, 0x50)))),
+    Magic(BinHex, 50, string(11, "must be converted with BinHex")),
+    Magic(ArcArchive, 50, string(0, "filedesc://")),
+    // outranks the body's own type (e.g. an html payload): the head IS
+    // the framing, like the reference's x-httpresponse priority
+    Magic(HttpResponse, 70, AndClause(Seq(string(0, "HTTP/1."),
+      RegexClause("\\n(Content-Type|Content-Length|Cache-Control):",
+        window = 1000)))),
+    Magic(Icns, 50, string(0, "icns")),
+    Magic(Bpg, 50, bytes(0, 0x42, 0x50, 0x47, 0xfb)),
+    Magic(Pam, 50, AndClause(Seq(string(0, "P7"), OrClause(Seq(
+      bytes(2, 0x0a), bytes(2, 0x0d), bytes(2, 0x20)))))),
+    Magic(SgiRgb, 50, bytes(0, 0x01, 0xda, 0x01, 0x01, 0x00, 0x03)),
+    // CR2 = TIFF header + "CR" marker at 8; outranks the plain TIFF magic
+    Magic(CanonCr2, 60, OrClause(Seq(
+      AndClause(Seq(bytes(0, 0x49, 0x49, 0x2a, 0x00), string(8, "CR"))),
+      AndClause(Seq(bytes(0, 0x4d, 0x4d, 0x00, 0x2a), string(8, "CR")))))),
+    Magic(Mng, 50, AndClause(Seq(bytes(0, 0x8a), string(1, "MNG")))),
+    Magic(Jng, 50, AndClause(Seq(bytes(0, 0x8b), string(1, "JNG")))),
+    Magic(Caf, 50, AndClause(Seq(string(0, "caff"), bytes(4, 0x00)))),
+    Magic(AmrWb, 60, string(0, "#!AMR-WB")),
+    Magic(Sid, 50, string(0, "PSID")),
+    Magic(RealAudio, 50, big32(0, 0x2e7261fdL)),
+    Magic(Vtt, 50, OrClause(Seq(string(0, "WEBVTT\r"), string(0, "WEBVTT\n")))),
+    Magic(Dwf, 50, string(0, "(DWF V")),
+    Magic(Dwg, 50, OrClause(Seq(string(0, "AC10"), string(0, "AC1."),
+      string(0, "MC0.0")))),
+    Magic(NesRom, 50, bytes(0, 0x4e, 0x45, 0x53, 0x1a)),
+    Magic(Zoo, 50, little32(20, 0xfdc4a7dcL)),
+    Magic(StuffIt, 50, OrClause(Seq(string(0, "StuffIt"), string(0, "SIT!")))),
+    Magic(Shapefile, 50, big32(0, 0x0000270aL)),
+    Magic(SasData, 50, string(84, "SAS FILE")),
+    Magic(SpssSav, 50, string(0, "$FL2@(#)")),
+    Magic(StataDta, 50, string(0, "<stata_dta>")),
+    Magic(Jks, 50, big32(0, 0xfeedfeedL)),
+    Magic(Hwp, 50, string(0, "HWP Document File V")),
+    Magic(Ac3, 30, bytes(0, 0x0b, 0x77)), // 2-byte sync word — low priority
+    Magic(Dpx, 50, OrClause(Seq(string(0, "SDPX"), string(0, "XPDS")))),
+    Magic(Nitf, 50, string(0, "NITF0")),
+    Magic(E57, 50, string(0, "ASTM-E57")),
+    Magic(Zim, 50, bytes(0, 0x5a, 0x49, 0x4d, 0x04)),
+    Magic(BerkeleyDb, 50, OrClause(Seq(
+      little32(12, 0x00053162L), big32(12, 0x00053162L),
+      little32(0, 0x00053162L), big32(0, 0x00053162L)))),
+    Magic(Diff, 30, OrClause(Seq(string(0, "diff "), string(0, "Only in "),
+      string(0, "Index:"), string(0, "*** "))))
   )
 
   /** sub-class-of edges for the added types (text/x-* get text/plain via
@@ -281,7 +404,16 @@ object MimeDb {
     "application/javascript" -> MediaTypes.TextPlain,
     "application/x-sql" -> MediaTypes.TextPlain,
     "application/java-archive" -> MediaTypes.Zip,
-    Bzip2 -> "application/x-bzip"
+    Bzip2 -> "application/x-bzip",
+    // round-3 second tranche
+    OggVorbis -> MediaTypes.Ogg, OggOpus -> MediaTypes.Ogg,
+    OggTheora -> MediaTypes.Ogg, OggSpeex -> MediaTypes.Ogg,
+    OggFlacA -> MediaTypes.Ogg,
+    CanonCr2 -> MediaTypes.Tiff,
+    Vtt -> MediaTypes.TextPlain,
+    Diff -> MediaTypes.TextPlain,
+    PemCert -> MediaTypes.TextPlain,
+    HttpResponse -> MediaTypes.TextPlain
   )
 
   /** Exact-name glob tier (mime/Patterns.java:40-162; all 10 non-wildcard
