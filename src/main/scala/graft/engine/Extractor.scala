@@ -294,6 +294,31 @@ object Extractor {
                 onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
                 onDrop = () => sawUnsupported = true))
             }
+          case m if m == graft.mime.MimeDb.ArcArchive =>
+            // pre-WARC web archives: each record is an embedded doc with
+            // arc: metadata; HTTP heads are stripped like the warc branch
+            if (depth >= cfg.maxDepth) sawUnsupported = true
+            else graft.warc.ArcExtractor.records(bytes)
+              .filter(_.body.nonEmpty).reverseIterator.foreach { rec =>
+                val head = graft.warc.WarcExtractor.parseHttpHead(rec.body)
+                val payload = head match {
+                  case Some(h) => java.util.Arrays.copyOfRange(rec.body,
+                    h.payloadOffset, rec.body.length)
+                  case None => rec.body
+                }
+                val nameHint = Some(rec.url)
+                  .map(u => u.substring(u.lastIndexOf('/') + 1))
+                  .filter(_.nonEmpty)
+                stack.push(NodeFrame(payload, idPath, nameHint, depth + 1,
+                  onPop = { childPath =>
+                    meta.add("embedded:path", s"$childPath:${rec.url}")
+                    meta.add(s"arc:$childPath:date", rec.date)
+                    meta.add(s"arc:$childPath:mime", rec.mime)
+                    head.foreach(h =>
+                      meta.add(s"arc:$childPath:status", h.status.toString))
+                  },
+                  onDrop = () => sawUnsupported = true))
+              }
           case m if m == graft.mime.MimeDb.Warc =>
             // WARCParser.java:57 semantics: each `response` record is an
             // embedded document carrying its WARC headers (warc:) and

@@ -15,10 +15,11 @@ import java.util.zip.{CRC32, Inflater}
   * directories skipped) without the codec dependency.
   *
   * Coders supported: Copy (0x00), LZMA (0x030101), LZMA2 (0x21), Delta
-  * (0x03), Deflate (0x040108), BZip2 (0x040202) — chained linearly via
-  * bind pairs (e.g. Delta→LZMA). Encrypted archives (AES coder
-  * 0x06F10701) and BCJ2 raise SevenZMalformed → the document records a
-  * parse failure, mirroring the reference's encrypted-7z behavior.
+  * (0x03), x86 BCJ (0x03030103), Deflate (0x040108), BZip2 (0x040202) —
+  * chained linearly via bind pairs (e.g. BCJ→LZMA). Encrypted archives
+  * (AES coder 0x06F10701) and BCJ2 raise SevenZMalformed → the document
+  * records a parse failure, mirroring the reference's encrypted-7z
+  * behavior.
   */
 object SevenZ {
 
@@ -324,8 +325,14 @@ object SevenZ {
       case IdBzip2 => Bzip2.decompress(in)
       case IdAes =>
         throw new SevenZMalformed("encrypted 7z (AES coder) unsupported")
-      case IdBcjX86 =>
-        throw new SevenZMalformed("BCJ-filtered 7z unsupported")
+      case IdBcjX86 | 0x04L => // old- and xz-style x86 BCJ ids
+        val out = in.clone()
+        val ip = if (c.props.length >= 4)
+          (c.props(0) & 0xffL) | ((c.props(1) & 0xffL) << 8) |
+            ((c.props(2) & 0xffL) << 16) | ((c.props(3) & 0xffL) << 24)
+          else 0L
+        BcjFilters.x86Decode(out, 0, out.length, ip)
+        out
       case other =>
         throw new SevenZMalformed(f"unsupported 7z coder 0x$other%x")
     }

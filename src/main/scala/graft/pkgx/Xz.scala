@@ -111,20 +111,41 @@ object Xz {
         var p = pos + 2
         if ((flags & 0x40) != 0) p = varint(bytes, p)._2 // compressed size hint
         if ((flags & 0x80) != 0) p = varint(bytes, p)._2 // uncompressed size hint
-        var lzma2Seen = false
+        // filter chain: zero or more non-last filters (delta 0x03, x86
+        // BCJ 0x04) ending in LZMA2 0x21; non-last filters are undone in
+        // reverse order after LZMA2 decode
+        var chain = List.empty[(Long, Array[Byte])]
         var f = 0
         while (f < nFilters) {
           val (id, p1) = varint(bytes, p)
           val (propLen, p2) = varint(bytes, p1)
-          if (id == 0x21) lzma2Seen = true
-          else throw new XzMalformed(f"unsupported filter 0x$id%x (LZMA2 only)")
+          val props = java.util.Arrays.copyOfRange(bytes, p2, p2 + propLen.toInt)
+          id match {
+            case 0x21 | 0x03 | 0x04 => chain ::= (id, props)
+            case other =>
+              throw new XzMalformed(f"unsupported filter 0x$other%x")
+          }
           p = p2 + propLen.toInt
           f += 1
         }
-        if (!lzma2Seen) throw new XzMalformed("no LZMA2 filter in block")
+        chain match {
+          case (0x21, _) :: _ => ()
+          case _ => throw new XzMalformed("last filter must be LZMA2")
+        }
         val dataStart = pos + headerSize
         val before = window.len
         val dataEnd = Lzma2.decode(bytes, dataStart, window)
+        chain.tail.foreach { case (id, props) =>
+          val n0 = window.len - before
+          if (id == 0x03) {
+            val dist = (if (props.nonEmpty) props(0) & 0xff else 0) + 1
+            BcjFilters.deltaDecode(window.buf, before, n0, dist)
+          } else {
+            val startIp =
+              if (props.length >= 4) readLE32(props, 0) else 0L
+            BcjFilters.x86Decode(window.buf, before, n0, startIp)
+          }
+        }
         // block padding to 4-byte alignment (zero bytes)
         var q = dataEnd
         while (((q - pos) & 3) != 0) {
