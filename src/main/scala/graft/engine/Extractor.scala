@@ -375,7 +375,8 @@ object Extractor {
                 onPop = _ => (), onDrop = () => sawUnsupported = true))
             }
           case m if m == graft.mime.MimeDb.Bzip2 || m == graft.mime.MimeDb.Xz ||
-              m == graft.mime.MimeDb.Lz4 || m == graft.mime.MimeDb.Zstd =>
+              m == graft.mime.MimeDb.Lz4 || m == graft.mime.MimeDb.Zstd ||
+              m == graft.mime.MimeDb.UnixCompress =>
             // CompressorParser analog (pkg/CompressorStreamFactory route):
             // from-scratch bzip2/xz/lz4/zstd decode, then inner re-detect —
             // .tar.{bz2,xz,lz4,zst} recurse exactly like .tar.gz
@@ -387,6 +388,8 @@ object Extractor {
                 if (m == graft.mime.MimeDb.Xz) graft.pkgx.Xz.decompress(bytes)
                 else if (m == graft.mime.MimeDb.Lz4) graft.pkgx.Lz4.decompress(bytes)
                 else if (m == graft.mime.MimeDb.Zstd) graft.pkgx.Zstd.decompress(bytes)
+                else if (m == graft.mime.MimeDb.UnixCompress)
+                  graft.pkgx.Lzw.decompress(bytes)
                 else graft.pkgx.Bzip2.decompress(bytes)
               stack.push(NodeFrame(inner, idPath, None, depth + 1,
                 onPop = _ => (), onDrop = () => sawUnsupported = true))
