@@ -417,6 +417,9 @@ object Extractor {
                 meta.add(s"media:$ref:orientation", mm.orientation.toString)
             }
             sink.media(ref)
+          case m if m == graft.mime.MimeDb.Sqlite =>
+            graft.db.SqliteExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(name, data))
           case m if m == graft.mime.MimeDb.OneNote =>
             graft.onenote.OneNoteExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsWord =>
