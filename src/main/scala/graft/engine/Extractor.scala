@@ -294,6 +294,23 @@ object Extractor {
                 onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
                 onDrop = () => sawUnsupported = true))
             }
+          case m if m == graft.mime.MimeDb.HttpResponse =>
+            // a raw captured HTTP response: record the head as metadata,
+            // recurse the body through re-detection (the supertype walk
+            // would otherwise dump headers as document text)
+            graft.warc.WarcExtractor.parseHttpHead(bytes) match {
+              case Some(h) if depth < cfg.maxDepth =>
+                meta.add("http:status", h.status.toString)
+                h.headers.foreach { case (k, v) => meta.add(s"http:$k", v) }
+                val body = java.util.Arrays.copyOfRange(bytes,
+                  h.payloadOffset, bytes.length)
+                if (body.nonEmpty)
+                  stack.push(NodeFrame(body, idPath, None, depth + 1,
+                    onPop = _ => (), onDrop = () => sawUnsupported = true))
+              case _ =>
+                sink.chars(EncodingDetector.decode(bytes))
+                sink.newline()
+            }
           case m if m == graft.mime.MimeDb.ArcArchive =>
             // pre-WARC web archives: each record is an embedded doc with
             // arc: metadata; HTTP heads are stripped like the warc branch

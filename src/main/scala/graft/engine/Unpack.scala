@@ -11,9 +11,10 @@ import graft.zipx.{OpcDetector, ZipUtil}
   * tika-server UnpackerResource — SURVEY.md §2.10 "optional second
   * output table of extracted media blobs").
   *
-  * Walks the same container tree as the extraction engine (zip, gzip,
-  * OOXML-as-zip media parts, email attachments) but collects bytes
-  * instead of parsing them. Per-row caps mirror the extraction config.
+  * Walks the same container tree as the extraction engine (zip, tar,
+  * 7z, ar/deb/cpio, warc, all codec wrappers, OOXML-as-zip media parts,
+  * email attachments) but collects bytes instead of parsing them.
+  * Per-row caps mirror the extraction config.
   */
 object Unpack {
 
@@ -62,14 +63,72 @@ object Unpack {
               walk(e.data, childPath, Some(e.name), depth + 1)
             }
           } catch { case _: Exception => () }
-        case MediaTypes.Gzip =>
+        case m if m == MediaTypes.Gzip || m == graft.mime.MimeDb.Bzip2 ||
+            m == graft.mime.MimeDb.Xz || m == graft.mime.MimeDb.Lz4 ||
+            m == graft.mime.MimeDb.Zstd || m == graft.mime.MimeDb.UnixCompress =>
           try {
-            val inner = ZipUtil.gunzip(bytes)
+            val inner =
+              if (m == MediaTypes.Gzip) ZipUtil.gunzip(bytes)
+              else if (m == graft.mime.MimeDb.Xz) graft.pkgx.Xz.decompress(bytes)
+              else if (m == graft.mime.MimeDb.Lz4) graft.pkgx.Lz4.decompress(bytes)
+              else if (m == graft.mime.MimeDb.Zstd) graft.pkgx.Zstd.decompress(bytes)
+              else if (m == graft.mime.MimeDb.UnixCompress)
+                graft.pkgx.Lzw.decompress(bytes)
+              else graft.pkgx.Bzip2.decompress(bytes)
             count += 1
             val childPath = s"$idPath/$count"
-            emit(childPath, nameHint.map(_ + "~ungz").getOrElse("ungz"), inner)
+            emit(childPath, nameHint.map(_ + "~unc").getOrElse("unc"), inner)
             walk(inner, childPath, None, depth + 1)
           } catch { case _: Exception => () }
+        case m if m == graft.mime.MimeDb.Tar || m == graft.mime.MimeDb.Gtar =>
+          try graft.pkgx.TarUtil.entries(bytes).foreach { e =>
+            if (count < cfg.maxEmbedded) {
+              count += 1
+              val childPath = s"$idPath/$count"
+              emit(childPath, e.name, e.data)
+              walk(e.data, childPath, Some(e.name), depth + 1)
+            }
+          } catch { case _: Exception => () }
+        case m if m == graft.mime.MimeDb.SevenZ =>
+          try graft.pkgx.SevenZ.entries(bytes).foreach { e =>
+            if (count < cfg.maxEmbedded) {
+              count += 1
+              val childPath = s"$idPath/$count"
+              emit(childPath, e.name, e.data)
+              walk(e.data, childPath, Some(e.name), depth + 1)
+            }
+          } catch { case _: Exception => () }
+        case m if m == graft.mime.MimeDb.Ar || m == graft.mime.MimeDb.Deb ||
+            m == graft.mime.MimeDb.Cpio =>
+          try {
+            val entries =
+              if (m == graft.mime.MimeDb.Cpio) graft.pkgx.ArCpio.cpioEntries(bytes)
+              else graft.pkgx.ArCpio.arEntries(bytes)
+            entries.foreach { e =>
+              if (count < cfg.maxEmbedded) {
+                count += 1
+                val childPath = s"$idPath/$count"
+                emit(childPath, e.name, e.data)
+                walk(e.data, childPath, Some(e.name), depth + 1)
+              }
+            }
+          } catch { case _: Exception => () }
+        case m if m == graft.mime.MimeDb.Warc =>
+          try graft.warc.WarcExtractor.records(bytes)
+            .filter(r => r.warcType == "response" && r.body.nonEmpty)
+            .foreach { rec =>
+              if (count < cfg.maxEmbedded) {
+                count += 1
+                val childPath = s"$idPath/$count"
+                val payload = graft.warc.WarcExtractor.parseHttpHead(rec.body)
+                  .map(h => java.util.Arrays.copyOfRange(rec.body,
+                    h.payloadOffset, rec.body.length))
+                  .getOrElse(rec.body)
+                val name = rec.targetUri.getOrElse(s"record-$count")
+                emit(childPath, name, payload)
+                walk(payload, childPath, Some(name), depth + 1)
+              }
+            } catch { case _: Exception => () }
         case MediaTypes.Eml =>
           try graft.mail.EmlExtractor.extract(bytes, new SpanSink(), new MetaSink,
             (name, data) => {

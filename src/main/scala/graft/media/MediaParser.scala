@@ -37,8 +37,54 @@ object MediaParser {
                  (bytes(1) & 0xe0) == 0xe0)) parseMp3(bytes)
       else if (bytes.length > 11 && matches(bytes, 4, 'f', 't', 'y', 'p'))
         parseMp4(bytes)
+      else if (matches(bytes, 0, 'O', 'g', 'g', 'S')) parseOgg(bytes)
+      else if (matches(bytes, 0, 0x30, 0x26, 0xb2, 0x75)) parseAsf(bytes)
       else None
     } catch { case _: Exception => None }
+  }
+
+  /** Ogg: the first logical packet's codec identification header carries
+    * channels + sample rate (Vorbis I spec §4.2.2; OggOpus RFC 7845 §5.1).
+    */
+  private def parseOgg(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 48) return None
+    if (matches(b, 28, 0x01) && matches(b, 29, 'v', 'o', 'r', 'b', 'i', 's')) {
+      // id header: version(4) channels(1) rate(4 LE) at packet offset 7
+      val ch = b(28 + 11) & 0xff
+      val rate = le32(b, 28 + 12).toInt
+      Some(Meta("audio/vorbis", "audio", sampleRate = rate, channels = ch))
+    } else if (matches(b, 28, 'O', 'p', 'u', 's', 'H', 'e', 'a', 'd')) {
+      // OpusHead: ver(1) ch(1) preskip(2) inputRate(4 LE)
+      val ch = b(28 + 9) & 0xff
+      val rate = le32(b, 28 + 12).toInt
+      Some(Meta("audio/opus", "audio", sampleRate = rate, channels = ch))
+    } else None
+  }
+
+  /** ASF: the File Properties object carries the play duration in 100 ns
+    * units (public ASF spec §3.2); objects are GUID + LE64 size framed.
+    */
+  private def parseAsf(b: Array[Byte]): Option[Meta] = {
+    // file properties object GUID 8CABDCA1-A947-11CF-8EE4-00C00C205365 (LE)
+    val fp = Array(0xa1, 0xdc, 0xab, 0x8c, 0x47, 0xa9, 0xcf, 0x11,
+      0x8e, 0xe4, 0x00, 0xc0, 0x0c, 0x20, 0x53, 0x65)
+    var off = 30L // past the header object preamble
+    var hops = 0
+    while (off + 24 < b.length && hops < 64) {
+      hops += 1
+      val o = off.toInt
+      val size = le32(b, o + 16) | (le32(b, o + 20) << 32)
+      if (size < 24) return None
+      if (fp.indices.forall(i => (b(o + i) & 0xff) == fp(i))) {
+        if (o + 72 > b.length) return None
+        // play duration LE64 at object offset 64
+        val dur100ns = le32(b, o + 64) | (le32(b, o + 68) << 32)
+        return Some(Meta("video/x-ms-asf", "video",
+          durationMs = dur100ns / 10000L))
+      }
+      off += size
+    }
+    None
   }
 
   private def matches(b: Array[Byte], off: Int, vals: Int*): Boolean =

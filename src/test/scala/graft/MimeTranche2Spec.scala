@@ -96,6 +96,37 @@ class MimeTranche2Spec extends AnyFunSuite {
     }
   }
 
+  test("ogg/asf metadata parses from the real fixtures") {
+    val av = Path.of("/root/reference/tika-parsers/tika-parsers-standard/" +
+      "tika-parsers-standard-modules/tika-parser-audiovideo-module/" +
+      "src/test/resources/test-documents")
+    org.scalatest.Assertions.assume(Files.isDirectory(av),
+      "reference fixtures not present")
+    val m = graft.media.MediaParser
+      .parse(Files.readAllBytes(av.resolve("testVORBIS.ogg"))).get
+    assert(m.sampleRate == 44100 && m.channels == 2)
+    val it = Path.of("/root/reference/tika-parsers/tika-parsers-standard/" +
+      "tika-parsers-standard-integration-tests/src/test/resources/test-documents")
+    if (Files.isDirectory(it)) {
+      val wma = graft.media.MediaParser
+        .parse(Files.readAllBytes(it.resolve("testWMA.wma"))).get
+      assert(wma.durationMs > 3000 && wma.durationMs < 15000)
+    }
+  }
+
+  test("raw http responses strip the head and extract the body") {
+    val resp = s("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><body><p>captured page body</p></body></html>")
+    val out = graft.engine.Extractor.extract(graft.core.DocRow("h",
+      Seq(graft.core.Span("bytes", graft.corpus.Corpus.b64(resp), null, 0))))
+    assert(out.mime == MimeDb.HttpResponse)
+    assert(out.meta("http:status") == Seq("200"))
+    val text = out.spans.filter(_.kind == graft.core.Span.KindText)
+      .map(_.text).mkString
+    assert(text.contains("captured page body"))
+    assert(!text.contains("Content-Type")) // head is metadata, not text
+  }
+
   test("new media types flow through extraction as media spans") {
     val ogg = s("OggS") ++ new Array[Byte](24) ++ s("OpusHead") ++
       new Array[Byte](64)

@@ -67,6 +67,25 @@ class SevenZSpec extends AnyFunSuite {
       s.text.toLowerCase.contains("test indexation html")))
   }
 
+  test("unpack walks 7z/ar/cpio/tar.Z members like the engine") {
+    val blobs = graft.engine.Unpack.unpackDoc(DocRow("u",
+      Seq(Span("bytes", Corpus.b64(fixture("test-documents.7z")), null, 0))),
+      graft.engine.Unpack.Config(maxEmbedded = 200))
+    assert(blobs.exists(_.name.endsWith("testHTML.html")))
+    assert(blobs.forall(_.sha256.length == 64))
+
+    val arDocs = java.nio.file.Path.of("/root/reference/tika-parsers/" +
+      "tika-parsers-standard/tika-parsers-standard-modules/" +
+      "tika-parser-pkg-module/src/test/resources/test-documents")
+    val tarZ = java.nio.file.Files.readAllBytes(
+      arDocs.resolve("test-documents.tar.Z"))
+    val blobs2 = graft.engine.Unpack.unpackDoc(DocRow("z",
+      Seq(Span("bytes", Corpus.b64(tarZ), null, 0))),
+      graft.engine.Unpack.Config(maxEmbedded = 200))
+    // .Z wrapper blob + the tar members inside it
+    assert(blobs2.exists(_.name.endsWith("testTXT.txt")))
+  }
+
   test("hostile input: truncated header and bad bounds throw cleanly") {
     val good = fixture("test-documents.7z")
     intercept[SevenZ.SevenZMalformed] {
