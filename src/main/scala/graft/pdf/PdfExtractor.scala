@@ -433,7 +433,8 @@ object PdfExtractor {
   }
 
   private def interpretPage(
-      doc: PdfDoc, content: Array[Byte], resources: PDict, sink: SpanSink): Unit = {
+      doc: PdfDoc, content: Array[Byte], resources: PDict, sink: SpanSink,
+      formDepth: Int = 0): Unit = {
     val lex = new PdfLexer(content)
     val st = TextState()
     val operands = scala.collection.mutable.ArrayBuffer[PdfObj]()
@@ -465,36 +466,46 @@ object PdfExtractor {
 
     def showString(s: Array[Byte]): Unit = {
       if (s.isEmpty) return
-      var x = st.tm(4)
-      val y = st.tm(5)
-      // layout heuristics vs the previous shown glyphs
+      // Project onto the text matrix's writing direction so the spacing
+      // and line-break heuristics survive rotated text (a 90°-rotated
+      // page draws glyph runs that advance in device-Y): u = along-line
+      // coordinate, v = cross-line. For the identity matrix u = x and
+      // v = y — byte-identical to the axis-aligned behavior.
+      val ma = st.tm(0); val mb = st.tm(1)
+      val scale = math.max(math.hypot(ma, mb), 1e-9)
+      val ux = ma / scale; val uy = mb / scale
+      val u0 = st.tm(4) * ux + st.tm(5) * uy
+      val v0 = -st.tm(4) * uy + st.tm(5) * ux
       if (!lastY.isNaN) {
-        val dy = math.abs(y - lastY)
-        if (dy > DropThreshold) {
+        val dv = math.abs(v0 - lastY)
+        if (dv > DropThreshold) {
           sink.chars("\n") // line separator (PDF2XHTML.java:260-267)
           lineHasText = false
         } else if (!lastEndX.isNaN && lineHasText &&
-                   x - lastEndX > SpacingTolerance * spaceWidthPts) {
+                   u0 - lastEndX > SpacingTolerance * spaceWidthPts * scale) {
           sink.chars(" ") // word separator (PDF2XHTML.java:251-258)
         }
       }
       sink.chars(st.font.decodeAll(s))
       pageHasText = true
       lineHasText = true
-      // advance x per glyph (word spacing applies to single-byte code 32
-      // only — PDF 32000 §9.3.3)
+      // advance per glyph in text space (word spacing applies to
+      // single-byte code 32 only — PDF 32000 §9.3.3), then apply the
+      // matrix: device delta = adv × (a, b)
       val codes = st.font.codesOf(s)
+      var adv = 0.0
       var i = 0
       while (i < codes.length) {
         val code = codes(i)
-        var adv = st.font.widthOf(code) / 1000.0 * st.fontSize + st.charSpacing
-        if (code == 32 && !st.font.twoByte) adv += st.wordSpacing
-        x += adv * st.hScale
+        var g = st.font.widthOf(code) / 1000.0 * st.fontSize + st.charSpacing
+        if (code == 32 && !st.font.twoByte) g += st.wordSpacing
+        adv += g * st.hScale
         i += 1
       }
-      st.tm(4) = x
-      lastEndX = x
-      lastY = y
+      st.tm(4) += adv * ma
+      st.tm(5) += adv * mb
+      lastEndX = u0 + adv * scale
+      lastY = v0
     }
 
     var guard = 0
@@ -566,9 +577,11 @@ object PdfExtractor {
                     case PStr(b) => showString(b)
                     case PNum(adj) =>
                       // kerning: negative adj moves right-to-left? No:
-                      // tx = -adj/1000 × fontSize × hScale
+                      // tx = -adj/1000 × fontSize × hScale, applied
+                      // through the matrix direction like glyph advances
                       val tx = -adj / 1000.0 * st.fontSize * st.hScale
-                      st.tm(4) += tx
+                      st.tm(4) += tx * st.tm(0)
+                      st.tm(5) += tx * st.tm(1)
                     case _ => ()
                   }
                 case _ => ()
@@ -576,9 +589,24 @@ object PdfExtractor {
             case "Do" =>
               operands.lastOption match {
                 case Some(PName(name)) =>
-                  xobjects.get(name).flatMap(doc.dict).foreach { xd =>
-                    if (xd.get("Subtype").contains(PName("Image")))
+                  xobjects.get(name).map(doc.resolve) match {
+                    case Some(s @ PStream(xd, _))
+                        if xd.get("Subtype").contains(PName("Form")) =>
+                      // Form XObject: execute its content stream with its
+                      // own /Resources (falling back to the page's), like
+                      // PDFBox's processStream — linearized/rotated pages
+                      // often draw ALL text through one form
+                      if (formDepth < 8) {
+                        val formRes = xd.get("Resources").flatMap(doc.dict)
+                          .getOrElse(resources)
+                        try interpretPage(doc, doc.decodeStream(s), formRes,
+                          sink, formDepth + 1)
+                        catch { case _: PdfParseException => () }
+                      }
+                    case Some(PStream(xd, _))
+                        if xd.get("Subtype").contains(PName("Image")) =>
                       sink.media("embedded:" + name)
+                    case _ => ()
                   }
                 case _ => ()
               }

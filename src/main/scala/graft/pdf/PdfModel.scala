@@ -376,8 +376,10 @@ final class PdfDoc(data: Array[Byte]) {
         i = next
       }
     }
-    // trailer dict: try occurrences from the last backwards until one
-    // parses (incremental updates may leave a corrupt final trailer)
+    // trailer dicts: walk occurrences from the last backwards, MERGING
+    // entries (newest wins). Linearized / incrementally-updated files
+    // split the keys across several trailers — the final one may carry
+    // only /Size /Prev /ID while /Root lives in an earlier section.
     var searchEnd = data.length
     var done = false
     while (!done) {
@@ -388,7 +390,10 @@ final class PdfDoc(data: Array[Byte]) {
         l2.pos = t + "trailer".length
         try {
           l2.parseObject() match {
-            case d: PDict => trailer = d; done = true
+            case d: PDict =>
+              trailer = PDict(d.entries ++ trailer.entries) // existing wins
+              if (trailer.get("Root").isDefined) done = true
+              else searchEnd = t
             case _ => searchEnd = t
           }
         } catch { case _: Exception => searchEnd = t }
@@ -401,10 +406,12 @@ final class PdfDoc(data: Array[Byte]) {
     * living inside a compressed object stream is still found.
     */
   private def resolveTrailerFallback(): Unit = {
-    if (trailer.entries.isEmpty) {
+    // trigger whenever /Root is missing, not only on a fully absent
+    // trailer — a merged trailer chain can still lack the catalog ref
+    if (trailer.get("Root").isEmpty) {
       objects.collectFirst {
         case (num, d: PDict) if d.get("Type").contains(PName("Catalog")) =>
-          trailer = PDict(Map("Root" -> PRef(num, 0)))
+          trailer = PDict(trailer.entries + ("Root" -> PRef(num, 0)))
       }
     }
   }
@@ -625,19 +632,224 @@ final class PdfDoc(data: Array[Byte]) {
     PDict(Map.empty)
   }
 
-  /** Apply /Filter (FlateDecode or none; others unsupported in v1). */
+  /** Apply the /Filter chain (PDF 32000 §7.4): Flate, LZW, ASCIIHex,
+    * ASCII85 and RunLength decode with /DecodeParms predictors; image
+    * codecs (DCT/JPX/CCITT/JBIG2) carry no text and yield empty.
+    */
   def decodeStream(s: PStream): Array[Byte] = {
     val realLen = resolve(s.dict.get("Length").getOrElse(PNull)) match {
       case PNum(n) if n.toInt <= s.raw.length && n.toInt >= 0 => n.toInt
       case _ => s.raw.length
     }
     val raw = if (realLen == s.raw.length) s.raw else java.util.Arrays.copyOf(s.raw, realLen)
-    resolve(s.dict.get("Filter").getOrElse(PNull)) match {
-      case PName("FlateDecode") => inflate(raw)
-      case PArr(fs) if fs.contains(PName("FlateDecode")) && fs.length == 1 => inflate(raw)
-      case PNull => raw
-      case _ => Array.emptyByteArray // unsupported filter → no text from it
+    val filters: List[String] = resolve(s.dict.get("Filter").getOrElse(PNull)) match {
+      case PName(n) => List(n)
+      case PArr(fs) => fs.toList.map(resolve).collect { case PName(n) => n }
+      case _ => Nil
     }
+    val parmsList: List[Option[PDict]] =
+      resolve(s.dict.get("DecodeParms").orElse(s.dict.get("DP")).getOrElse(PNull)) match {
+        case d: PDict => List(Some(d))
+        case PArr(ps) => ps.toList.map(resolve).map {
+          case d: PDict => Some(d); case _ => None
+        }
+        case _ => Nil
+      }
+    var data = raw
+    var i = 0
+    while (i < filters.length) {
+      val parms = parmsList.lift(i).flatten
+      data = filters(i) match {
+        case "FlateDecode" | "Fl" => unpredict(parms, inflate(data))
+        case "LZWDecode" | "LZW" => unpredict(parms, pdfLzw(data, parms))
+        case "ASCIIHexDecode" | "AHx" => asciiHex(data)
+        case "ASCII85Decode" | "A85" => ascii85(data)
+        case "RunLengthDecode" | "RL" => runLength(data)
+        case "Crypt" => data // identity crypt filter
+        case _ => return Array.emptyByteArray // image codecs: no text
+      }
+      i += 1
+    }
+    data
+  }
+
+  private def parmInt(parms: Option[PDict], key: String, dflt: Int): Int =
+    parms.flatMap(_.get(key)).map(resolve) match {
+      case Some(PNum(n)) => n.toInt
+      case _ => dflt
+    }
+
+  /** Undo /Predictor (PNG 10-15 per-row filters; TIFF 2 byte-diff). */
+  private def unpredict(parms: Option[PDict], data: Array[Byte]): Array[Byte] = {
+    val predictor = parmInt(parms, "Predictor", 1)
+    if (predictor <= 1) return data
+    val colors = parmInt(parms, "Colors", 1)
+    val bpc = parmInt(parms, "BitsPerComponent", 8)
+    val columns = parmInt(parms, "Columns", 1)
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (colors * bpc * columns + 7) / 8
+    if (predictor == 2) {
+      // TIFF: horizontal byte differencing (8-bit components)
+      if (bpc != 8) return data
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = r + bpp
+        while (i < r + rowLen) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+        r += rowLen
+      }
+      return out
+    }
+    // PNG predictors: each row = filter-type byte + rowLen bytes
+    val stride = rowLen + 1
+    val nRows = data.length / stride
+    val out = new Array[Byte](nRows * rowLen)
+    var row = 0
+    while (row < nRows) {
+      val ft = data(row * stride) & 0xff
+      val src = row * stride + 1
+      val dst = row * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val x = data(src + i) & 0xff
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val b = if (row > 0) out(dst - rowLen + i) & 0xff else 0
+        val c = if (row > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => x
+        }
+        out(dst + i) = v.toByte
+        i += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** PDF LZW (§7.4.4): MSB-first variable codes 9-12 bits, 256=clear,
+    * 257=EOD, EarlyChange widens one code early (default 1).
+    */
+  private def pdfLzw(data: Array[Byte], parms: Option[PDict]): Array[Byte] = {
+    val early = parmInt(parms, "EarlyChange", 1)
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var done = false
+    while (!done && (pos < data.length || bitCnt >= width)) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xffL); pos += 1; bitCnt += 8
+      }
+      if (bitCnt < width) done = true
+      else {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1 << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) {
+          dictSize = 258; width = 9; prev = null
+        } else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < 256) Array(code.toByte)
+            else if (code < dictSize && dict(code) != null) dict(code)
+            else if (prev != null) prev :+ prev(0)
+            else throw new PdfParseException("corrupt lzw stream")
+          out.write(entry, 0, entry.length)
+          if (out.size() > ZipBudget) throw new graft.engine.ZipBombDetected
+          if (prev != null && dictSize < 4096) {
+            dict(dictSize) = prev :+ entry(0)
+            dictSize += 1
+          }
+          if (dictSize + early >= (1 << width) && width < 12) width += 1
+          prev = entry
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  private def asciiHex(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else {
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd final digit = high nibble
+    out.toByteArray
+  }
+
+  private def ascii85(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    var tuple = 0L
+    var n = 0
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!')
+        n += 1
+        if (n == 5) {
+          out.write(((tuple >> 24) & 0xff).toInt); out.write(((tuple >> 16) & 0xff).toInt)
+          out.write(((tuple >> 8) & 0xff).toInt); out.write((tuple & 0xff).toInt)
+          tuple = 0; n = 0
+        }
+      }
+      i += 1
+    }
+    if (n > 1) { // partial group: pad with 'u', emit n-1 bytes
+      var k = n
+      while (k < 5) { tuple = tuple * 85 + 84; k += 1 }
+      val bs = Array(((tuple >> 24) & 0xff).toByte, ((tuple >> 16) & 0xff).toByte,
+        ((tuple >> 8) & 0xff).toByte, (tuple & 0xff).toByte)
+      out.write(bs, 0, n - 1)
+    }
+    out.toByteArray
+  }
+
+  private def runLength(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val l = data(i) & 0xff
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        val n = math.min(l + 1, data.length - i)
+        out.write(data, i, n); i += n
+      } else if (i < data.length) {
+        val b = data(i); i += 1
+        var k = 0
+        while (k < 257 - l) { out.write(b); k += 1 }
+      }
+      if (out.size() > ZipBudget) throw new graft.engine.ZipBombDetected
+    }
+    out.toByteArray
   }
 
   private def inflate(raw: Array[Byte]): Array[Byte] = {
