@@ -447,6 +447,13 @@ object Extractor {
             graft.ole2.PptExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsOutlook =>
             graft.ole2.MsgExtractor.extract(bytes, sink, meta)
+          case m if m == graft.ole2.Ole2Detector.OoxmlProtected =>
+            // password-protected OOXML (CFB-wrapped EncryptedPackage):
+            // the reference throws EncryptedDocumentException — record a
+            // parse failure, not an unknown type
+            sawException = true
+            meta.add("parse:exception",
+              s"$m password-protected at ${if (idPath.isEmpty) "/" else idPath}")
           case MediaTypes.TikaMsOffice =>
             // CFB container whose subtype markers matched nothing —
             // recorded, like the reference's unknown-POIFS fallthrough

@@ -383,7 +383,13 @@ object MimeDb {
       little32(12, 0x00053162L), big32(12, 0x00053162L),
       little32(0, 0x00053162L), big32(0, 0x00053162L)))),
     Magic(Diff, 30, OrClause(Seq(string(0, "diff "), string(0, "Only in "),
-      string(0, "Index:"), string(0, "*** "))))
+      string(0, "Index:"), string(0, "*** ")))),
+    // pre-OLE2 raw-BIFF Excel sheets (BOF record + its length field;
+    // tika types vnd.ms-excel.sheet.2/3/4 — routed to the xls extractor)
+    Magic(MediaTypes.MsExcel, 50, OrClause(Seq(
+      bytes(0, 0x09, 0x04, 0x06, 0x00), // BIFF4 BOF
+      bytes(0, 0x09, 0x02, 0x06, 0x00), // BIFF3 BOF
+      bytes(0, 0x09, 0x00, 0x04, 0x00)))) // BIFF2 BOF
   )
 
   /** sub-class-of edges for the added types (text/x-* get text/plain via

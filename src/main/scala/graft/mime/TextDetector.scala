@@ -267,6 +267,7 @@ object MbCharsets {
   private lazy val gbkCodes = codesOf("zh", "GBK")
   private lazy val koi8Codes = codesOf("ru", "KOI8-R")
   private lazy val cp1251Codes = codesOf("ru", "windows-1251")
+  private lazy val cp866Codes = codesOf("ru", "IBM866")
 
   def looksIso2022Jp(data: Array[Byte], n0: Int): Boolean = {
     val n = math.min(n0, data.length)
@@ -365,7 +366,7 @@ object MbCharsets {
       case Some((name, _)) => Some(Charset.forName(name))
       case None =>
         // single-byte Cyrillic: score high bytes against the alphabets
-        var hi, koi, c1251 = 0
+        var hi, koi, c1251, c866 = 0
         var i = 0
         while (i < n) {
           val b = data(i) & 0xff
@@ -373,13 +374,16 @@ object MbCharsets {
             hi += 1
             if (koi8Codes.contains(b)) koi += 1
             if (cp1251Codes.contains(b)) c1251 += 1
+            if (cp866Codes.contains(b)) c866 += 1
           }
           i += 1
         }
-        if (hi >= 8 && koi * 5 >= hi * 4 && koi > c1251)
+        if (hi >= 8 && koi * 5 >= hi * 4 && koi > c1251 && koi > c866)
           Some(Charset.forName("KOI8-R"))
-        else if (hi >= 8 && c1251 * 5 >= hi * 4 && c1251 > koi)
+        else if (hi >= 8 && c1251 * 5 >= hi * 4 && c1251 > koi && c1251 >= c866)
           Some(Charset.forName("windows-1251"))
+        else if (hi >= 8 && c866 * 5 >= hi * 4 && c866 > koi && c866 > c1251)
+          Some(Charset.forName("IBM866")) // DOS Cyrillic (cp866)
         else None
     }
   }

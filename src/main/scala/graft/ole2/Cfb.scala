@@ -36,7 +36,10 @@ object Cfb {
       private[ole2] val miniStream: Array[Byte]) {
 
     def stream(name: String): Option[Array[Byte]] =
-      entries.find(e => e.objType == 2 && e.name == name).map(readStream)
+      // MS-CFB §2.6.4: directory-entry names compare case-insensitively
+      // (real files ship `WORKBOOK` beside the usual `Workbook`)
+      entries.find(e => e.objType == 2 && e.name.equalsIgnoreCase(name))
+        .map(readStream)
 
     /** All stream entries, directory order (storages excluded). */
     def streams: Vector[Entry] = entries.filter(_.objType == 2)

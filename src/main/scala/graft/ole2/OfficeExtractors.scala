@@ -105,10 +105,20 @@ object XlsExtractor {
     * as the XLSX decorator).
     */
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    val cfb = Cfb.parse(bytes)
-    val wb = cfb.stream("Workbook").orElse(cfb.stream("Book"))
-      .getOrElse(throw new IllegalArgumentException("no Workbook stream"))
+    // pre-OLE2 Excel (BIFF2-4) ships the record stream RAW, no CFB
+    // wrapper (reference: vnd.ms-excel.sheet.2/3/4 in tika-mimetypes)
+    val rawBiff = bytes.length >= 8 && (bytes(0) & 0xff) == 0x09 &&
+      ((bytes(1) & 0xff) == 0x00 || (bytes(1) & 0xff) == 0x02 ||
+        (bytes(1) & 0xff) == 0x04)
+    val wb =
+      if (rawBiff) bytes
+      else {
+        val cfb = Cfb.parse(bytes)
+        cfb.stream("Workbook").orElse(cfb.stream("Book"))
+          .getOrElse(throw new IllegalArgumentException("no Workbook stream"))
+      }
     val buf = ByteBuffer.wrap(wb).order(ByteOrder.LITTLE_ENDIAN)
+    var biff8 = true
 
     val sheetNames = scala.collection.mutable.ArrayBuffer[String]()
     val sst = scala.collection.mutable.ArrayBuffer[String]()
@@ -141,13 +151,18 @@ object XlsExtractor {
       val len = buf.getShort(p + 2) & 0xffff
       val body = p + 4
       id match {
-        case 0x0809 => // BOF
+        case 0x0809 => // BOF (BIFF5/8; vers distinguishes)
+          biff8 = (buf.getShort(body) & 0xffff) >= 0x0600
           val dt = buf.getShort(body + 2) & 0xffff
           if (dt == 0x0005) sawGlobals = true
           else if (dt == 0x0010) {
             current = scala.collection.mutable.TreeMap.empty
             sheets += current
           }
+        case 0x0009 | 0x0209 | 0x0409 => // BIFF2/3/4 BOF: one raw sheet
+          biff8 = false
+          current = scala.collection.mutable.TreeMap.empty
+          sheets += current
         case 0x0085 => // BoundSheet8
           val cch = wb(body + 6) & 0xff
           val fHigh = (wb(body + 7) & 0x01) != 0
@@ -169,12 +184,20 @@ object XlsExtractor {
             val isst = buf.getInt(body + 6)
             if (isst >= 0 && isst < sst.length) current((rw, cl)) = sst(isst)
           }
-        case 0x0204 => // Label (BIFF5-style inline string)
+        case 0x0204 => // Label (inline string)
           if (current != null) {
             val rw = buf.getShort(body) & 0xffff
             val cl = buf.getShort(body + 2) & 0xffff
-            val (s, _) = readXlUnicode(body + 6)
-            current((rw, cl)) = s
+            if (biff8) {
+              val (s, _) = readXlUnicode(body + 6)
+              current((rw, cl)) = s
+            } else {
+              // BIFF3-5 layout: rw col ixfe cch(2) ANSI chars
+              val cch = buf.getShort(body + 6) & 0xffff
+              if (body + 8 + cch <= wb.length)
+                current((rw, cl)) =
+                  new String(wb, body + 8, cch, StandardCharsets.ISO_8859_1)
+            }
           }
         case 0x0203 => // Number
           if (current != null) {

@@ -22,11 +22,17 @@ object Ole2Detector {
     * entry before the short generic names, so UTF-16 stream TEXT that
     * happens to contain "Book" cannot shadow the real container type.
     */
+  /** Password-protected OOXML: the CFB wrapper holding the AES-encrypted
+    * zip (POIFSContainerDetector.OOXML_PROTECTED). */
+  val OoxmlProtected = "application/x-tika-ooxml-protected"
+
   private val Markers: Seq[(Array[Byte], String)] = Seq(
+    utf16le("EncryptedPackage") -> OoxmlProtected,
     utf16le("__properties_version1.0") -> MediaTypes.MsOutlook,
     utf16le("PowerPoint Document") -> MediaTypes.MsPowerPoint,
     utf16le("WordDocument") -> MediaTypes.MsWord,
     utf16le("Workbook") -> MediaTypes.MsExcel,
+    utf16le("WORKBOOK") -> MediaTypes.MsExcel, // names compare case-blind
     utf16le("Book") -> MediaTypes.MsExcel
   )
 

@@ -215,12 +215,18 @@ object DocxExtractor {
       val f = SAXParserFactory.newInstance()
       f.setNamespaceAware(false)
       f.setValidating(false)
-      try f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      catch { case _: Exception => () }
+      // allow DOCTYPE declarations (real-world XML carries them) but
+      // never RESOLVE external entities/DTDs — the reference's XXE
+      // stance (tika XMLReaderUtils: external entities disabled, local
+      // doctypes tolerated; fixture testXXE.xml must parse cleanly
+      // without touching its file:// system id)
       try {
         f.setFeature("http://xml.org/sax/features/external-general-entities", false)
         f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+        f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
       } catch { case _: Exception => () }
+      try f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+      catch { case _: Exception => () }
       f.newSAXParser()
     }
   }

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import graft.core.{DocRow, Span, Status}
+import graft.corpus.Corpus
+import graft.engine.Extractor
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gaps surfaced by sweeping the reference's real Office/text fixtures. */
+class RobustnessSweepSpec extends AnyFunSuite {
+
+  private val ms = Path.of("/root/reference/tika-parsers/" +
+    "tika-parsers-standard/tika-parsers-standard-modules/" +
+    "tika-parser-microsoft-module/src/test/resources/test-documents")
+  private val xmlDocs = Path.of("/root/reference/tika-parsers/" +
+    "tika-parsers-standard/tika-parsers-standard-modules/" +
+    "tika-parser-xml-module/src/test/resources/test-documents")
+  private val txtDocs = Path.of("/root/reference/tika-parsers/" +
+    "tika-parsers-standard/tika-parsers-standard-modules/" +
+    "tika-parser-text-module/src/test/resources/test-documents")
+
+  private def extract(dir: Path, name: String): graft.core.ExtractedDoc = {
+    org.scalatest.Assertions.assume(Files.isRegularFile(dir.resolve(name)),
+      "reference fixtures not present")
+    val b = Files.readAllBytes(dir.resolve(name))
+    Extractor.extract(DocRow(name, Seq(Span("bytes", Corpus.b64(b), null, 0))))
+  }
+
+  test("password-protected OOXML records a parse failure, not unknown") {
+    val d = extract(ms, "testWORD_protected_passtika.docx")
+    assert(d.mime == graft.ole2.Ole2Detector.OoxmlProtected)
+    assert(d.status == Status.ParseException)
+    assert(d.meta.getOrElse("parse:exception", Seq.empty)
+      .exists(_.contains("password-protected")))
+  }
+
+  test("WORKBOOK-in-capitals stream extracts (case-blind CFB names)") {
+    val d = extract(ms, "testEXCEL_WORKBOOK_in_capitals.xls")
+    assert(d.status == Status.ParseSuccess)
+    assert(d.spans.exists(_.kind == Span.KindText))
+  }
+
+  test("XXE fixture parses without resolving the external DTD") {
+    val d = extract(xmlDocs, "testXXE.xml")
+    assert(d.status == Status.ParseSuccess)
+  }
+
+  test("cp866 text decodes to Cyrillic through the statistical chain") {
+    org.scalatest.Assertions.assume(
+      Files.isRegularFile(txtDocs.resolve("russian.cp866.txt")),
+      "reference fixtures not present")
+    val b = Files.readAllBytes(txtDocs.resolve("russian.cp866.txt"))
+    val s = graft.mime.EncodingDetector.decode(b)
+    assert(s.exists(c => c >= 'А' && c <= 'я'))
+    assert(!s.take(200).contains('�'))
+  }
+}
