@@ -18,8 +18,23 @@ object ZipUtil {
 
   val MaxEntryBytes: Int = 64 * 1024 * 1024
 
-  /** List all entries with their decompressed bytes (streaming order). */
-  def entries(zipBytes: Array[Byte]): Vector[Entry] = {
+  /** List all entries with their decompressed bytes.
+    *
+    * Streaming read first (the common, well-formed case); central-
+    * directory fallback for the archives JDK's ZipInputStream rejects —
+    * STORED entries with data descriptors (streaming writers), non-UTF-8
+    * entry names (cp437 per APPNOTE when GP bit 11 is clear), which is
+    * the reference's own ZipFile-preferred strategy
+    * (pkg/ZipParser.java:96-710).
+    */
+  def entries(zipBytes: Array[Byte]): Vector[Entry] =
+    try streamingEntries(zipBytes)
+    catch {
+      case b: graft.engine.ZipBombDetected => throw b
+      case _: Exception => cenEntries(zipBytes)
+    }
+
+  private def streamingEntries(zipBytes: Array[Byte]): Vector[Entry] = {
     val out = new ArrayBuffer[Entry]()
     val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
     try {
@@ -33,6 +48,165 @@ object ZipUtil {
         e = zin.getNextEntry
       }
     } finally zin.close()
+    if (out.isEmpty && zipBytes.length > 22 && findEocd(zipBytes) >= 0)
+      throw new IllegalStateException("streaming read saw no entries")
+    out.toVector
+  }
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 4) { v |= (b(o + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  private def findEocd(b: Array[Byte]): Int = {
+    // EOCD (PK\5\6) sits within the last 64 KB + 22 bytes
+    val lo = math.max(0, b.length - 65557)
+    var i = b.length - 22
+    while (i >= lo) {
+      if (b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 5 && b(i + 3) == 6)
+        return i
+      i -= 1
+    }
+    -1
+  }
+
+  /** Central-directory walk: entry metadata from CEN records (sizes are
+    * authoritative there even with data descriptors), payload at the
+    * local header's data offset, inflated directly.
+    */
+  private def cenEntries(zipBytes: Array[Byte]): Vector[Entry] = {
+    val b = zipBytes
+    val eocd = findEocd(b)
+    if (eocd < 0) throw new IllegalStateException("no end-of-central-directory")
+    var cdOff = le32(b, eocd + 16)
+    var total = le16(b, eocd + 10)
+    // zip64: locator (PK\6\7) directly precedes the EOCD
+    if ((cdOff == 0xffffffffL || total == 0xffff) && eocd >= 20 &&
+        b(eocd - 20) == 'P' && b(eocd - 19) == 'K' &&
+        b(eocd - 18) == 6 && b(eocd - 17) == 7) {
+      val eocd64 = le32(b, eocd - 12).toInt // low half is enough in-row
+      if (eocd64 >= 0 && eocd64 + 56 <= b.length &&
+          b(eocd64) == 'P' && b(eocd64 + 1) == 'K' &&
+          b(eocd64 + 2) == 6 && b(eocd64 + 3) == 6) {
+        total = le32(b, eocd64 + 32).toInt
+        cdOff = le32(b, eocd64 + 48)
+      }
+    }
+    // archives with prepended bytes (SFX stubs, crafted offsets) shift
+    // every stored offset by the prefix length: eocdPos − (cdOff+cdSize)
+    val cdSize = le32(b, eocd + 12)
+    val shift = math.max(0L, eocd - (cdOff + cdSize))
+    val out = new ArrayBuffer[Entry]()
+    var p = (cdOff + shift).toInt
+    var n = 0
+    val cp437 =
+      try java.nio.charset.Charset.forName("IBM437")
+      catch { case _: Exception => java.nio.charset.StandardCharsets.ISO_8859_1 }
+    while (n < total && p + 46 <= b.length &&
+        b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 1 && b(p + 3) == 2) {
+      val flags = le16(b, p + 8)
+      val method = le16(b, p + 10)
+      var compSize = le32(b, p + 20)
+      var uncompSize = le32(b, p + 24)
+      val nameLen = le16(b, p + 28)
+      val extraLen = le16(b, p + 30)
+      val commentLen = le16(b, p + 32)
+      var localOff = le32(b, p + 42)
+      val nameBytes = java.util.Arrays.copyOfRange(b, p + 46, p + 46 + nameLen)
+      val utf8 = (flags & 0x800) != 0
+      val name =
+        if (utf8) new String(nameBytes, java.nio.charset.StandardCharsets.UTF_8)
+        else graft.mime.MbCharsets.detect(nameBytes, nameBytes.length) match {
+          // GBK/Big5/SJIS entry names are common in real archives and
+          // carry no flag — sniff them like the statistical text chain
+          case Some(cs) => new String(nameBytes, cs)
+          case None => new String(nameBytes, cp437)
+        }
+      // zip64 extended-info extra field (id 0x0001) overrides 0xFFFFFFFF
+      var xp = p + 46 + nameLen
+      val xEnd = xp + extraLen
+      while (xp + 4 <= xEnd) {
+        val id = le16(b, xp); val sz = le16(b, xp + 2)
+        if (id == 0x0001) {
+          var fp = xp + 4
+          if (uncompSize == 0xffffffffL && fp + 8 <= xEnd) {
+            uncompSize = le32(b, fp); fp += 8
+          }
+          if (compSize == 0xffffffffL && fp + 8 <= xEnd) {
+            compSize = le32(b, fp); fp += 8
+          }
+          if (localOff == 0xffffffffL && fp + 8 <= xEnd) {
+            localOff = le32(b, fp); fp += 8
+          }
+        }
+        xp += 4 + sz
+      }
+      val encrypted = (flags & 0x1) != 0
+      if (!encrypted && !name.endsWith("/") && uncompSize <= MaxEntryBytes &&
+          compSize <= b.length) {
+        // stored offsets drift in real archives (prepended prefixes; CEN
+        // written without the data-descriptor bytes — the reference's
+        // integrity-check fixture does exactly this). Verify the local
+        // header actually carries THIS entry's name; when it doesn't,
+        // resync by scanning forward for the matching local header.
+        def localMatches(o: Long): Boolean = {
+          if (o < 0 || o + 30 + nameLen > b.length) return false
+          val oi = o.toInt
+          if (!(b(oi) == 'P' && b(oi + 1) == 'K' && b(oi + 2) == 3 &&
+                b(oi + 3) == 4)) return false
+          if ((le16(b, oi + 26)) != nameLen) return false
+          var k = 0
+          while (k < nameLen) {
+            if (b(oi + 30 + k) != nameBytes(k)) return false
+            k += 1
+          }
+          true
+        }
+        var loL = -1L
+        if (localMatches(localOff)) loL = localOff
+        else if (localMatches(localOff + shift)) loL = localOff + shift
+        else {
+          var scan = localOff
+          val limit = math.min(b.length.toLong - 4, localOff + 65536)
+          while (loL < 0 && scan <= limit) {
+            if (localMatches(scan)) loL = scan
+            scan += 1
+          }
+        }
+        val lo = loL.toInt
+        if (loL >= 0) {
+          val lNameLen = le16(b, lo + 26)
+          val lExtraLen = le16(b, lo + 28)
+          val dataOff = lo + 30 + lNameLen + lExtraLen
+          if (dataOff + compSize <= b.length) {
+            val data: Array[Byte] = method match {
+              case 0 =>
+                java.util.Arrays.copyOfRange(b, dataOff, (dataOff + compSize).toInt)
+              case 8 =>
+                val inf = new java.util.zip.Inflater(true)
+                try {
+                  inf.setInput(b, dataOff, compSize.toInt)
+                  val outB = new Array[Byte](uncompSize.toInt)
+                  var off = 0
+                  while (off < outB.length && !inf.finished()) {
+                    val r = inf.inflate(outB, off, outB.length - off)
+                    if (r == 0 && inf.needsInput()) off = outB.length // truncated
+                    else off += r
+                  }
+                  outB
+                } finally inf.end()
+              case _ => null // unsupported method (e.g. 99 = AES-encrypted)
+            }
+            if (data != null) out += Entry(name, data, compSize)
+          }
+        }
+      }
+      p += 46 + nameLen + extraLen + commentLen
+      n += 1
+    }
     out.toVector
   }
 

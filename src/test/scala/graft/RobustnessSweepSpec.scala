@@ -45,6 +45,24 @@ class RobustnessSweepSpec extends AnyFunSuite {
     assert(d.status == Status.ParseSuccess)
   }
 
+  test("data-descriptor zips read all entries via the CEN fallback") {
+    val pkg = Path.of("/root/reference/tika-parsers/" +
+      "tika-parsers-standard/tika-parsers-standard-modules/" +
+      "tika-parser-pkg-module/src/test/resources/test-documents")
+    org.scalatest.Assertions.assume(
+      Files.isRegularFile(pkg.resolve("testZip_with_DataDescriptor.zip")),
+      "reference fixtures not present")
+    val b = Files.readAllBytes(pkg.resolve("testZip_with_DataDescriptor.zip"))
+    val es = graft.zipx.ZipUtil.entries(b)
+    // ZipParserTest.testZipUsingStoredWithDataDescriptor: en0..en4
+    assert(es.map(_.name) == Vector("en0", "en1", "en2", "en3", "en4"))
+    assert(es.forall(_.data.length == 4))
+    // and the streaming-writer odt-shaped variant
+    val b2 = Files.readAllBytes(pkg.resolve("testZip_with_DataDescriptor2.zip"))
+    assert(graft.zipx.ZipUtil.entries(b2).map(_.name)
+      .contains("META-INF/manifest.xml"))
+  }
+
   test("cp866 text decodes to Cyrillic through the statistical chain") {
     org.scalatest.Assertions.assume(
       Files.isRegularFile(txtDocs.resolve("russian.cp866.txt")),
