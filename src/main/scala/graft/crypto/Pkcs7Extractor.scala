@@ -1,0 +1,172 @@
+package graft.crypto
+
+/** PKCS#7 / CMS unwrapping — a minimal BER/DER walker (definite AND
+  * indefinite lengths, constructed octet strings) over the public CMS
+  * structure (RFC 5652): ContentInfo → signedData encapContentInfo
+  * eContent, and RFC 5544 timestamped-data content.
+  *
+  * Reference behavior: crypto-module Pkcs7Parser / TSDParser extract the
+  * wrapped content (via BouncyCastle there) and recurse it as an
+  * embedded document; enveloped (encrypted) content and detached
+  * signatures carry no recoverable payload and are recorded as such.
+  */
+object Pkcs7Extractor {
+
+  final class Pkcs7Malformed(msg: String) extends RuntimeException(msg)
+
+  private val OidSignedData = "1.2.840.113549.1.7.2"
+  private val OidData = "1.2.840.113549.1.7.1"
+  private val OidEnveloped = "1.2.840.113549.1.7.3"
+  private val OidTimestamped = "1.2.840.113549.1.9.16.1.31"
+
+  /** One BER TLV: (tag, constructed, contentStart, contentEnd, nextPos).
+    * For indefinite lengths contentEnd is the position of the 00 00
+    * terminator (scanned with nesting).
+    */
+  private final case class Tlv(tag: Int, constructed: Boolean,
+      start: Int, end: Int, next: Int)
+
+  private def readTlv(b: Array[Byte], pos: Int): Tlv = {
+    if (pos + 2 > b.length) throw new Pkcs7Malformed("truncated tlv")
+    val tag = b(pos) & 0xff
+    val constructed = (tag & 0x20) != 0
+    var p = pos + 1
+    val l0 = b(p) & 0xff
+    p += 1
+    if (l0 == 0x80) {
+      // indefinite: find the matching 00 00 end-of-contents
+      if (!constructed) throw new Pkcs7Malformed("primitive indefinite length")
+      var depth = 1
+      var q = p
+      while (depth > 0) {
+        if (q + 2 > b.length) throw new Pkcs7Malformed("unterminated indefinite")
+        if (b(q) == 0 && b(q + 1) == 0) { depth -= 1; q += 2 }
+        else {
+          val inner = readTlv(b, q)
+          q = inner.next
+        }
+      }
+      Tlv(tag, constructed, p, q - 2, q)
+    } else if (l0 < 0x80) {
+      Tlv(tag, constructed, p, p + l0, p + l0)
+    } else {
+      val n = l0 & 0x7f
+      if (n > 4 || p + n > b.length) throw new Pkcs7Malformed("bad length")
+      var len = 0L
+      var i = 0
+      while (i < n) { len = (len << 8) | (b(p + i) & 0xff); i += 1 }
+      p += n
+      if (len < 0 || p + len > b.length) throw new Pkcs7Malformed("length overruns")
+      Tlv(tag, constructed, p, (p + len).toInt, (p + len).toInt)
+    }
+  }
+
+  private def oidAt(b: Array[Byte], t: Tlv): String = {
+    val sb = new StringBuilder
+    var v = 0L
+    var first = true
+    var i = t.start
+    while (i < t.end) {
+      val x = b(i) & 0xff
+      v = (v << 7) | (x & 0x7f)
+      if ((x & 0x80) == 0) {
+        if (first) { sb.append(v / 40).append('.').append(v % 40); first = false }
+        else sb.append('.').append(v)
+        v = 0
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Collect the bytes of an octet string (possibly constructed from
+    * segments under BER). */
+  private def octets(b: Array[Byte], t: Tlv,
+      out: java.io.ByteArrayOutputStream): Unit = {
+    if (!t.constructed) out.write(b, t.start, t.end - t.start)
+    else {
+      var p = t.start
+      while (p < t.end) {
+        val seg = readTlv(b, p)
+        if ((seg.tag & 0x1f) == 0x04 || seg.constructed) octets(b, seg, out)
+        p = seg.next
+      }
+    }
+  }
+
+  final case class Unwrapped(contentType: String, content: Array[Byte])
+
+  /** Unwrap ContentInfo → inner content bytes. Throws for enveloped
+    * (encrypted) data; returns empty content for detached signatures.
+    */
+  def unwrap(bytes: Array[Byte]): Unwrapped = {
+    val root = readTlv(bytes, 0)
+    if ((root.tag & 0x1f) != 0x10) throw new Pkcs7Malformed("not a SEQUENCE")
+    val oidTlv = readTlv(bytes, root.start)
+    if ((oidTlv.tag & 0x1f) != 0x06) throw new Pkcs7Malformed("no content type")
+    val ct = oidAt(bytes, oidTlv)
+    if (ct == OidEnveloped)
+      throw new Pkcs7Malformed("enveloped (encrypted) cms content")
+    if (ct != OidSignedData && ct != OidTimestamped)
+      throw new Pkcs7Malformed(s"unsupported cms content type $ct")
+    // [0] EXPLICIT wrapper
+    val wrapper = readTlv(bytes, oidTlv.next)
+    val body = readTlv(bytes, wrapper.start) // SignedData / TimestampedData SEQ
+    if (ct == OidTimestamped) {
+      // TimeStampedData ::= SEQUENCE { version, dataUri?, metaData?,
+      // content OCTET STRING, temporalEvidence } — take the first octet
+      // string child directly (RFC 5544 §2)
+      var q = body.start
+      while (q < body.end) {
+        val c = readTlv(bytes, q)
+        if ((c.tag & 0x1f) == 0x04 && (c.tag & 0xc0) == 0) {
+          val out = new java.io.ByteArrayOutputStream()
+          octets(bytes, c, out)
+          return Unwrapped(ct, out.toByteArray)
+        }
+        q = c.next
+      }
+      return Unwrapped(ct, Array.emptyByteArray)
+    }
+    // children: version INTEGER, (digestAlgorithms SET)?, then the
+    // content sequence holding eContentType + [0] eContent
+    var p = body.start
+    var content: Array[Byte] = Array.emptyByteArray
+    var found = false
+    while (!found && p < body.end) {
+      val t = readTlv(bytes, p)
+      val tagNum = t.tag & 0x1f
+      if ((t.tag & 0xc0) == 0 && tagNum == 0x10) {
+        // a SEQUENCE: encapContentInfo if its first child is an OID
+        val first = readTlv(bytes, t.start)
+        if ((first.tag & 0x1f) == 0x06) {
+          val inner = oidAt(bytes, first)
+          if (inner == OidData || inner.startsWith("1.2.840.113549.1.9.16.1")) {
+            if (first.next < t.end) {
+              val ctx0 = readTlv(bytes, first.next) // [0] EXPLICIT
+              val out = new java.io.ByteArrayOutputStream()
+              // inside: OCTET STRING (possibly constructed/segmented) —
+              // or for timestamped-data, a TimeStampedData SEQ whose
+              // content octet string sits after version [+ dataUri]
+              val innerTlv = readTlv(bytes, ctx0.start)
+              if ((innerTlv.tag & 0x1f) == 0x04) octets(bytes, innerTlv, out)
+              else if ((innerTlv.tag & 0x1f) == 0x10) {
+                var q = innerTlv.start
+                while (q < innerTlv.end && out.size() == 0) {
+                  val c = readTlv(bytes, q)
+                  if ((c.tag & 0x1f) == 0x04 && (c.tag & 0xc0) == 0)
+                    octets(bytes, c, out)
+                  q = c.next
+                }
+              }
+              content = out.toByteArray
+            }
+            found = true
+          }
+        }
+      }
+      p = t.next
+    }
+    Unwrapped(ct, content)
+  }
+}

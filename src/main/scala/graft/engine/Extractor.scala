@@ -294,6 +294,19 @@ object Extractor {
                 onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
                 onDrop = () => sawUnsupported = true))
             }
+          case m if m == graft.mime.MimeDb.Pkcs7Mime ||
+              m == graft.mime.MimeDb.Pkcs7Sig || m == graft.mime.MimeDb.Tsd =>
+            // CMS/PKCS#7: unwrap the signed / timestamped payload and
+            // recurse it (crypto-module Pkcs7Parser/TSDParser behavior);
+            // enveloped (encrypted) content throws → recorded failure,
+            // detached signatures yield metadata only
+            val un = graft.crypto.Pkcs7Extractor.unwrap(bytes)
+            meta.set("cms:content-type", un.contentType)
+            if (un.content.isEmpty) meta.set("cms:detached", "true")
+            else if (depth < cfg.maxDepth)
+              stack.push(NodeFrame(un.content, idPath, None, depth + 1,
+                onPop = _ => (), onDrop = () => sawUnsupported = true))
+            else sawUnsupported = true
           case m if m == graft.mime.MimeDb.HttpResponse =>
             // a raw captured HTTP response: record the head as metadata,
             // recurse the body through re-detection (the supertype walk

@@ -160,6 +160,9 @@ object MimeDb {
   val Zim = "application/x-zim"
   val BerkeleyDb = "application/x-berkeley-db"
   val Diff = "text/x-diff"
+  val Pkcs7Mime = "application/pkcs7-mime"
+  val Pkcs7Sig = "application/pkcs7-signature"
+  val Tsd = "application/timestamped-data"
 
   val magics: Vector[Magic] = Vector(
     // ---- archives & compressors
@@ -384,6 +387,18 @@ object MimeDb {
       little32(0, 0x00053162L), big32(0, 0x00053162L)))),
     Magic(Diff, 30, OrClause(Seq(string(0, "diff "), string(0, "Only in "),
       string(0, "Index:"), string(0, "*** ")))),
+    // CMS/PKCS#7 wrappers: SEQUENCE (definite or indefinite) + the
+    // signedData OID 1.2.840.113549.1.7.2 / timestamped-data OID
+    Magic(Pkcs7Mime, 50, OrClause(Seq(
+      bytes(0, 0x30, 0x80, 0x06, 0x09, 0x2a, 0x86, 0x48, 0x86, 0xf7,
+        0x0d, 0x01, 0x07, 0x02),
+      bytes(4, 0x06, 0x09, 0x2a, 0x86, 0x48, 0x86, 0xf7, 0x0d, 0x01,
+        0x07, 0x02)))),
+    Magic(Tsd, 50, OrClause(Seq(
+      bytes(0, 0x30, 0x80, 0x06, 0x0b, 0x2a, 0x86, 0x48, 0x86, 0xf7,
+        0x0d, 0x01, 0x09, 0x10, 0x01, 0x1f),
+      bytes(4, 0x06, 0x0b, 0x2a, 0x86, 0x48, 0x86, 0xf7, 0x0d, 0x01,
+        0x09, 0x10, 0x01, 0x1f)))),
     // pre-OLE2 raw-BIFF Excel sheets (BOF record + its length field;
     // tika types vnd.ms-excel.sheet.2/3/4 — routed to the xls extractor)
     Magic(MediaTypes.MsExcel, 50, OrClause(Seq(
