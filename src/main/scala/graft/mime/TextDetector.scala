@@ -247,7 +247,10 @@ object MbCharsets {
   private def codesOf(lang: String, charsetName: String): java.util.HashSet[Int] = {
     val set = new java.util.HashSet[Int]()
     val cs = Charset.forName(charsetName)
-    graft.ops.LangProfiles.CommonWords(lang).foreach { w =>
+    graft.ops.LangProfiles.CommonWords(lang).foreach { w0 =>
+      // profiles may carry decomposed text (Korean ships as conjoining
+      // jamo); legacy charsets only encode precomposed forms
+      val w = java.text.Normalizer.normalize(w0, java.text.Normalizer.Form.NFC)
       w.foreach { ch =>
         if (ch > 0x7f) {
           val b = String.valueOf(ch).getBytes(cs)
@@ -268,6 +271,7 @@ object MbCharsets {
   private lazy val koi8Codes = codesOf("ru", "KOI8-R")
   private lazy val cp1251Codes = codesOf("ru", "windows-1251")
   private lazy val cp866Codes = codesOf("ru", "IBM866")
+  private lazy val eucKrCodes = codesOf("ko", "EUC-KR")
 
   def looksIso2022Jp(data: Array[Byte], n0: Int): Boolean = {
     val n = math.min(n0, data.length)
@@ -316,6 +320,18 @@ object MbCharsets {
               i += 2
             } else { invalid += 1; i += 1 }
           } else { invalid += 1; i += 1 }
+        case "euckr" =>
+          // KS X 1001 in EUC-KR: both bytes in A1-FE
+          if (b >= 0xa1 && b <= 0xfe) {
+            if (i + 1 < n) {
+              val t = data(i + 1) & 0xff
+              if (t >= 0xa1 && t <= 0xfe) {
+                units += 1
+                if (codes.contains((b << 8) | t)) hits += 1
+              } else invalid += 1
+              i += 2
+            } else { invalid += 1; i += 1 }
+          } else { invalid += 1; i += 1 }
         case "big5" =>
           if (b >= 0xa1 && b <= 0xf9) {
             if (i + 1 < n) {
@@ -343,7 +359,7 @@ object MbCharsets {
     (units, invalid, hits)
   }
 
-  /** Statistical pick among SJIS/EUC-JP/Big5/GBK/KOI8-R/cp1251 —
+  /** Statistical pick among SJIS/EUC-JP/Big5/GBK/EUC-KR/KOI8-R/cp1251/cp866 —
     * None when nothing scores convincingly (caller falls back to the
     * cp1252/latin-1 rules). Runs only on non-UTF-8 8-bit data.
     */
@@ -353,6 +369,7 @@ object MbCharsets {
       ("Shift_JIS", scanMb(data, n, "sjis", sjisCodes)),
       ("EUC-JP", scanMb(data, n, "eucjp", eucJpCodes)),
       ("Big5", scanMb(data, n, "big5", big5Codes)),
+      ("EUC-KR", scanMb(data, n, "euckr", eucKrCodes)),
       ("GBK", scanMb(data, n, "gbk", gbkCodes)))
     val best = mb.flatMap { case (name, (units, invalid, hits)) =>
       // structure must be near-clean and the common-char rate material:

@@ -43,6 +43,16 @@ class MbCharsetSpec extends AnyFunSuite {
     assert(EncodingDetector.decode(bytes) == zhSimp)
   }
 
+  test("EUC-KR round-trips (NFC-normalized profile codes)") {
+    val ko = "그리고 그것은 우리 모두에게 중요한 문제입니다. 한국어 텍스트 감지 테스트."
+    assert(EncodingDetector.decode(enc(ko, "EUC-KR")) == ko)
+  }
+
+  test("cp866 (DOS Cyrillic) distinguished from KOI8-R and cp1251") {
+    val out = EncodingDetector.decode(enc(ru, "IBM866"))
+    assert(out == ru)
+  }
+
   test("KOI8-R and windows-1251 distinguished statistically") {
     assert(EncodingDetector.decode(enc(ru, "KOI8-R")) == ru)
     assert(EncodingDetector.decode(enc(ru, "windows-1251")) == ru)
