@@ -434,7 +434,11 @@ object MimeDb {
     Vtt -> MediaTypes.TextPlain,
     Diff -> MediaTypes.TextPlain,
     PemCert -> MediaTypes.TextPlain,
-    HttpResponse -> MediaTypes.TextPlain
+    HttpResponse -> MediaTypes.TextPlain,
+    // iWork packages are zips; member recursion extracts their XML
+    "application/vnd.apple.pages" -> MediaTypes.Zip,
+    "application/vnd.apple.numbers" -> MediaTypes.Zip,
+    "application/vnd.apple.keynote" -> MediaTypes.Zip
   )
 
   /** Exact-name glob tier (mime/Patterns.java:40-162; all 10 non-wildcard

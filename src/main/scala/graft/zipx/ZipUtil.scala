@@ -300,8 +300,10 @@ object OpcDetector {
 
   def specialize(zipBytes: Array[Byte]): String = {
     val names = ZipUtil.entryNames(zipBytes)
-    // ODF/EPUB carry a leading uncompressed "mimetype" entry
-    if (names.headOption.contains("mimetype")) {
+    // ODF/EPUB carry a "mimetype" entry — conformant files put it first
+    // and uncompressed, but real ones stray (ZipContainerDetector reads
+    // it wherever it sits)
+    if (names.contains("mimetype")) {
       val mt = ZipUtil.entry(zipBytes, "mimetype")
         .map(b => new String(b, java.nio.charset.StandardCharsets.US_ASCII).trim)
         .getOrElse("")
@@ -309,6 +311,19 @@ object OpcDetector {
         case Odt | Ods | Odp | Epub => return mt
         case _ => ()
       }
+    }
+    // iWork '09 packages: index.apxl = Keynote; index.xml's root element
+    // distinguishes Pages from Numbers (iWorkPackageParser semantics)
+    if (names.exists(n => n == "index.apxl" || n == "index.apxl.gz"))
+      return "application/vnd.apple.keynote"
+    if (names.contains("index.xml") &&
+        !names.exists(n => n == "[Content_Types].xml" || n == "_rels/.rels")) {
+      val head = ZipUtil.entry(zipBytes, "index.xml")
+        .map(b => new String(b, 0, math.min(b.length, 512),
+          java.nio.charset.StandardCharsets.UTF_8)).getOrElse("")
+      if (head.contains("<sl:document")) return "application/vnd.apple.pages"
+      if (head.contains("<ls:document")) return "application/vnd.apple.numbers"
+      if (head.contains("<key:presentation")) return "application/vnd.apple.keynote"
     }
     if (!names.exists(n => n == "[Content_Types].xml" || n == "_rels/.rels")) Zip
     else {

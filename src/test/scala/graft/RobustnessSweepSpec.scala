@@ -63,6 +63,26 @@ class RobustnessSweepSpec extends AnyFunSuite {
       .contains("META-INF/manifest.xml"))
   }
 
+  test("stray-mimetype ODF and iWork '09 packages specialize") {
+    val misc = Path.of("/root/reference/tika-parsers/" +
+      "tika-parsers-standard/tika-parsers-standard-modules/" +
+      "tika-parser-miscoffice-module/src/test/resources/test-documents")
+    val apple = Path.of("/root/reference/tika-parsers/" +
+      "tika-parsers-standard/tika-parsers-standard-modules/" +
+      "tika-parser-apple-module/src/test/resources/test-documents")
+    org.scalatest.Assertions.assume(Files.isDirectory(misc) &&
+      Files.isDirectory(apple), "reference fixtures not present")
+    // mimetype entry NOT first in the archive — still ODT
+    val odt = extract(misc, "testODTStyles3.odt")
+    assert(odt.mime == "application/vnd.oasis.opendocument.text")
+    assert(odt.status == Status.ParseSuccess)
+    val pages = extract(apple, "testPagesLayout.pages")
+    assert(pages.mime == "application/vnd.apple.pages")
+    assert(pages.spans.exists(_.kind == Span.KindText))
+    val key = extract(apple, "testTables.key")
+    assert(key.mime == "application/vnd.apple.keynote")
+  }
+
   test("cp866 text decodes to Cyrillic through the statistical chain") {
     org.scalatest.Assertions.assume(
       Files.isRegularFile(txtDocs.resolve("russian.cp866.txt")),
