@@ -36,16 +36,24 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scalingDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1000000").toLong
 
-    // --- headline queries at the requested parallelism
+    // --- headline queries at the requested parallelism. The host's
+    // ±50% wall-clock noise epochs made single-sample per-query times
+    // contradict same-session re-samples by up to 9× (r3 verdict item 2);
+    // the suite now runs twice in the same window and reports per-query
+    // MIN — the same best-of-N protocol the scaling block already uses.
     var spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
+    def runSuite(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results = (1 to queryReps).map(_ => runSuite())
+      .reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) })
     spark.stop()
 
     // --- two-parallelism scaling evidence over the SAME parquet bytes:

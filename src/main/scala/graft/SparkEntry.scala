@@ -23,6 +23,17 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** One IVF model per (session, sf dir), built lazily and shared by
+    * every operating point (q26 exhaustive, q28 nprobe=4) — at corpus
+    * scale the centroids + posting lists are a once-per-corpus artifact,
+    * not a per-query rebuild (round-3 verdict item 3).
+    */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.SimSearch.IvfModel]
+  private def ivfModel(s: SparkSession, dir: String): graft.ops.SimSearch.IvfModel =
+    ivfCache.getOrElseUpdate((s, dir),
+      SimSearch.buildIvf(tbl(s, dir, "embeddings"), dim = 64, nClusters = 16))
+
   /** Extraction-corpus size scaled to the sf directory. */
   def corpusSize(dir: String): Long =
     if (dir.contains("sf0.1")) 20000L
@@ -276,8 +287,8 @@ object SparkEntry {
       // oracle-checkable against q19's SQL. The approximate setting is
       // q28 with measured recall.
       val e = tbl(s, dir, "embeddings")
-      SimSearch.ivfTopK(e, e.filter(col("vec_id") < 20), dim = 64, k = 5,
-        nClusters = 16, nprobe = 16)
+      SimSearch.ivfSearch(ivfModel(s, dir), e.filter(col("vec_id") < 20),
+        k = 5, nprobe = 16)
         .select("query_id", "rank", "neighbor_id")
     }),
     "q30_embedding_neardups" -> ((s, dir) =>
@@ -314,8 +325,8 @@ object SparkEntry {
       // reported as measured per-query recall vs exact.
       val e = tbl(s, dir, "embeddings")
       SimSearch.recallVsBrute(
-        SimSearch.ivfTopK(e, e.filter(col("vec_id") < 20), dim = 64, k = 5,
-          nClusters = 16, nprobe = 4),
+        SimSearch.ivfSearch(ivfModel(s, dir), e.filter(col("vec_id") < 20),
+          k = 5, nprobe = 4),
         e, e.filter(col("vec_id") < 20), k = 5)
     }),
 

@@ -205,6 +205,27 @@ object XlsExtractor {
             val cl = buf.getShort(body + 2) & 0xffff
             current((rw, cl)) = formatNum(buf.getDouble(body + 6))
           }
+        case 0x0004 => // BIFF2 LABEL: rw(2) col(2) attrs(3) cch(1) ANSI
+          if (current != null) {
+            val rw = buf.getShort(body) & 0xffff
+            val cl = buf.getShort(body + 2) & 0xffff
+            val cch = wb(body + 7) & 0xff
+            if (body + 8 + cch <= wb.length)
+              current((rw, cl)) =
+                new String(wb, body + 8, cch, StandardCharsets.ISO_8859_1)
+          }
+        case 0x0003 => // BIFF2 NUMBER: rw(2) col(2) attrs(3) xnum(8)
+          if (current != null) {
+            val rw = buf.getShort(body) & 0xffff
+            val cl = buf.getShort(body + 2) & 0xffff
+            current((rw, cl)) = formatNum(buf.getDouble(body + 7))
+          }
+        case 0x0002 => // BIFF2 INTEGER: rw(2) col(2) attrs(3) int(2)
+          if (current != null) {
+            val rw = buf.getShort(body) & 0xffff
+            val cl = buf.getShort(body + 2) & 0xffff
+            current((rw, cl)) = formatNum((buf.getShort(body + 7) & 0xffff).toDouble)
+          }
         case 0x027E => // RK
           if (current != null) {
             val rw = buf.getShort(body) & 0xffff

@@ -265,6 +265,12 @@ object OneNoteExtractor {
             val innerPid = le32(bytes, o + 4)
             o += 8
             if (count > 100000) throw new OneNoteMalformed("huge property array")
+            // charge iterations against the shared node budget: no-data
+            // inner types (0x1/0x2/0x8/0xa/0xc) otherwise spin 100k no-op
+            // calls per 8-byte header — ~12500× CPU per blob byte with no
+            // deadline check (advice r3)
+            nodeBudget -= count.toInt
+            if (nodeBudget < 0) throw new OneNoteMalformed("node budget exceeded")
             var i = 0L
             while (i < count) { value(innerPid); i += 1 }
           case 0x11 =>

@@ -18,6 +18,15 @@ object ZipUtil {
 
   val MaxEntryBytes: Int = 64 * 1024 * 1024
 
+  /** Aggregate decompressed-bytes budget across ALL entries of one
+    * archive. CEN records may all point at the same (or overlapping)
+    * local data, so per-entry caps alone let a ~70 KB crafted archive
+    * with 65535 CEN entries × 64 MB claims inflate terabytes; past this
+    * budget the walk aborts as a detected bomb (same 256 MB ceiling as
+    * SevenZ.MaxOutputBytes).
+    */
+  val MaxTotalBytes: Long = 256L * 1024 * 1024
+
   /** List all entries with their decompressed bytes.
     *
     * Streaming read first (the common, well-formed case); central-
@@ -36,12 +45,15 @@ object ZipUtil {
 
   private def streamingEntries(zipBytes: Array[Byte]): Vector[Entry] = {
     val out = new ArrayBuffer[Entry]()
+    var totalOut = 0L
     val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
     try {
       var e: ZipEntry = zin.getNextEntry
       while (e != null) {
         if (!e.isDirectory) {
           val data = readBounded(zin, MaxEntryBytes)
+          totalOut += data.length
+          if (totalOut > MaxTotalBytes) throw new graft.engine.ZipBombDetected
           out += Entry(e.getName, data, e.getCompressedSize)
         }
         zin.closeEntry()
@@ -100,6 +112,7 @@ object ZipUtil {
     val cdSize = le32(b, eocd + 12)
     val shift = math.max(0L, eocd - (cdOff + cdSize))
     val out = new ArrayBuffer[Entry]()
+    var totalOut = 0L
     var p = (cdOff + shift).toInt
     var n = 0
     val cp437 =
@@ -147,6 +160,11 @@ object ZipUtil {
       val encrypted = (flags & 0x1) != 0
       if (!encrypted && !name.endsWith("/") && uncompSize <= MaxEntryBytes &&
           compSize <= b.length) {
+        // aggregate budget BEFORE allocating: overlapping CEN entries can
+        // each claim MaxEntryBytes, so the per-entry cap alone is not
+        // enough (advice r3) — charge the claimed size up front
+        totalOut += uncompSize
+        if (totalOut > MaxTotalBytes) throw new graft.engine.ZipBombDetected
         // stored offsets drift in real archives (prepended prefixes; CEN
         // written without the data-descriptor bytes — the reference's
         // integrity-check fixture does exactly this). Verify the local

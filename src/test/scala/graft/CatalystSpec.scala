@@ -131,6 +131,18 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(exchanges <= 4, s"too many shuffles ($exchanges):\n$plan")
   }
 
+  test("ANN scorers: no interpreted higher-order-function cosine remains") {
+    // r3 verdict item 1: every SimSearch scorer must run the primitive
+    // mapPartitions kernel, not aggregate(zip_with(...)) lambdas
+    for (q <- Seq("q19_ann_brute", "q20_ann_lsh", "q26_ann_ivf",
+        "q28_ann_ivf_recall")) {
+      val plan = SparkEntry.queries(q)(spark, TestSpark.SfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("zip_with") && !plan.contains("aggregate("),
+        s"$q still scores through HOF expressions:\n$plan")
+    }
+  }
+
   test("q06: pure scan+filter+agg — no hash-partition exchange at all") {
     val q = SparkEntry.queries("q06_revenue_forecast")(spark, TestSpark.SfDir)
     val plan = q.queryExecution.executedPlan.toString
