@@ -30,8 +30,32 @@ object Profile {
     spark.stop()
   }
 
+  /** Mode 3: runMain graft.Profile queries <cores> <sfDir> <name1,name2,...>
+    * — time named contract queries (twice each, noop sink).
+    */
+  def queriesMain(cores: Int, sfDir: String, names: Seq[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (rep <- 1 to 2; name <- names) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[profile] $name-run$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args(0) == "scan") { scanMain(args(1).toInt, args(2)); return }
+    if (args(0) == "queries") {
+      queriesMain(args(1).toInt, args(2), args(3).split(",").toSeq); return
+    }
     val cores = args(0).toInt
     val docs = args(1).toLong
     val spark = SparkSession.builder()

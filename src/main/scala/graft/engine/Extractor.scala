@@ -452,6 +452,8 @@ object Extractor {
               (name, data) => inlineChild(idPath, depth)(name, data))
           case m if m == graft.mime.MimeDb.OneNote =>
             graft.onenote.OneNoteExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Chm =>
+            graft.chm.ChmExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsWord =>
             graft.ole2.DocExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsExcel =>
