@@ -454,6 +454,8 @@ object Extractor {
             graft.onenote.OneNoteExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Chm =>
             graft.chm.ChmExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.HwpV5 =>
+            graft.ole2.HwpExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsWord =>
             graft.ole2.DocExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsExcel =>

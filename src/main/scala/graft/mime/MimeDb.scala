@@ -153,6 +153,7 @@ object MimeDb {
   val StataDta = "application/x-stata-dta"
   val Jks = "application/x-java-keystore"
   val Hwp = "application/x-hwp"
+  val HwpV5 = "application/x-hwp-v5"
   val Ac3 = "audio/ac3"
   val Dpx = "image/x-dpx"
   val Nitf = "image/nitf"

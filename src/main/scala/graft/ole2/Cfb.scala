@@ -26,8 +26,9 @@ object Cfb {
   val EndOfChain = 0xFFFFFFFE
   val FreeSect = 0xFFFFFFFF
 
+  /** `path` = parent-storage prefix like "BodyText/" ("" at root). */
   final case class Entry(name: String, objType: Int, startSector: Int,
-      size: Long)
+      size: Long, path: String = "")
 
   final case class Doc(sectorSize: Int, miniCutoff: Int, entries: Vector[Entry],
       private[ole2] val bytes: Array[Byte],
@@ -146,7 +147,7 @@ object Cfb {
       out.toByteArray
     }
     val dbuf = ByteBuffer.wrap(dirBytes).order(ByteOrder.LITTLE_ENDIAN)
-    val entries = (0 until dirBytes.length / 128).iterator.map { k =>
+    val rawEntries = (0 until dirBytes.length / 128).map { k =>
       val base = k * 128
       val nameLen = dbuf.getShort(base + 64).toInt
       val objType = dirBytes(base + 66) & 0xff
@@ -157,7 +158,30 @@ object Cfb {
       val start = dbuf.getInt(base + 116)
       val size = dbuf.getLong(base + 120) & 0xFFFFFFFFL // v3: low 32 bits
       Entry(name, objType, start, size)
-    }.filter(e => e.objType == 1 || e.objType == 2 || e.objType == 5).toVector
+    }
+    // storage paths from the red-black sibling/child tree: each entry's
+    // left(+68)/right(+72) siblings share its parent; child(+76) roots a
+    // storage's subtree (MS-CFB §2.6) — HWP and MSG need to tell apart
+    // identically-named streams under different storages
+    val paths = new Array[String](rawEntries.length)
+    java.util.Arrays.fill(paths.asInstanceOf[Array[AnyRef]], null)
+    def walk(idx: Int, prefix: String, depth: Int): Unit = {
+      if (idx < 0 || idx >= rawEntries.length || depth > 64 ||
+          paths(idx) != null) return
+      paths(idx) = prefix
+      val base = idx * 128
+      walk(dbuf.getInt(base + 68), prefix, depth + 1)
+      walk(dbuf.getInt(base + 72), prefix, depth + 1)
+      if (rawEntries(idx).objType == 1 || rawEntries(idx).objType == 5)
+        walk(dbuf.getInt(base + 76),
+          if (rawEntries(idx).objType == 5) prefix
+          else prefix + rawEntries(idx).name + "/", depth + 1)
+    }
+    if (rawEntries.nonEmpty) walk(0, "", 0)
+    val entries = rawEntries.zipWithIndex
+      .filter { case (e, _) => e.objType == 1 || e.objType == 2 || e.objType == 5 }
+      .map { case (e, i) => e.copy(path = Option(paths(i)).getOrElse("")) }
+      .toVector
 
     // mini FAT + mini stream (root entry's stream, read via regular FAT)
     val miniFat = {

@@ -21,6 +21,7 @@ object DocExtractor {
     */
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
     val cfb = Cfb.parse(bytes)
+    OleProps.fromCfb(cfb, meta)
     val word = cfb.stream("WordDocument")
       .getOrElse(throw new IllegalArgumentException("no WordDocument stream"))
     val buf = ByteBuffer.wrap(word).order(ByteOrder.LITTLE_ENDIAN)
@@ -114,6 +115,7 @@ object XlsExtractor {
       if (rawBiff) bytes
       else {
         val cfb = Cfb.parse(bytes)
+        OleProps.fromCfb(cfb, meta)
         cfb.stream("Workbook").orElse(cfb.stream("Book"))
           .getOrElse(throw new IllegalArgumentException("no Workbook stream"))
       }
@@ -278,6 +280,7 @@ object PptExtractor {
 
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
     val cfb = Cfb.parse(bytes)
+    OleProps.fromCfb(cfb, meta)
     val ppt = cfb.stream("PowerPoint Document")
       .getOrElse(throw new IllegalArgumentException("no PowerPoint Document stream"))
     walk(ppt, 0, ppt.length, sink, 0)
