@@ -456,6 +456,10 @@ object Extractor {
             graft.chm.ChmExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.HwpV5 =>
             graft.ole2.HwpExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Wpd =>
+            graft.textparse.WordPerfectExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Qpw =>
+            graft.textparse.QpwExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsWord =>
             graft.ole2.DocExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsExcel =>

@@ -154,6 +154,7 @@ object MimeDb {
   val Jks = "application/x-java-keystore"
   val Hwp = "application/x-hwp"
   val HwpV5 = "application/x-hwp-v5"
+  val Qpw = "application/x-quattro-pro"
   val Ac3 = "audio/ac3"
   val Dpx = "image/x-dpx"
   val Nitf = "image/nitf"
