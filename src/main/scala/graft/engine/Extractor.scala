@@ -445,6 +445,9 @@ object Extractor {
                 meta.add(s"media:$ref:sample_rate", mm.sampleRate.toString)
               if (mm.orientation > 0)
                 meta.add(s"media:$ref:orientation", mm.orientation.toString)
+              // descriptive tags (ID3 title/artist/album, xmp:*) ride
+              // under the same media:<ref> namespace
+              mm.tags.foreach { case (k, v) => meta.add(s"media:$ref:$k", v) }
             }
             sink.media(ref)
           case m if m == graft.mime.MimeDb.Sqlite =>

@@ -21,12 +21,14 @@ object MediaParser {
       durationMs: Long = 0L,
       sampleRate: Int = 0,
       channels: Int = 0,
-      orientation: Int = 0)   // EXIF orientation 1-8, 0 = absent
+      orientation: Int = 0,   // EXIF orientation 1-8, 0 = absent
+      tags: Map[String, String] = Map.empty) // id3:*/xmp:* descriptive tags
 
   def parse(bytes: Array[Byte]): Option[Meta] = {
     if (bytes.length < 12) return None
     try {
-      if (matches(bytes, 0, 0x89, 'P', 'N', 'G')) parsePng(bytes)
+      val m0 =
+        if (matches(bytes, 0, 0x89, 'P', 'N', 'G')) parsePng(bytes)
       else if (matches(bytes, 0, 0xff, 0xd8, 0xff)) parseJpeg(bytes)
       else if (matches(bytes, 0, 'G', 'I', 'F', '8')) parseGif(bytes)
       else if (matches(bytes, 0, 'B', 'M')) parseBmp(bytes)
@@ -40,7 +42,61 @@ object MediaParser {
       else if (matches(bytes, 0, 'O', 'g', 'g', 'S')) parseOgg(bytes)
       else if (matches(bytes, 0, 0x30, 0x26, 0xb2, 0x75)) parseAsf(bytes)
       else None
+      // descriptive tags ride on top of the structural metadata:
+      // XMP packets (JPEG APP1 / PNG iTXt / TIFF) found by bounded scan
+      m0.map { m =>
+        val xmp = xmpTags(bytes)
+        if (xmp.isEmpty) m else m.copy(tags = m.tags ++ xmp)
+      }
     } catch { case _: Exception => None }
+  }
+
+  /** ISO 15076 / Adobe XMP packet scan: find `<x:xmpmeta>` in the first
+    * 4 MiB and lift the common Dublin-Core/XMP properties to tags (the
+    * reference's tika-parser-xmp-commons surface: title, creator,
+    * description, CreateDate, CreatorTool).
+    */
+  def xmpTags(b: Array[Byte]): Map[String, String] = {
+    val limit = math.min(b.length, 4 * 1024 * 1024)
+    val needle = "<x:xmpmeta".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var i = 0
+    var at = -1
+    while (at < 0 && i + needle.length <= limit) {
+      var j = 0
+      while (j < needle.length && b(i + j) == needle(j)) j += 1
+      if (j == needle.length) at = i
+      i += 1
+    }
+    if (at < 0) return Map.empty
+    val end0 = {
+      val closer = "</x:xmpmeta>".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      var k = at
+      var found = -1
+      while (found < 0 && k + closer.length <= limit) {
+        var j = 0
+        while (j < closer.length && b(k + j) == closer(j)) j += 1
+        if (j == closer.length) found = k + closer.length
+        k += 1
+      }
+      if (found < 0) math.min(limit, at + 65536) else found
+    }
+    val xml = new String(b, at, end0 - at, java.nio.charset.StandardCharsets.UTF_8)
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    def firstMatch(res: String*): Option[String] =
+      res.iterator.flatMap(r => r.r.findFirstMatchIn(xml).map(_.group(1)))
+        .find(_.trim.nonEmpty).map(_.trim)
+    // both rdf:li-list and attribute forms appear in the wild
+    firstMatch("""(?s)dc:title.*?<rdf:li[^>]*>([^<]+)</rdf:li>""",
+      """dc:title="([^"]+)"""").foreach(out("xmp:title") = _)
+    firstMatch("""(?s)dc:creator.*?<rdf:li[^>]*>([^<]+)</rdf:li>""",
+      """dc:creator="([^"]+)"""").foreach(out("xmp:creator") = _)
+    firstMatch("""(?s)dc:description.*?<rdf:li[^>]*>([^<]+)</rdf:li>""",
+      """dc:description="([^"]+)"""").foreach(out("xmp:description") = _)
+    firstMatch("""<xmp:CreateDate>([^<]+)</xmp:CreateDate>""",
+      """xmp:CreateDate="([^"]+)"""").foreach(out("xmp:create-date") = _)
+    firstMatch("""<xmp:CreatorTool>([^<]+)</xmp:CreatorTool>""",
+      """xmp:CreatorTool="([^"]+)"""").foreach(out("xmp:creator-tool") = _)
+    out.toMap
   }
 
   /** Ogg: the first logical packet's codec identification header carries
@@ -220,11 +276,15 @@ object MediaParser {
     */
   private def parseMp3(b: Array[Byte]): Option[Meta] = {
     var p = 0
+    var tags = Map.empty[String, String]
     if (matches(b, 0, 'I', 'D', '3') && b.length >= 10) {
       val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
         ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      tags = id3v2Tags(b, b(3) & 0xff, 10, math.min(10 + size, b.length))
       p = 10 + size
     }
+    // ID3v1 trailer fills fields v2 didn't provide
+    tags = id3v1Tags(b) ++ tags
     // find frame sync
     while (p + 4 <= b.length &&
       !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xe0) == 0xe0)) p += 1
@@ -236,7 +296,73 @@ object MediaParser {
     val rate = Mp3Rates(rateIdx)
     val dur = (b.length - p).toLong * 8 / kbps // bytes*8 / (kbps) = ms
     Some(Meta("audio/mpeg", "audio", durationMs = dur, sampleRate = rate,
-      channels = if (((b(p + 3) & 0xc0) >> 6) == 3) 1 else 2))
+      channels = if (((b(p + 3) & 0xc0) >> 6) == 3) 1 else 2,
+      tags = tags))
+  }
+
+  /** ID3v2.2/2.3/2.4 text frames → descriptive tags (the reference's
+    * Mp3Parser/ID3v2Frame surface: title/artist/album/year/genre).
+    */
+  private def id3v2Tags(b: Array[Byte], ver: Int, start: Int, end: Int): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    val v22 = ver == 2
+    val idLen = if (v22) 3 else 4
+    val hdrLen = if (v22) 6 else 10
+    val names: Map[String, String] =
+      if (v22) Map("TT2" -> "title", "TP1" -> "artist", "TAL" -> "album",
+        "TYE" -> "year", "TCO" -> "genre", "TCM" -> "composer")
+      else Map("TIT2" -> "title", "TPE1" -> "artist", "TALB" -> "album",
+        "TYER" -> "year", "TDRC" -> "year", "TCON" -> "genre",
+        "TCOM" -> "composer")
+    var p = start
+    while (p + hdrLen <= end) {
+      val id = new String(b, p, idLen, java.nio.charset.StandardCharsets.US_ASCII)
+      if (!id.forall(c => c.isLetterOrDigit)) return out.toMap // padding
+      val size =
+        if (v22) ((b(p + 3) & 0xff) << 16) | ((b(p + 4) & 0xff) << 8) | (b(p + 5) & 0xff)
+        else if (ver >= 4) ((b(p + 4) & 0x7f) << 21) | ((b(p + 5) & 0x7f) << 14) |
+          ((b(p + 6) & 0x7f) << 7) | (b(p + 7) & 0x7f)
+        else ((b(p + 4) & 0xff) << 24) | ((b(p + 5) & 0xff) << 16) |
+          ((b(p + 6) & 0xff) << 8) | (b(p + 7) & 0xff)
+      if (size <= 0 || p + hdrLen + size > end) return out.toMap
+      names.get(id).foreach { key =>
+        if (!out.contains(key)) {
+          val enc = b(p + hdrLen) & 0xff
+          val body = p + hdrLen + 1
+          val n = size - 1
+          val cs = enc match {
+            case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+            case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-led
+            case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+            case _ => java.nio.charset.StandardCharsets.UTF_8
+          }
+          val s = new String(b, body, math.max(0, n), cs)
+            .takeWhile(_ != 0.toChar).trim
+          if (s.nonEmpty) out(key) = s
+        }
+      }
+      p += hdrLen + size
+    }
+    out.toMap
+  }
+
+  /** ID3v1 128-byte trailer ("TAG"): fixed-width latin-1 fields. */
+  private def id3v1Tags(b: Array[Byte]): Map[String, String] = {
+    if (b.length < 128) return Map.empty
+    val t = b.length - 128
+    if (!(b(t) == 'T' && b(t + 1) == 'A' && b(t + 2) == 'G')) return Map.empty
+    def f(off: Int, len: Int): Option[String] = {
+      val s = new String(b, t + off, len,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+        .takeWhile(_ != 0.toChar).trim
+      if (s.nonEmpty) Some(s) else None
+    }
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    f(3, 30).foreach(out("title") = _)
+    f(33, 30).foreach(out("artist") = _)
+    f(63, 30).foreach(out("album") = _)
+    f(93, 4).foreach(out("year") = _)
+    out.toMap
   }
 
   /** MP4/ISOBMFF: box walk — mvhd gives timescale+duration, the first

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.media.MediaParser
+
+/** ID3 tag + XMP packet metadata vs the reference's real fixtures
+  * (mp3/Mp3ParserTest.java expectations: "Test Title"/"Test Artist").
+  */
+class Id3XmpSpec extends AnyFunSuite {
+
+  private val av = Path.of("/root/reference/tika-parsers/" +
+    "tika-parsers-standard/tika-parsers-standard-modules/" +
+    "tika-parser-audiovideo-module/src/test/resources/test-documents")
+
+  private def tagsOf(name: String): Map[String, String] = {
+    org.scalatest.Assertions.assume(Files.isRegularFile(av.resolve(name)),
+      "reference fixtures not present")
+    MediaParser.parse(Files.readAllBytes(av.resolve(name)))
+      .map(_.tags).getOrElse(Map.empty)
+  }
+
+  test("ID3v1 trailer: title/artist (Mp3ParserTest.testMp3ParsingID3v1)") {
+    val t = tagsOf("testMP3id3v1.mp3")
+    assert(t.get("title").contains("Test Title"), t)
+    assert(t.get("artist").contains("Test Artist"), t)
+  }
+
+  test("ID3v2.3 frames: title/artist/album") {
+    val t = tagsOf("testMP3id3v2.mp3")
+    assert(t.get("title").contains("Test Title"), t)
+    assert(t.get("artist").contains("Test Artist"), t)
+  }
+
+  test("ID3v2.4 syncsafe frames") {
+    val t = tagsOf("testMP3id3v24.mp3")
+    assert(t.get("title").contains("Test Title"), t)
+    assert(t.get("artist").contains("Test Artist"), t)
+  }
+
+  test("v1+v2 together: v2 wins, v1 fills gaps") {
+    val t = tagsOf("testMP3id3v1_v2.mp3")
+    assert(t.get("title").contains("Test Title"), t)
+  }
+
+  test("XMP packet scan lifts dc:title/dc:creator") {
+    val xmp = ("""<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF>""" +
+      """<rdf:Description><dc:title><rdf:Alt><rdf:li xml:lang="x-default">My Photo</rdf:li>""" +
+      """</rdf:Alt></dc:title><dc:creator><rdf:Seq><rdf:li>Jane Doe</rdf:li></rdf:Seq>""" +
+      """</dc:creator><xmp:CreatorTool>graft-test</xmp:CreatorTool>""" +
+      """</rdf:Description></rdf:RDF></x:xmpmeta>""").getBytes("UTF-8")
+    val tags = MediaParser.xmpTags(xmp)
+    assert(tags.get("xmp:title").contains("My Photo"), tags)
+    assert(tags.get("xmp:creator").contains("Jane Doe"), tags)
+    assert(tags.get("xmp:creator-tool").contains("graft-test"), tags)
+  }
+}
