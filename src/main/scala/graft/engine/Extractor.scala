@@ -463,6 +463,10 @@ object Extractor {
             graft.textparse.WordPerfectExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Qpw =>
             graft.textparse.QpwExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Dbf =>
+            graft.textparse.DbfExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.DifXml =>
+            graft.xmlx.DifExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsWord =>
             graft.ole2.DocExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsExcel =>
@@ -565,7 +569,10 @@ object Extractor {
             meta.add("tk:digest:sha256",
               java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
                 .map(b => f"${b & 0xff}%02x").mkString)
-          parseNode(bytes, "", None, 0)
+          // the row id doubles as the resource-name hint, exactly like
+          // AutoDetectParser's RESOURCE_NAME_KEY — applyHint only ever
+          // SPECIALIZES the content-detected type, never overrides it
+          parseNode(bytes, "", Option(row.doc_id), 0)
           drain(0)
         }
       }

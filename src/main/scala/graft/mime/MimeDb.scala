@@ -155,6 +155,8 @@ object MimeDb {
   val Hwp = "application/x-hwp"
   val HwpV5 = "application/x-hwp-v5"
   val Qpw = "application/x-quattro-pro"
+  val Dbf = "application/x-dbf"
+  val DifXml = "application/dif+xml"
   val Ac3 = "audio/ac3"
   val Dpx = "image/x-dpx"
   val Nitf = "image/nitf"

@@ -237,7 +237,8 @@ object MimeRegistry {
     */
   val xmlRootTypes: Map[String, String] = Map(
     "html" -> Html, "HTML" -> Html,
-    "feed" -> AtomXml, "rss" -> RssXml, "svg" -> SvgXml
+    "feed" -> AtomXml, "rss" -> RssXml, "svg" -> SvgXml,
+    "DIF" -> graft.mime.MimeDb.DifXml
   )
 
   /** Full detection pipeline over the leading bytes of a payload.
