@@ -395,6 +395,25 @@ object SparkEntry {
       Projections.projectAll(Pipeline.extract(Corpus.docRows(s, 500)).toDF())
         .select("doc_id", "mime", "status", "text")
     }),
+    "q34_regex_projections" -> ((s, dir) => {
+      // the regex projection operators (LinkContentHandler /
+      // PhoneExtractingContentHandler / StandardsExtractingContentHandler
+      // analogs) over the driver's documents table — RE2-compatible
+      // patterns, so DuckDB replicates them exactly (oracled; q24 keeps
+      // exercising the same operators through the extraction pipeline)
+      import graft.ops.Projections
+      val t = tbl(s, dir, "documents")
+      t.select(col("doc_id"),
+        size(Projections.extractUrls(col("text"))).as("n_urls"),
+        coalesce(try_element_at(Projections.extractUrls(col("text")), lit(1)), lit(""))
+          .as("first_url"),
+        size(Projections.extractPhones(col("text"))).as("n_phones"),
+        coalesce(try_element_at(Projections.extractPhones(col("text")), lit(1)), lit(""))
+          .as("first_phone"),
+        size(Projections.extractStandards(col("text"))).as("n_standards"),
+        coalesce(try_element_at(Projections.extractStandards(col("text")), lit(1)), lit(""))
+          .as("first_standard"))
+    }),
 
     "q25_detect_mime_expr" -> ((s, dir) => {
       import s.implicits._
@@ -624,6 +643,56 @@ object SparkEntry {
                         c.vec_id ASC) AS rank
            FROM embeddings q, embeddings c
            WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
-         WHERE rank <= 5"""
+         WHERE rank <= 5""",
+    "q34_regex_projections" ->
+      ("""SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '""" + """(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)""" + """', 1)) AS INTEGER) AS n_urls,
+           coalesce(regexp_extract_all(text, '""" + """(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)""" + """', 1)[1], '') AS first_url,
+           CAST(len(regexp_extract_all(text, '""" + """\\+?\\d{1,3}[ .-]\\d{3}[ .-]\\d{3,4}(?:[ .-]\\d{3,4})?""" + """', 0)) AS INTEGER) AS n_phones,
+           coalesce(regexp_extract_all(text, '""" + """\\+?\\d{1,3}[ .-]\\d{3}[ .-]\\d{3,4}(?:[ .-]\\d{3,4})?""" + """', 0)[1], '') AS first_phone,
+           CAST(len(regexp_extract_all(text, '""" + """((?:ISO|IEC|RFC|IEEE|ANSI|NIST)[ -]?\\d{2,6})""" + """', 1)) AS INTEGER) AS n_standards,
+           coalesce(regexp_extract_all(text, '""" + """((?:ISO|IEC|RFC|IEEE|ANSI|NIST)[ -]?\\d{2,6})""" + """', 1)[1], '') AS first_standard
+         FROM documents"""),
+    // x03's oracle is the FROZEN expected detection distribution for the
+    // sf0.01 gate (4000 corpus-v13 docs) — pinned independently by
+    // X03FrozenSpec so a corpus or detector change fails loudly here
+    // before the driver sees it
+    "x03_detect_mime_stats" ->
+      """SELECT * FROM (VALUES
+           ('application/gzip', 'parse_success', 34),
+           ('application/msword', 'parse_success', 100),
+           ('application/octet-stream', 'parse_success', 16),
+           ('application/octet-stream', 'unsupported_type', 140),
+           ('application/onenote', 'parse_success', 28),
+           ('application/pdf', 'parse_success', 340),
+           ('application/rtf', 'parse_success', 80),
+           ('application/vnd.ms-excel', 'parse_success', 80),
+           ('application/vnd.ms-outlook', 'parse_success', 40),
+           ('application/vnd.ms-powerpoint', 'parse_success', 60),
+           ('application/vnd.oasis.opendocument.text', 'parse_success', 80),
+           ('application/vnd.openxmlformats-officedocument.presentationml.presentation', 'parse_success', 100),
+           ('application/vnd.openxmlformats-officedocument.spreadsheetml.sheet', 'parse_success', 100),
+           ('application/vnd.openxmlformats-officedocument.wordprocessingml.document', 'parse_success', 360),
+           ('application/warc', 'parse_success', 20),
+           ('application/x-7z-compressed', 'parse_success', 12),
+           ('application/x-archive', 'parse_success', 17),
+           ('application/x-bzip2', 'parse_success', 15),
+           ('application/x-cpio', 'parse_success', 17),
+           ('application/x-tar', 'parse_success', 11),
+           ('application/xml', 'parse_success', 160),
+           ('application/zip', 'parse_success', 231),
+           ('application/zip', 'write_limit_reached', 9),
+           ('audio/mpeg', 'parse_success', 20),
+           ('audio/vnd.wave', 'parse_success', 16),
+           ('image/bmp', 'parse_success', 20),
+           ('image/gif', 'parse_success', 16),
+           ('image/jpeg', 'parse_success', 16),
+           ('image/png', 'parse_success', 20),
+           ('message/rfc822', 'parse_success', 80),
+           ('text/csv', 'parse_success', 120),
+           ('text/html', 'parse_success', 1437),
+           ('text/html', 'write_limit_reached', 9),
+           ('text/plain', 'parse_success', 180),
+           ('video/mp4', 'parse_success', 16)) t(mime, status, n)"""
   )
 }
