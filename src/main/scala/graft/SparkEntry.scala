@@ -659,10 +659,11 @@ object SparkEntry {
     // before the driver sees it
     "x03_detect_mime_stats" ->
       """SELECT * FROM (VALUES
+           ('application/dif+xml', 'parse_success', 20),
            ('application/gzip', 'parse_success', 34),
            ('application/msword', 'parse_success', 100),
            ('application/octet-stream', 'parse_success', 16),
-           ('application/octet-stream', 'unsupported_type', 140),
+           ('application/octet-stream', 'unsupported_type', 60),
            ('application/onenote', 'parse_success', 28),
            ('application/pdf', 'parse_success', 340),
            ('application/rtf', 'parse_success', 80),
@@ -673,11 +674,14 @@ object SparkEntry {
            ('application/vnd.openxmlformats-officedocument.presentationml.presentation', 'parse_success', 100),
            ('application/vnd.openxmlformats-officedocument.spreadsheetml.sheet', 'parse_success', 100),
            ('application/vnd.openxmlformats-officedocument.wordprocessingml.document', 'parse_success', 360),
+           ('application/vnd.wordperfect', 'parse_success', 20),
            ('application/warc', 'parse_success', 20),
            ('application/x-7z-compressed', 'parse_success', 12),
            ('application/x-archive', 'parse_success', 17),
            ('application/x-bzip2', 'parse_success', 15),
            ('application/x-cpio', 'parse_success', 17),
+           ('application/x-dbf', 'parse_success', 20),
+           ('application/x-quattro-pro', 'parse_success', 20),
            ('application/x-tar', 'parse_success', 11),
            ('application/xml', 'parse_success', 160),
            ('application/zip', 'parse_success', 231),
@@ -693,6 +697,7 @@ object SparkEntry {
            ('text/html', 'parse_success', 1437),
            ('text/html', 'write_limit_reached', 9),
            ('text/plain', 'parse_success', 180),
-           ('video/mp4', 'parse_success', 16)) t(mime, status, n)"""
+           ('video/mp4', 'parse_success', 16)
+         ) t(mime, status, n)"""
   )
 }

@@ -79,13 +79,14 @@ object Corpus {
     else if (m < 920) "ppt"
     else if (m < 930) "msg"
     else if (m < 965) "media"
+    else if (m < 985) "legacy" // wpd / qpw / dbf / dif rotation (round 4)
     else "junk"
   }
 
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 13
+  val Version = 14
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -150,6 +151,14 @@ object Corpus {
         val warcBytes = graft.warc.WarcExtractor.write(responses)
         val payload = if (index % 2 == 0) warcBytes else gzipBytes(warcBytes)
         Seq(Span("bytes", b64(payload), null, 0))
+      case "legacy" =>
+        val bytes = (index % 4) match {
+          case 0 => LegacyCorpus.wpd(r)
+          case 1 => LegacyCorpus.qpw(r)
+          case 2 => LegacyCorpus.dbf(r)
+          case _ => LegacyCorpus.dif(r)
+        }
+        Seq(Span("bytes", b64(bytes), null, 0))
       case "text" => Seq(Span("text", b64(textDoc(r, index)), null, 0))
       case "xml" => Seq(Span("xml", xmlDoc(r), null, 0))
       case "tar" =>
@@ -188,7 +197,12 @@ object Corpus {
         junk(0) = 0x01; junk(1) = 0x02
         Seq(Span("junk", b64(junk), null, 0))
     }
-    DocRow(id, spans)
+    // dBASE has no content magic (glob-only in the reference's mime db
+    // too): legacy-dbf rows carry the extension on the row id, which the
+    // engine passes through as the resource-name hint
+    val rowId =
+      if (kindOf(index) == "legacy" && index % 4 == 2) s"$id.dbf" else id
+    DocRow(rowId, spans)
   }
 
   def b64(bytes: Array[Byte]): String = Base64.getEncoder.encodeToString(bytes)

@@ -467,6 +467,8 @@ object Extractor {
             graft.textparse.DbfExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.DifXml =>
             graft.xmlx.DifExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Dwg =>
+            graft.media.DwgExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsWord =>
             graft.ole2.DocExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsExcel =>
