@@ -46,6 +46,11 @@ object PdfExtractor {
       onEmbedded: (Option[String], Array[Byte]) => Unit = (_, _) => ()): Unit = {
     val doc = new PdfDoc(bytes)
     extractInfo(doc, meta)
+    // XMP packet (the spec keeps metadata streams uncompressed precisely
+    // so packet scanners find them — tika-parser-xmp-commons surface)
+    graft.media.MediaParser.xmpTags(bytes).foreach { case (k, v) =>
+      meta.set(k, v)
+    }
     if (doc.wasDecrypted) meta.set("pdf:encrypted", "true")
     val pages = doc.pages
     if (pages.isEmpty)

@@ -54,4 +54,15 @@ class Id3XmpSpec extends AnyFunSuite {
     assert(tags.get("xmp:creator").contains("Jane Doe"), tags)
     assert(tags.get("xmp:creator-tool").contains("graft-test"), tags)
   }
+
+  test("real PDF XMP packet surfaces xmp:* metadata") {
+    val pdf = Path.of("/root/reference/tika-parsers/" +
+      "tika-parsers-standard/tika-parsers-standard-modules/" +
+      "tika-parser-pdf-module/src/test/resources/test-documents/" +
+      "testPDF_Version.4.x.pdf")
+    org.scalatest.Assertions.assume(Files.isRegularFile(pdf))
+    val d = graft.engine.Extractor.extract(graft.core.DocRow("t.pdf",
+      Seq(graft.core.Span("bytes", graft.corpus.Corpus.b64(Files.readAllBytes(pdf)), null, 0))))
+    assert(d.meta.keys.exists(_.startsWith("xmp:")), d.meta.keys.toSeq.sorted.take(20))
+  }
 }
