@@ -469,6 +469,10 @@ object Extractor {
             graft.xmlx.DifExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Dwg =>
             graft.media.DwgExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Mif =>
+            graft.textparse.MifExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Idml =>
+            graft.zipx.IdmlExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsWord =>
             graft.ole2.DocExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsExcel =>

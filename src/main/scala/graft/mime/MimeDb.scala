@@ -157,6 +157,8 @@ object MimeDb {
   val Qpw = "application/x-quattro-pro"
   val Dbf = "application/x-dbf"
   val DifXml = "application/dif+xml"
+  val Mif = "application/vnd.mif"
+  val Idml = "application/vnd.adobe.indesign-idml-package"
   val Ac3 = "audio/ac3"
   val Dpx = "image/x-dpx"
   val Nitf = "image/nitf"
@@ -285,6 +287,9 @@ object MimeDb {
     Magic(Pcapng, 50, AndClause(Seq(bytes(0, 0x0a, 0x0d, 0x0d, 0x0a),
       OrClause(Seq(big32(8, 0xa1b2c3d4L), little32(8, 0xa1b2c3d4L)))))),
     Magic(Wpd, 50, big32(0, 0xFF575043L)),
+    Magic(Mif, 50, OrClause(Seq(string(0, "<MIFFile"), string(0, "<MakerFile"),
+      string(0, "<MakerDictionary"), string(0, "<MakerScreenFont"),
+      string(0, "<MML"), string(0, "<Book")))),
     Magic(SquashFs, 50, OrClause(Seq(string(0, "hsqs"), string(0, "sqsh")))),
     Magic(XarArchive, 50, string(0, "xar!")),
     Magic(Torrent, 50, string(0, "d8:announce")),

@@ -327,6 +327,7 @@ object OpcDetector {
         .getOrElse("")
       mt match {
         case Odt | Ods | Odp | Epub => return mt
+        case "application/vnd.adobe.indesign-idml-package" => return mt
         case _ => ()
       }
     }
