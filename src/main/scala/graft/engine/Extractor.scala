@@ -393,6 +393,17 @@ object Extractor {
                   },
                   onDrop = () => sawUnsupported = true))
               }
+          case m if m == graft.mime.MimeDb.AppleSingle =>
+            // AppleSingle wrapper: the data fork is the real document
+            // (apple/AppleSingleFileParser.java) — unwrap + re-detect
+            if (depth >= cfg.maxDepth || embeddedCount >= cfg.maxEmbedded)
+              sawUnsupported = true
+            else {
+              val (name, fork) = graft.textparse.AppleSingle.unwrap(bytes)
+              stack.push(NodeFrame(fork, idPath, name, depth + 1,
+                onPop = p => name.foreach(n => meta.add("embedded:path", s"$p:$n")),
+                onDrop = () => sawUnsupported = true))
+            }
           case MediaTypes.Gzip =>
             if (depth >= cfg.maxDepth || embeddedCount >= cfg.maxEmbedded)
               sawUnsupported = true
@@ -473,6 +484,16 @@ object Extractor {
             graft.textparse.MifExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Idml =>
             graft.zipx.IdmlExtractor.extract(bytes, sink, meta)
+          case m if m == "application/vnd.apple.keynote" ||
+              m == "application/vnd.apple.pages" ||
+              m == "application/vnd.apple.numbers" =>
+            graft.zipx.IworkExtractor.extract(bytes, m, sink, meta)
+          case m if m == graft.mime.MimeDb.BPlist || m == "application/x-plist" =>
+            graft.textparse.PlistExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Ttf || m == graft.mime.MimeDb.Otf =>
+            graft.media.FontExtractor.extractTtf(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Afm =>
+            graft.media.FontExtractor.extractAfm(bytes, sink, meta)
           case MediaTypes.MsWord =>
             graft.ole2.DocExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsExcel =>

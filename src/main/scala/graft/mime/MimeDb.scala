@@ -158,6 +158,8 @@ object MimeDb {
   val Dbf = "application/x-dbf"
   val DifXml = "application/dif+xml"
   val Mif = "application/vnd.mif"
+  val Afm = "application/x-font-adobe-metric"
+  val AppleSingle = "application/applefile"
   val Idml = "application/vnd.adobe.indesign-idml-package"
   val Ac3 = "audio/ac3"
   val Dpx = "image/x-dpx"
@@ -287,6 +289,8 @@ object MimeDb {
     Magic(Pcapng, 50, AndClause(Seq(bytes(0, 0x0a, 0x0d, 0x0d, 0x0a),
       OrClause(Seq(big32(8, 0xa1b2c3d4L), little32(8, 0xa1b2c3d4L)))))),
     Magic(Wpd, 50, big32(0, 0xFF575043L)),
+    Magic(Afm, 50, string(0, "StartFontMetrics")),
+    Magic(AppleSingle, 50, bytes(0, 0x00, 0x05, 0x16, 0x00)),
     Magic(Mif, 50, OrClause(Seq(string(0, "<MIFFile"), string(0, "<MakerFile"),
       string(0, "<MakerDictionary"), string(0, "<MakerScreenFont"),
       string(0, "<MML"), string(0, "<Book")))),

@@ -238,7 +238,8 @@ object MimeRegistry {
   val xmlRootTypes: Map[String, String] = Map(
     "html" -> Html, "HTML" -> Html,
     "feed" -> AtomXml, "rss" -> RssXml, "svg" -> SvgXml,
-    "DIF" -> graft.mime.MimeDb.DifXml
+    "DIF" -> graft.mime.MimeDb.DifXml,
+    "plist" -> "application/x-plist"
   )
 
   /** Full detection pipeline over the leading bytes of a payload.
