@@ -25,7 +25,21 @@ object DocExtractor {
     val word = cfb.stream("WordDocument")
       .getOrElse(throw new IllegalArgumentException("no WordDocument stream"))
     val buf = ByteBuffer.wrap(word).order(ByteOrder.LITTLE_ENDIAN)
-    require(buf.getShort(0) == 0xA5EC.toShort, "bad FIB wIdent")
+    val wIdent = buf.getShort(0) & 0xffff
+    if (wIdent == 0xA5DC) {
+      // Word 6/95: no piece table — the text simply spans [fcMin, fcMac)
+      // of the WordDocument stream in the ANSI codepage (POI
+      // Word6Extractor semantics)
+      val fcMin = buf.getInt(24)
+      val fcMac = buf.getInt(28)
+      require(fcMin >= 0 && fcMac >= fcMin && fcMac <= word.length,
+        "word6 text range out of bounds")
+      val text = new String(word, fcMin, fcMac - fcMin,
+        Charset.forName("windows-1252"))
+      emitWordText(text, sink)
+      return
+    }
+    require(wIdent == 0xA5EC, "bad FIB wIdent")
     val flags = buf.getShort(0x0A).toInt
     val whichTbl = (flags & 0x0200) != 0
     val tableName = if (whichTbl) "1Table" else "0Table"

@@ -92,4 +92,14 @@ class RobustnessSweepSpec extends AnyFunSuite {
     assert(s.exists(c => c >= 'А' && c <= 'я'))
     assert(!s.take(200).contains('�'))
   }
+
+  test("Word 6/95 binary doc: fcMin..fcMac text + summary metadata") {
+    val d = extract(ms, "testWORD6.doc")
+    assert(d.status == Status.ParseSuccess, d.status)
+    assert(d.spans.filter(_.kind == Span.KindText).map(_.text).mkString
+      .contains("The quick brown fox jumps over the lazy dog"))
+    assert(d.meta.get("dc:title").exists(_.contains(
+      "The quick brown fox jumps over the lazy dog")), d.meta.get("dc:title"))
+    assert(d.meta.get("dc:creator").exists(_.contains("Nevin Nollop")))
+  }
 }
