@@ -489,11 +489,17 @@ object Extractor {
               m == "application/vnd.apple.numbers" =>
             graft.zipx.IworkExtractor.extract(bytes, m, sink, meta)
           case m if m == graft.mime.MimeDb.BPlist || m == "application/x-plist" =>
-            graft.textparse.PlistExtractor.extract(bytes, sink, meta)
+            graft.textparse.PlistExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(name, data))
           case m if m == graft.mime.MimeDb.Ttf || m == graft.mime.MimeDb.Otf =>
             graft.media.FontExtractor.extractTtf(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Afm =>
             graft.media.FontExtractor.extractAfm(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Prt =>
+            graft.media.PrtExtractor.extract(bytes, sink, meta)
+          case "image/vnd.dgn;version=8" =>
+            // DGN v8: CFB container, summary metadata only (DGN8Parser)
+            graft.ole2.OleProps.fromCfb(graft.ole2.Cfb.parse(bytes), meta)
           case MediaTypes.MsWord =>
             graft.ole2.DocExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsExcel =>

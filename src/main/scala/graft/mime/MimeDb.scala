@@ -160,6 +160,7 @@ object MimeDb {
   val Mif = "application/vnd.mif"
   val Afm = "application/x-font-adobe-metric"
   val AppleSingle = "application/applefile"
+  val Prt = "application/x-prt"
   val Idml = "application/vnd.adobe.indesign-idml-package"
   val Ac3 = "audio/ac3"
   val Dpx = "image/x-dpx"
@@ -291,6 +292,7 @@ object MimeDb {
     Magic(Wpd, 50, big32(0, 0xFF575043L)),
     Magic(Afm, 50, string(0, "StartFontMetrics")),
     Magic(AppleSingle, 50, bytes(0, 0x00, 0x05, 0x16, 0x00)),
+    Magic(Prt, 50, string(8, "0M3C")),
     Magic(Mif, 50, OrClause(Seq(string(0, "<MIFFile"), string(0, "<MakerFile"),
       string(0, "<MakerDictionary"), string(0, "<MakerScreenFont"),
       string(0, "<MML"), string(0, "<Book")))),

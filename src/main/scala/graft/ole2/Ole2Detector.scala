@@ -29,6 +29,7 @@ object Ole2Detector {
   private val Markers: Seq[(Array[Byte], String)] = Seq(
     utf16le(0x05.toChar + "HwpSummaryInformation") -> graft.mime.MimeDb.HwpV5,
     utf16le("NativeContent_MAIN") -> graft.mime.MimeDb.Qpw,
+    utf16le("Dgn~H") -> "image/vnd.dgn;version=8",
     utf16le("EncryptedPackage") -> OoxmlProtected,
     utf16le("__properties_version1.0") -> MediaTypes.MsOutlook,
     utf16le("PowerPoint Document") -> MediaTypes.MsPowerPoint,

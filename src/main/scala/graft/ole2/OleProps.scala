@@ -111,5 +111,6 @@ object OleProps {
       meta.set("dcterms:modified", t.toString) }
     props.get(14).collect { case n: Int if n > 0 =>
       meta.set("meta:page-count", n.toString) }
+    str(18).foreach(meta.set("extended-properties:Application", _))
   }
 }

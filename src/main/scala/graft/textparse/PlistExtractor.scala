@@ -25,11 +25,12 @@ object PlistExtractor {
   final case class PNum(s: String) extends PObj
   final case class PBool(b: Boolean) extends PObj
   final case class PDate(iso: String) extends PObj
-  final case class PData(n: Int) extends PObj
+  final case class PData(bytes: Array[Byte]) extends PObj
   final case class PUid(v: Long) extends PObj
   case object PNull extends PObj
 
-  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
+      child: (Option[String], Array[Byte]) => Unit = (_, _) => ()): Unit = {
     val root =
       if (bytes.length >= 8 && new String(bytes, 0, 7, StandardCharsets.US_ASCII) == "bplist0")
         parseBinary(bytes)
@@ -48,6 +49,24 @@ object PlistExtractor {
       case _ => ()
     }
     render(root, sink, depth = 0)
+    // Safari webarchive payloads: recurse WebResourceData (HTML/JS/CSS
+    // bytes) as embedded documents with the resource URL as the name
+    // hint — the web-archive analog of the WARC record walk
+    webResources(root, 0).foreach { case (url, data) => child(url, data) }
+  }
+
+  private def webResources(obj: PObj, depth: Int): Vector[(Option[String], Array[Byte])] = {
+    if (depth > 16) return Vector.empty
+    obj match {
+      case PDict(entries) =>
+        val url = entries.collectFirst {
+          case ("WebResourceURL", PStr(u)) => u }
+        val here = entries.collect {
+          case ("WebResourceData", PData(b)) if b.nonEmpty => (url, b) }
+        here.toVector ++ entries.flatMap(e => webResources(e._2, depth + 1))
+      case PArr(items) => items.flatMap(webResources(_, depth + 1))
+      case _ => Vector.empty
+    }
   }
 
   private def render(obj: PObj, sink: SpanSink, depth: Int): Unit = {
@@ -75,7 +94,7 @@ object PlistExtractor {
     case PNum(s) => s
     case PBool(b) => b.toString
     case PDate(s) => s
-    case PData(n) => s"<data:$n bytes>"
+    case PData(b) => s"<data:${b.length} bytes>"
     case PUid(v) => s"<uid:$v>"
     case PNull => ""
     case _ => ""
@@ -133,7 +152,9 @@ object PlistExtractor {
     case "true" => PBool(true)
     case "false" => PBool(false)
     case "date" => PDate(e.getTextContent.trim)
-    case "data" => PData(e.getTextContent.replaceAll("\\s", "").length * 3 / 4)
+    case "data" =>
+      try PData(java.util.Base64.getMimeDecoder.decode(e.getTextContent.trim))
+      catch { case _: IllegalArgumentException => PData(Array.emptyByteArray) }
     case _ => PNull
   }
 
@@ -196,7 +217,10 @@ object PlistExtractor {
           val secs = java.lang.Double.longBitsToDouble(beInt(p, 8))
           PDate(java.time.Instant.ofEpochMilli(
             978307200000L + (secs * 1000).toLong).toString)
-        case 0x4 => readCount(); PData(count.toInt)
+        case 0x4 =>
+          readCount()
+          val n = math.min(count, 64L * 1024 * 1024).toInt
+          PData(java.util.Arrays.copyOfRange(b, p, math.min(b.length, p + n)))
         case 0x5 => // ASCII
           readCount()
           PStr(new String(b, p, count.toInt, StandardCharsets.US_ASCII))

@@ -97,4 +97,18 @@ class PlistSpec extends AnyFunSuite {
     assert(d.meta.exists { case (k, vs) =>
       k == "embedded:/1" && vs.exists(_.contains("pdf")) }, d.meta.get("embedded:1"))
   }
+
+  test("Safari webarchive: WebResourceData recurses into the HTML") {
+    org.scalatest.Assertions.assume(
+      Files.isRegularFile(docs.resolve("testWEBARCHIVE.webarchive")),
+      "reference fixtures not present")
+    val d = extractBytes("testWEBARCHIVE.webarchive",
+      Files.readAllBytes(docs.resolve("testWEBARCHIVE.webarchive")))
+    assert(d.status == Status.ParseSuccess, d.status)
+    assert(d.meta.get("plist:subtype").exists(_.contains("webarchive")),
+      d.meta.get("plist:subtype"))
+    // the archived page's text must surface through the embedded parse
+    assert(d.spans.exists(s => s.kind == Span.KindText && s.text.nonEmpty))
+    assert(d.meta.keys.exists(_.startsWith("embedded:")), d.meta.keys.take(10))
+  }
 }
