@@ -82,7 +82,8 @@ object Extractor {
       else System.nanoTime() + cfg.softDeadlineMs * 1000000L
     val sink = new SpanSink(cfg.writeLimit, payloadTotal, cfg.bombOutputThreshold,
       cfg.bombMaxRatio, deadline)
-    val meta = new MetaSink
+    val meta0 = new MetaSink
+    val meta = meta0
     var embeddedCount = 0
     var sawException = false
     var sawUnsupported = false
@@ -162,6 +163,9 @@ object Extractor {
       */
     def parseNode(bytes: Array[Byte], idPath: String, nameHint: Option[String],
         depth: Int): Unit = {
+      // embedded nodes write document-level metadata under their own path
+      // (per-document metadata, RecursiveParserWrapper-style)
+      val meta = if (idPath.isEmpty) meta0 else meta0.scoped(idPath)
       if (bytes.isEmpty) { sawUnsupported = true; return }
       val mime0 = MimeRegistry.detect(bytes, nameHint)
       // container specialization needs full bytes (OPCPackageDetector)
@@ -497,6 +501,9 @@ object Extractor {
             graft.media.FontExtractor.extractAfm(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Prt =>
             graft.media.PrtExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Tnef =>
+            graft.mail.TnefExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(name, data))
           case "image/vnd.dgn;version=8" =>
             // DGN v8: CFB container, summary metadata only (DGN8Parser)
             graft.ole2.OleProps.fromCfb(graft.ole2.Cfb.parse(bytes), meta)

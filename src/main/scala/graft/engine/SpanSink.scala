@@ -121,13 +121,34 @@ final class SpanSink(
   * metadata/Metadata.java:99 — Map<String, String[]> with add vs set
   * :310,341).
   */
-final class MetaSink {
-  private val m = scala.collection.mutable.LinkedHashMap[String, ArrayBuffer[String]]()
+final class MetaSink private (
+    private val m: scala.collection.mutable.LinkedHashMap[String, ArrayBuffer[String]],
+    prefix: String) {
+  def this() = this(
+    scala.collection.mutable.LinkedHashMap[String, ArrayBuffer[String]](), "")
+
+  /** View over the same map that namespaces document-level keys under
+    * an embedded path — the RecursiveParserWrapper per-document
+    * metadata-list analog: a child .doc's `dc:title` lands as
+    * `embedded:/1:dc:title` instead of clobbering the root's. Keys the
+    * caller already namespaces per-child (`embedded:`, `media:`,
+    * `warc:`, `parse:`) pass through untouched.
+    */
+  def scoped(path: String): MetaSink = new MetaSink(m, s"embedded:$path:")
+
+  private def k(key: String): String =
+    if (prefix.isEmpty || key.startsWith("embedded:") ||
+        key.startsWith("media:") || key.startsWith("warc:") ||
+        key.startsWith("arc:") ||
+        key.startsWith("parse:") || key.startsWith("tk:")) key
+    else prefix + key
+
   def add(key: String, value: String): Unit =
-    if (value != null && value.nonEmpty) m.getOrElseUpdate(key, new ArrayBuffer) += value
+    if (value != null && value.nonEmpty)
+      m.getOrElseUpdate(k(key), new ArrayBuffer) += value
   def set(key: String, value: String): Unit = {
     if (value != null && value.nonEmpty) {
-      val b = m.getOrElseUpdate(key, new ArrayBuffer); b.clear(); b += value
+      val b = m.getOrElseUpdate(k(key), new ArrayBuffer); b.clear(); b += value
     }
   }
   def get(key: String): Option[String] = m.get(key).flatMap(_.headOption)

@@ -47,7 +47,11 @@ class WarcSpec extends AnyFunSuite {
     assert(out.meta("warc:http:/1:status") == Seq("200"))
     assert(out.meta("warc:http:/1:Content-Type") == Seq("text/html"))
     // html member parsed as html: title metadata from the embedded doc
-    assert(out.meta.get("title").exists(_.contains("Warc Page")), out.meta.keys)
+    // r4: embedded docs' document-level metadata is path-scoped (the
+    // RecursiveParserWrapper per-document model) — the response page's
+    // title lands under its embedded path instead of clobbering the root
+    assert(out.meta.get("embedded:/1:title").exists(_.contains("Warc Page")),
+      out.meta.keys)
   }
 
   test("warc.gz recurses through the gzip branch (inner re-detect)") {
