@@ -363,6 +363,28 @@ object SparkEntry {
           round(col("n_both").cast("double") / greatest(col("n_lsh"), lit(1)), 4))
         .withColumn("sample_mod", lit(sampleMod))
     }),
+    "q35_dup_clusters" -> ((s, dir) => {
+      // near-dup pairs -> connected components -> per-doc cluster id
+      // (the keep/drop assignment step of a dedup pipeline); min-label
+      // propagation in Spark, transitive-closure recursive CTE in the
+      // oracle
+      val pairs = Dedup.ngramJaccard(tbl(s, dir, "documents"), n = 3,
+        threshold = 0.5, maxDf = 5)
+      Dedup.dupClusters(pairs)
+    }),
+    "q36_domain_stats" -> ((s, dir) => {
+      // per-domain URL stats over the extracted links — the crawl-mix
+      // profile a training pipeline reports before sampling
+      import graft.ops.Projections
+      val t = tbl(s, dir, "documents")
+      t.select(col("doc_id"),
+          explode(Projections.extractUrls(col("text"))).as("url"))
+        .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+        .filter(col("domain") =!= "")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
     "q32_distinct_sketch" -> ((s, dir) => {
       // HLL++ sketch vs exact distinct-token count with the relative
       // error measured in-plan (tika-eval's unique-token stat at the
@@ -653,6 +675,44 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text, '""" + """((?:ISO|IEC|RFC|IEEE|ANSI|NIST)[ -]?\\d{2,6})""" + """', 1)) AS INTEGER) AS n_standards,
            coalesce(regexp_extract_all(text, '""" + """((?:ISO|IEC|RFC|IEEE|ANSI|NIST)[ -]?\\d{2,6})""" + """', 1)[1], '') AS first_standard
          FROM documents"""),
+    "q35_dup_clusters" ->
+      """WITH RECURSIVE
+           t AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+             FROM documents),
+           sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+             FROM t WHERE len(toks) >= 3),
+           keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+             HAVING count(*) <= 5),
+           sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+             JOIN keep USING (shingle)),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id),
+           jp AS (SELECT doc_a, doc_b FROM prs
+             JOIN sizes sa ON doc_a = sa.doc_id
+             JOIN sizes sb ON doc_b = sb.doc_id
+             WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+             UNION ALL SELECT doc_b, doc_a FROM jp),
+           reach(src, dst) AS (
+             SELECT src, src FROM (SELECT DISTINCT src FROM edges) s0
+             UNION
+             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+           labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+             FROM reach GROUP BY src)
+         SELECT doc_id, cluster_id FROM labels""",
+    "q36_domain_stats" ->
+      """SELECT domain, count(*) AS n_urls,
+           count(DISTINCT doc_id) AS n_docs FROM (
+           SELECT doc_id,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM (
+             SELECT doc_id, unnest(regexp_extract_all(text, '(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)', 1)) AS url
+             FROM documents) u) d
+         WHERE domain <> '' GROUP BY domain""",
     // x03's oracle is the FROZEN expected detection distribution for the
     // sf0.01 gate (4000 corpus-v13 docs) — pinned independently by
     // X03FrozenSpec so a corpus or detector change fails loudly here

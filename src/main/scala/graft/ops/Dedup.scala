@@ -182,6 +182,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** Duplicate-cluster assignment: connected components over a
+    * near-dup pair set — the step that turns pairwise similarities into
+    * keep/drop decisions (one canonical doc per cluster).
+    *
+    * Implementation: iterative min-label propagation — each node adopts
+    * the smallest label among itself and its neighbors until fixpoint.
+    * Per iteration: one shuffle on the edge key + one aggregation;
+    * near-dup clusters have tiny diameters (usually ≤ 3 hops), so the
+    * loop converges in a handful of rounds; `maxIters` bounds hostile
+    * chains. At 10^9-node scale the same loop structure upgrades to the
+    * large-star/small-star contraction (Kiveris et al., SoCC'14) —
+    * label propagation is the honest baseline whose per-iteration plan
+    * (edge join + min-agg, no vertex data beyond two longs) is already
+    * the scale-safe shape. Deterministic: labels are min doc ids.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    // symmetric edge list (a<b input); localCheckpoint (NOT cache)
+    // everywhere: it materializes AND truncates lineage, so every
+    // iteration's plan stays flat no matter how many rounds ran before
+    // it (the classic iterative-algorithm requirement — same reason
+    // GraphX checkpoints Pregel state), and it avoids the shared-session
+    // CacheManager lock that repeated cache/unpersist cycles contend on
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("cluster_id", "nbr_label"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count() // existence probe, not a full count
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** MinHash signatures: k hash functions h_i(x) = xxhash64(x, seed=i),
     * signature_i = min over shingles. One groupBy, no joins.
     */
