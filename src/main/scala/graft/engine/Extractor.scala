@@ -501,6 +501,15 @@ object Extractor {
             graft.media.FontExtractor.extractAfm(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Prt =>
             graft.media.PrtExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Tmx =>
+            graft.xmlx.TranslationExtractor.extractTmx(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Xliff =>
+            graft.xmlx.TranslationExtractor.extractXliff(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Xlz =>
+            graft.xmlx.TranslationExtractor.extractXlz(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.FictionBook =>
+            graft.xmlx.FictionBookExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(name, data))
           case m if m == graft.mime.MimeDb.Tnef =>
             graft.mail.TnefExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(name, data))

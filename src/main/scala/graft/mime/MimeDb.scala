@@ -161,6 +161,10 @@ object MimeDb {
   val Afm = "application/x-font-adobe-metric"
   val AppleSingle = "application/applefile"
   val Prt = "application/x-prt"
+  val Tmx = "application/x-tmx"
+  val Xliff = "application/x-xliff+xml"
+  val Xlz = "application/x-xliff+zip"
+  val FictionBook = "application/x-fictionbook+xml"
   val Idml = "application/vnd.adobe.indesign-idml-package"
   val Ac3 = "audio/ac3"
   val Dpx = "image/x-dpx"

@@ -239,7 +239,10 @@ object MimeRegistry {
     "html" -> Html, "HTML" -> Html,
     "feed" -> AtomXml, "rss" -> RssXml, "svg" -> SvgXml,
     "DIF" -> graft.mime.MimeDb.DifXml,
-    "plist" -> "application/x-plist"
+    "plist" -> "application/x-plist",
+    "tmx" -> graft.mime.MimeDb.Tmx,
+    "xliff" -> graft.mime.MimeDb.Xliff,
+    "FictionBook" -> graft.mime.MimeDb.FictionBook
   )
 
   /** Full detection pipeline over the leading bytes of a payload.
