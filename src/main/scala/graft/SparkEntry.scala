@@ -719,7 +719,7 @@ object SparkEntry {
     // before the driver sees it
     "x03_detect_mime_stats" ->
       """SELECT * FROM (VALUES
-           ('application/dif+xml', 'parse_success', 20),
+           ('application/dif+xml', 'parse_success', 8),
            ('application/gzip', 'parse_success', 34),
            ('application/msword', 'parse_success', 100),
            ('application/octet-stream', 'parse_success', 16),
@@ -730,19 +730,23 @@ object SparkEntry {
            ('application/vnd.ms-excel', 'parse_success', 80),
            ('application/vnd.ms-outlook', 'parse_success', 40),
            ('application/vnd.ms-powerpoint', 'parse_success', 60),
+           ('application/vnd.ms-tnef', 'parse_success', 12),
            ('application/vnd.oasis.opendocument.text', 'parse_success', 80),
            ('application/vnd.openxmlformats-officedocument.presentationml.presentation', 'parse_success', 100),
            ('application/vnd.openxmlformats-officedocument.spreadsheetml.sheet', 'parse_success', 100),
            ('application/vnd.openxmlformats-officedocument.wordprocessingml.document', 'parse_success', 360),
-           ('application/vnd.wordperfect', 'parse_success', 20),
+           ('application/vnd.wordperfect', 'parse_success', 12),
            ('application/warc', 'parse_success', 20),
            ('application/x-7z-compressed', 'parse_success', 12),
            ('application/x-archive', 'parse_success', 17),
            ('application/x-bzip2', 'parse_success', 15),
            ('application/x-cpio', 'parse_success', 17),
-           ('application/x-dbf', 'parse_success', 20),
-           ('application/x-quattro-pro', 'parse_success', 20),
+           ('application/x-dbf', 'parse_success', 12),
+           ('application/x-fictionbook+xml', 'parse_success', 12),
+           ('application/x-plist', 'parse_success', 8),
+           ('application/x-quattro-pro', 'parse_success', 8),
            ('application/x-tar', 'parse_success', 11),
+           ('application/x-tmx', 'parse_success', 8),
            ('application/xml', 'parse_success', 160),
            ('application/zip', 'parse_success', 231),
            ('application/zip', 'write_limit_reached', 9),

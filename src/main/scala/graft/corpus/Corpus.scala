@@ -79,14 +79,14 @@ object Corpus {
     else if (m < 920) "ppt"
     else if (m < 930) "msg"
     else if (m < 965) "media"
-    else if (m < 985) "legacy" // wpd / qpw / dbf / dif rotation (round 4)
+    else if (m < 985) "legacy" // wpd/qpw/dbf/dif/tmx/fb2/plist/tnef rotation (r4)
     else "junk"
   }
 
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 14
+  val Version = 15
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -152,11 +152,15 @@ object Corpus {
         val payload = if (index % 2 == 0) warcBytes else gzipBytes(warcBytes)
         Seq(Span("bytes", b64(payload), null, 0))
       case "legacy" =>
-        val bytes = (index % 4) match {
+        val bytes = (index % 8) match {
           case 0 => LegacyCorpus.wpd(r)
           case 1 => LegacyCorpus.qpw(r)
           case 2 => LegacyCorpus.dbf(r)
-          case _ => LegacyCorpus.dif(r)
+          case 3 => LegacyCorpus.dif(r)
+          case 4 => LegacyCorpus.tmx(r)
+          case 5 => LegacyCorpus.fb2(r)
+          case 6 => LegacyCorpus.plist(r)
+          case _ => LegacyCorpus.tnef(r)
         }
         Seq(Span("bytes", b64(bytes), null, 0))
       case "text" => Seq(Span("text", b64(textDoc(r, index)), null, 0))
@@ -201,7 +205,7 @@ object Corpus {
     // too): legacy-dbf rows carry the extension on the row id, which the
     // engine passes through as the resource-name hint
     val rowId =
-      if (kindOf(index) == "legacy" && index % 4 == 2) s"$id.dbf" else id
+      if (kindOf(index) == "legacy" && index % 8 == 2) s"$id.dbf" else id
     DocRow(rowId, spans)
   }
 

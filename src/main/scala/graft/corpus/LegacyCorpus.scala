@@ -125,4 +125,75 @@ object LegacyCorpus {
         |</DIF>
         |""".stripMargin).getBytes(StandardCharsets.UTF_8)
   }
+
+  /** TMX translation memory: header + a few tu/tuv segments. */
+  def tmx(r: Random): Array[Byte] = {
+    val n = 2 + r.nextInt(3)
+    val tus = (0 until n).map { i =>
+      val en = Corpus.sentence(r, 4 + r.nextInt(5))
+      val ro = Corpus.sentence(r, 4 + r.nextInt(5))
+      s"""  <tu tuid="tu$i"><tuv xml:lang="en-us"><seg>$en</seg></tuv>""" +
+        s"""<tuv xml:lang="ro-ro"><seg>$ro</seg></tuv></tu>"""
+    }.mkString("\n")
+    (s"""<?xml version="1.0" encoding="UTF-8"?>
+<tmx version="1.4"><header creationtool="graft" creationtoolversion="1"
+  segtype="sentence" o-tmf="tmx" datatype="plaintext" srclang="en-us"
+  adminlang="en-us"/>
+<body>
+$tus
+</body></tmx>
+""").getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** FictionBook e-book: title + a few sections of paragraphs. */
+  def fb2(r: Random): Array[Byte] = {
+    val title = Corpus.sentence(r, 3 + r.nextInt(3))
+    val sections = (0 until 2 + r.nextInt(2)).map { _ =>
+      val ps = (0 until 2 + r.nextInt(3))
+        .map(_ => s"<p>${Corpus.sentence(r, 8 + r.nextInt(8))}</p>").mkString
+      s"<section>$ps</section>"
+    }.mkString
+    (s"""<?xml version="1.0" encoding="UTF-8"?>
+<FictionBook xmlns="http://www.gribuser.ru/xml/fictionbook/2.0">
+<description><title-info><book-title>$title</book-title></title-info></description>
+<body>$sections</body>
+</FictionBook>
+""").getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** XML property list (dict of scalars + an array). */
+  def plist(r: Random): Array[Byte] = {
+    val items = (0 until 2 + r.nextInt(3))
+      .map(_ => s"<string>${Corpus.sentence(r, 2 + r.nextInt(3))}</string>").mkString
+    (s"""<?xml version="1.0" encoding="UTF-8"?>
+<plist version="1.0"><dict>
+  <key>Name</key><string>${Corpus.sentence(r, 2)}</string>
+  <key>Count</key><integer>${r.nextInt(1000)}</integer>
+  <key>Items</key><array>$items</array>
+</dict></plist>
+""").getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** TNEF winmail.dat: subject attribute + one text attachment (MELA
+    * uncompressed rtf is skipped — the attachment carries the text).
+    */
+  def tnef(r: Random): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = { var i = 0; while (i < 4) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    def attr(level: Int, id: Int, typ: Int, data: Array[Byte]): Unit = {
+      out.write(level); le16(id); le16(typ); le32(data.length)
+      out.write(data)
+      le16(data.map(_ & 0xff).sum & 0xffff) // checksum (reader tolerant)
+    }
+    le32(graft.mail.TnefExtractor.Signature); le16(r.nextInt(0xffff))
+    val subject = Corpus.sentence(r, 4 + r.nextInt(4))
+    attr(1, 0x8004, 0x0001, (subject + "\u0000").getBytes(StandardCharsets.ISO_8859_1))
+    attr(2, 0x9002, 0x0006, new Array[Byte](14)) // attach rend data
+    attr(2, 0x800f, 0x0006,
+      Corpus.paragraph(r, 2 + r.nextInt(3)).getBytes(StandardCharsets.UTF_8))
+    attr(2, 0x8010, 0x0001,
+      ("note" + r.nextInt(100) + ".txt\u0000").getBytes(StandardCharsets.ISO_8859_1))
+    out.toByteArray
+  }
 }
