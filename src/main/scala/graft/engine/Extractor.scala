@@ -513,6 +513,9 @@ object Extractor {
           case m if m == graft.mime.MimeDb.Tnef =>
             graft.mail.TnefExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(name, data))
+          case m if m == graft.mime.MimeDb.Pst =>
+            graft.pst.PstExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(name, data))
           case "image/vnd.dgn;version=8" =>
             // DGN v8: CFB container, summary metadata only (DGN8Parser)
             graft.ole2.OleProps.fromCfb(graft.ole2.Cfb.parse(bytes), meta)

@@ -1,0 +1,573 @@
+package graft.pst
+
+import java.nio.charset.{Charset, StandardCharsets}
+import java.util.Base64
+
+import graft.engine.{MetaSink, SpanSink}
+
+/** Outlook PST (MS-PST) extraction: NDB block/node B-trees, the
+  * permutative-encoding decode, heap-on-node / BTH / property contexts,
+  * and a folder→message→attachment walk.
+  *
+  * Reference behavior: tika-parsers microsoft-module
+  * `pst/OutlookPSTParser.java` (via java-libpst) — folders become
+  * headings, every mail item becomes an embedded document with
+  * from/to/subject/date metadata and its plain/HTML/RTF bodies, and
+  * attachments recurse under their long filenames. Here each message is
+  * re-expressed as a synthesized RFC 822 child document so the whole
+  * existing email chain (header metadata, body parts, attachment
+  * recursion, per-document metadata scoping) applies unchanged.
+  *
+  * Structures follow the public MS-PST specification (Unicode format,
+  * wVer 23): HEADER/ROOT (§2.2.2.5-6), NBT/BBT pages (§2.2.2.7),
+  * XBLOCK/SLBLOCK data and subnode trees (§2.2.2.8.3), HN/BTH/PC
+  * (§2.3.1-3). The permutative cipher (bCryptMethod=1, §5.1) is a fixed
+  * byte substitution; the decode table below is validated end-to-end
+  * against the reference's own PST fixtures in PstSpec (known-plaintext:
+  * every OutlookPSTParserTest expectation string decodes byte-exact, all
+  * 256 encoded byte values occur across the fixtures' 200 KB of data
+  * blocks, and every heap/page-map/BTH structural invariant holds).
+  * NDB_CRYPT_CYCLIC (bCryptMethod=2, rare) is recorded as unsupported.
+  */
+object PstExtractor {
+
+  final class PstMalformed(msg: String) extends Exception(msg)
+
+  /** Permutative-encoding DECODE byte substitution (MS-PST §5.1,
+    * mpbbCrypt; fixture-validated — see scaladoc above). */
+  private val Decode: Array[Byte] = Array[Int](
+    0x47, 0xf1, 0xb4, 0xe6, 0x0b, 0x6a, 0x72, 0x48,
+    0x85, 0x4e, 0x9e, 0xeb, 0xe2, 0xf8, 0x94, 0x53,
+    0xe0, 0xbb, 0xa0, 0x02, 0xe8, 0x5a, 0x09, 0xab,
+    0xdb, 0xe3, 0xba, 0xc6, 0x7c, 0xc3, 0x10, 0xdd,
+    0x39, 0x05, 0x96, 0x30, 0xf5, 0x37, 0x60, 0x82,
+    0x8c, 0xc9, 0x13, 0x4a, 0x6b, 0x1d, 0xf3, 0xfb,
+    0x8f, 0x26, 0x97, 0xca, 0x91, 0x17, 0x01, 0xc4,
+    0x32, 0x2d, 0x6e, 0x31, 0x95, 0xff, 0xd9, 0x23,
+    0xd1, 0x00, 0x5e, 0x79, 0xdc, 0x44, 0x3b, 0x1a,
+    0x28, 0xc5, 0x61, 0x57, 0x20, 0x90, 0x3d, 0x83,
+    0xb9, 0x43, 0xbe, 0x67, 0xd2, 0x46, 0x42, 0x76,
+    0xc0, 0x6d, 0x5b, 0x7e, 0xb2, 0x0f, 0x16, 0x29,
+    0x3c, 0xa9, 0x03, 0x54, 0x0d, 0xda, 0x5d, 0xdf,
+    0xf6, 0xb7, 0xc7, 0x62, 0xcd, 0x8d, 0x06, 0xd3,
+    0x69, 0x5c, 0x86, 0xd6, 0x14, 0xf7, 0xa5, 0x66,
+    0x75, 0xac, 0xb1, 0xe9, 0x45, 0x21, 0x70, 0x0c,
+    0x87, 0x9f, 0x74, 0xa4, 0x22, 0x4c, 0x6f, 0xbf,
+    0x1f, 0x56, 0xaa, 0x2e, 0xb3, 0x78, 0x33, 0x50,
+    0xb0, 0xa3, 0x92, 0xbc, 0xcf, 0x19, 0x1c, 0xa7,
+    0x63, 0xcb, 0x1e, 0x4d, 0x3e, 0x4b, 0x1b, 0x9b,
+    0x4f, 0xe7, 0xf0, 0xee, 0xad, 0x3a, 0xb5, 0x59,
+    0x04, 0xea, 0x40, 0x55, 0x25, 0x51, 0xe5, 0x7a,
+    0x89, 0x38, 0x68, 0x52, 0x7b, 0xfc, 0x27, 0xae,
+    0xd7, 0xbd, 0xfa, 0x07, 0xf4, 0xcc, 0x8e, 0x5f,
+    0xef, 0x35, 0x9c, 0x84, 0x2b, 0x15, 0xd5, 0x77,
+    0x34, 0x49, 0xb6, 0x12, 0x0a, 0x7f, 0x71, 0x88,
+    0xfd, 0x9d, 0x18, 0x41, 0x7d, 0x93, 0xd8, 0x58,
+    0x2c, 0xce, 0xfe, 0x24, 0xaf, 0xde, 0xb8, 0x36,
+    0xc8, 0xa1, 0x80, 0xa6, 0x99, 0x98, 0xa8, 0x2f,
+    0x0e, 0x81, 0x65, 0x73, 0xe4, 0xc2, 0xa2, 0x8a,
+    0xd4, 0xe1, 0x11, 0xd0, 0x08, 0x8b, 0x2a, 0xf2,
+    0xed, 0x9a, 0x64, 0x3f, 0xc1, 0x6c, 0xf9, 0xec).map(_.toByte)
+  require(Decode.map(_ & 0xff).distinct.length == 256,
+    "permute decode table must be a byte permutation")
+
+  // --- MAPI property ids used by the walk ----------------------------
+  private val PidMessageClass = 0x001a
+  private val PidSubject = 0x0037
+  private val PidClientSubmitTime = 0x0039
+  private val PidSenderName = 0x0c1a
+  private val PidSenderEmail = 0x0c1f
+  private val PidSenderSmtp = 0x5d01
+  private val PidDisplayBcc = 0x0e02
+  private val PidDisplayCc = 0x0e03
+  private val PidDisplayTo = 0x0e04
+  private val PidDeliveryTime = 0x0e06
+  private val PidBody = 0x1000
+  private val PidRtfCompressed = 0x1009
+  private val PidHtmlBody = 0x1013
+  private val PidDisplayName = 0x3001
+  private val PidCreationTime = 0x3007
+  private val PidModificationTime = 0x3008
+  private val PidAttachData = 0x3701
+  private val PidAttachFilename = 0x3704
+  private val PidAttachMethod = 0x3705
+  private val PidAttachLongFilename = 0x3707
+
+  private val MaxValueBytes = 64 << 20 // per-property budget
+  private val MaxBlocks = 1 << 20
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (le16(b, o) & 0xffffL) | ((le16(b, o + 2) & 0xffffL) << 16)
+  private def le64(b: Array[Byte], o: Int): Long =
+    (le32(b, o) & 0xffffffffL) | (le32(b, o + 4) << 32)
+
+  // --- NDB ----------------------------------------------------------
+
+  final case class NodeEntry(nid: Long, bidData: Long, bidSub: Long,
+      nidParent: Long)
+
+  /** Node database: header + B-trees + block reads over the raw file. */
+  final class Ndb(d: Array[Byte]) {
+    if (d.length < 564 || d(0) != '!' || d(1) != 'B' || d(2) != 'D' ||
+        d(3) != 'N' || d(8) != 'S' || d(9) != 'M')
+      throw new PstMalformed("bad PST header")
+    val wVer = le16(d, 10)
+    if (wVer < 23)
+      throw new PstMalformed(s"ANSI PST (wVer=$wVer) unsupported")
+    if (wVer >= 36)
+      throw new PstMalformed(s"4K-page OST (wVer=$wVer) unsupported")
+    val crypt = d(0x201) & 0xff
+    if (crypt != 0 && crypt != 1)
+      throw new PstMalformed(s"NDB_CRYPT method $crypt unsupported")
+    private val root = 180
+    private val nbtIb = le64(d, root + 44)
+    private val bbtIb = le64(d, root + 60)
+
+    val blocks = scala.collection.mutable.LongMap.empty[(Long, Int)] // bid → (ib, cb)
+    val nodes = scala.collection.mutable.LongMap.empty[NodeEntry] // nid → entry
+
+    private def walkBt(ib: Long, isNbt: Boolean, level: Int): Unit = {
+      if (level > 8 || ib <= 0 || ib + 512 > d.length)
+        throw new PstMalformed("B-tree page out of range")
+      val o = ib.toInt
+      val cEnt = d(o + 488) & 0xff
+      val cbEnt = d(o + 490) & 0xff
+      val cLevel = d(o + 491) & 0xff
+      val ptype = d(o + 496) & 0xff
+      if (ptype != (if (isNbt) 0x81 else 0x80))
+        throw new PstMalformed(f"wrong page type 0x$ptype%02x")
+      if (cbEnt == 0 || cEnt * cbEnt > 488)
+        throw new PstMalformed("bad B-tree entry sizing")
+      var i = 0
+      while (i < cEnt) {
+        val e = o + i * cbEnt
+        if (cLevel > 0) walkBt(le64(d, e + 16), isNbt, level + 1)
+        else if (isNbt) {
+          val nid = le64(d, e)
+          nodes(nid & 0xffffffffL) =
+            NodeEntry(nid & 0xffffffffL, le64(d, e + 8), le64(d, e + 16),
+              le32(d, e + 24))
+        } else {
+          if (blocks.size > MaxBlocks) throw new PstMalformed("block bomb")
+          blocks(le64(d, e)) = (le64(d, e + 8), le16(d, e + 16))
+        }
+        i += 1
+      }
+    }
+    walkBt(bbtIb, isNbt = false, 0)
+    walkBt(nbtIb, isNbt = true, 0)
+
+    /** One block's payload, trailer-checked, decoded iff external. */
+    def block(bid: Long): Array[Byte] = {
+      val (ib, cb) = blocks.getOrElse(bid,
+        throw new PstMalformed(s"unknown bid $bid"))
+      val total = ((cb + 16 + 63) / 64) * 64
+      if (ib <= 0 || ib + total > d.length)
+        throw new PstMalformed("block out of range")
+      val t = (ib + total - 16).toInt
+      if (le16(d, t) != cb || le64(d, t + 8) != bid)
+        throw new PstMalformed("block trailer mismatch")
+      val out = java.util.Arrays.copyOfRange(d, ib.toInt, ib.toInt + cb)
+      if ((bid & 2) == 0 && crypt == 1) {
+        var i = 0
+        while (i < out.length) { out(i) = Decode(out(i) & 0xff); i += 1 }
+      }
+      out
+    }
+
+    /** Data tree: bid → ordered external data blocks (XXBLOCK→XBLOCK). */
+    def dataBlocks(bid: Long): Vector[Array[Byte]] = {
+      if (bid == 0) return Vector.empty
+      if ((bid & 2) == 0) return Vector(block(bid))
+      val b = block(bid)
+      if (b.length < 8 || b(0) != 1)
+        throw new PstMalformed("expected XBLOCK")
+      val cLevel = b(1) & 0xff
+      val cEnt = le16(b, 2)
+      if (8 + 8 * cEnt > b.length) throw new PstMalformed("XBLOCK overrun")
+      val kids = Vector.tabulate(cEnt)(i => le64(b, 8 + 8 * i))
+      if (cLevel == 1) kids.map(block)
+      else if (cLevel == 2) kids.flatMap(dataBlocks)
+      else throw new PstMalformed("bad XBLOCK level")
+    }
+
+    /** Subnode tree: bidSub → nid32 → (bidData, bidSub). */
+    def subnodes(bidSub: Long, level: Int = 0):
+        Map[Long, (Long, Long)] = {
+      if (bidSub == 0) return Map.empty
+      if (level > 8) throw new PstMalformed("subnode depth")
+      val b = block(bidSub)
+      if (b.length < 8 || b(0) != 2)
+        throw new PstMalformed("expected SLBLOCK")
+      val cLevel = b(1) & 0xff
+      val cEnt = le16(b, 2)
+      if (cLevel == 0) {
+        if (8 + 24 * cEnt > b.length) throw new PstMalformed("SLBLOCK overrun")
+        (0 until cEnt).map { i =>
+          val e = 8 + 24 * i
+          (le64(b, e) & 0xffffffffL) -> (le64(b, e + 8), le64(b, e + 16))
+        }.toMap
+      } else {
+        if (8 + 16 * cEnt > b.length) throw new PstMalformed("SIBLOCK overrun")
+        (0 until cEnt).flatMap(i => subnodes(le64(b, 8 + 16 * i + 8),
+          level + 1)).toMap
+      }
+    }
+  }
+
+  // --- LTP: heap-on-node, BTH, property context ----------------------
+
+  /** Heap-on-node over a node's ordered data blocks (MS-PST §2.3.1). */
+  final class Heap(blocks: Vector[Array[Byte]]) {
+    if (blocks.isEmpty || blocks(0).length < 12)
+      throw new PstMalformed("empty heap node")
+    if ((blocks(0)(2) & 0xff) != 0xec)
+      throw new PstMalformed("bad HNHDR signature")
+    val clientSig: Int = blocks(0)(3) & 0xff
+    val userRoot: Long = le32(blocks(0), 4)
+
+    /** HID → allocated bytes. */
+    def apply(hid: Long): Array[Byte] = {
+      if (hid == 0) return Array.emptyByteArray
+      if ((hid & 0x1f) != 0) throw new PstMalformed("not a HID")
+      val idx = ((hid >>> 5) & 0x7ff).toInt
+      val blk = ((hid >>> 16) & 0xffff).toInt
+      if (idx == 0 || blk >= blocks.length)
+        throw new PstMalformed("HID out of range")
+      val b = blocks(blk)
+      val ibHnpm = le16(b, 0)
+      if (ibHnpm + 4 > b.length) throw new PstMalformed("bad HNPAGEMAP")
+      val cAlloc = le16(b, ibHnpm)
+      if (idx > cAlloc) throw new PstMalformed("HID alloc out of range")
+      val start = le16(b, ibHnpm + 4 + 2 * (idx - 1))
+      val end = le16(b, ibHnpm + 4 + 2 * idx)
+      if (start > end || end > b.length) throw new PstMalformed("bad alloc")
+      java.util.Arrays.copyOfRange(b, start, end)
+    }
+  }
+
+  /** BTH record iteration (MS-PST §2.3.2): returns raw fixed-size
+    * (key+data) records in key order. */
+  private def bthRecords(heap: Heap, hidHeader: Long): Vector[Array[Byte]] = {
+    val h = heap(hidHeader)
+    if (h.length < 8 || (h(0) & 0xff) != 0xb5)
+      throw new PstMalformed("bad BTHHEADER")
+    val cbKey = h(1) & 0xff
+    val cbEnt = h(2) & 0xff
+    val levels = h(3) & 0xff
+    val hidRoot = le32(h, 4)
+    val rec = cbKey + cbEnt
+    if (rec == 0) throw new PstMalformed("zero BTH record")
+    def walk(hid: Long, level: Int): Vector[Array[Byte]] = {
+      if (hid == 0) return Vector.empty
+      val data = heap(hid)
+      if (level > 0) {
+        val sz = cbKey + 4
+        (0 until data.length / sz).toVector.flatMap { i =>
+          walk(le32(data, i * sz + cbKey), level - 1)
+        }
+      } else (0 until data.length / rec).toVector.map { i =>
+        java.util.Arrays.copyOfRange(data, i * rec, (i + 1) * rec)
+      }
+    }
+    walk(hidRoot, levels)
+  }
+
+  /** One property value: type + resolved bytes (inline/heap/subnode). */
+  final case class PropValue(ptype: Int, raw: Long, bytes: Array[Byte])
+
+  /** Property context (MS-PST §2.3.3) over one node. */
+  final class Pc(ndb: Ndb, heap: Heap, subs: Map[Long, (Long, Long)]) {
+    if (heap.clientSig != 0xbc) throw new PstMalformed("not a PC heap")
+    val props: Map[Int, PropValue] = bthRecords(heap, heap.userRoot).flatMap {
+      r =>
+        if (r.length < 8) None
+        else {
+          val pid = le16(r, 0)
+          val ptype = le16(r, 2)
+          val v = le32(r, 4)
+          try Some(pid -> PropValue(ptype, v, resolve(ptype, v)))
+          catch { case _: PstMalformed => None }
+        }
+    }.toMap
+
+    private def resolve(ptype: Int, v: Long): Array[Byte] = ptype match {
+      case 0x02 | 0x03 | 0x0b | 0x0a | 0x01 | 0x00 => // inline ≤4 bytes
+        val b = new Array[Byte](4)
+        b(0) = v.toByte; b(1) = (v >> 8).toByte
+        b(2) = (v >> 16).toByte; b(3) = (v >> 24).toByte
+        b
+      case _ => hnidBytes(v)
+    }
+
+    /** HNID (§2.3.3.2): HID → heap alloc; NID → subnode data blocks. */
+    def hnidBytes(v: Long): Array[Byte] =
+      if (v == 0) Array.emptyByteArray
+      else if ((v & 0x1f) == 0) heap(v)
+      else subs.get(v) match {
+        case Some((bidData, _)) =>
+          val bs = ndb.dataBlocks(bidData)
+          val total = bs.map(_.length.toLong).sum
+          if (total > MaxValueBytes) throw new PstMalformed("value too large")
+          val out = new Array[Byte](total.toInt)
+          var o = 0
+          bs.foreach { b => System.arraycopy(b, 0, out, o, b.length); o += b.length }
+          out
+        case None => Array.emptyByteArray
+      }
+
+    def str(pid: Int): Option[String] = props.get(pid).flatMap { pv =>
+      pv.ptype match {
+        case 0x1f => Some(new String(pv.bytes, StandardCharsets.UTF_16LE))
+        case 0x1e => Some(new String(pv.bytes, Cp1252))
+        case _ => None
+      }
+    }.map(_.takeWhile(_ != '\u0000')).filter(_.nonEmpty)
+
+    def bin(pid: Int): Option[Array[Byte]] =
+      props.get(pid).filter(p => p.ptype == 0x102 || p.ptype == 0x0d)
+        .map(_.bytes).filter(_.nonEmpty)
+
+    def int32(pid: Int): Option[Int] =
+      props.get(pid).filter(_.ptype == 0x03).map(p => le32(p.bytes, 0).toInt)
+
+    def time(pid: Int): Option[Long] = // FILETIME
+      props.get(pid).filter(p => p.ptype == 0x40 && p.bytes.length >= 8)
+        .map(p => le64(p.bytes, 0))
+  }
+
+  private val Cp1252 = Charset.forName("windows-1252")
+
+  private def loadPc(ndb: Ndb, bidData: Long, bidSub: Long): Pc = {
+    val heap = new Heap(ndb.dataBlocks(bidData))
+    new Pc(ndb, heap, ndb.subnodes(bidSub))
+  }
+
+  // --- message walk ---------------------------------------------------
+
+  /** MS-PST §2.5.3.1.1: subjects carry a 2-char 0x01+length prefix. */
+  private def cleanSubject(s: String): String =
+    if (s.nonEmpty && s.charAt(0) == '\u0001') s.drop(2) else s
+
+  private def fmtInstant(ft: Long): String =
+    java.time.Instant.ofEpochSecond(ft / 10000000L - 11644473600L)
+      .toString.replace("Z", "Z")
+
+  private def fmtRfc2822(ft: Long): String =
+    java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+      java.time.Instant.ofEpochSecond(ft / 10000000L - 11644473600L)
+        .atZone(java.time.ZoneOffset.UTC))
+
+  /** RFC 2047 B-encode a header value when it is not printable ASCII. */
+  private def hdr(v: String): String = {
+    val clean = v.replaceAll("[\r\n]", " ")
+    if (clean.forall(c => c >= 0x20 && c < 0x7f)) clean
+    else "=?utf-8?B?" + Base64.getEncoder.encodeToString(
+      clean.getBytes(StandardCharsets.UTF_8)) + "?="
+  }
+
+  final case class PstMessage(nid: Long, folder: String, pc: Pc,
+      subs: Map[Long, (Long, Long)])
+
+  /** Synthesize one RFC 822 document for a message PC: standard headers
+    * + multipart with plain body, HTML body, decompressed RTF, and
+    * binary attachments — the existing EmlExtractor chain does the rest
+    * (the reference's per-mail-item embedded-document model). */
+  private def buildEml(ndb: Ndb, pc: Pc, subs: Map[Long, (Long, Long)],
+      depth: Int): Array[Byte] = {
+    val out = new StringBuilder
+    def h(name: String, value: Option[String]): Unit =
+      value.filter(_.nonEmpty).foreach(v => out.append(name).append(": ")
+        .append(hdr(v)).append("\r\n"))
+    val fromName = pc.str(PidSenderName)
+    val fromEmail = pc.str(PidSenderSmtp).orElse(pc.str(PidSenderEmail))
+      .filter(_.contains("@"))
+    h("From", (fromName, fromEmail) match {
+      case (Some(n), Some(e)) => Some(s""""$n" <$e>""")
+      case (n, e) => n.orElse(e)
+    })
+    h("To", pc.str(PidDisplayTo))
+    h("Cc", pc.str(PidDisplayCc))
+    h("Bcc", pc.str(PidDisplayBcc))
+    h("Subject", pc.str(PidSubject).map(cleanSubject))
+    h("Date", pc.time(PidClientSubmitTime).orElse(pc.time(PidDeliveryTime))
+      .map(fmtRfc2822))
+    h("X-Mapi-Message-Class", pc.str(PidMessageClass))
+    h("X-Mapi-Creation-Time", pc.time(PidCreationTime).map(fmtInstant))
+    h("X-Mapi-Modification-Time", pc.time(PidModificationTime).map(fmtInstant))
+
+    // attachment subnodes (NID_TYPE_ATTACHMENT = 0x05)
+    val attachments = subs.keys.filter(n => (n & 0x1f) == 0x05).toVector.sorted
+      .flatMap { anid =>
+        val (bidData, bidSub) = subs(anid)
+        try {
+          val apc = loadPc(ndb, bidData, bidSub)
+          val name = apc.str(PidAttachLongFilename)
+            .orElse(apc.str(PidAttachFilename))
+            .orElse(apc.str(PidDisplayName)).getOrElse("attachment.bin")
+          val method = apc.int32(PidAttachMethod).getOrElse(1)
+          if (method == 5) {
+            // embedded-message attachment (MS-PST §2.3.3.5): the
+            // PtypObject value is an 8-byte {nid, ulSize} record; the
+            // nid indexes the attachment's own subnode tree, whose node
+            // is the nested message's PC
+            val data = apc.props.get(PidAttachData)
+              .filter(p => p.ptype == 0x0d && p.bytes.length >= 4)
+              .flatMap { p =>
+                val nid = le32(p.bytes, 0)
+                ndb.subnodes(bidSub).get(nid).map { case (bd, bs) =>
+                  buildEml(ndb, loadPc(ndb, bd, bs), ndb.subnodes(bs),
+                    depth + 1)
+                }
+              }.getOrElse(Array.emptyByteArray)
+            if (data.nonEmpty && depth < 4)
+              Some((s"$name.eml", "message/rfc822", data)) else None
+          } else apc.bin(PidAttachData).map(d => (name,
+            "application/octet-stream", d))
+        } catch { case _: PstMalformed => None }
+      }
+
+    val plain = pc.str(PidBody)
+    val html = pc.bin(PidHtmlBody)
+      .orElse(pc.props.get(PidHtmlBody).filter(_.ptype == 0x1f)
+        .map(p => new String(p.bytes, StandardCharsets.UTF_16LE)
+          .getBytes(StandardCharsets.UTF_8)))
+    val rtf = pc.bin(PidRtfCompressed).flatMap { c =>
+      try Some(graft.mail.TnefExtractor.decompressRtf(c))
+      catch { case _: Exception => None }
+    }
+
+    // deterministic per-message boundary (span determinism across runs)
+    val boundary = "----pst-part-" +
+      Integer.toHexString(out.result().hashCode).replace('-', 'x')
+    out.append("MIME-Version: 1.0\r\n")
+    out.append(s"""Content-Type: multipart/mixed; boundary="$boundary"""")
+    out.append("\r\n\r\n")
+    def part(ct: String, headers: Seq[String], body: String): Unit = {
+      out.append("--").append(boundary).append("\r\n")
+      out.append("Content-Type: ").append(ct).append("\r\n")
+      headers.foreach(x => out.append(x).append("\r\n"))
+      out.append("\r\n").append(body).append("\r\n")
+    }
+    part("text/plain; charset=utf-8",
+      Seq("Content-Transfer-Encoding: base64"),
+      Base64.getMimeEncoder.encodeToString(
+        plain.getOrElse("").getBytes(StandardCharsets.UTF_8)))
+    html.foreach { b =>
+      part("text/html; charset=utf-8",
+        Seq("Content-Transfer-Encoding: base64"),
+        Base64.getMimeEncoder.encodeToString(b))
+    }
+    rtf.foreach { b =>
+      part("application/rtf",
+        Seq("Content-Transfer-Encoding: base64",
+          "Content-Disposition: attachment; filename=\"message.rtf\""),
+        Base64.getMimeEncoder.encodeToString(b))
+    }
+    attachments.foreach { case (name, ct, data) =>
+      part(ct,
+        Seq("Content-Transfer-Encoding: base64",
+          s"""Content-Disposition: attachment; filename="${hdr(name)}""""),
+        Base64.getMimeEncoder.encodeToString(data))
+    }
+    out.append("--").append(boundary).append("--\r\n")
+    out.result().getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** Engine entry: folder headings as spans, one synthesized RFC 822
+    * child per message (reference: one embedded mail item per message,
+    * depth-first by folder; here ordered by folder path then node id —
+    * deterministic, hierarchy-table-free: the NBT's nidParent edges
+    * already encode the folder tree). */
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
+      child: (Option[String], Array[Byte]) => Unit): Unit = {
+    val ndb = new Ndb(bytes)
+
+    // folder display names (NID_TYPE_NORMAL_FOLDER = 0x02)
+    val folderName = scala.collection.mutable.LongMap.empty[String]
+    ndb.nodes.values.foreach { n =>
+      if ((n.nid & 0x1f) == 0x02) {
+        try folderName(n.nid) =
+          loadPc(ndb, n.bidData, n.bidSub).str(PidDisplayName).getOrElse("")
+        catch { case _: PstMalformed => }
+      }
+    }
+    def folderPath(nid: Long): String = {
+      val parts = scala.collection.mutable.ListBuffer.empty[String]
+      var cur = nid
+      var hops = 0
+      while (hops < 64 && ndb.nodes.contains(cur)) {
+        folderName.get(cur).filter(_.nonEmpty).foreach(parts.prepend(_))
+        val p = ndb.nodes(cur).nidParent
+        if (p == cur) hops = 64 else { cur = p; hops += 1 }
+      }
+      "/" + parts.mkString("/")
+    }
+
+    // messages (NID_TYPE_NORMAL_MESSAGE = 0x04), keyed by parent folder
+    val messages = ndb.nodes.values.toVector
+      .filter(n => (n.nid & 0x1f) == 0x04)
+      .sortBy(_.nid)
+      .flatMap { n =>
+        try {
+          val pc = loadPc(ndb, n.bidData, n.bidSub)
+          Some(PstMessage(n.nid, folderPath(n.nidParent), pc,
+            ndb.subnodes(n.bidSub)))
+        } catch { case _: PstMalformed => None }
+      }
+    val byParent = messages.groupBy(m =>
+      ndb.nodes.get(m.nid).map(_.nidParent).getOrElse(0L))
+
+    meta.set("pst:message_count", messages.size.toString)
+    meta.set("pst:folder_count",
+      folderName.values.count(_.nonEmpty).toString)
+
+    var emitted = 0
+    def emitMessages(msgs: Vector[PstMessage]): Unit = msgs.foreach { m =>
+      val subject = m.pc.str(PidSubject).map(cleanSubject)
+        .getOrElse("(no subject)")
+      val safe = subject.replaceAll("[/\\\\\\u0000-\\u001f]", "_")
+      // the reference's mail-item handler emits the subject in the
+      // content stream as well as metadata
+      sink.chars(subject)
+      sink.newline()
+      try {
+        val eml = buildEml(ndb, m.pc, m.subs, 0)
+        child(Some(s"$safe.msg.eml"), eml)
+        emitted += 1
+      } catch {
+        case e: PstMalformed =>
+          meta.add("parse:embedded-exception",
+            s"pst message ${m.nid}: ${e.getMessage}")
+      }
+    }
+
+    // depth-first folder traversal from the root (reference: every
+    // folder becomes a heading, then its messages), children by nid
+    val children = ndb.nodes.values.toVector
+      .filter(n => (n.nid & 0x1f) == 0x02)
+      .groupBy(_.nidParent)
+    val visited = scala.collection.mutable.Set.empty[Long]
+    def walkFolder(nid: Long): Unit = {
+      if (!visited.add(nid)) return
+      folderName.get(nid).filter(_.nonEmpty).foreach { nm =>
+        sink.chars(nm)
+        sink.newline()
+      }
+      emitMessages(byParent.getOrElse(nid, Vector.empty))
+      children.getOrElse(nid, Vector.empty).sortBy(_.nid)
+        .foreach(c => if (c.nid != nid) walkFolder(c.nid))
+    }
+    walkFolder(0x122L) // NID_ROOT_FOLDER
+    // orphans (folders/messages not reachable from the root)
+    ndb.nodes.values.toVector.filter(n => (n.nid & 0x1f) == 0x02)
+      .sortBy(_.nid).foreach(n => walkFolder(n.nid))
+    emitMessages(messages.filterNot(m =>
+      ndb.nodes.get(m.nid).exists(n => visited.contains(n.nidParent))))
+
+    if (messages.nonEmpty && emitted == 0)
+      throw new PstMalformed("no message could be extracted")
+  }
+}
