@@ -298,6 +298,31 @@ object Extractor {
                 onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
                 onDrop = () => sawUnsupported = true))
             }
+          case m if m == graft.mime.MimeDb.Rar =>
+            // RAR container walk (RarUtil): entry names/sizes always
+            // surface as metadata; STORED entries recurse; compressed
+            // entries are recorded unsupported (the RAR compression
+            // algorithm is a declared license exclusion — the reference
+            // uses junrar here)
+            val ar = graft.pkgx.RarUtil.parse(bytes)
+            if (ar.headersEncrypted) {
+              sawException = true
+              meta.add("parse:exception",
+                s"rar encrypted headers at ${if (idPath.isEmpty) "/" else idPath}")
+            }
+            ar.entries.foreach { e =>
+              meta.add("rar:entry", s"${e.name}:${e.unpSize}")
+            }
+            if (ar.entries.exists(e => e.stored.isEmpty))
+              sawUnsupported = true
+            if (depth < cfg.maxDepth)
+              ar.entries.reverseIterator.filter(_.stored.isDefined).foreach {
+                e =>
+                  stack.push(NodeFrame(e.stored.get, idPath, Some(e.name),
+                    depth + 1,
+                    onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
+                    onDrop = () => sawUnsupported = true))
+              }
           case m if m == graft.mime.MimeDb.Pkcs7Mime ||
               m == graft.mime.MimeDb.Pkcs7Sig || m == graft.mime.MimeDb.Tsd =>
             // CMS/PKCS#7: unwrap the signed / timestamped payload and

@@ -1,0 +1,238 @@
+package graft.pkgx
+
+import java.nio.charset.StandardCharsets
+
+/** RAR archive header walk (RAR 4.x and RAR 5.x container formats).
+  *
+  * Reference behavior: tika-parsers pkg-module `RarParser.java` extracts
+  * entries via the junrar library. The RAR *compression* algorithm's
+  * license forbids re-implementation from the unrar sources, so this
+  * stays a declared exclusion for compressed entries (recorded per-entry
+  * as unsupported); the *container framing* below is from the public
+  * format notes (RARLAB technote / rar5 file-format description):
+  * entry names and sizes always surface as metadata, and STORED
+  * (uncompressed) entries are extracted and recurse like any embedded
+  * document.
+  */
+object RarUtil {
+
+  final class RarMalformed(msg: String) extends Exception(msg)
+
+  /** name, unpacked size, stored payload (None when compressed), and
+    * whether the entry (or the whole header area) is encrypted. */
+  final case class Entry(name: String, unpSize: Long,
+      stored: Option[Array[Byte]], encrypted: Boolean)
+
+  final case class Archive(entries: Vector[Entry], headersEncrypted: Boolean)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (le16(b, o) & 0xffffL) | ((le16(b, o + 2) & 0xffffL) << 16)
+
+  def isRar4(b: Array[Byte]): Boolean =
+    b.length > 7 && b(0) == 'R' && b(1) == 'a' && b(2) == 'r' &&
+      b(3) == '!' && b(4) == 0x1a && b(5) == 0x07 && b(6) == 0x00
+
+  def isRar5(b: Array[Byte]): Boolean =
+    b.length > 8 && b(0) == 'R' && b(1) == 'a' && b(2) == 'r' &&
+      b(3) == '!' && b(4) == 0x1a && b(5) == 0x07 && b(6) == 0x01 &&
+      b(7) == 0x00
+
+  def parse(b: Array[Byte]): Archive =
+    if (isRar4(b)) parse4(b)
+    else if (isRar5(b)) parse5(b)
+    else throw new RarMalformed("not a RAR archive")
+
+  // --- RAR 4.x --------------------------------------------------------
+
+  private val MhdPassword = 0x0080 // main header: encrypted block headers
+  private val FhdSplitBefore = 0x01
+  private val FhdPassword = 0x04
+  private val FhdLargeFile = 0x100
+  private val FhdUnicode = 0x200
+
+  private def parse4(b: Array[Byte]): Archive = {
+    var p = 7
+    val out = Vector.newBuilder[Entry]
+    var count = 0
+    var headersEncrypted = false
+    while (p + 7 <= b.length && count < 100000) {
+      count += 1
+      val htype = b(p + 2) & 0xff
+      val flags = le16(b, p + 3)
+      val size = le16(b, p + 5)
+      if (size < 7) throw new RarMalformed("bad RAR4 block size")
+      var add = 0L
+      htype match {
+        case 0x73 => // main header
+          if ((flags & MhdPassword) != 0) headersEncrypted = true
+        case 0x74 => // file header
+          if (p + 32 > b.length) throw new RarMalformed("truncated file header")
+          var packSize = le32(b, p + 7)
+          var unpSize = le32(b, p + 11)
+          val method = b(p + 25) & 0xff
+          val nameLen = le16(b, p + 26)
+          var nameOff = p + 32
+          if ((flags & FhdLargeFile) != 0) {
+            if (p + 40 > b.length) throw new RarMalformed("truncated high sizes")
+            packSize |= le32(b, p + 32) << 32
+            unpSize |= le32(b, p + 36) << 32
+            nameOff += 8
+          }
+          if (nameOff + nameLen > b.length)
+            throw new RarMalformed("name overruns archive")
+          val rawName = java.util.Arrays.copyOfRange(b, nameOff,
+            nameOff + nameLen)
+          val name = decodeName4(rawName, (flags & FhdUnicode) != 0)
+          val enc = (flags & FhdPassword) != 0
+          val dataOff = p + size
+          val stored =
+            if (method == 0x30 && !enc && (flags & FhdSplitBefore) == 0 &&
+                packSize == unpSize && dataOff + packSize <= b.length &&
+                packSize <= Int.MaxValue)
+              Some(java.util.Arrays.copyOfRange(b, dataOff,
+                (dataOff + packSize).toInt))
+            else None
+          out += Entry(name, unpSize, stored, enc)
+          add = packSize
+        case 0x7b => // end of archive
+          p = b.length
+        case _ =>
+          if ((flags & 0x8000) != 0 && p + 11 <= b.length)
+            add = le32(b, p + 7)
+      }
+      if (p < b.length) {
+        val next = p.toLong + size + add
+        if (next <= p || next > Int.MaxValue) p = b.length else p = next.toInt
+      }
+    }
+    Archive(out.result(), headersEncrypted)
+  }
+
+  /** RAR4 names: either plain (OEM/cp437-ish, read as latin-1) or the
+    * packed unicode form `ascii NUL packed-utf16`. */
+  private def decodeName4(raw: Array[Byte], unicodeFlag: Boolean): String = {
+    val nul = raw.indexOf(0: Byte)
+    if (!unicodeFlag || nul < 0)
+      new String(raw, StandardCharsets.ISO_8859_1)
+    else {
+      // packed encoding: high-byte table + 2-bit-flagged low bytes
+      val ascii = raw.take(nul)
+      val enc = raw.drop(nul + 1)
+      try decodePackedUnicode(ascii, enc)
+      catch { case _: Exception => new String(ascii, StandardCharsets.ISO_8859_1) }
+    }
+  }
+
+  private def decodePackedUnicode(ascii: Array[Byte], enc: Array[Byte]): String = {
+    val sb = new StringBuilder
+    if (enc.isEmpty) return new String(ascii, StandardCharsets.ISO_8859_1)
+    val highByte = enc(0) & 0xff
+    var pos = 1
+    var flagBits = 0
+    var flags = 0
+    while (pos < enc.length && sb.length < 4096) {
+      if (flagBits == 0) { flags = enc(pos) & 0xff; pos += 1; flagBits = 8 }
+      if (pos >= enc.length && (flags >> 6) != 3) return sb.result()
+      (flags >> 6) & 3 match {
+        case 0 => sb.append((enc(pos) & 0xff).toChar); pos += 1
+        case 1 => sb.append(((enc(pos) & 0xff) | (highByte << 8)).toChar); pos += 1
+        case 2 =>
+          if (pos + 1 < enc.length)
+            sb.append(((enc(pos) & 0xff) | ((enc(pos + 1) & 0xff) << 8)).toChar)
+          pos += 2
+        case 3 =>
+          val len = enc(pos) & 0xff; pos += 1
+          if ((len & 0x80) != 0) {
+            val correction = if (pos < enc.length) enc(pos) & 0xff else 0
+            pos += 1
+            var i = 0
+            while (i < (len & 0x7f) + 2 && sb.length < ascii.length) {
+              val idx = sb.length
+              if (idx < ascii.length)
+                sb.append((((ascii(idx) & 0xff) + correction) & 0xff |
+                  (highByte << 8)).toChar)
+              i += 1
+            }
+          } else {
+            var i = 0
+            while (i < (len & 0x7f) + 2 && sb.length < ascii.length) {
+              sb.append((ascii(sb.length) & 0xff).toChar)
+              i += 1
+            }
+          }
+      }
+      flags = (flags << 2) & 0xff
+      flagBits -= 2
+    }
+    sb.result()
+  }
+
+  // --- RAR 5.x --------------------------------------------------------
+
+  private def parse5(b: Array[Byte]): Archive = {
+    var p = 8
+    val out = Vector.newBuilder[Entry]
+    var headersEncrypted = false
+    var count = 0
+    def vint(off: Int): (Long, Int) = {
+      var v = 0L
+      var i = 0
+      while (i < 10 && off + i < b.length) {
+        val x = b(off + i) & 0xff
+        v |= (x & 0x7fL) << (7 * i)
+        i += 1
+        if ((x & 0x80) == 0) return (v, i)
+      }
+      throw new RarMalformed("bad vint")
+    }
+    while (p + 5 <= b.length && count < 100000) {
+      count += 1
+      // crc32(4) headerSize(vint) header...
+      val (hsize, hlen) = vint(p + 4)
+      val hstart = p + 4 + hlen
+      if (hsize <= 0 || hstart + hsize > b.length) p = b.length
+      else {
+        var q = hstart
+        val (htype, l1) = vint(q); q += l1
+        val (hflags, l2) = vint(q); q += l2
+        var dataSize = 0L
+        if ((hflags & 1) != 0) { val (_, l) = vint(q); q += l } // extraSize
+        if ((hflags & 2) != 0) { val (v, l) = vint(q); dataSize = v; q += l }
+        htype match {
+          case 4 => headersEncrypted = true; p = b.length // encryption header
+          case 2 => // file header
+            val (ff, b1) = vint(q); q += b1 // file flags
+            val (unpSize, b2) = vint(q); q += b2
+            val (_, b3) = vint(q); q += b3 // attributes
+            if ((ff & 2) != 0) q += 4 // mtime
+            if ((ff & 4) != 0) q += 4 // data crc32
+            val (compInfo, b4) = vint(q); q += b4
+            val (_, b5) = vint(q); q += b5 // host os
+            val (nameLen, b6) = vint(q); q += b6
+            if (q + nameLen > b.length || nameLen > 65536)
+              throw new RarMalformed("rar5 name overrun")
+            val name = new String(b, q, nameLen.toInt, StandardCharsets.UTF_8)
+            val method = ((compInfo >> 7) & 7).toInt
+            val dataOff = hstart + hsize
+            val stored =
+              if (method == 0 && dataSize == unpSize &&
+                  dataOff + dataSize <= b.length && dataSize <= Int.MaxValue)
+                Some(java.util.Arrays.copyOfRange(b, dataOff.toInt,
+                  (dataOff + dataSize).toInt))
+              else None
+            out += Entry(name, unpSize, stored, encrypted = false)
+          case 5 => p = b.length // end of archive
+          case _ => ()
+        }
+        if (p < b.length) {
+          val next = hstart.toLong + hsize + dataSize
+          if (next <= p || next > Int.MaxValue) p = b.length
+          else p = next.toInt
+        }
+      }
+    }
+    Archive(out.result(), headersEncrypted)
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import graft.core.{DocRow, Span, Status}
+import graft.corpus.Corpus
+import graft.engine.Extractor
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RAR container walk: entry metadata from the reference's real
+  * archives (compressed → declared-unsupported, like RarParser minus
+  * the licensed decompressor), STORED entries recursing from
+  * hand-built RAR4/RAR5 archives.
+  */
+class RarSpec extends AnyFunSuite {
+
+  private val docs = Path.of("/root/reference/tika-parsers/" +
+    "tika-parsers-standard/tika-parsers-standard-modules/" +
+    "tika-parser-pkg-module/src/test/resources/test-documents")
+
+  private def extract(name: String, b: Array[Byte]): graft.core.ExtractedDoc =
+    Extractor.extract(DocRow(name, Seq(Span("bytes", Corpus.b64(b), null, 0))))
+
+  private def text(d: graft.core.ExtractedDoc): String =
+    d.spans.filter(_.kind == graft.core.Span.KindText).map(_.text).mkString("\n")
+
+  test("reference test-documents.rar: all entry names surface") {
+    val p = docs.resolve("test-documents.rar")
+    org.scalatest.Assertions.assume(Files.isRegularFile(p))
+    val d = extract("test-documents.rar", Files.readAllBytes(p))
+    assert(d.mime == graft.mime.MimeDb.Rar)
+    val entries = d.meta.getOrElse("rar:entry", Seq.empty)
+    assert(entries.size == 9)
+    for (n <- Seq("testEXCEL.xls", "testHTML.html", "testOpenOffice2.odt",
+        "testPDF.pdf", "testPPT.ppt", "testRTF.rtf", "testTXT.txt",
+        "testWORD.doc", "testXML.xml"))
+      assert(entries.exists(_.contains(n)), n)
+    // compressed entries: declared unsupported, not a parse failure
+    assert(d.status == Status.UnsupportedType ||
+      d.status == Status.ParseSuccess)
+  }
+
+  test("encrypted rar records an exception") {
+    val p = docs.resolve("test-documents-enc.rar")
+    org.scalatest.Assertions.assume(Files.isRegularFile(p))
+    val d = extract("enc.rar", Files.readAllBytes(p))
+    // entries are header-encrypted or flagged: either the whole header
+    // area is unreadable (exception) or per-entry encryption is flagged
+    assert(d.status != Status.ParseSuccess ||
+      d.meta.contains("parse:exception"))
+  }
+
+  private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32(v: Int) =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  private def rar4Stored(name: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    out.write(Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x00))
+    // main header (13 bytes)
+    out.write(le16(0)); out.write(0x73); out.write(le16(0)); out.write(le16(13))
+    out.write(new Array[Byte](6))
+    // file header
+    val nameB = name.getBytes("ISO-8859-1")
+    val hs = 32 + nameB.length
+    out.write(le16(0)); out.write(0x74); out.write(le16(0x8000))
+    out.write(le16(hs))
+    out.write(le32(data.length)) // packSize
+    out.write(le32(data.length)) // unpSize
+    out.write(0) // hostOs
+    out.write(le32(0)) // fileCrc
+    out.write(le32(0)) // ftime
+    out.write(20) // unpVer
+    out.write(0x30) // method: stored
+    out.write(le16(nameB.length))
+    out.write(le32(0x20)) // attrs
+    out.write(nameB)
+    out.write(data)
+    // end of archive
+    out.write(le16(0)); out.write(0x7b); out.write(le16(0x4000)); out.write(le16(7))
+    out.toByteArray
+  }
+
+  private def vint(v: Long): Array[Byte] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var x = v
+    while ({ b += ((x & 0x7f) | (if ((x >> 7) != 0) 0x80 else 0)).toByte
+      x >>= 7; x != 0 }) ()
+    b.toArray
+  }
+
+  private def rar5Stored(name: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    out.write(Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x01, 0x00))
+    def block(header: Array[Byte], payload: Array[Byte]): Unit = {
+      out.write(le32(0)) // crc (not verified by the walk)
+      out.write(vint(header.length))
+      out.write(header)
+      out.write(payload)
+    }
+    // main archive header: type=1, flags=0, archiveFlags=0
+    block(Array[Byte](1, 0, 0), Array.emptyByteArray)
+    // file header: type=2, hflags=2(data), dataSize, fileFlags=0,
+    // unpSize, attrs=0, compInfo=0(stored), hostOs=1, nameLen, name
+    val nameB = name.getBytes("UTF-8")
+    val h = new java.io.ByteArrayOutputStream
+    h.write(2); h.write(2); h.write(vint(data.length))
+    h.write(0); h.write(vint(data.length)); h.write(0)
+    h.write(0); h.write(1); h.write(vint(nameB.length)); h.write(nameB)
+    block(h.toByteArray, data)
+    // end header: type=5, flags=0, endFlags=0
+    block(Array[Byte](5, 0, 0), Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("RAR4 stored entry recurses and extracts") {
+    val d = extract("stored4.rar",
+      rar4Stored("hello.txt", "stored rar4 payload text".getBytes("UTF-8")))
+    assert(d.status == Status.ParseSuccess)
+    assert(text(d).contains("stored rar4 payload text"))
+    assert(d.meta.getOrElse("rar:entry", Seq.empty)
+      .exists(_.startsWith("hello.txt:")))
+  }
+
+  test("RAR5 stored entry recurses and extracts") {
+    val d = extract("stored5.rar",
+      rar5Stored("hello5.txt", "stored rar5 payload text".getBytes("UTF-8")))
+    assert(d.status == Status.ParseSuccess)
+    assert(text(d).contains("stored rar5 payload text"))
+    assert(d.meta.getOrElse("rar:entry", Seq.empty)
+      .exists(_.startsWith("hello5.txt:")))
+  }
+}
