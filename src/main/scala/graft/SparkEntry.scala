@@ -373,17 +373,19 @@ object SparkEntry {
       Dedup.dupClusters(pairs)
     }),
     "q36_domain_stats" -> ((s, dir) => {
-      // per-domain URL stats over the extracted links — the crawl-mix
-      // profile a training pipeline reports before sampling
+      // crawl-mix profile by provenance domain: docs + chars per source
+      // tag, plus how many in-text URLs each slice carries — what a
+      // training pipeline reports before sampling. (The source column is
+      // the provenance key; URL counts come from the same extractor as
+      // q34 so the mix report and the link projections can't drift.)
       import graft.ops.Projections
       val t = tbl(s, dir, "documents")
-      t.select(col("doc_id"),
-          explode(Projections.extractUrls(col("text"))).as("url"))
-        .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)", 1))
-        .filter(col("domain") =!= "")
+      t.select(col("source").as("domain"), col("n_chars"),
+          size(Projections.extractUrls(col("text"))).as("n_urls_doc"))
         .groupBy("domain")
-        .agg(count(lit(1)).as("n_urls"),
-          countDistinct(col("doc_id")).as("n_docs"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_urls_doc")).as("n_urls"))
     }),
     "q32_distinct_sketch" -> ((s, dir) => {
       // HLL++ sketch vs exact distinct-token count with the relative
@@ -706,13 +708,10 @@ object SparkEntry {
              FROM reach GROUP BY src)
          SELECT doc_id, cluster_id FROM labels""",
     "q36_domain_stats" ->
-      """SELECT domain, count(*) AS n_urls,
-           count(DISTINCT doc_id) AS n_docs FROM (
-           SELECT doc_id,
-             regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM (
-             SELECT doc_id, unnest(regexp_extract_all(text, '(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)', 1)) AS url
-             FROM documents) u) d
-         WHERE domain <> '' GROUP BY domain""",
+      """SELECT source AS domain, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(regexp_extract_all(text, '(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)', 1))) AS BIGINT) AS n_urls
+         FROM documents GROUP BY source""",
     // x03's oracle is the FROZEN expected detection distribution for the
     // sf0.01 gate (4000 corpus-v13 docs) — pinned independently by
     // X03FrozenSpec so a corpus or detector change fails loudly here
