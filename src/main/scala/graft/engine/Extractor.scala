@@ -298,6 +298,20 @@ object Extractor {
                 onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
                 onDrop = () => sawUnsupported = true))
             }
+          case m if m == graft.mime.MimeDb.Arj =>
+            // ARJ: stored entries recurse; compressed entries recorded
+            // unsupported — exact commons-compress ArjArchiveInputStream
+            // capability, which is what the reference dispatches to
+            val es = graft.pkgx.Arj.entries(bytes)
+            es.foreach(e => meta.add("arj:entry", s"${e.name}:${e.originalSize}"))
+            if (es.exists(_.data.isEmpty)) sawUnsupported = true
+            if (depth < cfg.maxDepth)
+              es.reverseIterator.filter(_.data.isDefined).foreach { e =>
+                stack.push(NodeFrame(e.data.get, idPath, Some(e.name),
+                  depth + 1,
+                  onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
+                  onDrop = () => sawUnsupported = true))
+              }
           case m if m == graft.mime.MimeDb.Rar =>
             // RAR container walk (RarUtil): entry names/sizes always
             // surface as metadata; STORED entries recurse; compressed

@@ -340,6 +340,119 @@ object PstExtractor {
 
   private val Cp1252 = Charset.forName("windows-1252")
 
+  /** Table context (MS-PST §2.3.4): fixed-width row matrix + column
+    * descriptors. Minimal reader — enough for the recipients table
+    * (email address / display name / recipient type per row). */
+  final class Tc(ndb: Ndb, heap: Heap, subs: Map[Long, (Long, Long)]) {
+    if (heap.clientSig != 0x7c) throw new PstMalformed("not a TC heap")
+    private val info = heap(heap.userRoot)
+    if (info.length < 22 || (info(0) & 0xff) != 0x7c)
+      throw new PstMalformed("bad TCINFO")
+    private val cCols = info(1) & 0xff
+    private val rowWidth = le16(info, 8) // rgib[TCI_bm]: full row width
+    private val end1b = le16(info, 6)    // start of the cell-existence map
+    private val hidRowIndex = le32(info, 10)
+    private val hnidRows = le32(info, 14)
+    private val cols: Vector[(Int, Int, Int, Int)] = // (ptype, pid, ib, iBit)
+      Vector.tabulate(cCols) { i =>
+        val o = 22 + 8 * i
+        if (o + 8 > info.length) throw new PstMalformed("TCOLDESC overrun")
+        (le16(info, o), le16(info, o + 2), le16(info, o + 4), info(o + 7) & 0xff)
+      }
+
+    /** All rows as propId → PropValue (present cells only). */
+    def rows: Vector[Map[Int, PropValue]] = {
+      if (hnidRows == 0 || rowWidth == 0) return Vector.empty
+      val nRows =
+        try bthRecords(heap, hidRowIndex).length
+        catch { case _: PstMalformed => 0 }
+      val blocks: Vector[Array[Byte]] =
+        if ((hnidRows & 0x1f) == 0) Vector(heap(hnidRows))
+        else subs.get(hnidRows).map(s => ndb.dataBlocks(s._1))
+          .getOrElse(Vector.empty)
+      val out = Vector.newBuilder[Map[Int, PropValue]]
+      var emitted = 0
+      blocks.foreach { b =>
+        var r = 0
+        while ((r + 1) * rowWidth <= b.length && emitted < nRows &&
+            emitted < 100000) {
+          val base = r * rowWidth
+          val m = Map.newBuilder[Int, PropValue]
+          cols.foreach { case (ptype, pid, ib, iBit) =>
+            val cebOff = base + end1b + (iBit >> 3)
+            val need = ptype match {
+              case 0x02 => 2
+              case 0x14 | 0x40 | 0x05 => 8
+              case _ => 4
+            }
+            val present = cebOff < base + rowWidth &&
+              ((b(cebOff) & 0xff) & (0x80 >> (iBit & 7))) != 0
+            if (present && ib + need <= rowWidth) {
+              try {
+                val pv = ptype match {
+                  case 0x02 => PropValue(ptype, le16(b, base + ib),
+                    java.util.Arrays.copyOfRange(b, base + ib, base + ib + 2))
+                  case 0x03 | 0x0b | 0x0a | 0x01 =>
+                    PropValue(ptype, le32(b, base + ib),
+                      java.util.Arrays.copyOfRange(b, base + ib, base + ib + 4))
+                  case 0x14 | 0x40 | 0x05 =>
+                    PropValue(ptype, 0,
+                      java.util.Arrays.copyOfRange(b, base + ib, base + ib + 8))
+                  case _ =>
+                    val hnid = le32(b, base + ib)
+                    PropValue(ptype, hnid, hnidBytes(hnid))
+                }
+                m += pid -> pv
+              } catch { case _: PstMalformed => }
+            }
+          }
+          out += m.result()
+          emitted += 1
+          r += 1
+        }
+      }
+      out.result()
+    }
+
+    private def hnidBytes(v: Long): Array[Byte] =
+      if (v == 0) Array.emptyByteArray
+      else if ((v & 0x1f) == 0) heap(v)
+      else subs.get(v).map(s => ndb.dataBlocks(s._1))
+        .map { bs =>
+          val total = bs.map(_.length.toLong).sum
+          if (total > MaxValueBytes) throw new PstMalformed("value too large")
+          val out = new Array[Byte](total.toInt)
+          var o = 0
+          bs.foreach { x => System.arraycopy(x, 0, out, o, x.length); o += x.length }
+          out
+        }.getOrElse(Array.emptyByteArray)
+  }
+
+  private val NidRecipientTable = 0x0692L
+
+  /** Recipient rows from the message's 0x692 subnode: (type, name, email)
+    * where type is PidTagRecipientType (1=To, 2=Cc, 3=Bcc). */
+  private def recipients(ndb: Ndb, subs: Map[Long, (Long, Long)]):
+      Vector[(Int, Option[String], Option[String])] =
+    subs.get(NidRecipientTable).toVector.flatMap { case (bidData, bidSub) =>
+      try {
+        val heap = new Heap(ndb.dataBlocks(bidData))
+        val tc = new Tc(ndb, heap, ndb.subnodes(bidSub))
+        tc.rows.map { row =>
+          def str(pid: Int): Option[String] = row.get(pid).flatMap { pv =>
+            pv.ptype match {
+              case 0x1f => Some(new String(pv.bytes, StandardCharsets.UTF_16LE))
+              case 0x1e => Some(new String(pv.bytes, Cp1252))
+              case _ => None
+            }
+          }.map(_.takeWhile(_ != '\u0000')).filter(_.nonEmpty)
+          val rt = row.get(0x0c15).map(_.raw.toInt).getOrElse(1)
+          // PidTagSmtpAddress preferred, PidTagEmailAddress (EX) fallback
+          (rt, str(0x3001), str(0x39fe).orElse(str(0x3003)))
+        }
+      } catch { case _: PstMalformed => Vector.empty }
+    }
+
   private def loadPc(ndb: Ndb, bidData: Long, bidSub: Long): Pc = {
     val heap = new Heap(ndb.dataBlocks(bidData))
     new Pc(ndb, heap, ndb.subnodes(bidSub))
@@ -388,9 +501,20 @@ object PstExtractor {
       case (Some(n), Some(e)) => Some(s""""$n" <$e>""")
       case (n, e) => n.orElse(e)
     })
-    h("To", pc.str(PidDisplayTo))
-    h("Cc", pc.str(PidDisplayCc))
-    h("Bcc", pc.str(PidDisplayBcc))
+    // recipient table rows (0x692) carry the actual addresses; the
+    // display-to/cc strings are the fallback (reference: MESSAGE_TO_EMAIL
+    // comes from the recipients table)
+    val rcpt = recipients(ndb, subs)
+    def joinR(rtype: Int): Option[String] = {
+      val xs = rcpt.filter(_._1 == rtype).map {
+        case (_, Some(n), Some(e)) => s""""$n" <$e>"""
+        case (_, n, e) => n.orElse(e).getOrElse("")
+      }.filter(_.nonEmpty)
+      if (xs.isEmpty) None else Some(xs.mkString(", "))
+    }
+    h("To", joinR(1).orElse(pc.str(PidDisplayTo)))
+    h("Cc", joinR(2).orElse(pc.str(PidDisplayCc)))
+    h("Bcc", joinR(3).orElse(pc.str(PidDisplayBcc)))
     h("Subject", pc.str(PidSubject).map(cleanSubject))
     h("Date", pc.time(PidClientSubmitTime).orElse(pc.time(PidDeliveryTime))
       .map(fmtRfc2822))
