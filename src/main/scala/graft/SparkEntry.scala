@@ -727,7 +727,8 @@ object SparkEntry {
            ('application/pdf', 'parse_success', 340),
            ('application/rtf', 'parse_success', 80),
            ('application/vnd.ms-excel', 'parse_success', 80),
-           ('application/vnd.ms-outlook', 'parse_success', 40),
+           ('application/vnd.ms-outlook', 'parse_success', 24),
+           ('application/vnd.ms-outlook-pst', 'parse_success', 16),
            ('application/vnd.ms-powerpoint', 'parse_success', 60),
            ('application/vnd.ms-tnef', 'parse_success', 12),
            ('application/vnd.oasis.opendocument.text', 'parse_success', 80),

@@ -77,7 +77,8 @@ object Corpus {
     else if (m < 885) "doc"
     else if (m < 905) "xls"
     else if (m < 920) "ppt"
-    else if (m < 930) "msg"
+    else if (m < 926) "msg"
+    else if (m < 930) "pst" // r4c: synthetic Unicode PST mailboxes
     else if (m < 965) "media"
     else if (m < 985) "legacy" // wpd/qpw/dbf/dif/tmx/fb2/plist/tnef rotation (r4)
     else "junk"
@@ -86,7 +87,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 15
+  val Version = 16
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -116,6 +117,7 @@ object Corpus {
       case "xls" => Seq(Span("bytes", b64(OleCorpus.xlsFile(r)), null, 0))
       case "ppt" => Seq(Span("bytes", b64(OleCorpus.pptFile(r)), null, 0))
       case "msg" => Seq(Span("bytes", b64(OleCorpus.msgFile(r)), null, 0))
+      case "pst" => Seq(Span("bytes", b64(PstCorpus.pstFile(r)), null, 0))
       case "pdf" => Seq(Span("pdf", b64(pdfDoc(r, index)), null, 0))
       case "zip" =>
         val bytes = if (isBombShaped(index)) bombZip(r) else zipDoc(r)

@@ -71,6 +71,9 @@ object PstExtractor {
   require(Decode.map(_ & 0xff).distinct.length == 256,
     "permute decode table must be a byte permutation")
 
+  /** For the corpus writer (it needs the inverse/encode direction). */
+  private[graft] def decodeTableCopy: Array[Byte] = Decode.clone()
+
   // --- MAPI property ids used by the walk ----------------------------
   private val PidMessageClass = 0x001a
   private val PidSubject = 0x0037
