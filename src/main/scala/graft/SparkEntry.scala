@@ -239,6 +239,22 @@ object SparkEntry {
     "q11_token_counts" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
     "q12_langid" -> ((s, dir) => TextOps.langId(tbl(s, dir, "documents"))),
     "q13_quality" -> ((s, dir) => TextOps.qualityScore(tbl(s, dir, "documents"))),
+    "q37_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+      // duplicate-line and duplicate-word fractions per document. All
+      // native array expressions in one scan — no shuffle, no HOF
+      // lambdas — so at 100 TB this is a pure map over the corpus.
+      val t = tbl(s, dir, "documents")
+      val toks = array_remove(split(lower(col("text")), " "), "")
+      val lines = array_remove(split(col("text"), "\n"), "")
+      t.select(col("doc_id"),
+          size(lines).as("n_lines"),
+          round(lit(1.0) - size(array_distinct(lines)).cast("double") /
+            greatest(size(lines), lit(1)), 4).as("dup_line_frac"),
+          size(toks).as("n_tokens"),
+          round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+            greatest(size(toks), lit(1)), 4).as("dup_word_frac"))
+    }),
     "q14_fingerprint" -> ((s, dir) => TextOps.fingerprint(tbl(s, dir, "documents"))),
     "q27_common_tokens" -> ((s, dir) => TextOps.commonTokens(tbl(s, dir, "documents"))),
     "q29_langid_confusion" -> ((s, dir) => TextOps.langIdConfusion(tbl(s, dir, "documents"))),
@@ -707,6 +723,19 @@ object SparkEntry {
            labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
              FROM reach GROUP BY src)
          SELECT doc_id, cluster_id FROM labels""",
+    "q37_repetition" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(lines) AS INTEGER) AS n_lines,
+           round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+             / greatest(len(lines), 1), 4) AS dup_line_frac,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS dup_word_frac
+         FROM t""",
     "q36_domain_stats" ->
       """SELECT source AS domain, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -143,6 +143,15 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("q37: repetition signals are a pure per-row map — zero exchanges") {
+    val q = SparkEntry.queries("q37_repetition")(spark, TestSpark.SfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // native array expressions, not interpreted lambdas
+    assert(!plan.contains("lambdafunction"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
   test("q06: pure scan+filter+agg — no hash-partition exchange at all") {
     val q = SparkEntry.queries("q06_revenue_forecast")(spark, TestSpark.SfDir)
     val plan = q.queryExecution.executedPlan.toString
