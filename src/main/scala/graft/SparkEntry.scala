@@ -239,6 +239,31 @@ object SparkEntry {
     "q11_token_counts" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
     "q12_langid" -> ((s, dir) => TextOps.langId(tbl(s, dir, "documents"))),
     "q13_quality" -> ((s, dir) => TextOps.qualityScore(tbl(s, dir, "documents"))),
+    "q38_para_dedup" -> ((s, dir) => {
+      // C4/CCNet-style cross-document paragraph dedup: hash every
+      // paragraph, keep the first occurrence corpus-wide, flag the rest.
+      // Like q15, duplicates are planted in-plan (docs %40 re-appended
+      // under +1,000,000 ids, mirrored in the oracle) so the operator is
+      // non-vacuous at the correctness SFs. The only shuffle moves
+      // (sig, doc_id, para_idx) — 16-byte hashes, never paragraph text —
+      // so at 100 TB this is a hash-width exchange, and the
+      // first-occurrence rule is a deterministic row_number over the
+      // unique (doc_id, para_idx) order.
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 40 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val paras = docs.unionByName(planted)
+        .select(col("doc_id"), posexplode(split(col("text"), "\n"))
+          .as(Seq("para_idx", "para")))
+        .filter(trim(col("para")) =!= "")
+      paras.withColumn("sig", md5(col("para")))
+        .withColumn("is_dup",
+          (row_number().over(Window.partitionBy(col("sig"))
+            .orderBy(col("doc_id"), col("para_idx"))) > 1).cast("int"))
+        .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+          col("sig"), col("is_dup"))
+    }),
     "q37_repetition" -> ((s, dir) => {
       // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
       // duplicate-line and duplicate-word fractions per document. All
@@ -723,6 +748,21 @@ object SparkEntry {
            labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
              FROM reach GROUP BY src)
          SELECT doc_id, cluster_id FROM labels""",
+    "q38_para_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 40 = 0),
+         lined AS (SELECT doc_id,
+           string_split(text, chr(10)) AS lines FROM all_docs),
+         p AS (SELECT doc_id,
+           unnest(generate_series(1, len(lines))) - 1 AS para_idx,
+           unnest(lines) AS para FROM lined)
+         SELECT doc_id, para_idx, md5(para) AS sig,
+           CASE WHEN row_number() OVER (PARTITION BY md5(para)
+             ORDER BY doc_id, para_idx) > 1 THEN 1 ELSE 0 END AS is_dup
+         FROM p WHERE trim(para) <> ''""",
     "q37_repetition" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,

@@ -152,6 +152,14 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
+  test("q38: paragraph dedup shuffles hashes only, one sig exchange") {
+    val q = SparkEntry.queries("q38_para_dedup")(spark, TestSpark.SfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(plan.contains("hashpartitioning(sig"), plan)
+  }
+
   test("q06: pure scan+filter+agg — no hash-partition exchange at all") {
     val q = SparkEntry.queries("q06_revenue_forecast")(spark, TestSpark.SfDir)
     val plan = q.queryExecution.executedPlan.toString
