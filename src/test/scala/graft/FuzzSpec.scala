@@ -106,4 +106,66 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Round-4c parsers under mutation: a valid PST mailbox and stored
+    * RAR/ARJ archives with bit flips, truncations, and spliced tails
+    * must classify, never throw or hang.
+    */
+  test("property: mutated pst/rar/arj payloads never escape the envelope") {
+    val rnd = new scala.util.Random(11)
+    val pst = graft.corpus.PstCorpus.pstFile(new scala.util.Random(5))
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16(v >>> 16)
+    val payload = ("stored member " * 10).getBytes("UTF-8")
+    val rar4 = {
+      val o = new java.io.ByteArrayOutputStream
+      o.write(Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x00))
+      o.write(le16(0)); o.write(0x73); o.write(le16(0)); o.write(le16(13))
+      o.write(new Array[Byte](6))
+      val nm = "a.txt".getBytes("ISO-8859-1")
+      o.write(le16(0)); o.write(0x74); o.write(le16(0x8000))
+      o.write(le16(32 + nm.length))
+      o.write(le32(payload.length)); o.write(le32(payload.length))
+      o.write(0); o.write(le32(0)); o.write(le32(0)); o.write(20); o.write(0x30)
+      o.write(le16(nm.length)); o.write(le32(0x20)); o.write(nm); o.write(payload)
+      o.write(le16(0)); o.write(0x7b); o.write(le16(0x4000)); o.write(le16(7))
+      o.toByteArray
+    }
+    val arj = {
+      val o = new java.io.ByteArrayOutputStream
+      def hdr(method: Int, size: Int, name: String): Unit = {
+        val nm = name.getBytes("ISO-8859-1")
+        val basic = Array[Byte](30, 11, 1, 0, 0, method.toByte, 0, 0) ++
+          le32(0) ++ le32(size) ++ le32(size) ++ le32(0) ++ le16(0) ++
+          le16(0) ++ le16(0) ++ nm ++ Array[Byte](0, 0)
+        o.write(0x60); o.write(0xea); o.write(le16(basic.length))
+        o.write(basic); o.write(le32(0)); o.write(le16(0))
+      }
+      hdr(0, 0, "t.arj"); hdr(0, payload.length, "a.txt"); o.write(payload)
+      o.write(0x60); o.write(0xea); o.write(le16(0))
+      o.toByteArray
+    }
+    val seeds = Seq(pst, rar4, arj)
+    seeds.foreach { valid =>
+      (0 until 90).foreach { i =>
+        val mutated = valid.clone()
+        i % 3 match {
+          case 0 =>
+            val p = rnd.nextInt(mutated.length)
+            mutated(p) = (mutated(p) ^ (1 << rnd.nextInt(8))).toByte
+          case 1 =>
+            val n = 1 + rnd.nextInt(mutated.length)
+            val out = Extractor.extract(DocRow("f",
+              Seq(Span("bytes", Corpus.b64(java.util.Arrays.copyOf(mutated, n)), null, 0))))
+            assert(out.status != null && out.mime != null)
+          case _ =>
+            val p = rnd.nextInt(mutated.length)
+            (p until mutated.length).foreach(j => mutated(j) = rnd.nextInt(256).toByte)
+        }
+        val out = Extractor.extract(DocRow("f",
+          Seq(Span("bytes", Corpus.b64(mutated), null, 0))))
+        assert(out.status != null && out.mime != null)
+      }
+    }
+  }
+
 }
