@@ -182,18 +182,36 @@ object PstExtractor {
 
     /** Data tree: bid → ordered external data blocks (XXBLOCK→XBLOCK). */
     def dataBlocks(bid: Long): Vector[Array[Byte]] = {
-      if (bid == 0) return Vector.empty
-      if ((bid & 2) == 0) return Vector(block(bid))
-      val b = block(bid)
-      if (b.length < 8 || b(0) != 1)
-        throw new PstMalformed("expected XBLOCK")
-      val cLevel = b(1) & 0xff
-      val cEnt = le16(b, 2)
-      if (8 + 8 * cEnt > b.length) throw new PstMalformed("XBLOCK overrun")
-      val kids = Vector.tabulate(cEnt)(i => le64(b, 8 + 8 * i))
-      if (cLevel == 1) kids.map(block)
-      else if (cLevel == 2) kids.flatMap(dataBlocks)
-      else throw new PstMalformed("bad XBLOCK level")
+      // aggregate budget BEFORE assembling: XBLOCK/XXBLOCK entries can
+      // all point at the same data bid, so a ~16 KB crafted file could
+      // otherwise amplify into gigabytes of duplicated block copies
+      // (the zip central-directory overlap lesson, round-3 advice)
+      var budget = math.min(MaxValueBytes.toLong,
+        16L * d.length + (64 << 10))
+      def charge(n: Int): Unit = {
+        budget -= n
+        if (budget < 0) throw new PstMalformed("data tree amplification")
+      }
+      def walk(bid: Long, level: Int): Vector[Array[Byte]] = {
+        if (bid == 0) return Vector.empty
+        if ((bid & 2) == 0) {
+          val blk = block(bid)
+          charge(blk.length)
+          return Vector(blk)
+        }
+        if (level > 2) throw new PstMalformed("data tree depth")
+        val b = block(bid)
+        if (b.length < 8 || b(0) != 1)
+          throw new PstMalformed("expected XBLOCK")
+        val cLevel = b(1) & 0xff
+        val cEnt = le16(b, 2)
+        if (8 + 8 * cEnt > b.length) throw new PstMalformed("XBLOCK overrun")
+        val kids = Vector.tabulate(cEnt)(i => le64(b, 8 + 8 * i))
+        if (cLevel == 1) kids.map { k => val blk = block(k); charge(blk.length); blk }
+        else if (cLevel == 2) kids.flatMap(walk(_, level + 1))
+        else throw new PstMalformed("bad XBLOCK level")
+      }
+      walk(bid, 0)
     }
 
     /** Subnode tree: bidSub → nid32 → (bidData, bidSub). */

@@ -68,6 +68,65 @@ class PstSpec extends AnyFunSuite {
     assert(graft.pst.PstExtractor.getClass.getSimpleName.nonEmpty)
   }
 
+  test("XBLOCK amplification (same bid referenced 1020x) is rejected") {
+    // ~16 KB crafted file whose XBLOCK references one 4 KB data block
+    // 1020 times — the aggregate data-tree budget must trip before the
+    // 4 MB (or worse, at XXBLOCK level: GB) assembly happens
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16(v >>> 16)
+    def le64(v: Long) = le32((v & 0xffffffffL).toInt) ++ le32((v >>> 32).toInt)
+    val dataCb = 4096
+    val xbCb = 8 + 8 * 1020
+    val dataIb = 2048L
+    val xbIb = dataIb + ((dataCb + 16 + 63) / 64) * 64
+    val fileLen = (xbIb + ((xbCb + 16 + 63) / 64) * 64).toInt
+    val f = new Array[Byte](fileLen)
+    def put(off: Long, b: Array[Byte]): Unit =
+      System.arraycopy(b, 0, f, off.toInt, b.length)
+    put(0, "!BDN".getBytes("US-ASCII")); put(8, "SM".getBytes("US-ASCII"))
+    put(10, le16(23))
+    put(180 + 4, le64(fileLen))
+    put(180 + 44, le64(1536L)); put(180 + 60, le64(1024L)) // NBT, BBT ibs
+    f(0x200) = 0x80.toByte; f(0x201) = 0 // crypt none
+    // BBT leaf: entries {bid=4 data, bid=6 XBLOCK}
+    val bbt = new Array[Byte](512)
+    put(1024, bbt) // zero page first
+    def bbtEntry(o: Int, bid: Long, ib: Long, cb: Int): Unit = {
+      put(1024 + o, le64(bid) ++ le64(ib) ++ le16(cb) ++ le16(1) ++ le32(0))
+    }
+    bbtEntry(0, 4L, dataIb, dataCb)
+    bbtEntry(24, 6L, xbIb, xbCb)
+    f(1024 + 488) = 2; f(1024 + 489) = (488 / 24).toByte
+    f(1024 + 490) = 24; f(1024 + 491) = 0
+    f(1024 + 496) = 0x80.toByte; f(1024 + 497) = 0x80.toByte
+    // NBT leaf: one folder node with bidData = the XBLOCK
+    put(1536 + 0, le64(0x122L) ++ le64(6L) ++ le64(0L) ++ le32(0x122) ++ le32(0))
+    f(1536 + 488) = 1; f(1536 + 489) = (488 / 32).toByte
+    f(1536 + 490) = 32; f(1536 + 491) = 0
+    f(1536 + 496) = 0x81.toByte; f(1536 + 497) = 0x81.toByte
+    // data block (zeros) + trailer
+    put(dataIb + ((dataCb + 16 + 63) / 64) * 64 - 16,
+      le16(dataCb) ++ le16(0) ++ le32(0) ++ le64(4L))
+    // XBLOCK: btype 1, cLevel 1, cEnt 1020, all bids = 4
+    val xb = new Array[Byte](xbCb)
+    xb(0) = 1; xb(1) = 1
+    System.arraycopy(le16(1020), 0, xb, 2, 2)
+    (0 until 1020).foreach(i => System.arraycopy(le64(4L), 0, xb, 8 + 8 * i, 8))
+    put(xbIb, xb)
+    put(xbIb + ((xbCb + 16 + 63) / 64) * 64 - 16,
+      le16(xbCb) ++ le16(0) ++ le32(0) ++ le64(6L))
+
+    val ndb = new graft.pst.PstExtractor.Ndb(f)
+    val e = intercept[graft.pst.PstExtractor.PstMalformed] {
+      ndb.dataBlocks(6L)
+    }
+    assert(e.getMessage.contains("amplification"))
+    // and through the engine: classified, not crashed
+    val d = Extractor.extract(DocRow("amp.pst",
+      Seq(Span("bytes", Corpus.b64(f), null, 0))))
+    assert(d.status != null)
+  }
+
   test("truncated and ANSI headers are rejected cleanly") {
     val p = docs.resolve("testPST.pst")
     org.scalatest.Assertions.assume(Files.isRegularFile(p))
