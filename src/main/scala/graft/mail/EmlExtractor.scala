@@ -159,7 +159,15 @@ object EmlExtractor {
     msg.headers.get("subject").foreach(s => meta.set("dc:subject", decodeHeader(s)))
     msg.headers.get("from").foreach(s => meta.set("Message:From", decodeHeader(s)))
     msg.headers.get("to").foreach(s => meta.set("Message:To", decodeHeader(s)))
+    msg.headers.get("cc").foreach(s => meta.set("Message:Cc", decodeHeader(s)))
+    msg.headers.get("bcc").foreach(s => meta.set("Message:Bcc", decodeHeader(s)))
     msg.headers.get("date").foreach(s => meta.set("Message:Date", s))
+    // MAPI-originated fields (synthesized by the PST/TNEF walks) keep
+    // their provenance namespace, like the reference's MAPI.* properties
+    msg.headers.foreach { case (k, v) =>
+      if (k.startsWith("x-mapi-"))
+        meta.set("mapi:" + k.stripPrefix("x-mapi-"), decodeHeader(v))
+    }
 
     def walk(part: Part, depth: Int): Unit = {
       if (depth > 8) return

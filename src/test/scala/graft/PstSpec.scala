@@ -51,6 +51,10 @@ class PstSpec extends AnyFunSuite {
     assert(flat.contains("kottmann@gmail.com"))
     assert(flat.contains("couchbase@couchbase.com"))
     assert(flat.contains("Re: Feature Generators"))
+    // MAPI times surface under the mapi: namespace via the synthesized
+    // headers (OutlookPSTParserTest: CREATION_TIME 2014-02-26T07:51:02Z)
+    assert(flat.contains("mapi:creation-time"))
+    assert(flat.contains("2014-02-26T07:51:02Z"))
   }
 
   test("testPST_variousBodyTypes.pst: winmail.dat TNEF recursion") {
