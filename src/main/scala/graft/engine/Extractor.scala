@@ -312,6 +312,8 @@ object Extractor {
                   onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
                   onDrop = () => sawUnsupported = true))
               }
+            else if (es.exists(_.data.isDefined))
+              sawUnsupported = true // depth cap drops children, like zip
           case m if m == graft.mime.MimeDb.Rar =>
             // RAR container walk (RarUtil): entry names/sizes always
             // surface as metadata; STORED entries recurse; compressed
@@ -337,6 +339,8 @@ object Extractor {
                     onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
                     onDrop = () => sawUnsupported = true))
               }
+            else if (ar.entries.exists(_.stored.isDefined))
+              sawUnsupported = true // depth cap drops children, like zip
           case m if m == graft.mime.MimeDb.Pkcs7Mime ||
               m == graft.mime.MimeDb.Pkcs7Sig || m == graft.mime.MimeDb.Tsd =>
             // CMS/PKCS#7: unwrap the signed / timestamped payload and

@@ -45,6 +45,10 @@ object Arj {
         throw new ArjMalformed("header overruns archive")
       val h = p + 4
       val firstHdrSize = b(h) & 0xff
+      // the fixed part we read (through originalSize at +16..+20) and
+      // the name region must both lie inside the declared basic header
+      if (hsize < 20 || firstHdrSize < 20 || firstHdrSize > hsize)
+        throw new ArjMalformed("basic header too small")
       val method = b(h + 5) & 0xff
       val compressedSize = le32(b, h + 12)
       val originalSize = le32(b, h + 16)

@@ -198,7 +198,8 @@ object RarUtil {
         val (htype, l1) = vint(q); q += l1
         val (hflags, l2) = vint(q); q += l2
         var dataSize = 0L
-        if ((hflags & 1) != 0) { val (_, l) = vint(q); q += l } // extraSize
+        var extraSize = 0L
+        if ((hflags & 1) != 0) { val (v, l) = vint(q); extraSize = v; q += l }
         if ((hflags & 2) != 0) { val (v, l) = vint(q); dataSize = v; q += l }
         htype match {
           case 4 => headersEncrypted = true; p = b.length // encryption header
@@ -215,14 +216,32 @@ object RarUtil {
               throw new RarMalformed("rar5 name overrun")
             val name = new String(b, q, nameLen.toInt, StandardCharsets.UTF_8)
             val method = ((compInfo >> 7) & 7).toInt
+            // extra area at the header tail: records {size vint, type
+            // vint, ...}; type 0x01 = file encryption — such entries'
+            // "stored" data is AES ciphertext, never extract it
+            var fileEncrypted = false
+            if (extraSize > 0 && extraSize <= hsize) {
+              var x = (hstart + hsize - extraSize).toInt
+              var guard = 0
+              while (x < hstart + hsize && guard < 32) {
+                guard += 1
+                try {
+                  val (recSize, l1) = vint(x)
+                  val (recType, _) = vint(x + l1)
+                  if (recType == 1) fileEncrypted = true
+                  if (recSize <= 0) x = (hstart + hsize).toInt
+                  else x += l1 + recSize.toInt
+                } catch { case _: RarMalformed => x = (hstart + hsize).toInt }
+              }
+            }
             val dataOff = hstart + hsize
             val stored =
-              if (method == 0 && dataSize == unpSize &&
+              if (method == 0 && !fileEncrypted && dataSize == unpSize &&
                   dataOff + dataSize <= b.length && dataSize <= Int.MaxValue)
                 Some(java.util.Arrays.copyOfRange(b, dataOff.toInt,
                   (dataOff + dataSize).toInt))
               else None
-            out += Entry(name, unpSize, stored, encrypted = false)
+            out += Entry(name, unpSize, stored, fileEncrypted)
           case 5 => p = b.length // end of archive
           case _ => ()
         }

@@ -189,7 +189,9 @@ object PstExtractor {
       var budget = math.min(MaxValueBytes.toLong,
         16L * d.length + (64 << 10))
       def charge(n: Int): Unit = {
-        budget -= n
+        // charge at least the 64-byte on-disk footprint so zero-length
+        // blocks can't bypass the amplification budget
+        budget -= math.max(n, 64)
         if (budget < 0) throw new PstMalformed("data tree amplification")
       }
       def walk(bid: Long, level: Int): Vector[Array[Byte]] = {
@@ -214,27 +216,35 @@ object PstExtractor {
       walk(bid, 0)
     }
 
-    /** Subnode tree: bidSub → nid32 → (bidData, bidSub). */
-    def subnodes(bidSub: Long, level: Int = 0):
-        Map[Long, (Long, Long)] = {
-      if (bidSub == 0) return Map.empty
-      if (level > 8) throw new PstMalformed("subnode depth")
-      val b = block(bidSub)
-      if (b.length < 8 || b(0) != 2)
-        throw new PstMalformed("expected SLBLOCK")
-      val cLevel = b(1) & 0xff
-      val cEnt = le16(b, 2)
-      if (cLevel == 0) {
-        if (8 + 24 * cEnt > b.length) throw new PstMalformed("SLBLOCK overrun")
-        (0 until cEnt).map { i =>
-          val e = 8 + 24 * i
-          (le64(b, e) & 0xffffffffL) -> (le64(b, e + 8), le64(b, e + 16))
-        }.toMap
-      } else {
-        if (8 + 16 * cEnt > b.length) throw new PstMalformed("SIBLOCK overrun")
-        (0 until cEnt).flatMap(i => subnodes(le64(b, 8 + 16 * i + 8),
-          level + 1)).toMap
+    /** Subnode tree: bidSub → nid32 → (bidData, bidSub). A total-entry
+      * budget (not just a depth cap) blocks DAG amplification: SIBLOCK
+      * entries could otherwise all reference the same child block for
+      * exponential traversal within the depth limit. */
+    def subnodes(bidSub: Long): Map[Long, (Long, Long)] = {
+      var budget = 100000
+      def walk(bidSub: Long, level: Int): Map[Long, (Long, Long)] = {
+        if (bidSub == 0) return Map.empty
+        if (level > 8) throw new PstMalformed("subnode depth")
+        val b = block(bidSub)
+        if (b.length < 8 || b(0) != 2)
+          throw new PstMalformed("expected SLBLOCK")
+        val cLevel = b(1) & 0xff
+        val cEnt = le16(b, 2)
+        budget -= cEnt
+        if (budget < 0) throw new PstMalformed("subnode tree amplification")
+        if (cLevel == 0) {
+          if (8 + 24 * cEnt > b.length) throw new PstMalformed("SLBLOCK overrun")
+          (0 until cEnt).map { i =>
+            val e = 8 + 24 * i
+            (le64(b, e) & 0xffffffffL) -> (le64(b, e + 8), le64(b, e + 16))
+          }.toMap
+        } else {
+          if (8 + 16 * cEnt > b.length) throw new PstMalformed("SIBLOCK overrun")
+          (0 until cEnt).flatMap(i => walk(le64(b, 8 + 16 * i + 8),
+            level + 1)).toMap
+        }
       }
+      walk(bidSub, 0)
     }
   }
 
@@ -258,10 +268,15 @@ object PstExtractor {
       if (idx == 0 || blk >= blocks.length)
         throw new PstMalformed("HID out of range")
       val b = blocks(blk)
+      if (b.length < 2) throw new PstMalformed("bad heap block")
       val ibHnpm = le16(b, 0)
-      if (ibHnpm + 4 > b.length) throw new PstMalformed("bad HNPAGEMAP")
+      if (ibHnpm < 0 || ibHnpm + 4 > b.length)
+        throw new PstMalformed("bad HNPAGEMAP")
       val cAlloc = le16(b, ibHnpm)
       if (idx > cAlloc) throw new PstMalformed("HID alloc out of range")
+      // the claimed offset array must actually fit inside the block
+      if (ibHnpm + 4 + 2 * (cAlloc + 1) > b.length)
+        throw new PstMalformed("HNPAGEMAP overruns block")
       val start = le16(b, ibHnpm + 4 + 2 * (idx - 1))
       val end = le16(b, ibHnpm + 4 + 2 * idx)
       if (start > end || end > b.length) throw new PstMalformed("bad alloc")
@@ -270,7 +285,9 @@ object PstExtractor {
   }
 
   /** BTH record iteration (MS-PST §2.3.2): returns raw fixed-size
-    * (key+data) records in key order. */
+    * (key+data) records in key order. A total-record budget blocks DAG
+    * amplification (index records repeatedly referencing one child HID
+    * would otherwise give B^levels traversal work inside the level cap). */
   private def bthRecords(heap: Heap, hidHeader: Long): Vector[Array[Byte]] = {
     val h = heap(hidHeader)
     if (h.length < 8 || (h(0) & 0xff) != 0xb5)
@@ -281,16 +298,24 @@ object PstExtractor {
     val hidRoot = le32(h, 4)
     val rec = cbKey + cbEnt
     if (rec == 0) throw new PstMalformed("zero BTH record")
+    if (levels > 8) throw new PstMalformed("BTH depth")
+    var budget = 200000
     def walk(hid: Long, level: Int): Vector[Array[Byte]] = {
       if (hid == 0) return Vector.empty
       val data = heap(hid)
       if (level > 0) {
         val sz = cbKey + 4
+        budget -= data.length / sz
+        if (budget < 0) throw new PstMalformed("BTH amplification")
         (0 until data.length / sz).toVector.flatMap { i =>
           walk(le32(data, i * sz + cbKey), level - 1)
         }
-      } else (0 until data.length / rec).toVector.map { i =>
-        java.util.Arrays.copyOfRange(data, i * rec, (i + 1) * rec)
+      } else {
+        budget -= data.length / rec
+        if (budget < 0) throw new PstMalformed("BTH amplification")
+        (0 until data.length / rec).toVector.map { i =>
+          java.util.Arrays.copyOfRange(data, i * rec, (i + 1) * rec)
+        }
       }
     }
     walk(hidRoot, levels)
@@ -300,6 +325,32 @@ object PstExtractor {
   final case class PropValue(ptype: Int, raw: Long, bytes: Array[Byte])
 
   /** Property context (MS-PST §2.3.3) over one node. */
+  /** HNID resolution (§2.3.3.2), shared by PC and TC: HID → heap
+    * alloc; NID → concatenated subnode data blocks (budgeted). */
+  private def resolveHnid(ndb: Ndb, heap: Heap,
+      subs: Map[Long, (Long, Long)], v: Long): Array[Byte] =
+    if (v == 0) Array.emptyByteArray
+    else if ((v & 0x1f) == 0) heap(v)
+    else subs.get(v) match {
+      case Some((bidData, _)) =>
+        val bs = ndb.dataBlocks(bidData)
+        val total = bs.map(_.length.toLong).sum
+        if (total > MaxValueBytes) throw new PstMalformed("value too large")
+        val out = new Array[Byte](total.toInt)
+        var o = 0
+        bs.foreach { b => System.arraycopy(b, 0, out, o, b.length); o += b.length }
+        out
+      case None => Array.emptyByteArray
+    }
+
+  /** String decode for PtypString/PtypString8 values (NUL-stripped). */
+  private def decodeStr(pv: PropValue): Option[String] =
+    (pv.ptype match {
+      case 0x1f => Some(new String(pv.bytes, StandardCharsets.UTF_16LE))
+      case 0x1e => Some(new String(pv.bytes, Cp1252))
+      case _ => None
+    }).map(_.takeWhile(_ != '\u0000')).filter(_.nonEmpty)
+
   final class Pc(ndb: Ndb, heap: Heap, subs: Map[Long, (Long, Long)]) {
     if (heap.clientSig != 0xbc) throw new PstMalformed("not a PC heap")
     val props: Map[Int, PropValue] = bthRecords(heap, heap.userRoot).flatMap {
@@ -320,32 +371,10 @@ object PstExtractor {
         b(0) = v.toByte; b(1) = (v >> 8).toByte
         b(2) = (v >> 16).toByte; b(3) = (v >> 24).toByte
         b
-      case _ => hnidBytes(v)
+      case _ => resolveHnid(ndb, heap, subs, v)
     }
 
-    /** HNID (§2.3.3.2): HID → heap alloc; NID → subnode data blocks. */
-    def hnidBytes(v: Long): Array[Byte] =
-      if (v == 0) Array.emptyByteArray
-      else if ((v & 0x1f) == 0) heap(v)
-      else subs.get(v) match {
-        case Some((bidData, _)) =>
-          val bs = ndb.dataBlocks(bidData)
-          val total = bs.map(_.length.toLong).sum
-          if (total > MaxValueBytes) throw new PstMalformed("value too large")
-          val out = new Array[Byte](total.toInt)
-          var o = 0
-          bs.foreach { b => System.arraycopy(b, 0, out, o, b.length); o += b.length }
-          out
-        case None => Array.emptyByteArray
-      }
-
-    def str(pid: Int): Option[String] = props.get(pid).flatMap { pv =>
-      pv.ptype match {
-        case 0x1f => Some(new String(pv.bytes, StandardCharsets.UTF_16LE))
-        case 0x1e => Some(new String(pv.bytes, Cp1252))
-        case _ => None
-      }
-    }.map(_.takeWhile(_ != '\u0000')).filter(_.nonEmpty)
+    def str(pid: Int): Option[String] = props.get(pid).flatMap(decodeStr)
 
     def bin(pid: Int): Option[Array[Byte]] =
       props.get(pid).filter(p => p.ptype == 0x102 || p.ptype == 0x0d)
@@ -421,7 +450,7 @@ object PstExtractor {
                       java.util.Arrays.copyOfRange(b, base + ib, base + ib + 8))
                   case _ =>
                     val hnid = le32(b, base + ib)
-                    PropValue(ptype, hnid, hnidBytes(hnid))
+                    PropValue(ptype, hnid, resolveHnid(ndb, heap, subs, hnid))
                 }
                 m += pid -> pv
               } catch { case _: PstMalformed => }
@@ -435,18 +464,6 @@ object PstExtractor {
       out.result()
     }
 
-    private def hnidBytes(v: Long): Array[Byte] =
-      if (v == 0) Array.emptyByteArray
-      else if ((v & 0x1f) == 0) heap(v)
-      else subs.get(v).map(s => ndb.dataBlocks(s._1))
-        .map { bs =>
-          val total = bs.map(_.length.toLong).sum
-          if (total > MaxValueBytes) throw new PstMalformed("value too large")
-          val out = new Array[Byte](total.toInt)
-          var o = 0
-          bs.foreach { x => System.arraycopy(x, 0, out, o, x.length); o += x.length }
-          out
-        }.getOrElse(Array.emptyByteArray)
   }
 
   private val NidRecipientTable = 0x0692L
@@ -460,13 +477,7 @@ object PstExtractor {
         val heap = new Heap(ndb.dataBlocks(bidData))
         val tc = new Tc(ndb, heap, ndb.subnodes(bidSub))
         tc.rows.map { row =>
-          def str(pid: Int): Option[String] = row.get(pid).flatMap { pv =>
-            pv.ptype match {
-              case 0x1f => Some(new String(pv.bytes, StandardCharsets.UTF_16LE))
-              case 0x1e => Some(new String(pv.bytes, Cp1252))
-              case _ => None
-            }
-          }.map(_.takeWhile(_ != '\u0000')).filter(_.nonEmpty)
+          def str(pid: Int): Option[String] = row.get(pid).flatMap(decodeStr)
           val rt = row.get(0x0c15).map(_.raw.toInt).getOrElse(1)
           // PidTagSmtpAddress preferred, PidTagEmailAddress (EX) fallback
           (rt, str(0x3001), str(0x39fe).orElse(str(0x3003)))
@@ -502,7 +513,7 @@ object PstExtractor {
       clean.getBytes(StandardCharsets.UTF_8)) + "?="
   }
 
-  final case class PstMessage(nid: Long, folder: String, pc: Pc,
+  final case class PstMessage(nid: Long, pc: Pc,
       subs: Map[Long, (Long, Long)])
 
   /** Synthesize one RFC 822 document for a message PC: standard headers
@@ -557,21 +568,24 @@ object PstExtractor {
             // embedded-message attachment (MS-PST §2.3.3.5): the
             // PtypObject value is an 8-byte {nid, ulSize} record; the
             // nid indexes the attachment's own subnode tree, whose node
-            // is the nested message's PC
-            val data = apc.props.get(PidAttachData)
-              .filter(p => p.ptype == 0x0d && p.bytes.length >= 4)
-              .flatMap { p =>
-                val nid = le32(p.bytes, 0)
-                ndb.subnodes(bidSub).get(nid).map { case (bd, bs) =>
-                  buildEml(ndb, loadPc(ndb, bd, bs), ndb.subnodes(bs),
-                    depth + 1)
-                }
-              }.getOrElse(Array.emptyByteArray)
-            if (data.nonEmpty && depth < 4)
+            // is the nested message's PC. Depth is checked BEFORE the
+            // recursive build — attacker-chosen bids can form cycles.
+            val data =
+              if (depth >= 4) Array.emptyByteArray
+              else apc.props.get(PidAttachData)
+                .filter(p => p.ptype == 0x0d && p.bytes.length >= 4)
+                .flatMap { p =>
+                  val nid = le32(p.bytes, 0)
+                  ndb.subnodes(bidSub).get(nid).map { case (bd, bs) =>
+                    buildEml(ndb, loadPc(ndb, bd, bs), ndb.subnodes(bs),
+                      depth + 1)
+                  }
+                }.getOrElse(Array.emptyByteArray)
+            if (data.nonEmpty)
               Some((s"$name.eml", "message/rfc822", data)) else None
           } else apc.bin(PidAttachData).map(d => (name,
             "application/octet-stream", d))
-        } catch { case _: PstMalformed => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
 
     val plain = pc.str(PidBody)
@@ -636,21 +650,9 @@ object PstExtractor {
       if ((n.nid & 0x1f) == 0x02) {
         try folderName(n.nid) =
           loadPc(ndb, n.bidData, n.bidSub).str(PidDisplayName).getOrElse("")
-        catch { case _: PstMalformed => }
+        catch { case scala.util.control.NonFatal(_) => }
       }
     }
-    def folderPath(nid: Long): String = {
-      val parts = scala.collection.mutable.ListBuffer.empty[String]
-      var cur = nid
-      var hops = 0
-      while (hops < 64 && ndb.nodes.contains(cur)) {
-        folderName.get(cur).filter(_.nonEmpty).foreach(parts.prepend(_))
-        val p = ndb.nodes(cur).nidParent
-        if (p == cur) hops = 64 else { cur = p; hops += 1 }
-      }
-      "/" + parts.mkString("/")
-    }
-
     // messages (NID_TYPE_NORMAL_MESSAGE = 0x04), keyed by parent folder
     val messages = ndb.nodes.values.toVector
       .filter(n => (n.nid & 0x1f) == 0x04)
@@ -658,9 +660,8 @@ object PstExtractor {
       .flatMap { n =>
         try {
           val pc = loadPc(ndb, n.bidData, n.bidSub)
-          Some(PstMessage(n.nid, folderPath(n.nidParent), pc,
-            ndb.subnodes(n.bidSub)))
-        } catch { case _: PstMalformed => None }
+          Some(PstMessage(n.nid, pc, ndb.subnodes(n.bidSub)))
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
     val byParent = messages.groupBy(m =>
       ndb.nodes.get(m.nid).map(_.nidParent).getOrElse(0L))
@@ -683,7 +684,7 @@ object PstExtractor {
         child(Some(s"$safe.msg.eml"), eml)
         emitted += 1
       } catch {
-        case e: PstMalformed =>
+        case scala.util.control.NonFatal(e) =>
           meta.add("parse:embedded-exception",
             s"pst message ${m.nid}: ${e.getMessage}")
       }
