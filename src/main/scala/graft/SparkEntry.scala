@@ -30,9 +30,17 @@ object SparkEntry {
     */
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.SimSearch.IvfModel]
-  private def ivfModel(s: SparkSession, dir: String): graft.ops.SimSearch.IvfModel =
+  private def ivfModel(s: SparkSession, dir: String): graft.ops.SimSearch.IvfModel = {
+    // evict models whose session is stopped (or superseded for the same
+    // dir) so their persisted posting tables don't outlive the session
+    ivfCache.filterInPlace { case ((sess, _), m) =>
+      val live = (sess eq s) || !sess.sparkContext.isStopped
+      if (!live) m.release()
+      live
+    }
     ivfCache.getOrElseUpdate((s, dir),
       SimSearch.buildIvf(tbl(s, dir, "embeddings"), dim = 64, nClusters = 16))
+  }
 
   /** Extraction-corpus size scaled to the sf directory. */
   def corpusSize(dir: String): Long =

@@ -46,7 +46,8 @@ object ChmExtractor {
     v
   }
   private def magic4(b: Array[Byte], o: Int, m: String): Boolean =
-    o + 4 <= b.length && b(o) == m(0).toByte && b(o + 1) == m(1).toByte &&
+    o >= 0 && o + 4 <= b.length &&
+      b(o) == m(0).toByte && b(o + 1) == m(1).toByte &&
       b(o + 2) == m(2).toByte && b(o + 3) == m(3).toByte
 
   /** Parsed container: directory entries in listing order + resolvers. */
@@ -58,6 +59,13 @@ object ChmExtractor {
     private val contentOffset =
       if (version >= 3 && le32(bytes, 8) >= 0x60) le64(bytes, 0x58)
       else dirOffset + dirLen
+    // 64-bit header offsets are range-validated BEFORE any .toInt
+    // truncation — a crafted u64 must become ChmMalformed, not a
+    // negative-index AIOOBE or a wrapped in-range read
+    if (dirOffset < 0 || dirLen < 0 || dirOffset + 0x54 > bytes.length)
+      throw new ChmMalformed("directory offset out of range")
+    if (contentOffset < 0 || contentOffset > bytes.length)
+      throw new ChmMalformed("content offset out of range")
 
     val entries: Vector[DirEntry] = {
       if (!magic4(bytes, dirOffset.toInt, "ITSP"))
@@ -142,7 +150,10 @@ object ChmExtractor {
       val blockCount = le32(reset, 4)
       val tableOffset = le32(reset, 0x0c)
       val uncompLen = le64(reset, 0x10)
-      if (blockCount < 0 || blockCount > 0x400000)
+      // bound blockCount by the reset table's REAL size before the
+      // array allocation — a 100-byte table can't claim 4M blocks
+      if (blockCount < 0 || blockCount > 0x400000 || tableOffset < 0 ||
+          tableOffset + 8L * blockCount > reset.length)
         throw new ChmMalformed("bad reset-table block count")
       val offsets = new Array[Long](blockCount.toInt)
       var i = 0

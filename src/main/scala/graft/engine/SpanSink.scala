@@ -151,8 +151,8 @@ final class MetaSink private (
       val b = m.getOrElseUpdate(k(key), new ArrayBuffer); b.clear(); b += value
     }
   }
-  def get(key: String): Option[String] = m.get(key).flatMap(_.headOption)
-  def contains(key: String): Boolean = m.contains(key)
-  def remove(key: String): Option[String] = m.remove(key).flatMap(_.headOption)
+  def get(key: String): Option[String] = m.get(k(key)).flatMap(_.headOption)
+  def contains(key: String): Boolean = m.contains(k(key))
+  def remove(key: String): Option[String] = m.remove(k(key)).flatMap(_.headOption)
   def result(): Map[String, Seq[String]] = m.map { case (k, v) => k -> v.toSeq }.toMap
 }

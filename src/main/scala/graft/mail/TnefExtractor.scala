@@ -135,7 +135,16 @@ object TnefExtractor {
         }
         val variable = baseType == 0x001e || baseType == 0x001f ||
           baseType == 0x0102 || baseType == 0x000d
-        if (variable || multi) {
+        def fixedWidth = baseType match {
+          case 0x0002 | 0x000b => 4 // i2/bool stored padded
+          case 0x0003 | 0x0004 | 0x000a => 4
+          case 0x0005 | 0x0007 | 0x0014 | 0x0040 => 8
+          case 0x0048 => 16 // CLSID
+          case _ => 4
+        }
+        if (variable) {
+          // u32 value count, then per value u32 length + 4-padded data
+          // (MS-OXTNEF 2.1.3.4 — the count is present even single-valued)
           val nVals = le32(p).toInt
           p += 4
           var k = 0
@@ -148,17 +157,20 @@ object TnefExtractor {
             p += len + ((4 - (len & 3)) & 3)
             k += 1
           }
+        } else if (multi) {
+          // multi-valued fixed-width: u32 count, then count inline values
+          // with NO per-value length prefix (widths are 4-multiples)
+          val nVals = le32(p).toInt
+          p += 4
+          if (nVals < 0 || nVals.toLong * fixedWidth > b.length - p)
+            throw new TnefMalformed("mapi mv overrun")
+          if (nVals > 0)
+            out += id -> java.util.Arrays.copyOfRange(b, p, p + fixedWidth)
+          p += nVals * fixedWidth
         } else {
-          val width = baseType match {
-            case 0x0002 | 0x000b => 4 // i2/bool stored padded
-            case 0x0003 | 0x0004 | 0x000a => 4
-            case 0x0005 | 0x0007 | 0x0014 | 0x0040 => 8
-            case 0x0048 => 16 // CLSID
-            case _ => 4
-          }
           out += id -> java.util.Arrays.copyOfRange(b, p,
-            math.min(b.length, p + width))
-          p += width
+            math.min(b.length, p + fixedWidth))
+          p += fixedWidth
         }
         i += 1
       }

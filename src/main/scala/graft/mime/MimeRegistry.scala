@@ -229,7 +229,10 @@ object MimeRegistry {
     "json" -> MimeDb.Json, "parquet" -> MimeDb.Parquet,
     "zst" -> MimeDb.Zstd, "lz4" -> MimeDb.Lz4, "warc" -> MimeDb.Warc,
     "heic" -> MimeDb.Heic, "avif" -> MimeDb.Avif, "webp" -> Webp,
-    "webm" -> MimeDb.WebmVideo, "msg" -> MsOutlook
+    "webm" -> MimeDb.WebmVideo, "msg" -> MsOutlook,
+    // XLZ has no content marker distinct from plain zip — the reference
+    // detects it by glob only (tika-mimetypes.xml x-xliff+zip)
+    "xlz" -> MimeDb.Xlz
   )
 
   /** XML root-element → refined type (root-XML entries; e.g. text/html

@@ -26,26 +26,47 @@ object Ole2Detector {
     * zip (POIFSContainerDetector.OOXML_PROTECTED). */
   val OoxmlProtected = "application/x-tika-ooxml-protected"
 
-  private val Markers: Seq[(Array[Byte], String)] = Seq(
-    utf16le(0x05.toChar + "HwpSummaryInformation") -> graft.mime.MimeDb.HwpV5,
-    utf16le("NativeContent_MAIN") -> graft.mime.MimeDb.Qpw,
-    utf16le("Dgn~H") -> "image/vnd.dgn;version=8",
-    utf16le("EncryptedPackage") -> OoxmlProtected,
-    utf16le("__properties_version1.0") -> MediaTypes.MsOutlook,
-    utf16le("PowerPoint Document") -> MediaTypes.MsPowerPoint,
-    utf16le("WordDocument") -> MediaTypes.MsWord,
-    utf16le("Workbook") -> MediaTypes.MsExcel,
-    utf16le("WORKBOOK") -> MediaTypes.MsExcel, // names compare case-blind
-    utf16le("Book") -> MediaTypes.MsExcel
+  private val NameMarkers: Seq[(String, String)] = Seq(
+    (0x05.toChar + "HwpSummaryInformation") -> graft.mime.MimeDb.HwpV5,
+    "NativeContent_MAIN" -> graft.mime.MimeDb.Qpw,
+    "Dgn~H" -> "image/vnd.dgn;version=8",
+    "EncryptedPackage" -> OoxmlProtected,
+    "__properties_version1.0" -> MediaTypes.MsOutlook,
+    "PowerPoint Document" -> MediaTypes.MsPowerPoint,
+    "WordDocument" -> MediaTypes.MsWord,
+    "Workbook" -> MediaTypes.MsExcel,
+    "Book" -> MediaTypes.MsExcel
   )
+
+  private val Markers: Seq[(Array[Byte], String)] =
+    NameMarkers.map { case (n, t) => utf16le(n) -> t }
 
   val ScanWindow: Int = 1 << 20 // directory sectors sit early in practice
 
   def specialize(bytes: Array[Byte]): String = {
-    val n = math.min(bytes.length, ScanWindow)
-    Markers.collectFirst {
-      case (marker, mime) if matchesAligned(bytes, n, marker) => mime
-    }.getOrElse(MediaTypes.TikaMsOffice)
+    // Primary path matches the reference's POIFSContainerDetector: only
+    // ROOT-level directory entry names identify the container type, so a
+    // Word .doc carrying an embedded HWP/QuattroPro OLE object in a
+    // sub-storage still detects as Word, not as the embedded type.
+    // Entry names compare case-blind (MS-CFB §2.6.4).
+    val byRoot: Option[String] =
+      try {
+        val rootNames = Cfb.parse(bytes).entries.iterator
+          .filter(e => e.path.isEmpty && e.objType != 5)
+          .map(_.name.toUpperCase(java.util.Locale.ROOT)).toSet
+        NameMarkers.collectFirst {
+          case (name, mime) if rootNames(name.toUpperCase(java.util.Locale.ROOT)) => mime
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    byRoot.getOrElse {
+      // Malformed/truncated CFB, or a parse that surfaced no known root
+      // name: fall back to the aligned byte scan so damaged-but-
+      // recognizable files still get a best-effort subtype.
+      val n = math.min(bytes.length, ScanWindow)
+      Markers.collectFirst {
+        case (marker, mime) if matchesAligned(bytes, n, marker) => mime
+      }.getOrElse(MediaTypes.TikaMsOffice)
+    }
   }
 
   /** Directory-entry name fields sit at 128-byte-aligned offsets (MS-CFB

@@ -220,9 +220,19 @@ object Dedup {
           .withColumnRenamed("cluster_id", "nbr_label"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val prop = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer jumping: follow each label to ITS label (labels are doc
+      // ids, so they key back into the table). Halves the remaining
+      // chain distance every round → O(log diameter) total iterations,
+      // so a 15-round cap covers diameter 2^15 — plain propagation
+      // alone needs diameter rounds and silently mislabels long chains.
+      val jump = prop.select(col("doc_id").as("j_id"), col("cluster_id").as("j_lbl"))
+      val next = prop.join(jump, col("cluster_id") === col("j_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("j_lbl"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
       val changed = next.as("n")

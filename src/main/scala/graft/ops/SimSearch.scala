@@ -180,7 +180,11 @@ object SimSearch {
     * 3 full corpus passes per query); posting lists are the unit of
     * storage partitioning and search fan-out.
     */
-  final case class IvfModel(centroids: Array[Array[Double]], posting: DataFrame)
+  final case class IvfModel(centroids: Array[Array[Double]], posting: DataFrame) {
+    /** Drop the persisted posting table (no-op if never persisted). */
+    def release(): Unit =
+      scala.util.Try(posting.unpersist(blocking = false))
+  }
 
   private def l2normalize(v: Array[Float]): Array[Double] = {
     var ss = 0.0
@@ -219,7 +223,8 @@ object SimSearch {
     * Two corpus passes total, once per corpus — searches then touch only
     * the posting lists they probe.
     */
-  def buildIvf(corpus: DataFrame, dim: Int, nClusters: Int = 16): IvfModel = {
+  def buildIvf(corpus: DataFrame, dim: Int, nClusters: Int = 16,
+      persist: Boolean = true): IvfModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
@@ -272,11 +277,17 @@ object SimSearch {
       }
     }
 
-    val posting = corpus.select("vec_id", "embedding")
+    val posting0 = corpus.select("vec_id", "embedding")
       .as[(Long, Array[Float])]
       .map { case (id, emb) => (id, emb, assignTo(refined)(emb)) }
       .toDF("neighbor_id", "n_emb", "cluster")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist only when the model is shared across searches — a one-shot
+    // probe never re-reads the posting table, and an un-released persist
+    // would pin a corpus copy in the block manager for the session's life
+    val posting =
+      if (persist)
+        posting0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else posting0
     IvfModel(refined, posting)
   }
 
@@ -317,7 +328,8 @@ object SimSearch {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 5,
       nClusters: Int = 16, nprobe: Int = 4): DataFrame =
-    ivfSearch(buildIvf(corpus, dim, nClusters), queries, k, nprobe)
+    ivfSearch(buildIvf(corpus, dim, nClusters, persist = false),
+      queries, k, nprobe)
 
   /** Measured recall of an approximate top-k result against the exact
     * brute-force top-k, per query: |approx ∩ exact| / |exact|. This is

@@ -106,6 +106,7 @@ object PlistExtractor {
     val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     factory.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
     factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
     val doc = factory.newDocumentBuilder()
       .parse(new java.io.ByteArrayInputStream(bytes))
     val rootEl = doc.getDocumentElement
@@ -163,6 +164,10 @@ object PlistExtractor {
   def parseBinary(b: Array[Byte]): PObj = {
     if (b.length < 40) throw new PlistMalformed("too short")
     def beInt(off: Int, n: Int): Long = {
+      // every multi-byte read is range-checked so crafted counts/offsets
+      // surface as the typed PlistMalformed, not a raw AIOOBE
+      if (off < 0 || n < 0 || n > 16 || off.toLong + n > b.length)
+        throw new PlistMalformed("read out of range")
       var v = 0L; var i = 0
       while (i < n) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
       v
@@ -192,7 +197,9 @@ object PlistExtractor {
       def readCount(): Unit = {
         if (count == 0xf) {
           // next object is an int: marker 0x1n, 2^n bytes
+          if (p >= b.length) throw new PlistMalformed("count out of range")
           val m2 = b(p) & 0xff
+          if ((m2 & 0xf) > 4) throw new PlistMalformed("count too wide")
           val n = 1 << (m2 & 0xf)
           count = beInt(p + 1, n)
           p += 1 + n
@@ -204,10 +211,12 @@ object PlistExtractor {
           case 0x09 => PBool(true)
           case _ => PNull
         }
-        case 0x1 => // int
+        case 0x1 => // int: 2^exp bytes, exp ≤ 4 (128-bit max per CF)
+          if ((marker & 0xf) > 4) throw new PlistMalformed("int too wide")
           val n = 1 << (marker & 0xf)
           PNum(beInt(p, n).toString)
         case 0x2 => // real
+          if ((marker & 0xf) > 4) throw new PlistMalformed("real too wide")
           val n = 1 << (marker & 0xf)
           val v =
             if (n == 4) java.lang.Float.intBitsToFloat(beInt(p, 4).toInt).toDouble
@@ -223,9 +232,13 @@ object PlistExtractor {
           PData(java.util.Arrays.copyOfRange(b, p, math.min(b.length, p + n)))
         case 0x5 => // ASCII
           readCount()
+          if (count < 0 || p.toLong + count > b.length)
+            throw new PlistMalformed("string out of range")
           PStr(new String(b, p, count.toInt, StandardCharsets.US_ASCII))
         case 0x6 => // UTF-16BE
           readCount()
+          if (count < 0 || p.toLong + count * 2 > b.length)
+            throw new PlistMalformed("string out of range")
           PStr(new String(b, p, count.toInt * 2, StandardCharsets.UTF_16BE))
         case 0x8 => PUid(beInt(p, (marker & 0xf) + 1))
         case 0xa | 0xc => // array / set

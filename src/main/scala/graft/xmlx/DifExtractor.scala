@@ -13,15 +13,6 @@ import graft.engine.{MetaSink, SpanSink}
 object DifExtractor {
 
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    val factory = javax.xml.parsers.SAXParserFactory.newInstance()
-    factory.setNamespaceAware(true)
-    // XXE-safe: no external entities/DTD fetches (same hardening as the
-    // engine's XML path)
-    factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", false)
-    factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
-    factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-    val parser = factory.newSAXParser()
-
     val GeoLeaves = Set("Southernmost_Latitude", "Northernmost_Latitude",
       "Westernmost_Longitude", "Easternmost_Longitude")
 
@@ -63,6 +54,6 @@ object DifExtractor {
         isLeaf = false
       }
     }
-    parser.parse(new java.io.ByteArrayInputStream(bytes), handler)
+    SecureSax.parseNs(bytes, handler)
   }
 }

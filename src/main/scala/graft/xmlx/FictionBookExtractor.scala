@@ -15,10 +15,6 @@ object FictionBookExtractor {
 
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
       child: (Option[String], Array[Byte]) => Unit): Unit = {
-    val factory = javax.xml.parsers.SAXParserFactory.newInstance()
-    factory.setNamespaceAware(true)
-    factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
-    factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
     val handler = new org.xml.sax.helpers.DefaultHandler {
       private var binaryMode = false
       private var binaryName: Option[String] = None
@@ -60,7 +56,6 @@ object FictionBookExtractor {
       }
       override def endDocument(): Unit = flush()
     }
-    factory.newSAXParser()
-      .parse(new java.io.ByteArrayInputStream(bytes), handler)
+    SecureSax.parseNs(bytes, handler)
   }
 }

@@ -15,14 +15,6 @@ import org.xml.sax.Attributes
   */
 object TranslationExtractor {
 
-  private def saxFactory() = {
-    val f = javax.xml.parsers.SAXParserFactory.newInstance()
-    f.setNamespaceAware(true)
-    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
-    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-    f
-  }
-
   def extractTmx(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
     var tus = 0
     var tuvs = 0
@@ -60,8 +52,7 @@ object TranslationExtractor {
           if (text.nonEmpty) { sink.chars(text.toString); sink.newline() }
         }
     }
-    saxFactory().newSAXParser()
-      .parse(new java.io.ByteArrayInputStream(bytes), handler)
+    SecureSax.parseNs(bytes, handler)
     meta.set("tu-count", tus.toString)
     meta.set("tuv-count", tuvs.toString)
     targetLangs.foreach(meta.add("target-language", _))
@@ -100,16 +91,16 @@ object TranslationExtractor {
           case _ => ()
         }
     }
-    saxFactory().newSAXParser()
-      .parse(new java.io.ByteArrayInputStream(bytes), handler)
+    SecureSax.parseNs(bytes, handler)
     meta.set("file-count", files.toString)
     meta.set("tu-count", tus.toString)
   }
 
   /** XLZ: a zip of .xlf documents (XLZParser). */
   def extractXlz(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit =
-    graft.zipx.ZipUtil.entries(bytes).foreach { e =>
-      if (e.name.endsWith(".xlf") || e.name.endsWith(".xliff"))
-        extractXliff(e.data, sink, meta)
+    // inflate only the .xlf members — skeleton/media siblings are skipped
+    graft.zipx.ZipUtil.entriesMap(bytes,
+      n => n.endsWith(".xlf") || n.endsWith(".xliff")).foreach {
+      case (_, data) => extractXliff(data, sink, meta)
     }
 }

@@ -14,16 +14,19 @@ object IdmlExtractor {
 
   final class IdmlMalformed(msg: String) extends Exception(msg)
 
+  /** Only the members text extraction reads — packaged media (links,
+    * fonts, previews) must never be inflated or buffered. */
+  private val TextParts: String => Boolean = n =>
+    n == "META-INF/metadata.xml" || n.contains("MasterSpreads") ||
+      n.contains("Spreads/Spread") || n.contains("Stories")
+
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    val entries = ZipUtil.entries(bytes)
-    if (entries.isEmpty) throw new IdmlMalformed("empty package")
+    if (ZipUtil.entryNames(bytes).isEmpty)
+      throw new IdmlMalformed("empty package")
+    val entries = ZipUtil.entriesMap(bytes, TextParts)
+      .map { case (n, d) => ZipUtil.Entry(n, d, d.length.toLong) }
     var spreadPages = 0
     var masterPages = 0
-
-    val factory = javax.xml.parsers.SAXParserFactory.newInstance()
-    factory.setNamespaceAware(true)
-    factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
-    factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
 
     def contentText(xml: Array[Byte]): Int = {
       var pageCount = 0
@@ -50,8 +53,7 @@ object IdmlExtractor {
           }
         }
       }
-      try factory.newSAXParser()
-        .parse(new java.io.ByteArrayInputStream(xml), handler)
+      try graft.xmlx.SecureSax.parseNs(xml, handler)
       catch { case _: org.xml.sax.SAXException => () } // bad member XML: skip
       pageCount
     }

@@ -19,24 +19,25 @@ object IworkExtractor {
 
   def extract(bytes: Array[Byte], mime: String, sink: SpanSink,
       meta: MetaSink): Unit = {
-    val entry = ZipUtil.entries(bytes).find(e =>
-      e.name == "index.apxl" || e.name == "index.xml" ||
-        e.name == "presentation.apxl" || e.name == "index.apxl.gz")
-      .getOrElse(throw new IworkMalformed("no iWork content entry"))
+    // inflate ONLY the document part — .key/.pages packages are
+    // dominated by preview JPEGs/media that text extraction never reads
+    val contentNames =
+      Seq("index.apxl", "index.xml", "presentation.apxl", "index.apxl.gz")
+    val parts = ZipUtil.entriesMap(bytes, contentNames.contains)
+    val (entryName, entryData) = contentNames.collectFirst {
+      case n if parts.contains(n) => (n, parts(n))
+    }.getOrElse(throw new IworkMalformed("no iWork content entry"))
     val xml =
-      if (entry.name.endsWith(".gz")) ZipUtil.gunzip(entry.data)
-      else entry.data
+      if (entryName.endsWith(".gz")) ZipUtil.gunzip(entryData)
+      else entryData
 
-    val factory = javax.xml.parsers.SAXParserFactory.newInstance()
-    factory.setNamespaceAware(false) // qName-driven, like the reference
-    factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
-    factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
     val handler = mime match {
       case "application/vnd.apple.keynote" => new KeynoteHandler(sink, meta)
       case "application/vnd.apple.numbers" => new NumbersHandler(sink, meta)
       case _ => new PagesHandler(sink, meta)
     }
-    factory.newSAXParser().parse(new java.io.ByteArrayInputStream(xml), handler)
+    // qName-driven (non-NS parse), like the reference's handlers
+    graft.xmlx.SecureSax.parse(xml, handler)
   }
 
   private def mapKey(parentQName: String, localFallback: String): String =

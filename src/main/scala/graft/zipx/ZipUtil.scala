@@ -331,10 +331,9 @@ object OpcDetector {
         case _ => ()
       }
     }
-    // XLZ translation packages: a zip of .xlf documents
-    if (names.exists(n => n.endsWith(".xlf")) &&
-        !names.exists(n => n == "[Content_Types].xml" || n == "_rels/.rels"))
-      return graft.mime.MimeDb.Xlz
+    // XLZ is detected by glob only (reference: XLZParser has no magic;
+    // a zip merely containing .xlf members must stay a plain zip so its
+    // non-xlf siblings go through normal recursion)
     // iWork '09 packages: index.apxl = Keynote; index.xml's root element
     // distinguishes Pages from Numbers (iWorkPackageParser semantics)
     if (names.exists(n => n == "index.apxl" || n == "index.apxl.gz"))
