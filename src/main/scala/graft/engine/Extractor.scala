@@ -508,6 +508,10 @@ object Extractor {
               mm.tags.foreach { case (k, v) => meta.add(s"media:$ref:$k", v) }
             }
             sink.media(ref)
+          case m if m == graft.mime.MimeDb.Netcdf =>
+            graft.sci.NetcdfExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Matlab =>
+            graft.sci.MatExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Sqlite =>
             graft.db.SqliteExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(name, data))
