@@ -510,6 +510,8 @@ object Extractor {
             sink.media(ref)
           case m if m == graft.mime.MimeDb.Netcdf =>
             graft.sci.NetcdfExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Grib =>
+            graft.sci.GribExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Matlab =>
             graft.sci.MatExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Sqlite =>
