@@ -790,7 +790,7 @@ object SparkEntry {
            CAST(sum(len(regexp_extract_all(text, '(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)', 1))) AS BIGINT) AS n_urls
          FROM documents GROUP BY source""",
     // x03's oracle is the FROZEN expected detection distribution for the
-    // sf0.01 gate (4000 corpus-v13 docs) — pinned independently by
+    // sf0.01 gate (4000 corpus-v17 docs) — pinned independently by
     // X03FrozenSpec so a corpus or detector change fails loudly here
     // before the driver sees it
     "x03_detect_mime_stats" ->
@@ -798,7 +798,7 @@ object SparkEntry {
            ('application/dif+xml', 'parse_success', 8),
            ('application/gzip', 'parse_success', 34),
            ('application/msword', 'parse_success', 100),
-           ('application/octet-stream', 'parse_success', 16),
+           ('application/octet-stream', 'parse_success', 12),
            ('application/octet-stream', 'unsupported_type', 60),
            ('application/onenote', 'parse_success', 28),
            ('application/pdf', 'parse_success', 340),
@@ -820,6 +820,9 @@ object SparkEntry {
            ('application/x-cpio', 'parse_success', 17),
            ('application/x-dbf', 'parse_success', 12),
            ('application/x-fictionbook+xml', 'parse_success', 12),
+           ('application/x-grib', 'parse_success', 6),
+           ('application/x-matlab-data', 'parse_success', 9),
+           ('application/x-netcdf', 'parse_success', 5),
            ('application/x-plist', 'parse_success', 8),
            ('application/x-quattro-pro', 'parse_success', 8),
            ('application/x-tar', 'parse_success', 11),
@@ -827,12 +830,12 @@ object SparkEntry {
            ('application/xml', 'parse_success', 160),
            ('application/zip', 'parse_success', 231),
            ('application/zip', 'write_limit_reached', 9),
-           ('audio/mpeg', 'parse_success', 20),
+           ('audio/mpeg', 'parse_success', 16),
            ('audio/vnd.wave', 'parse_success', 16),
-           ('image/bmp', 'parse_success', 20),
-           ('image/gif', 'parse_success', 16),
+           ('image/bmp', 'parse_success', 16),
+           ('image/gif', 'parse_success', 12),
            ('image/jpeg', 'parse_success', 16),
-           ('image/png', 'parse_success', 20),
+           ('image/png', 'parse_success', 16),
            ('message/rfc822', 'parse_success', 80),
            ('text/csv', 'parse_success', 120),
            ('text/html', 'parse_success', 1437),

@@ -79,7 +79,8 @@ object Corpus {
     else if (m < 920) "ppt"
     else if (m < 926) "msg"
     else if (m < 930) "pst" // r4c: synthetic Unicode PST mailboxes
-    else if (m < 965) "media"
+    else if (m < 960) "media"
+    else if (m < 965) "sci" // mat/nc/grib rotation (r4d)
     else if (m < 985) "legacy" // wpd/qpw/dbf/dif/tmx/fb2/plist/tnef rotation (r4)
     else "junk"
   }
@@ -87,7 +88,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 16
+  val Version = 17
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -153,6 +154,13 @@ object Corpus {
         val warcBytes = graft.warc.WarcExtractor.write(responses)
         val payload = if (index % 2 == 0) warcBytes else gzipBytes(warcBytes)
         Seq(Span("bytes", b64(payload), null, 0))
+      case "sci" =>
+        val bytes = (index % 3) match {
+          case 0 => SciCorpus.mat(r)
+          case 1 => SciCorpus.nc(r)
+          case _ => SciCorpus.grib(r)
+        }
+        Seq(Span("bytes", b64(bytes), null, 0))
       case "legacy" =>
         val bytes = (index % 8) match {
           case 0 => LegacyCorpus.wpd(r)
