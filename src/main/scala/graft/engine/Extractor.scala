@@ -211,6 +211,9 @@ object Extractor {
             graft.ooxml.XlsxExtractor.extract(bytes, sink, meta)
           case MediaTypes.Pptx =>
             graft.ooxml.PptxExtractor.extract(bytes, sink, meta)
+          case MediaTypes.Xps =>
+            graft.ooxml.XpsExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(Some(name), data))
           case MediaTypes.TikaOoxml =>
             // recognized OPC container without a known core document
             sawUnsupported = true
@@ -565,6 +568,11 @@ object Extractor {
           case m if m == graft.mime.MimeDb.Pst =>
             graft.pst.PstExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(name, data))
+          case m if m == graft.mime.MimeDb.Emf =>
+            graft.media.MetafileExtractor.emf(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(Some(name), data))
+          case m if m == graft.mime.MimeDb.Wmf =>
+            graft.media.MetafileExtractor.wmf(bytes, sink, meta)
           case "image/vnd.dgn;version=8" =>
             // DGN v8: CFB container, summary metadata only (DGN8Parser)
             graft.ole2.OleProps.fromCfb(graft.ole2.Cfb.parse(bytes), meta)

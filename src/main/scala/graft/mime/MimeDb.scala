@@ -107,7 +107,7 @@ object MimeDb {
   val Grib = "application/x-grib"
   val Fits = "application/fits"
   val Dicom = "application/dicom"
-  val Wmf = "application/x-msmetafile"
+  val Wmf = "image/wmf" // alias application/x-msmetafile (tika-mimetypes.xml:6969)
   val Emf = "image/emf"
   val Anpa = "text/vnd.iptc.anpa"
 

@@ -15,6 +15,7 @@ object MediaTypes {
   val Docx = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
   val Xlsx = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
   val Pptx = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+  val Xps = "application/vnd.ms-xpsdocument"
   val Gzip = "application/gzip"
   val Png = "image/png"
   val Jpeg = "image/jpeg"

@@ -238,16 +238,26 @@ object ZipUtil {
   def entriesMap(zipBytes: Array[Byte],
       keep: String => Boolean = _ => true): Map[String, Array[Byte]] = {
     val out = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
-    val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
     try {
-      var e: ZipEntry = zin.getNextEntry
-      while (e != null) {
-        if (!e.isDirectory && keep(e.getName) && !out.contains(e.getName))
-          out(e.getName) = readBounded(zin, MaxEntryBytes)
-        zin.closeEntry()
-        e = zin.getNextEntry
-      }
-    } finally zin.close()
+      val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
+      try {
+        var e: ZipEntry = zin.getNextEntry
+        while (e != null) {
+          if (!e.isDirectory && keep(e.getName) && !out.contains(e.getName))
+            out(e.getName) = readBounded(zin, MaxEntryBytes)
+          zin.closeEntry()
+          e = zin.getNextEntry
+        }
+      } finally zin.close()
+    } catch {
+      case b: graft.engine.ZipBombDetected => throw b
+      case _: Exception =>
+        // same central-directory fallback as entries() — XPS and other
+        // streaming-writer packages defeat ZipInputStream
+        out.clear()
+        for (e <- entries(zipBytes) if keep(e.name) && !out.contains(e.name))
+          out(e.name) = e.data
+    }
     out.toMap
   }
 
@@ -266,6 +276,9 @@ object ZipUtil {
         e = zin.getNextEntry
       }
       None
+    } catch {
+      case b: graft.engine.ZipBombDetected => throw b
+      case _: Exception => entries(zipBytes).find(_.name == name).map(_.data)
     } finally zin.close()
   }
 
@@ -280,7 +293,16 @@ object ZipUtil {
         zin.closeEntry()
         e = zin.getNextEntry
       }
-    } catch { case _: Exception => () } // truncated zip: keep what we saw
+    } catch {
+      case _: Exception =>
+        // streaming-writer zips (data descriptors on STORED entries):
+        // names live in the central directory; truncated zips keep the
+        // partial streaming list
+        try {
+          val cen = entries(zipBytes).map(_.name)
+          out.clear(); out ++= cen
+        } catch { case _: Exception => () }
+    }
     finally zin.close()
     out.toVector
   }
@@ -349,8 +371,13 @@ object OpcDetector {
     }
     if (!names.exists(n => n == "[Content_Types].xml" || n == "_rels/.rels")) Zip
     else {
+      // XPS/OpenXPS: a fixed-document-sequence part marks the package
+      // (OPCPackageDetector.java:102-105,147,172-178 resolves the
+      // fixedrepresentation relationship; the .fdseq part name is the
+      // cheap equivalent — both XPS and OpenXPS packages carry one)
+      if (names.exists(_.endsWith(".fdseq"))) Xps
       // entry-name shortcut (OOXML_HINTS, OPCPackageDetector.java:93-100)
-      if (names.exists(_.startsWith("word/document"))) Docx
+      else if (names.exists(_.startsWith("word/document"))) Docx
       else if (names.exists(_.startsWith("xl/workbook"))) Xlsx
       else if (names.exists(_.startsWith("ppt/presentation"))) Pptx
       else {
