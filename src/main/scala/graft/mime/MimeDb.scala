@@ -35,6 +35,7 @@ object MimeDb {
   val CSrc = "text/x-csrc"
   val Ics = "text/calendar"
   val VCard = "text/vcard"
+  val MsOwner = "application/x-ms-owner"
   val Json = "application/json"
   val Markdown = "text/markdown"
   val JavaClass = "application/java-vm"
@@ -333,6 +334,11 @@ object MimeDb {
     Magic(Ics, 50, AndClause(Seq(string(0, "BEGIN:VCALENDAR"),
       stringRange(15, 360, "\nVERSION:2.0")))),
     Magic(VCard, 50, string(0, "BEGIN:VCARD")),
+    // MSOffice owner/lock temp file: length byte repeats at offset 53+1
+    // (tika-mimetypes.xml:4640-4649, PRONOM fmt-473)
+    Magic(MsOwner, 80, RegexClause(
+      "(?s)^([\\x05-\\x0F])[\\x00\\x20-\\x7E]{10}.{43}\\1\\x00",
+      window = 60, ignoreCase = false)),
 
     // ---- round-3 second tranche (signatures transcribed from the
     // reference's tika-mimetypes.xml match elements)

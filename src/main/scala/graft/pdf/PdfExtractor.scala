@@ -67,7 +67,18 @@ object PdfExtractor {
       sink.chars("\n")
       sink.newline()
     }
-    extractAcroForm(doc, sink)
+    // form flags mirror PDFParser's metadata checks (PDF.HAS_XFA /
+    // HAS_ACROFORM_FIELDS), set whether or not either path emits text
+    for {
+      cat <- doc.catalog
+      form <- doc.dict(cat.get("AcroForm").getOrElse(PNull))
+    } doc.resolve(form.get("Fields").getOrElse(PNull)) match {
+      case PArr(fs) if fs.nonEmpty => meta.set("pdf:hasAcroFormFields", "true")
+      case _ => ()
+    }
+    // XFA wins when present and well-formed; classic AcroForm fields are
+    // the fallback (AbstractPDF2XHTML.extractAcroForm:1310-1340)
+    if (!extractXfa(doc, sink, meta)) extractAcroForm(doc, sink)
     extractBookmarks(doc, sink)
     extractEmbeddedFiles(doc, onEmbedded)
   }
@@ -96,6 +107,47 @@ object PdfExtractor {
         }
       }
       case _ => ()
+    }
+  }
+
+  /** Catalog /AcroForm /XFA: assemble the packet (single stream, or the
+    * name/stream pair array concatenated like PDXFAResource.getBytes)
+    * and run the XFA field/data walk. Returns false — caller falls back
+    * to classic AcroForm — when absent or malformed (the reference
+    * records the XMLStreamException as a warning and falls through).
+    */
+  private def extractXfa(doc: PdfDoc, sink: SpanSink, meta: MetaSink): Boolean = {
+    val xfa = for {
+      cat <- doc.catalog
+      form <- doc.dict(cat.get("AcroForm").getOrElse(PNull))
+      x <- form.get("XFA")
+    } yield doc.resolve(x)
+    val packet: Option[Array[Byte]] = xfa match {
+      case Some(s: PStream) => Some(doc.decodeStream(s))
+      case Some(PArr(items)) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        items.foreach { it =>
+          doc.resolve(it) match {
+            case s: PStream => bos.write(doc.decodeStream(s))
+            case _ => () // the interleaved packet-name strings
+          }
+        }
+        Some(bos.toByteArray)
+      case _ => None
+    }
+    packet match {
+      case None => false
+      case Some(xml) =>
+        meta.set("pdf:hasXFA", "true")
+        try { XfaExtractor.extract(xml, sink); true }
+        catch {
+          case w: graft.engine.WriteLimitReached => throw w
+          case t: graft.engine.DocTimeout => throw t
+          case e: Exception =>
+            meta.add("pdf:xfa:warn",
+              s"XFAExtractor: ${e.getClass.getSimpleName}")
+            false
+        }
     }
   }
 
