@@ -569,23 +569,7 @@ object Extractor {
             graft.pst.PstExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(name, data))
           case m if m == graft.mime.MimeDb.MsOwner =>
-            // MSOffice owner/lock temp file (MSOwnerFileParser.java:61-93):
-            // ascii name length byte + name, then the UTF-16LE copy whose
-            // length byte must agree; surfaces as dc:modifier, no text
-            if (bytes.length >= 56) {
-              val n = bytes(0).toInt
-              if (n < 0 || n > 54)
-                throw new RuntimeException("owner-file name length out of range")
-              meta.set("dc:modifier",
-                new String(bytes, 1, n, java.nio.charset.StandardCharsets.US_ASCII))
-              val uLen = bytes(54) & 0xff
-              if (uLen == n && 56 + 2 * uLen <= bytes.length)
-                meta.set("dc:modifier", new String(bytes, 56, 2 * uLen,
-                  java.nio.charset.StandardCharsets.UTF_16LE))
-              else
-                throw new RuntimeException(
-                  "owner-file ascii/unicode length mismatch")
-            }
+            graft.ole2.OwnerFileExtractor.extract(bytes, meta)
           case m if m == graft.mime.MimeDb.Emf =>
             graft.media.MetafileExtractor.emf(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(Some(name), data))

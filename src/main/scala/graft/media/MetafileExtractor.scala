@@ -69,16 +69,19 @@ object MetafileExtractor {
             val minX = math.min(l, r).toDouble
             val minY = math.min(t, b).toDouble
             val maxX = math.max(l, r).toDouble
-            val nChars = le32(bytes, p + 44)
-            val offString = le32(bytes, p + 48)
+            // Long math: nChars/offString are attacker-controlled u32s
+            // and must not wrap the bounds checks
+            val nChars = le32u(bytes, p + 44)
+            val offString = le32u(bytes, p + 48)
             val byteLen = if (wide) nChars * 2 else nChars
-            if (nChars > 0 && offString >= 0 && byteLen <= 4 * 1024 * 1024 &&
-                p + offString + byteLen <= bytes.length && p + offString >= p) {
-              val txt = new String(bytes, p + offString, byteLen,
+            if (nChars > 0 && byteLen <= 4L * 1024 * 1024 &&
+                p + offString + byteLen <= bytes.length) {
+              val txt = new String(bytes, (p + offString).toInt, byteLen.toInt,
                 if (wide) java.nio.charset.StandardCharsets.UTF_16LE
                 else java.nio.charset.StandardCharsets.UTF_8)
               if (lastMinY > -1 && math.abs(lastMinY - minY) > 0.0001) flush()
-              else if (lastMinX > -1 && minX - lastMaxX > 10.0) buffer.append(' ')
+              else if (lastMinX > -1 && math.abs(minX - lastMaxX) > 10.0)
+                buffer.append(' ')
               buffer.append(txt)
               lastMinX = minX; lastMinY = minY; lastMaxX = maxX
             }
@@ -110,14 +113,14 @@ object MetafileExtractor {
                 var i = 0
                 var fp = dataOff + 28
                 while (i < math.min(count, 64) && fp + 16 <= dataOff + avail) {
-                  val sizeData = le32(bytes, fp + 8)
-                  val offData = le32(bytes, fp + 12)
-                  if (sizeData > 0 && offData >= 0 &&
-                      dataOff + offData + sizeData <= dataOff + avail) {
+                  val sizeData = le32u(bytes, fp + 8)
+                  val offData = le32u(bytes, fp + 12)
+                  if (sizeData > 0 && offData + sizeData <= avail.toLong) {
                     children += 1
                     child(s"comment-$children",
                       java.util.Arrays.copyOfRange(bytes,
-                        dataOff + offData, dataOff + offData + sizeData))
+                        (dataOff + offData).toInt,
+                        (dataOff + offData + sizeData).toInt))
                   }
                   i += 1; fp += 16
                 }

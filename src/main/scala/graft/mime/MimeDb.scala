@@ -322,7 +322,8 @@ object MimeDb {
     Magic(SnappyFramed, 50, string(0, "sNaPpY")),
     Magic(Netcdf, 50, OrClause(Seq(
       AndClause(Seq(string(0, "CDF"), bytes(3, 1))),
-      AndClause(Seq(string(0, "CDF"), bytes(3, 2)))))),
+      AndClause(Seq(string(0, "CDF"), bytes(3, 2))),
+      AndClause(Seq(string(0, "CDF"), bytes(3, 5)))))), // CDF-5 (pnetcdf)
     Magic(Grib, 50, string(0, "GRIB")),
     Magic(Fits, 50, string(0, "SIMPLE  =")),
     Magic(Dicom, 50, string(128, "DICM")),

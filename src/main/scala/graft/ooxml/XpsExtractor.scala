@@ -74,7 +74,9 @@ object XpsExtractor {
                                "PageContent")) {
           val pagePath = stripSlash(
             if (page.startsWith("/")) page else relativeRoot + "/" + page)
-          ZipUtil.entry(bytes, pagePath).foreach { fp =>
+          // .fpage parts are already in the single-pass parts map —
+          // re-walking the archive per page would be O(pages × size)
+          parts.get(pagePath).foreach { fp =>
             extractPage(fp, sink, images)
           }
         }
@@ -215,7 +217,10 @@ object XpsExtractor {
         case _ => ()
       }
       override def endElement(u: String, l: String, q: String): Unit =
-        if (local(l, q) == "Canvas" || local(l, q) == "VisualBrush") {
+        // reference parity: only Canvas ends pop the stack — a
+        // VisualBrush transform stays on it for the glyphs that follow
+        // (XPSPageContentHandler.endElement:283-287 pops CANVAS only)
+        if (local(l, q) == "Canvas") {
           if (canvasStack.nonEmpty) canvasStack.pop()
         }
     })
@@ -318,7 +323,7 @@ object XpsExtractor {
           text = run.text.substring(i + 1),
           advances = run.advances.drop(i + 1))
         width = 0.0f
-        i = 0
+        i = 1 // reference resumes at index 1 (i=0 then the for-loop's i++)
       } else i += 1
     }
     out += run

@@ -57,6 +57,11 @@ object GribExtractor {
     off + 8 <= b.length && b(off) == 'G' && b(off + 1) == 'R' &&
       b(off + 2) == 'I' && b(off + 3) == 'B'
 
+  /** True when the 4 bytes at `at` are the `7777` end-of-message marker. */
+  private def ends7777(b: Array[Byte], at: Long): Boolean =
+    at >= 0 && at + 4 <= b.length && b(at.toInt) == '7' &&
+      b(at.toInt + 1) == '7' && b(at.toInt + 2) == '7' && b(at.toInt + 3) == '7'
+
   private final case class MsgInfo(
       edition: Int, centre: Int, refTime: Option[String],
       ni: Long, nj: Long, dataPoints: Long, params: Seq[String])
@@ -167,10 +172,18 @@ object GribExtractor {
       val edition = u8(bytes, off + 7)
       val msgLen: Long = edition match {
         case 1 =>
-          val l = u24(bytes, off + 4)
-          // the >8 MB "large message" hack multiplies by 120; such
-          // messages are rare and resynced below via the 7777 marker
-          l.toLong
+          val raw = u24(bytes, off + 4).toLong
+          if (ends7777(bytes, off + raw - 4)) raw
+          else if ((raw & 0x800000L) != 0) {
+            // the >8 MB "large message" convention (wgrib/ECMWF): the
+            // top length bit flags (len & 0x7fffff) × 120, padded — the
+            // real 7777 end marker sits inside the final 120-byte slack
+            val approx = (raw & 0x7fffffL) * 120
+            val lo = math.max(8L, approx - 119)
+            (approx to lo by -1L)
+              .find(l => ends7777(bytes, off + l - 4))
+              .getOrElse(approx)
+          } else raw
         case 2 =>
           need(bytes, off, 16)
           u64(bytes, off + 8)
@@ -189,6 +202,17 @@ object GribExtractor {
       if (dataPoints < 0) dataPoints = info.dataPoints
       info.params.foreach { s => if (params.size < MaxVariableLines) params += s }
       off += msgLen.toInt
+      // tolerate wrong lengths / trailing pad: resync on the next magic
+      // (the UCAR scanner seeks for GRIB rather than trusting lengths)
+      if (off + 8 <= bytes.length && !isGrib(bytes, off)) {
+        var i = off
+        var found = -1
+        while (found < 0 && i + 8 <= bytes.length) {
+          if (bytes(i) == 'G' && isGrib(bytes, i)) found = i
+          i += 1
+        }
+        if (found >= 0) off = found
+      }
     }
     if (count == 0) throw new GribMalformed("no GRIB messages")
 

@@ -67,10 +67,14 @@ object MatExtractor {
         (t, off, n)
       } else {
         val n = i32(p + 4)
-        if (n < 0 || n > remaining) throw new MatMalformed("bad element length")
+        // the 8-byte tag is part of the element: data must fit in what
+        // remains AFTER it, never bleed past `end` into sibling bytes
+        if (n < 0 || n > remaining - 8)
+          throw new MatMalformed("bad element length")
         val off = p + 8
-        p += 8 + n + ((8 - (n & 7)) & 7)
-        if (p > end + 7) throw new MatMalformed("element overruns")
+        // trailing pad may be truncated at the end of the stream; clamp
+        // instead of letting the DATA region overrun
+        p = math.min(end, off + n + ((8 - (n & 7)) & 7))
         (word, off, n)
       }
     }

@@ -32,7 +32,9 @@ object NetcdfExtractor {
 
   private val MaxElems = 1 << 20 // dims/attrs/vars per list; header-bomb bound
 
-  private final case class Rd(b: Array[Byte], var p: Int) {
+  /** `wide` = CDF-5: every NON_NEG field in the spec grammar widens to
+    * 64 bits (list counts, name lengths, attr counts, rank, sizes). */
+  private final case class Rd(b: Array[Byte], var p: Int, wide: Boolean = false) {
     def need(n: Int): Unit =
       if (p < 0 || n < 0 || p + n > b.length) throw new NcMalformed("truncated header")
     def u32(): Long = {
@@ -42,8 +44,9 @@ object NetcdfExtractor {
       p += 4; v
     }
     def i64(): Long = { val hi = u32(); val lo = u32(); (hi << 32) | lo }
+    def nonNeg(): Long = if (wide) i64() else u32()
     def name(): String = {
-      val len = u32()
+      val len = nonNeg()
       if (len < 0 || len > MaxElems) throw new NcMalformed("bad name length")
       val n = len.toInt
       need(n)
@@ -76,7 +79,7 @@ object NetcdfExtractor {
   private def readAttr(r: Rd): (String, String, Option[Int]) = {
     val name = r.name()
     val t = r.u32()
-    val n = r.u32()
+    val n = r.nonNeg()
     if (n < 0 || n > MaxElems) throw new NcMalformed("bad attr count")
     val count = n.toInt
     val width = typeSize(t)
@@ -139,7 +142,7 @@ object NetcdfExtractor {
     * nelems 0). */
   private def listHead(r: Rd, expectTag: Int): Int = {
     val tag = r.u32()
-    val n = r.u32()
+    val n = r.nonNeg()
     if (tag != 0 && tag != expectTag) throw new NcMalformed(s"bad list tag $tag")
     if (tag == 0 && n != 0) throw new NcMalformed("ABSENT list with nonzero count")
     if (n < 0 || n > MaxElems) throw new NcMalformed("bad list count")
@@ -155,14 +158,14 @@ object NetcdfExtractor {
     val version = bytes(3).toInt
     meta.set("netcdf:File-Type-Description",
       if (version == 5) "NetCDF-5/CDM" else "NetCDF-3/CDM")
-    val r = Rd(bytes, 4)
-    val numrecs = if (version == 5) r.i64() else r.u32()
+    val r = Rd(bytes, 4, wide = version == 5)
+    val numrecs = r.nonNeg()
 
     // --- dimension list
     val nDims = listHead(r, 0x0a)
     val dims = (0 until nDims).map { _ =>
       val n = r.name()
-      val len = if (version == 5) r.i64() else r.u32()
+      val len = r.nonNeg()
       if (len < 0) throw new NcMalformed("negative dim length")
       // the record dimension is stored as 0; its live length is numrecs
       n -> (if (len == 0) numrecs else len)
@@ -190,10 +193,10 @@ object NetcdfExtractor {
     val nVars = listHead(r, 0x0b)
     (0 until nVars).foreach { _ =>
       val name = r.name()
-      val nd = r.u32()
+      val nd = r.nonNeg()
       if (nd < 0 || nd > 1024) throw new NcMalformed("bad rank")
       val dimIds = (0 until nd.toInt).map { _ =>
-        val id = (if (version == 5) r.i64() else r.u32()).toInt
+        val id = r.nonNeg().toInt
         if (id < 0 || id >= dims.length) throw new NcMalformed("bad dim id")
         id
       }
@@ -202,7 +205,7 @@ object NetcdfExtractor {
         (0 until n).map(_ => readAttr(r))
       }
       val t = r.u32()
-      if (version == 5) r.i64() else r.u32() // vsize
+      r.nonNeg() // vsize
       if (version >= 2) r.i64() else r.u32() // begin offset
       val dimStr =
         if (dimIds.isEmpty) ""

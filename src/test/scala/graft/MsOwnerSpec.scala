@@ -25,6 +25,16 @@ class MsOwnerSpec extends AnyFunSuite {
     assert(d.meta.get("dc:modifier").exists(_.contains("heidi")))
   }
 
+  test("ascii/unicode length disagreement is a parse error") {
+    val bad = new Array[Byte](64)
+    bad(0) = 5; "heidi".getBytes.copyToArray(bad, 1)
+    bad(54) = 9 // unicode length disagrees
+    val m = new graft.engine.MetaSink()
+    intercept[graft.ole2.OwnerFileExtractor.OwnerMalformed] {
+      graft.ole2.OwnerFileExtractor.extract(bad, m)
+    }
+  }
+
   test("owner file is metadata-only: no text spans") {
     org.scalatest.Assertions.assume(
       Files.isRegularFile(docs.resolve("testMSOwnerFile")),

@@ -68,4 +68,34 @@ class NetcdfSpec extends AnyFunSuite {
 
   private def extract0(b: Array[Byte]): graft.core.ExtractedDoc =
     Extractor.extract(DocRow("t.nc", Seq(Span("bytes", Corpus.b64(b), null, 0))))
+
+  test("CDF-5: every NON_NEG widens to 64 bits (synthetic header)") {
+    // minimal CDF-5 file: dim x=3, one char global attr, one float var
+    val o = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = { o.write(v >>> 24); o.write(v >>> 16); o.write(v >>> 8); o.write(v) }
+    def i64(v: Long): Unit = { u32((v >>> 32).toInt); u32(v.toInt) }
+    def name(s: String): Unit = {
+      i64(s.length); o.write(s.getBytes("US-ASCII"))
+      (0 until ((4 - (s.length & 3)) & 3)).foreach(_ => o.write(0))
+    }
+    o.write('C'); o.write('D'); o.write('F'); o.write(5)
+    i64(0)                          // numrecs
+    u32(0x0a); i64(1)               // dim_list, 1 dim
+    name("x"); i64(3)               // dim x = 3
+    u32(0x0c); i64(1)               // gatt_list, 1 attr
+    name("title"); u32(2); i64(5)   // NC_CHAR × 5
+    o.write("hello".getBytes("US-ASCII")); o.write(0); o.write(0); o.write(0)
+    u32(0x0b); i64(1)               // var_list, 1 var
+    name("v"); i64(1); i64(0)       // rank 1, dimid 0
+    u32(0); i64(0)                  // ABSENT vatt_list
+    u32(5)                          // nc_type float
+    i64(12); i64(o.size + 24)       // vsize, begin
+    val d = extract0(o.toByteArray)
+    assert(d.status == Status.ParseSuccess, d.status)
+    assert(d.meta.get("netcdf:File-Type-Description").exists(_.contains("NetCDF-5/CDM")))
+    assert(d.meta.get("dc:title").exists(_.contains("hello")))
+    val t = text(d)
+    assert(t.contains("x = 3"), t)
+    assert(t.contains("float v(x=3)"), t)
+  }
 }
