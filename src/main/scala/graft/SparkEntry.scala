@@ -790,7 +790,7 @@ object SparkEntry {
            CAST(sum(len(regexp_extract_all(text, '(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)', 1))) AS BIGINT) AS n_urls
          FROM documents GROUP BY source""",
     // x03's oracle is the FROZEN expected detection distribution for the
-    // sf0.01 gate (4000 corpus-v17 docs) — pinned independently by
+    // sf0.01 gate (4000 corpus-v18 docs) — pinned independently by
     // X03FrozenSpec so a corpus or detector change fails loudly here
     // before the driver sees it
     "x03_detect_mime_stats" ->
@@ -799,7 +799,7 @@ object SparkEntry {
            ('application/gzip', 'parse_success', 34),
            ('application/msword', 'parse_success', 100),
            ('application/octet-stream', 'parse_success', 12),
-           ('application/octet-stream', 'unsupported_type', 60),
+           ('application/octet-stream', 'unsupported_type', 40),
            ('application/onenote', 'parse_success', 28),
            ('application/pdf', 'parse_success', 340),
            ('application/rtf', 'parse_success', 80),
@@ -807,6 +807,7 @@ object SparkEntry {
            ('application/vnd.ms-outlook', 'parse_success', 24),
            ('application/vnd.ms-outlook-pst', 'parse_success', 16),
            ('application/vnd.ms-powerpoint', 'parse_success', 60),
+           ('application/vnd.ms-xpsdocument', 'parse_success', 8),
            ('application/vnd.ms-tnef', 'parse_success', 12),
            ('application/vnd.oasis.opendocument.text', 'parse_success', 80),
            ('application/vnd.openxmlformats-officedocument.presentationml.presentation', 'parse_success', 100),
@@ -833,9 +834,11 @@ object SparkEntry {
            ('audio/mpeg', 'parse_success', 16),
            ('audio/vnd.wave', 'parse_success', 16),
            ('image/bmp', 'parse_success', 16),
+           ('image/emf', 'parse_success', 7),
            ('image/gif', 'parse_success', 12),
            ('image/jpeg', 'parse_success', 16),
            ('image/png', 'parse_success', 16),
+           ('image/wmf', 'parse_success', 5),
            ('message/rfc822', 'parse_success', 80),
            ('text/csv', 'parse_success', 120),
            ('text/html', 'parse_success', 1437),

@@ -82,13 +82,14 @@ object Corpus {
     else if (m < 960) "media"
     else if (m < 965) "sci" // mat/nc/grib rotation (r4d)
     else if (m < 985) "legacy" // wpd/qpw/dbf/dif/tmx/fb2/plist/tnef rotation (r4)
+    else if (m < 990) "fixed" // xps/emf/wmf fixed-layout rotation (r4d)
     else "junk"
   }
 
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 17
+  val Version = 18
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -159,6 +160,13 @@ object Corpus {
           case 0 => SciCorpus.mat(r)
           case 1 => SciCorpus.nc(r)
           case _ => SciCorpus.grib(r)
+        }
+        Seq(Span("bytes", b64(bytes), null, 0))
+      case "fixed" =>
+        val bytes = (index % 3) match {
+          case 0 => FixedCorpus.xps(r)
+          case 1 => FixedCorpus.emf(r)
+          case _ => FixedCorpus.wmf(r)
         }
         Seq(Span("bytes", b64(bytes), null, 0))
       case "legacy" =>
