@@ -214,6 +214,8 @@ object Extractor {
           case MediaTypes.Xps =>
             graft.ooxml.XpsExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(Some(name), data))
+          case m if m.startsWith("application/vnd.ms-visio.") =>
+            graft.ooxml.VsdxExtractor.extract(bytes, sink, meta)
           case MediaTypes.TikaOoxml =>
             // recognized OPC container without a known core document
             sawUnsupported = true

@@ -32,6 +32,7 @@ object Ole2Detector {
     "Dgn~H" -> "image/vnd.dgn;version=8",
     "EncryptedPackage" -> OoxmlProtected,
     "__properties_version1.0" -> MediaTypes.MsOutlook,
+    "VisioDocument" -> "application/vnd.visio",
     "PowerPoint Document" -> MediaTypes.MsPowerPoint,
     "WordDocument" -> MediaTypes.MsWord,
     "Workbook" -> MediaTypes.MsExcel,

@@ -376,6 +376,24 @@ object OpcDetector {
       // fixedrepresentation relationship; the .fdseq part name is the
       // cheap equivalent — both XPS and OpenXPS packages carry one)
       if (names.exists(_.endsWith(".fdseq"))) Xps
+      // Visio OOXML: subtype from the main-part content type
+      // (OPCPackageDetector.java:128-145 OOXML_CONTENT_TYPES)
+      else if (names.exists(_.startsWith("visio/document"))) {
+        val ct = ZipUtil.entry(zipBytes, "[Content_Types].xml")
+          .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+          .getOrElse("")
+        if (ct.contains("visio.drawing.macroEnabled.main"))
+          "application/vnd.ms-visio.drawing.macroEnabled.12"
+        else if (ct.contains("visio.template.macroEnabled.main"))
+          "application/vnd.ms-visio.template.macroEnabled.12"
+        else if (ct.contains("visio.stencil.macroEnabled.main"))
+          "application/vnd.ms-visio.stencil.macroenabled.12"
+        else if (ct.contains("visio.template.main"))
+          "application/vnd.ms-visio.template"
+        else if (ct.contains("visio.stencil.main"))
+          "application/vnd.ms-visio.stencil"
+        else "application/vnd.ms-visio.drawing"
+      }
       // entry-name shortcut (OOXML_HINTS, OPCPackageDetector.java:93-100)
       else if (names.exists(_.startsWith("word/document"))) Docx
       else if (names.exists(_.startsWith("xl/workbook"))) Xlsx
