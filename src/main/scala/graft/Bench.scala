@@ -144,7 +144,7 @@ object Bench {
   private def perFormatThroughput(s: SparkSession): String = {
     val kinds = Seq("html", "docx", "xlsx", "pptx", "pdf", "zip", "text",
       "csv", "xml", "doc", "xls", "ppt", "msg", "pst", "tar", "media",
-      "archive", "legacy")
+      "archive", "legacy", "sci", "fixed")
     val entries = kinds.map { kind =>
       val ids = (0L until 100000L).filter(i => Corpus.kindOf(i) == kind).take(8000)
       val (n, coreSecs) = s.sparkContext.parallelize(ids, 64).mapPartitions { it =>
