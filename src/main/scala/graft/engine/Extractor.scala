@@ -216,6 +216,10 @@ object Extractor {
               (name, data) => inlineChild(idPath, depth)(Some(name), data))
           case m if m.startsWith("application/vnd.ms-visio.") =>
             graft.ooxml.VsdxExtractor.extract(bytes, sink, meta)
+          case "application/vnd.ms-wordml" =>
+            graft.xmlx.MsXml2003Extractor.extractWordMl(bytes, sink, meta)
+          case "application/vnd.ms-spreadsheetml" =>
+            graft.xmlx.MsXml2003Extractor.extractSpreadsheetMl(bytes, sink, meta)
           case MediaTypes.TikaOoxml =>
             // recognized OPC container without a known core document
             sawUnsupported = true

@@ -246,7 +246,11 @@ object MimeRegistry {
     "plist" -> "application/x-plist",
     "tmx" -> graft.mime.MimeDb.Tmx,
     "xliff" -> graft.mime.MimeDb.Xliff,
-    "FictionBook" -> graft.mime.MimeDb.FictionBook
+    "FictionBook" -> graft.mime.MimeDb.FictionBook,
+    // Office 2003 single-file XML formats (root-XML clauses in
+    // tika-mimetypes.xml for vnd.ms-wordml / vnd.ms-spreadsheetml)
+    "wordDocument" -> "application/vnd.ms-wordml",
+    "Workbook" -> "application/vnd.ms-spreadsheetml"
   )
 
   /** Full detection pipeline over the leading bytes of a payload.

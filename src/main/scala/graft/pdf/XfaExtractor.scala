@@ -21,9 +21,8 @@ import graft.engine.SpanSink
   *    values come from the data section by field name (empty when
   *    absent), XFAExtractor.extract:124-152.
   *
-  * Parsed with a namespace-aware XXE-safe SAX parser (the rest of the
-  * engine is prefix-based; XFA's template-versioned namespaces need
-  * real URIs).
+  * Parsed namespace-aware through [[graft.xmlx.NsSax]] (XFA's
+  * template-versioned namespaces need real URIs).
   */
 object XfaExtractor {
 
@@ -31,22 +30,6 @@ object XfaExtractor {
   private val DataNs = "http://www.xfa.org/schema/xfa-data/1.0/"
   private val TextPattern = Set("speak", "text", "contents-richtext",
     "toolTip", "exData")
-
-  private val threadParser = new ThreadLocal[javax.xml.parsers.SAXParser] {
-    override def initialValue(): javax.xml.parsers.SAXParser = {
-      val f = javax.xml.parsers.SAXParserFactory.newInstance()
-      f.setNamespaceAware(true)
-      f.setValidating(false)
-      try {
-        f.setFeature("http://xml.org/sax/features/external-general-entities", false)
-        f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-        f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
-      } catch { case _: Exception => () }
-      try f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
-      catch { case _: Exception => () }
-      f.newSAXParser()
-    }
-  }
 
   /** Parse one assembled XFA packet; throws SAXException on malformed
     * XML (the caller falls back to classic AcroForm fields, like
@@ -130,9 +113,7 @@ object XfaExtractor {
       }
     }
 
-    val p = threadParser.get()
-    p.reset()
-    p.parse(new java.io.ByteArrayInputStream(xml), handler)
+    graft.xmlx.NsSax.parse(xml, handler)
 
     // dump fields merged with their data values, insertion order
     for ((name, toolTip) <- fields) {
