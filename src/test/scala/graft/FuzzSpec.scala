@@ -168,4 +168,66 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Round-4d parsers under mutation: fixed-layout packages (XPS),
+    * metafiles (EMF/WMF), Office 2003 XML, and a Visio OOXML zip with
+    * bit flips, truncations, and spliced tails must classify, never
+    * throw or hang.
+    */
+  test("property: mutated xps/emf/wmf/xml2003/vsdx payloads never escape the envelope") {
+    val rnd = new scala.util.Random(17)
+    val wordml =
+      ("""<?xml version="1.0"?><?mso-application progid="Word.Document"?>""" +
+       """<w:wordDocument xmlns:w="http://schemas.microsoft.com/office/word/2003/wordml">""" +
+       """<w:body><w:p><w:r><w:t>fuzz seed paragraph</w:t></w:r></w:p>""" +
+       """<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell</w:t></w:r></w:p></w:tc></w:tr></w:tbl>""" +
+       """</w:body></w:wordDocument>""").getBytes("UTF-8")
+    val ssml =
+      ("""<?xml version="1.0"?><Workbook xmlns="urn:schemas-microsoft-com:office:spreadsheet" """ +
+       """xmlns:ss="urn:schemas-microsoft-com:office:spreadsheet"><Worksheet ss:Name="S1">""" +
+       """<Table><Row><Cell><Data ss:Type="String">fuzz</Data></Cell></Row></Table>""" +
+       """</Worksheet></Workbook>""").getBytes("UTF-8")
+    val vsdx = Corpus.zip(Seq(
+      "[Content_Types].xml" ->
+        """<Types xmlns="a"><Default Extension="xml" ContentType="application/vnd.ms-visio.drawing.main+xml"/></Types>""".getBytes("UTF-8"),
+      "_rels/.rels" ->
+        ("""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+         """<Relationship Id="R1" Type="http://schemas.microsoft.com/visio/2010/relationships/document" Target="/visio/document.xml"/></Relationships>""").getBytes("UTF-8"),
+      "visio/document.xml" -> "<VisioDocument/>".getBytes("UTF-8"),
+      "visio/_rels/document.xml.rels" ->
+        ("""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+         """<Relationship Id="R1" Type="http://schemas.microsoft.com/visio/2010/relationships/pages" Target="pages/pages.xml"/></Relationships>""").getBytes("UTF-8"),
+      "visio/pages/pages.xml" -> "<Pages/>".getBytes("UTF-8"),
+      "visio/pages/_rels/pages.xml.rels" ->
+        ("""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+         """<Relationship Id="R1" Type="http://schemas.microsoft.com/visio/2010/relationships/page" Target="page1.xml"/></Relationships>""").getBytes("UTF-8"),
+      "visio/pages/page1.xml" ->
+        """<PageContents><Shape><Text>fuzz shape</Text></Shape></PageContents>""".getBytes("UTF-8")))
+    val seeds = Seq(
+      graft.corpus.FixedCorpus.xps(new scala.util.Random(3)),
+      graft.corpus.FixedCorpus.emf(new scala.util.Random(4)),
+      graft.corpus.FixedCorpus.wmf(new scala.util.Random(5)),
+      wordml, ssml, vsdx)
+    seeds.foreach { valid =>
+      (0 until 60).foreach { i =>
+        val mutated = valid.clone()
+        i % 3 match {
+          case 0 =>
+            val p = rnd.nextInt(mutated.length)
+            mutated(p) = (mutated(p) ^ (1 << rnd.nextInt(8))).toByte
+          case 1 =>
+            val n = 1 + rnd.nextInt(mutated.length)
+            val out = Extractor.extract(DocRow("f",
+              Seq(Span("bytes", Corpus.b64(java.util.Arrays.copyOf(mutated, n)), null, 0))))
+            assert(out.status != null && out.mime != null)
+          case _ =>
+            val p = rnd.nextInt(mutated.length)
+            (p until mutated.length).foreach(j => mutated(j) = rnd.nextInt(256).toByte)
+        }
+        val out = Extractor.extract(DocRow("f",
+          Seq(Span("bytes", Corpus.b64(mutated), null, 0))))
+        assert(out.status != null && out.mime != null)
+      }
+    }
+  }
+
 }
