@@ -22,9 +22,9 @@ object OleCorpus {
   def docFile(r: Random): Array[Byte] = {
     val paras = (1 to 2 + r.nextInt(3)).map(_ => Corpus.paragraph(r, 2))
     // piece 1: plain cp1252 paragraphs; piece 2: unicode content
-    val piece1 = paras.mkString("\r") + "\r" + "Cell1Cell2\r"
-    val piece2 = "Field: INSTR HYPERLINK" +
-      Corpus.sentence(r, 3) + "\r" +
+    val piece1 = paras.mkString("\r") + "\r" + "Cell1\u0007Cell2\r"
+    val piece2 = "Field: \u0013INSTR HYPERLINK\u0014" +
+      Corpus.sentence(r, 3) + "\u0015\r" +
       "Unicode — dash é accent\r"
     docFromPieces(Seq(piece1 -> true, piece2 -> false))
   }

@@ -216,9 +216,9 @@ object Extractor {
               (name, data) => inlineChild(idPath, depth)(Some(name), data))
           case m if m.startsWith("application/vnd.ms-visio.") =>
             graft.ooxml.VsdxExtractor.extract(bytes, sink, meta)
-          case "application/vnd.ms-wordml" =>
+          case graft.xmlx.MsXml2003Extractor.WordMl =>
             graft.xmlx.MsXml2003Extractor.extractWordMl(bytes, sink, meta)
-          case "application/vnd.ms-spreadsheetml" =>
+          case graft.xmlx.MsXml2003Extractor.SpreadsheetMl =>
             graft.xmlx.MsXml2003Extractor.extractSpreadsheetMl(bytes, sink, meta)
           case MediaTypes.TikaOoxml =>
             // recognized OPC container without a known core document
@@ -291,6 +291,22 @@ object Extractor {
                 if (m == graft.mime.MimeDb.Cpio) graft.pkgx.ArCpio.cpioEntries(bytes)
                 else graft.pkgx.ArCpio.arEntries(bytes)
               entries.reverseIterator.foreach { e =>
+                stack.push(NodeFrame(e.data, idPath, Some(e.name), depth + 1,
+                  onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
+                  onDrop = () => sawUnsupported = true))
+              }
+            }
+          case m if m == graft.mime.MimeDb.UnixDump =>
+            // PackageParser dump dispatch (commons-compress
+            // DumpArchiveInputStream): every regular-file inode is an
+            // embedded doc named by its dirent-resolved path
+            if (depth >= cfg.maxDepth) sawUnsupported = true
+            else {
+              val s = graft.pkgx.DumpArchive.summary(bytes)
+              if (s.label.nonEmpty) meta.set("dump:label", s.label)
+              if (s.hostname.nonEmpty) meta.set("dump:hostname", s.hostname)
+              if (s.filesystem.nonEmpty) meta.set("dump:filesystem", s.filesystem)
+              graft.pkgx.DumpArchive.entries(bytes).reverseIterator.foreach { e =>
                 stack.push(NodeFrame(e.data, idPath, Some(e.name), depth + 1,
                   onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
                   onDrop = () => sawUnsupported = true))

@@ -102,6 +102,7 @@ object MimeDb {
   val RealMedia = "application/vnd.rn-realmedia"
   val Lha = "application/x-lha"
   val Arj = "application/x-arj"
+  val UnixDump = "application/x-tika-unix-dump"
   val Zlib = "application/zlib"
   val SnappyFramed = "application/x-snappy-framed"
   val Netcdf = "application/x-netcdf"
@@ -200,6 +201,10 @@ object MimeDb {
       little16(0, 0x71C7), big16(0, 0x71C7), // 070707 octal
       string(0, "070707"), string(0, "070701"), string(0, "070702")))),
     Magic(Rpm, 50, bytes(0, 0xed, 0xab, 0xee, 0xdb)),
+    // BSD dump(8): c_magic NFS_MAGIC 60012 at spcl offset 24 with a
+    // TS_TAPE first segment (tika: x-tika-unix-dump via commons-compress)
+    Magic(UnixDump, 50, AndClause(Seq(
+      little32(24, 60012L), little32(0, 1L)))),
     Magic(Iso, 60, OrClause(Seq(
       string(32769, "CD001"), string(34817, "CD001"), string(36865, "CD001")))),
     Magic(Lzip, 50, string(0, "LZIP")),

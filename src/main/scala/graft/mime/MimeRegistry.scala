@@ -174,6 +174,14 @@ object MimeRegistry {
     Docx -> TikaOoxml,
     Xlsx -> TikaOoxml,
     Pptx -> TikaOoxml,
+    // visio OOXML sub-classes of x-tika-visio-ooxml -> x-tika-ooxml
+    // (tika-mimetypes.xml:3146-3173); the hint must specialize zip
+    "application/vnd.ms-visio.drawing" -> TikaOoxml,
+    "application/vnd.ms-visio.template" -> TikaOoxml,
+    "application/vnd.ms-visio.stencil" -> TikaOoxml,
+    "application/vnd.ms-visio.drawing.macroenabled.12" -> TikaOoxml,
+    "application/vnd.ms-visio.template.macroenabled.12" -> TikaOoxml,
+    "application/vnd.ms-visio.stencil.macroenabled.12" -> TikaOoxml,
     Rtf -> TextPlain,
     Eml -> TextPlain,
     Mbox -> TextPlain,
@@ -249,8 +257,8 @@ object MimeRegistry {
     "FictionBook" -> graft.mime.MimeDb.FictionBook,
     // Office 2003 single-file XML formats (root-XML clauses in
     // tika-mimetypes.xml for vnd.ms-wordml / vnd.ms-spreadsheetml)
-    "wordDocument" -> "application/vnd.ms-wordml",
-    "Workbook" -> "application/vnd.ms-spreadsheetml"
+    "wordDocument" -> graft.xmlx.MsXml2003Extractor.WordMl,
+    "Workbook" -> graft.xmlx.MsXml2003Extractor.SpreadsheetMl
   )
 
   /** Full detection pipeline over the leading bytes of a payload.

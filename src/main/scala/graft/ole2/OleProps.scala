@@ -3,8 +3,8 @@ package graft.ole2
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.{Charset, StandardCharsets}
 
-/** Minimal MS-OLEPS property-set reader — the `SummaryInformation`
-  * / `HwpSummaryInformation` streams Office-family containers use
+/** Minimal MS-OLEPS property-set reader — the `\u0005SummaryInformation`
+  * / `\u0005HwpSummaryInformation` streams Office-family containers use
   * for title/author/dates metadata.
   *
   * Reference behavior: tika-parsers microsoft SummaryExtractor and
@@ -83,7 +83,7 @@ object OleProps {
     } catch { case _: Exception => Map.empty }
   }
 
-  /** Surface the container's `SummaryInformation` stream (if any)
+  /** Surface the container's `\u0005SummaryInformation` stream (if any)
     * as metadata — skips DocumentSummaryInformation, whose ids differ.
     */
   def fromCfb(cfb: Cfb.Doc, meta: graft.engine.MetaSink): Unit =

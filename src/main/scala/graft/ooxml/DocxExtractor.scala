@@ -1,9 +1,8 @@
 package graft.ooxml
 
-import javax.xml.parsers.SAXParserFactory
 import org.xml.sax.Attributes
 import org.xml.sax.helpers.DefaultHandler
-import graft.engine.{MetaSink, SpanSink, WriteLimitReached, ZipBombDetected}
+import graft.engine.{MetaSink, SpanSink}
 import graft.zipx.ZipUtil
 
 /** Streaming DOCX text extraction over `word/document.xml`.
@@ -201,48 +200,9 @@ object DocxExtractor {
     }
   }
 
-  /** Hardened JDK SAX parse (no DTD/external entities).
-    *
-    * The factory lookup (`SAXParserFactory.newInstance`) is a synchronized
-    * classloader service scan — doing it per document serializes every
-    * executor thread on one lock and caps throughput. One factory+parser
-    * per thread, reused across documents, mirrors the reference's parser
-    * reuse contract (tika-core parser/Parser.java thread-safety javadoc;
-    * SURVEY.md §4 "parser instance reuse across docs").
+  /** Hardened prefix-based JDK SAX parse — shared hardening + engine
+    * control-flow tunnel live in [[graft.xmlx.NsSax]].
     */
-  private val threadParser = new ThreadLocal[javax.xml.parsers.SAXParser] {
-    override def initialValue(): javax.xml.parsers.SAXParser = {
-      val f = SAXParserFactory.newInstance()
-      f.setNamespaceAware(false)
-      f.setValidating(false)
-      // allow DOCTYPE declarations (real-world XML carries them) but
-      // never RESOLVE external entities/DTDs — the reference's XXE
-      // stance (tika XMLReaderUtils: external entities disabled, local
-      // doctypes tolerated; fixture testXXE.xml must parse cleanly
-      // without touching its file:// system id)
-      try {
-        f.setFeature("http://xml.org/sax/features/external-general-entities", false)
-        f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-        f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
-      } catch { case _: Exception => () }
-      try f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
-      catch { case _: Exception => () }
-      f.newSAXParser()
-    }
-  }
-
-  def saxParse(bytes: Array[Byte], handler: DefaultHandler): Unit = {
-    val p = threadParser.get()
-    p.reset()
-    try p.parse(new java.io.ByteArrayInputStream(bytes), handler)
-    catch {
-      case e: org.xml.sax.SAXException =>
-        e.getCause match {
-          case w: WriteLimitReached => throw w
-          case z: ZipBombDetected => throw z
-          case t: graft.engine.DocTimeout => throw t
-          case _ => throw e
-        }
-    }
-  }
+  def saxParse(bytes: Array[Byte], handler: DefaultHandler): Unit =
+    graft.xmlx.NsSax.parsePlain(bytes, handler)
 }

@@ -19,6 +19,7 @@ object VsdxExtractor {
   private val DocumentRel = "http://schemas.microsoft.com/visio/2010/relationships/document"
   private val PagesRel = "http://schemas.microsoft.com/visio/2010/relationships/pages"
   private val PageRel = "http://schemas.microsoft.com/visio/2010/relationships/page"
+  private val VisioNs = "http://schemas.microsoft.com/office/visio/2012/main"
 
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
     val parts = ZipUtil.entriesMap(bytes, ZipUtil.XmlParts)
@@ -48,11 +49,29 @@ object VsdxExtractor {
           if (local(l, q) == "Relationship" &&
               Option(a.getValue("Type")).contains(relType))
             Option(a.getValue("Target")).foreach { t =>
-              out += (if (t.startsWith("/")) t.substring(1)
-                      else if (baseDir.isEmpty) t else s"$baseDir/$t")
+              out += resolveTarget(baseDir, t)
             }
       })
     out.result()
+  }
+
+  /** OPC part-URI resolution (PackagingURIHelper semantics): package-
+    * absolute targets drop the leading slash; relative targets resolve
+    * against the source part's directory with `.`/`..` segments
+    * normalized (some exporters emit `../visio/pages/pages.xml`).
+    */
+  private[graft] def resolveTarget(baseDir: String, target: String): String = {
+    val joined =
+      if (target.startsWith("/")) target.substring(1)
+      else if (baseDir.isEmpty) target
+      else s"$baseDir/$target"
+    val stack = scala.collection.mutable.ArrayBuffer.empty[String]
+    joined.split('/').foreach {
+      case "" | "." => ()
+      case ".." => if (stack.nonEmpty) stack.remove(stack.length - 1)
+      case seg => stack += seg
+    }
+    stack.mkString("/")
   }
 
   private def relsName(part: String): String = {
@@ -69,20 +88,26 @@ object VsdxExtractor {
   private def local(l: String, q: String): String =
     if (l != null && l.nonEmpty) l else q.substring(q.indexOf(':') + 1)
 
-  /** One pageN.xml: every Shape `<Text>` element is one trimmed
-    * paragraph (VSDXExtractorDecorator.VisioPageHandler).
+  /** One pageN.xml: every Shape `<Text>` element in the Visio 2012 main
+    * namespace is one trimmed paragraph (VSDXExtractorDecorator
+    * .VisioPageHandler requires VISIO_NS — a foreign-namespace data
+    * island's `Text` must not leak into the output; an un-namespaced
+    * `Text` is accepted for namespace-less producers).
     */
   private def extractPage(bytes: Array[Byte], sink: SpanSink): Unit = {
-    DocxExtractor.saxParse(bytes, new DefaultHandler {
+    graft.xmlx.NsSax.parse(bytes, new DefaultHandler {
       private var inText = false
       private val buf = new StringBuilder
+      private def isVisioText(u: String, l: String, q: String): Boolean =
+        (l == "Text" || (l.isEmpty && q == "Text")) &&
+          (u == null || u.isEmpty || u == VisioNs)
       override def startElement(u: String, l: String, q: String,
           a: Attributes): Unit =
-        if (local(l, q) == "Text") { inText = true; buf.setLength(0) }
+        if (isVisioText(u, l, q)) { inText = true; buf.setLength(0) }
       override def characters(ch: Array[Char], s: Int, len: Int): Unit =
         if (inText) buf.appendAll(ch, s, len)
       override def endElement(u: String, l: String, q: String): Unit =
-        if (local(l, q) == "Text") {
+        if (isVisioText(u, l, q)) {
           inText = false
           val t = buf.toString.trim
           if (t.nonEmpty) { sink.chars(t); sink.newline() }

@@ -12,13 +12,17 @@ import graft.engine.{MetaSink, SpanSink}
   *    `o:DocumentProperties` children (Title/Author/LastAuthor/Created/
   *    LastSaved/Version/Company, urn:schemas-microsoft-com:office:office)
   *    land in metadata;
-  *  - `microsoft/xml/WordMLParser.java:95-190` — `w:p` paragraphs,
-  *    `w:br` newlines, `w:tbl`/`w:tr`/`w:tc` tables, body characters
-  *    pass through except inside `w:pict`/`w:binData`/document
-  *    properties; `w:hlink` text flows through (HyperlinkHandler);
+  *  - `microsoft/xml/WordMLParser.java:56-61,110-190` — `w:p`
+  *    paragraphs, `w:br` newlines, `w:tbl`/`w:tr`/`w:tc` tables, body
+  *    characters pass through except inside the IGNORE_CHARACTERS set
+  *    `w:hlink`/`w:pict`/`w:binData`/document properties (hlink display
+  *    text is dropped by the reference; we additionally record `w:dest`
+  *    under the engine's `links` metadata convention);
   *  - `microsoft/xml/SpreadsheetMLParser.java:72-172` — Worksheet →
   *    Table → Row → Cell/Data (urn:schemas-microsoft-com:office:
-  *    spreadsheet), each Data trimmed into its cell, `ss:HRef` links.
+  *    spreadsheet), one td per CELL (a Cell without Data still holds
+  *    its column), each Data trimmed into its cell, `ss:HRef` on the
+  *    Cell wraps the value in a link.
   */
 object MsXml2003Extractor {
 
@@ -57,7 +61,7 @@ object MsXml2003Extractor {
     val props = new PropsHandler(meta)
     NsSax.parse(bytes, new DefaultHandler {
       private var inBody = false
-      private var ignoreDepth = 0 // pict / binData / DocumentProperties
+      private var ignoreDepth = 0 // hlink / pict / binData / DocumentProperties
       private var lineHasText = false
       private def endLine(): Unit = { sink.newline(); lineHasText = false }
       override def startElement(u: String, l: String, q: String,
@@ -67,6 +71,10 @@ object MsXml2003Extractor {
           case "body" => inBody = true
           case "br" => sink.chars("\n")
           case "pict" | "binData" => ignoreDepth += 1
+          case "hlink" => // reference drops hlink display text entirely
+            ignoreDepth += 1
+            Option(a.getValue(WordMlUrl, "dest")).filter(_.nonEmpty)
+              .foreach(meta.add("links", _))
           case _ => ()
         }
         else if (u == OfficeUrn && l == "DocumentProperties") ignoreDepth += 1
@@ -83,7 +91,8 @@ object MsXml2003Extractor {
         if (u == WordMlUrl) l match {
           case "p" | "tr" => if (lineHasText) endLine()
           case "tc" => sink.tab()
-          case "pict" | "binData" => ignoreDepth = math.max(0, ignoreDepth - 1)
+          case "pict" | "binData" | "hlink" =>
+            ignoreDepth = math.max(0, ignoreDepth - 1)
           case _ => ()
         }
         else if (u == OfficeUrn && l == "DocumentProperties")
@@ -104,6 +113,13 @@ object MsXml2003Extractor {
         props.startElement(u, l, q, a)
         if (u == SpreadsheetUrn) l match {
           case "Row" => cellsInRow = 0
+          case "Cell" =>
+            // one td per Cell (SpreadsheetMLParser CELL case): a Cell
+            // without a Data child still holds its column
+            if (cellsInRow > 0) sink.tab()
+            cellsInRow += 1
+            Option(a.getValue(SpreadsheetUrn, "HRef")).filter(_.nonEmpty)
+              .foreach(meta.add("links", _))
           case "Data" => inData = true; buf.setLength(0)
           case _ => ()
         }
@@ -117,9 +133,7 @@ object MsXml2003Extractor {
         if (u == SpreadsheetUrn) l match {
           case "Data" =>
             inData = false
-            if (cellsInRow > 0) sink.tab()
             sink.chars(buf.toString.trim)
-            cellsInRow += 1
           case "Row" => if (cellsInRow > 0) sink.newline()
           case _ => ()
         }

@@ -1,35 +1,59 @@
 package graft.xmlx
 
+import javax.xml.parsers.{SAXParser, SAXParserFactory}
 import org.xml.sax.helpers.DefaultHandler
 
-/** Namespace-aware XXE-safe SAX parsing (thread-local parser reuse).
-  * The engine's main SAX path (`DocxExtractor.saxParse`) is prefix-based
-  * for speed; formats whose semantics hang on namespace URIs (XFA,
-  * WordML/SpreadsheetML 2003) parse through this one.
+/** XXE-safe SAX parsing with thread-local parser reuse — the single
+  * home for the factory hardening block and the engine control-flow
+  * tunnel (previously duplicated between `DocxExtractor.saxParse` and
+  * this object; one copy means one place to extend either list).
+  *
+  * Two parser pools: the engine's main path ([[parsePlain]]) is
+  * prefix-based (namespace-unaware) for speed; formats whose semantics
+  * hang on namespace URIs (XFA, WordML/SpreadsheetML 2003, Visio OOXML)
+  * parse namespace-aware through [[parse]].
+  *
+  * The factory lookup (`SAXParserFactory.newInstance`) is a synchronized
+  * classloader service scan — doing it per document serializes every
+  * executor thread on one lock and caps throughput. One factory+parser
+  * per thread, reused across documents, mirrors the reference's parser
+  * reuse contract (tika-core parser/Parser.java thread-safety javadoc;
+  * SURVEY.md §4 "parser instance reuse across docs").
   */
 object NsSax {
 
-  private val threadParser = new ThreadLocal[javax.xml.parsers.SAXParser] {
-    override def initialValue(): javax.xml.parsers.SAXParser = {
-      val f = javax.xml.parsers.SAXParserFactory.newInstance()
-      f.setNamespaceAware(true)
-      f.setValidating(false)
-      try {
-        f.setFeature("http://xml.org/sax/features/external-general-entities", false)
-        f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-        f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
-      } catch { case _: Exception => () }
-      try f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
-      catch { case _: Exception => () }
-      f.newSAXParser()
-    }
+  /** Hardened parser: allow DOCTYPE declarations (real-world XML
+    * carries them) but never RESOLVE external entities/DTDs — the
+    * reference's XXE stance (tika XMLReaderUtils: external entities
+    * disabled, local doctypes tolerated; fixture testXXE.xml must parse
+    * cleanly without touching its file:// system id).
+    */
+  private def newParser(nsAware: Boolean): SAXParser = {
+    val f = SAXParserFactory.newInstance()
+    f.setNamespaceAware(nsAware)
+    f.setValidating(false)
+    try {
+      f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+      f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+      f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+    } catch { case _: Exception => () }
+    try f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    catch { case _: Exception => () }
+    f.newSAXParser()
   }
 
-  /** Parse; SAXException propagates (callers decide the failure mode),
-    * but engine control-flow throwables tunnel through like saxParse.
+  private val nsParser = new ThreadLocal[SAXParser] {
+    override def initialValue(): SAXParser = newParser(nsAware = true)
+  }
+  private val plainParser = new ThreadLocal[SAXParser] {
+    override def initialValue(): SAXParser = newParser(nsAware = false)
+  }
+
+  /** SAXException propagates (callers decide the failure mode), but
+    * engine control-flow throwables tunnel through untranslated.
     */
-  def parse(bytes: Array[Byte], handler: DefaultHandler): Unit = {
-    val p = threadParser.get()
+  private def run(p: SAXParser, bytes: Array[Byte],
+      handler: DefaultHandler): Unit = {
     p.reset()
     try p.parse(new java.io.ByteArrayInputStream(bytes), handler)
     catch {
@@ -42,4 +66,12 @@ object NsSax {
         }
     }
   }
+
+  /** Namespace-aware parse. */
+  def parse(bytes: Array[Byte], handler: DefaultHandler): Unit =
+    run(nsParser.get(), bytes, handler)
+
+  /** Namespace-unaware (prefix-based) parse — the engine's main path. */
+  def parsePlain(bytes: Array[Byte], handler: DefaultHandler): Unit =
+    run(plainParser.get(), bytes, handler)
 }

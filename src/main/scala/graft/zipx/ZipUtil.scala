@@ -382,10 +382,12 @@ object OpcDetector {
         val ct = ZipUtil.entry(zipBytes, "[Content_Types].xml")
           .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
           .getOrElse("")
+        // all-lowercase like the reference (MediaType normalizes;
+        // OOXMLParserTest asserts "...macroenabled.12")
         if (ct.contains("visio.drawing.macroEnabled.main"))
-          "application/vnd.ms-visio.drawing.macroEnabled.12"
+          "application/vnd.ms-visio.drawing.macroenabled.12"
         else if (ct.contains("visio.template.macroEnabled.main"))
-          "application/vnd.ms-visio.template.macroEnabled.12"
+          "application/vnd.ms-visio.template.macroenabled.12"
         else if (ct.contains("visio.stencil.macroEnabled.main"))
           "application/vnd.ms-visio.stencil.macroenabled.12"
         else if (ct.contains("visio.template.main"))

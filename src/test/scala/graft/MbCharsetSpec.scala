@@ -79,6 +79,6 @@ class MbCharsetSpec extends AnyFunSuite {
   }
 
   test("iso-2022-jp scan ignores plain ESC without the $ sequence") {
-    assert(!MbCharsets.looksIso2022Jp("a[31mred[0m".getBytes("ASCII"), 20))
+    assert(!MbCharsets.looksIso2022Jp("a\u001b[31mred\u001b[0m".getBytes("ASCII"), 20))
   }
 }

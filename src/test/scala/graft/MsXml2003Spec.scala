@@ -51,6 +51,44 @@ class MsXml2003Spec extends AnyFunSuite {
     assert(t.contains("R2 c3"))
   }
 
+  test("WordML hlink: display text dropped (reference IGNORE_CHARACTERS), dest recorded") {
+    // WordMLParser.java:58-61 puts w:hlink in IGNORE_CHARACTERS — the
+    // reference emits no display text for hyperlinks; we keep the URL
+    // under the engine's `links` metadata convention.
+    val xml =
+      ("""<?xml version="1.0"?><?mso-application progid="Word.Document"?>""" +
+       """<w:wordDocument xmlns:w="http://schemas.microsoft.com/office/word/2003/wordml">""" +
+       """<w:body><w:p><w:r><w:t>before </w:t></w:r>""" +
+       """<w:hlink w:dest="https://example.com/x"><w:r><w:t>CLICKME</w:t></w:r></w:hlink>""" +
+       """<w:r><w:t> after</w:t></w:r></w:p></w:body></w:wordDocument>""").getBytes("UTF-8")
+    val d = Extractor.extract(DocRow("h.xml",
+      Seq(Span("bytes", Corpus.b64(xml), null, 0))))
+    assert(d.mime == "application/vnd.ms-wordml")
+    val t = text(d)
+    assert(t.contains("before"), t)
+    assert(t.contains("after"), t)
+    assert(!t.contains("CLICKME"), t)
+    assert(d.meta.get("links").exists(_.contains("https://example.com/x")))
+  }
+
+  test("SpreadsheetML: a Cell without Data still holds its column") {
+    // SpreadsheetMLParser emits one td per CELL; '<Cell/><Cell><Data>X'
+    // must keep X in column 2, not shift it left.
+    val xml =
+      ("""<?xml version="1.0"?><Workbook xmlns="urn:schemas-microsoft-com:office:spreadsheet" """ +
+       """xmlns:ss="urn:schemas-microsoft-com:office:spreadsheet"><Worksheet ss:Name="S1">""" +
+       """<Table><Row><Cell/><Cell><Data ss:Type="String">X</Data></Cell></Row>""" +
+       """<Row><Cell ss:HRef="https://example.com/l"><Data ss:Type="String">lnk</Data></Cell></Row>""" +
+       """</Table></Worksheet></Workbook>""").getBytes("UTF-8")
+    val d = Extractor.extract(DocRow("s.xml",
+      Seq(Span("bytes", Corpus.b64(xml), null, 0))))
+    assert(d.mime == "application/vnd.ms-spreadsheetml")
+    val t = text(d)
+    assert(t.contains("\tX"), t.replace("\t", "\\t"))
+    assert(t.contains("lnk"), t)
+    assert(d.meta.get("links").exists(_.contains("https://example.com/l")))
+  }
+
   test("testWORDML_tableInsideParagraph.doc: WordML root beats .doc hint") {
     val d = extract("testWORDML_tableInsideParagraph.doc")
     // XML2003ParserTest.testTableInsideParagraph — the root-XML clause

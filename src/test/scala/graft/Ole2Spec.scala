@@ -60,8 +60,8 @@ class Ole2Spec extends AnyFunSuite {
 
   test(".doc round-trip: piece table with compressed + unicode pieces, field chars") {
     val bytes = OleCorpus.docFromPieces(Seq(
-      ("First paragraph.\rCell1Cell2\r", true),
-      ("Before HYPERLINK instrshown result after\r" +
+      ("First paragraph.\rCell1\u0007Cell2\r", true),
+      ("Before \u0013HYPERLINK instr\u0014shown result\u0015 after\r" +
        "Unicode — é\r", false)))
     val sink = new SpanSink(); val meta = new MetaSink
     graft.ole2.DocExtractor.extract(bytes, sink, meta)

@@ -61,10 +61,55 @@ class VsdxSpec extends AnyFunSuite {
 
   test("macro-enabled and template variants detect as their subtypes") {
     val m = extract("testVISIO.vsdm")
-    assert(m.mime == "application/vnd.ms-visio.drawing.macroEnabled.12")
+    assert(m.mime == "application/vnd.ms-visio.drawing.macroenabled.12")
     assert(m.status == Status.ParseSuccess)
     val tpl = extract("testVISIO.vstx")
     assert(tpl.mime == "application/vnd.ms-visio.template")
     assert(tpl.status == Status.ParseSuccess)
+  }
+
+  test("OPC target resolution normalizes ../ and leading-/ segments") {
+    import graft.ooxml.VsdxExtractor.resolveTarget
+    assert(resolveTarget("visio", "../visio/pages/pages.xml") == "visio/pages/pages.xml")
+    assert(resolveTarget("visio/pages", "page1.xml") == "visio/pages/page1.xml")
+    assert(resolveTarget("visio", "/visio/document.xml") == "visio/document.xml")
+    assert(resolveTarget("", "./visio/document.xml") == "visio/document.xml")
+  }
+
+  test("relative ../ rel targets still reach page text; foreign-ns Text excluded") {
+    val visioNs = "http://schemas.microsoft.com/office/visio/2012/main"
+    val vsdx = Corpus.zip(Seq(
+      "[Content_Types].xml" ->
+        """<Types xmlns="a"><Default Extension="xml" ContentType="application/vnd.ms-visio.drawing.main+xml"/></Types>""".getBytes("UTF-8"),
+      "_rels/.rels" ->
+        ("""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+         """<Relationship Id="R1" Type="http://schemas.microsoft.com/visio/2010/relationships/document" Target="/visio/document.xml"/></Relationships>""").getBytes("UTF-8"),
+      "visio/document.xml" -> "<VisioDocument/>".getBytes("UTF-8"),
+      "visio/_rels/document.xml.rels" ->
+        ("""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+         """<Relationship Id="R1" Type="http://schemas.microsoft.com/visio/2010/relationships/pages" Target="../visio/pages/pages.xml"/></Relationships>""").getBytes("UTF-8"),
+      "visio/pages/pages.xml" -> "<Pages/>".getBytes("UTF-8"),
+      "visio/pages/_rels/pages.xml.rels" ->
+        ("""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+         """<Relationship Id="R1" Type="http://schemas.microsoft.com/visio/2010/relationships/page" Target="page1.xml"/></Relationships>""").getBytes("UTF-8"),
+      "visio/pages/page1.xml" ->
+        (s"""<PageContents xmlns="$visioNs" xmlns:d="urn:data-island">""" +
+         """<Shape><Text>visible shape text</Text></Shape>""" +
+         """<d:island><d:Text>FOREIGN PAYLOAD</d:Text></d:island>""" +
+         """</PageContents>""").getBytes("UTF-8")))
+    val d = Extractor.extract(DocRow("rel.vsdx",
+      Seq(Span("bytes", Corpus.b64(vsdx), null, 0))))
+    assert(d.mime == "application/vnd.ms-visio.drawing")
+    val t = text(d)
+    assert(t.contains("visible shape text"), t)
+    assert(!t.contains("FOREIGN PAYLOAD"), t)
+  }
+
+  test("truncated .vsdx falls back to the filename glob") {
+    // a corrupt zip can't content-specialize; the *.vsdx glob must
+    // still name it (tika-mimetypes.xml glob parity)
+    val d = Extractor.extract(DocRow("broken.vsdx",
+      Seq(Span("bytes", Corpus.b64("PK\u0003\u0004garbage".getBytes("ISO-8859-1")), null, 0))))
+    assert(d.mime == "application/vnd.ms-visio.drawing", d.mime)
   }
 }
