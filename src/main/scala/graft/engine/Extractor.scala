@@ -209,6 +209,8 @@ object Extractor {
             DocxExtractor.extract(bytes, sink, meta)
           case MediaTypes.Xlsx =>
             graft.ooxml.XlsxExtractor.extract(bytes, sink, meta)
+          case MediaTypes.Xlsb =>
+            graft.ooxml.XlsbExtractor.extract(bytes, sink, meta)
           case MediaTypes.Pptx =>
             graft.ooxml.PptxExtractor.extract(bytes, sink, meta)
           case MediaTypes.Xps =>
@@ -600,6 +602,8 @@ object Extractor {
           case "image/vnd.dgn;version=8" =>
             // DGN v8: CFB container, summary metadata only (DGN8Parser)
             graft.ole2.OleProps.fromCfb(graft.ole2.Cfb.parse(bytes), meta)
+          case "application/x-mspublisher" =>
+            graft.ole2.PubExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsWord =>
             graft.ole2.DocExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsExcel =>

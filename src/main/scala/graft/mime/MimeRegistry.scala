@@ -14,6 +14,7 @@ object MediaTypes {
   val TikaOoxml = "application/x-tika-ooxml"
   val Docx = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
   val Xlsx = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+  val Xlsb = "application/vnd.ms-excel.sheet.binary.macroenabled.12"
   val Pptx = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
   val Xps = "application/vnd.ms-xpsdocument"
   val Gzip = "application/gzip"
@@ -173,6 +174,7 @@ object MimeRegistry {
     TikaOoxml -> Zip,
     Docx -> TikaOoxml,
     Xlsx -> TikaOoxml,
+    Xlsb -> TikaOoxml, // tika-mimetypes.xml:2075-2079
     Pptx -> TikaOoxml,
     // visio OOXML sub-classes of x-tika-visio-ooxml -> x-tika-ooxml
     // (tika-mimetypes.xml:3146-3173); the hint must specialize zip
@@ -186,6 +188,7 @@ object MimeRegistry {
     Eml -> TextPlain,
     Mbox -> TextPlain,
     MsWord -> TikaMsOffice,
+    "application/x-mspublisher" -> TikaMsOffice,
     MsExcel -> TikaMsOffice,
     MsPowerPoint -> TikaMsOffice,
     MsOutlook -> TikaMsOffice,

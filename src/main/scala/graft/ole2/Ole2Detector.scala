@@ -33,6 +33,7 @@ object Ole2Detector {
     "EncryptedPackage" -> OoxmlProtected,
     "__properties_version1.0" -> MediaTypes.MsOutlook,
     "VisioDocument" -> "application/vnd.visio",
+    "Quill" -> "application/x-mspublisher",
     "PowerPoint Document" -> MediaTypes.MsPowerPoint,
     "WordDocument" -> MediaTypes.MsWord,
     "Workbook" -> MediaTypes.MsExcel,

@@ -26,12 +26,16 @@ object XlsxExtractor {
     DocxExtractor.corePropsFrom(parts, meta)
     sheets.foreach { case (name, target) =>
       meta.add("sheet:name", name)
-      parts.get("xl/" + target.stripPrefix("/xl/").stripPrefix("xl/"))
-        .orElse(parts.get(target.stripPrefix("/")))
-        .foreach { bytes =>
-          DocxExtractor.saxParse(bytes, new SheetHandler(shared, xfs, customFmts, sink))
-          sink.newline() // sheet (table) end
-        }
+      val path =
+        if (parts.contains("xl/" + target.stripPrefix("/xl/").stripPrefix("xl/")))
+          "xl/" + target.stripPrefix("/xl/").stripPrefix("xl/")
+        else target.stripPrefix("/")
+      parts.get(path).foreach { bytes =>
+        DocxExtractor.saxParse(bytes, new SheetHandler(shared, xfs, customFmts, sink))
+        // shape/diagram/chart text from the sheet's drawing parts
+        XlsxDrawings.processSheet(parts, path, sink, meta)
+        sink.newline() // sheet (table) end
+      }
     }
   }
 

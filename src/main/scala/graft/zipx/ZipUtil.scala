@@ -398,6 +398,8 @@ object OpcDetector {
       }
       // entry-name shortcut (OOXML_HINTS, OPCPackageDetector.java:93-100)
       else if (names.exists(_.startsWith("word/document"))) Docx
+      // binary workbook (MS-XLSB) before the generic xl/workbook match
+      else if (names.contains("xl/workbook.bin")) Xlsb
       else if (names.exists(_.startsWith("xl/workbook"))) Xlsx
       else if (names.exists(_.startsWith("ppt/presentation"))) Pptx
       else {
