@@ -604,10 +604,18 @@ object Extractor {
             graft.ole2.OleProps.fromCfb(graft.ole2.Cfb.parse(bytes), meta)
           case "application/x-mspublisher" =>
             graft.ole2.PubExtractor.extract(bytes, sink, meta)
+          case "application/vnd.visio" =>
+            graft.ole2.VsdExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsWord =>
             graft.ole2.DocExtractor.extract(bytes, sink, meta)
-          case MediaTypes.MsExcel =>
+          case MediaTypes.MsExcel | "application/x-tika-msworks-spreadsheet" =>
+            // Works 7.0 .xlr is a BIFF8 workbook under a different root
+            // entry (OfficeParser POIFSDocumentType.XLR → ExcelExtractor)
             graft.ole2.XlsExtractor.extract(bytes, sink, meta)
+          case "application/sldworks" =>
+            // SolidWorks parts/assemblies/drawings: summary metadata only
+            // (OfficeParser SOLIDWORKS_* cases emit no body text)
+            graft.ole2.OleProps.fromCfb(graft.ole2.Cfb.parse(bytes), meta)
           case MediaTypes.MsPowerPoint =>
             graft.ole2.PptExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsOutlook =>

@@ -31,6 +31,8 @@ object MediaParser {
         if (matches(bytes, 0, 0x89, 'P', 'N', 'G')) parsePng(bytes)
       else if (matches(bytes, 0, 0xff, 0xd8, 0xff)) parseJpeg(bytes)
       else if (matches(bytes, 0, 'G', 'I', 'F', '8')) parseGif(bytes)
+      else if (matches(bytes, 0, 'I', 'I', 0x2a, 0) ||
+               matches(bytes, 0, 'M', 'M', 0, 0x2a)) parseTiff(bytes)
       else if (matches(bytes, 0, 'B', 'M')) parseBmp(bytes)
       else if (matches(bytes, 0, 'R', 'I', 'F', 'F') &&
                matches(bytes, 8, 'W', 'A', 'V', 'E')) parseWav(bytes)
@@ -171,58 +173,50 @@ object MediaParser {
     */
   private def parseJpeg(b: Array[Byte]): Option[Meta] = {
     var p = 2
-    var w, h, orient = 0
+    var w, h = 0
+    var exif = Exif.Empty
+    def finish(): Option[Meta] =
+      if (w > 0 && h > 0) {
+        // EXIF's declared pixel dimensions outrank the SOF frame (the
+        // reference reports ExifSubIFD "Exif Image Width/Height")
+        val ew = exif.tags.get("exif:ImageWidth").flatMap(_.toIntOption)
+        val eh = exif.tags.get("exif:ImageLength").flatMap(_.toIntOption)
+        Some(Meta("image/jpeg", "image",
+          width = ew.getOrElse(w), height = eh.getOrElse(h),
+          orientation = exif.orientation,
+          tags = exif.tags -- Seq("exif:ImageWidth", "exif:ImageLength")))
+      } else None
     while (p + 4 <= b.length) {
-      if ((b(p) & 0xff) != 0xff) return finishJpeg(w, h, orient)
+      if ((b(p) & 0xff) != 0xff) return finish()
       val marker = b(p + 1) & 0xff
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { p += 2 }
-      else if (marker == 0xd9 || marker == 0xda) return finishJpeg(w, h, orient)
+      else if (marker == 0xd9 || marker == 0xda) return finish()
       else {
         val len = be16(b, p + 2)
-        if (len < 2 || p + 2 + len > b.length) return finishJpeg(w, h, orient)
+        if (len < 2 || p + 2 + len > b.length) return finish()
         if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
           h = be16(b, p + 5); w = be16(b, p + 7)
         } else if (marker == 0xe1 && len >= 16 &&
             matches(b, p + 4, 'E', 'x', 'i', 'f', 0, 0)) {
-          orient = exifOrientation(b, p + 10, len - 8)
+          exif = Exif.parse(b, p + 10, len - 8)
         }
         p += 2 + len
       }
     }
-    finishJpeg(w, h, orient)
+    finish()
   }
 
-  private def finishJpeg(w: Int, h: Int, orient: Int): Option[Meta] =
-    if (w > 0 && h > 0)
-      Some(Meta("image/jpeg", "image", width = w, height = h, orientation = orient))
-    else None
-
-  /** Minimal TIFF IFD0 walk for tag 0x0112 (orientation). `tiff` is the
-    * offset of the TIFF header inside the APP1 payload.
+  /** TIFF: the EXIF IFD walk over the whole file; dimensions come from
+    * IFD0's ImageWidth/ImageLength tags (TiffParser surface).
     */
-  private def exifOrientation(b: Array[Byte], tiff: Int, max: Int): Int = {
-    // the IFD walk is bounded by the APP1 segment, not the file — a
-    // truncated/crafted segment must not read tags out of scan data
-    val limit = math.min(b.length, tiff + math.max(max, 0))
-    if (tiff + 8 > limit) return 0
-    val le = b(tiff) == 'I'
-    def u16(o: Int) = if (le) le16(b, o) else be16(b, o)
-    def u32(o: Int) = if (le) le32(b, o) else be32(b, o)
-    val ifd = tiff + u32(tiff + 4).toInt
-    if (ifd < tiff || ifd + 2 > limit) return 0
-    val n = math.min(u16(ifd), (limit - ifd - 2) / 12)
-    var i = 0
-    while (i < n) {
-      val e = ifd + 2 + i * 12
-      if (e + 12 > limit) return 0
-      if (u16(e) == 0x0112) {
-        val v = u16(e + 8)
-        return if (v >= 1 && v <= 8) v else 0
-      }
-      i += 1
-    }
-    0
+  private def parseTiff(b: Array[Byte]): Option[Meta] = {
+    val exif = Exif.parse(b, 0, b.length)
+    Some(Meta("image/tiff", "image",
+      width = exif.tags.get("tiff:ImageWidth").flatMap(_.toIntOption).getOrElse(0),
+      height = exif.tags.get("tiff:ImageLength").flatMap(_.toIntOption).getOrElse(0),
+      orientation = exif.orientation,
+      tags = exif.tags -- Seq("tiff:ImageWidth", "tiff:ImageLength")))
   }
 
   /** GIF logical screen descriptor: width/height little-endian at 6/8. */

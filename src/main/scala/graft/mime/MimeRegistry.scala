@@ -189,6 +189,9 @@ object MimeRegistry {
     Mbox -> TextPlain,
     MsWord -> TikaMsOffice,
     "application/x-mspublisher" -> TikaMsOffice,
+    "application/sldworks" -> TikaMsOffice,
+    "application/x-tika-msworks-spreadsheet" -> TikaMsOffice,
+    "application/vnd.ms-works" -> TikaMsOffice,
     MsExcel -> TikaMsOffice,
     MsPowerPoint -> TikaMsOffice,
     MsOutlook -> TikaMsOffice,

@@ -34,6 +34,12 @@ object Ole2Detector {
     "__properties_version1.0" -> MediaTypes.MsOutlook,
     "VisioDocument" -> "application/vnd.visio",
     "Quill" -> "application/x-mspublisher",
+    "SwDocContentMgr" -> "application/sldworks",
+    // Works 7.0 spreadsheets contain BOTH WksSSWorkBook and Workbook —
+    // this entry must outrank the Excel markers
+    // (POIFSContainerDetector.java:311-316)
+    "WksSSWorkBook" -> "application/x-tika-msworks-spreadsheet",
+    "MatOST" -> "application/vnd.ms-works",
     "PowerPoint Document" -> MediaTypes.MsPowerPoint,
     "WordDocument" -> MediaTypes.MsWord,
     "Workbook" -> MediaTypes.MsExcel,

@@ -58,6 +58,17 @@ object XlsbExtractor {
         val sheetRels = parts.get(relsPath)
           .map(DocxExtractor.parseRels).getOrElse(Map.empty)
         sheetText(bytes, shared, xfs, customFmts, sheetRels, sink, meta)
+        // cell comments render after the table (TikaXSSFBCommentsTable)
+        for (rel <- XlsxDrawings.relsOf(parts, relsPath)
+            if rel.tpe.endsWith("/comments")) {
+          val cPath = if (rel.target.startsWith("/")) rel.target.substring(1)
+            else "xl/" + rel.target.stripPrefix("../")
+          parts.get(cPath).foreach { c =>
+            XlsxComments.emit(
+              if (cPath.endsWith(".bin")) XlsxComments.fromBin(c)
+              else XlsxComments.fromXml(c), sink)
+          }
+        }
         // textboxes/WordArt/diagram/chart text hang off the drawing parts,
         // which stay XML even in binary workbooks
         XlsxDrawings.processSheet(parts, path, sink, meta)

@@ -17,9 +17,9 @@ import graft.engine.{MetaSink, SpanSink}
   */
 object XlsxDrawings {
 
-  private final case class Rel(id: String, tpe: String, target: String)
+  private[ooxml] final case class Rel(id: String, tpe: String, target: String)
 
-  private def relsOf(parts: Map[String, Array[Byte]],
+  private[ooxml] def relsOf(parts: Map[String, Array[Byte]],
       relsPath: String): Vector[Rel] = {
     parts.get(relsPath).map { bytes =>
       val out = Vector.newBuilder[Rel]

@@ -32,6 +32,17 @@ object XlsxExtractor {
         else target.stripPrefix("/")
       parts.get(path).foreach { bytes =>
         DocxExtractor.saxParse(bytes, new SheetHandler(shared, xfs, customFmts, sink))
+        // cell comments render after the table ("author: text" lines)
+        val slash = path.lastIndexOf('/')
+        val relsPath = path.substring(0, slash + 1) + "_rels/" +
+          path.substring(slash + 1) + ".rels"
+        for (rel <- XlsxDrawings.relsOf(parts, relsPath)
+            if rel.tpe.endsWith("/comments")) {
+          val cPath = if (rel.target.startsWith("/")) rel.target.substring(1)
+            else "xl/" + rel.target.stripPrefix("../")
+          parts.get(cPath).foreach(c =>
+            XlsxComments.emit(XlsxComments.fromXml(c), sink))
+        }
         // shape/diagram/chart text from the sheet's drawing parts
         XlsxDrawings.processSheet(parts, path, sink, meta)
         sink.newline() // sheet (table) end

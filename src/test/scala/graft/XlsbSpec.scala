@@ -82,6 +82,14 @@ class XlsbSpec extends AnyFunSuite {
     assert(t.contains("test WordArt"), t.takeRight(400))
   }
 
+  test("cell comments render as author-prefixed lines (xlsb + xlsx)") {
+    val tb = text(extract("testEXCEL_various.xlsb"))
+    assert(tb.contains("test comment2"), tb.takeRight(600))
+    assert(tb.contains("comment4 (end of row)"), tb.takeRight(600))
+    val tx = text(extract("testComment.xlsx"))
+    assert(tx.contains("Here is a comment"), tx.takeRight(600))
+  }
+
   test("all xlsb fixtures detect and parse without error status") {
     import scala.jdk.CollectionConverters._
     org.scalatest.Assertions.assume(Files.isDirectory(docs),
