@@ -58,7 +58,8 @@ object Corpus {
     */
   def kindOf(index: Long): String = {
     val m = ((index % 1000) * 379 % 1000).toInt
-    if (m < 360) "html"
+    if (m < 348) "html"
+    else if (m < 360) "msbin" // xlsb/pub/vsd rotation (r4f)
     else if (m < 370) "warc"
     else if (m < 460) "docx"
     else if (m < 485) "xlsx"
@@ -89,7 +90,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 18
+  val Version = 19
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -141,6 +142,13 @@ object Corpus {
         Seq(Span("bytes", b64(bytes), null, 0))
       case "onenote" =>
         Seq(Span("bytes", b64(OneCorpus.oneFile(r)), null, 0))
+      case "msbin" =>
+        val bytes = (index % 3) match {
+          case 0 => MsBinCorpus.xlsbFile(r)
+          case 1 => MsBinCorpus.pubFile(r)
+          case _ => MsBinCorpus.vsdFile(r)
+        }
+        Seq(Span("bytes", b64(bytes), null, 0))
       case "warc" =>
         // web-archive rows: 2-3 response records (html + text members);
         // every other row ships gzip-wrapped (.warc.gz path)

@@ -18,9 +18,16 @@ object PubExtractor {
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
     val cfb = Cfb.parse(bytes)
     OleProps.fromCfb(cfb, meta)
+    // the Quill stream lives at Quill/QuillSub/CONTENTS; fall back to any
+    // CONTENTS stream that carries the CHNK signature (root `Contents`
+    // property streams do not)
     val contents = cfb.entries.find(e => e.objType == 2 &&
         e.path.equalsIgnoreCase("Quill/QuillSub/") &&
         e.name.equalsIgnoreCase("CONTENTS")).map(cfb.readStream)
+      .orElse(cfb.entries.filter(e => e.objType == 2 &&
+          e.name.equalsIgnoreCase("CONTENTS")).map(cfb.readStream)
+        .find(c => c.length > 4 && c(0) == 'C' && c(1) == 'H' &&
+          c(2) == 'N' && c(3) == 'K'))
       .getOrElse(throw new IllegalArgumentException("no Quill CONTENTS"))
     if (contents.length < 0x20 + 24 ||
         !(contents(0) == 'C' && contents(1) == 'H' && contents(2) == 'N' &&
