@@ -53,7 +53,8 @@ object Extractor {
     graft.mime.MimeDb.RealAudio, graft.mime.MimeDb.Mng, graft.mime.MimeDb.Jng,
     graft.mime.MimeDb.Ac3, graft.mime.MimeDb.CanonCr2, graft.mime.MimeDb.Pcx,
     graft.mime.MimeDb.Pam, graft.mime.MimeDb.SgiRgb, graft.mime.MimeDb.Bpg,
-    graft.mime.MimeDb.Icns, graft.mime.MimeDb.Dpx, graft.mime.MimeDb.Nitf)
+    graft.mime.MimeDb.Icns, graft.mime.MimeDb.Dpx, graft.mime.MimeDb.Nitf,
+    graft.mime.MimeDb.Aiff, graft.mime.MimeDb.AuBasic)
 
   private val MediaExt: Map[String, String] = Map(
     MediaTypes.Jpeg -> "jpg", MediaTypes.Tiff -> "tif", MediaTypes.Mp3 -> "mp3",
@@ -544,6 +545,8 @@ object Extractor {
           case m if m == graft.mime.MimeDb.Sqlite =>
             graft.db.SqliteExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(name, data))
+          case m if m == graft.mime.MimeDb.MsAccess =>
+            graft.db.AccessExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.OneNote =>
             graft.onenote.OneNoteExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Chm =>

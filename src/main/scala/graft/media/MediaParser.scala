@@ -36,6 +36,14 @@ object MediaParser {
       else if (matches(bytes, 0, 'B', 'M')) parseBmp(bytes)
       else if (matches(bytes, 0, 'R', 'I', 'F', 'F') &&
                matches(bytes, 8, 'W', 'A', 'V', 'E')) parseWav(bytes)
+      else if (matches(bytes, 0, 'R', 'I', 'F', 'F') &&
+               matches(bytes, 8, 'W', 'E', 'B', 'P')) parseWebp(bytes)
+      else if (matches(bytes, 0, '8', 'B', 'P', 'S')) parsePsd(bytes)
+      else if (matches(bytes, 0, 0, 0, 1, 0) && bytes.length > 6 &&
+               (bytes(4) & 0xff) > 0) parseIco(bytes)
+      else if (matches(bytes, 0, 'F', 'O', 'R', 'M') &&
+               matches(bytes, 8, 'A', 'I', 'F')) parseAiff(bytes)
+      else if (matches(bytes, 0, '.', 's', 'n', 'd')) parseAu(bytes)
       else if (matches(bytes, 0, 'I', 'D', '3') ||
                (bytes.length > 1 && (bytes(0) & 0xff) == 0xff &&
                  (bytes(1) & 0xe0) == 0xe0)) parseMp3(bytes)
@@ -160,11 +168,32 @@ object MediaParser {
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
 
-  /** PNG IHDR: always the first chunk — width/height big-endian at 16/20. */
+  /** PNG IHDR: always the first chunk — width/height big-endian at 16/20.
+    * tEXt chunks (keyword NUL value, latin-1) surface as `png:*` tags.
+    */
   private def parsePng(b: Array[Byte]): Option[Meta] = {
     if (b.length < 24 || !matches(b, 12, 'I', 'H', 'D', 'R')) return None
+    val tags = Map.newBuilder[String, String]
+    var p = 8
+    var n = 0
+    while (p + 8 <= b.length && n < 64) {
+      val len = be32(b, p).toInt
+      if (len < 0 || p + 12 + len > b.length) { p = b.length }
+      else {
+        if (matches(b, p + 4, 't', 'E', 'X', 't') && len > 1 && len < 4096) {
+          val body = new String(b, p + 8, len,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val nul = body.indexOf('\u0000')
+          if (nul > 0 && nul < body.length - 1)
+            tags += s"png:${body.substring(0, nul)}" -> body.substring(nul + 1)
+        }
+        p += 12 + len
+        n += 1
+      }
+    }
     Some(Meta("image/png", "image",
-      width = be32(b, 16).toInt, height = be32(b, 20).toInt))
+      width = be32(b, 16).toInt, height = be32(b, 20).toInt,
+      tags = tags.result()))
   }
 
   /** JPEG: walk FF-marker segments to the first SOFn (C0-CF minus
@@ -217,6 +246,101 @@ object MediaParser {
       height = exif.tags.get("tiff:ImageLength").flatMap(_.toIntOption).getOrElse(0),
       orientation = exif.orientation,
       tags = exif.tags -- Seq("tiff:ImageWidth", "tiff:ImageLength")))
+  }
+
+  /** PSD header (8BPS): height/width big-endian at 14/18, depth at 22 —
+    * the reference PSDParser's fixed-header surface.
+    */
+  private def parsePsd(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 26) return None
+    val depth = be16(b, 22)
+    Some(Meta("image/vnd.adobe.photoshop", "image",
+      width = be32(b, 18).toInt, height = be32(b, 14).toInt,
+      tags = Map("tiff:BitsPerSample" -> depth.toString)))
+  }
+
+  /** WebP (RIFF): VP8X extended header canvas, VP8 lossy frame tag, or
+    * VP8L lossless 14-bit packed dims (WebPParser surface).
+    */
+  private def parseWebp(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 30 || !matches(b, 8, 'W', 'E', 'B', 'P')) return None
+    val fourcc = new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val (w, h) = fourcc match {
+      case "VP8X" =>
+        (1 + (le16(b, 24) | ((b(26) & 0xff) << 16)),
+         1 + (le16(b, 27) | ((b(29) & 0xff) << 16)))
+      case "VP8 " if b.length >= 30 =>
+        (le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff)
+      case "VP8L" if b.length >= 25 && (b(20) & 0xff) == 0x2f =>
+        val bits = le32(b, 21)
+        ((bits & 0x3fff).toInt + 1, ((bits >> 14) & 0x3fff).toInt + 1)
+      case _ => (0, 0)
+    }
+    if (w <= 0 || h <= 0) None
+    else Some(Meta("image/webp", "image", width = w, height = h))
+  }
+
+  /** ICO directory: first entry's width/height bytes (0 means 256). */
+  private def parseIco(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 8) return None
+    val w = b(6) & 0xff
+    val h = b(7) & 0xff
+    Some(Meta("image/vnd.microsoft.icon", "image",
+      width = if (w == 0) 256 else w, height = if (h == 0) 256 else h))
+  }
+
+  /** AIFF FORM/COMM: channels, frame count, bit depth, 80-bit extended
+    * sample rate → duration (the javax.sound surface the reference's
+    * AudioParser exposes for aiff).
+    */
+  private def parseAiff(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 12 || !matches(b, 8, 'A', 'I', 'F')) return None
+    var p = 12
+    while (p + 8 <= b.length) {
+      val id = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = be32(b, p + 4).toInt
+      if (id == "COMM" && len >= 18 && p + 8 + 18 <= b.length) {
+        val channels = be16(b, p + 8)
+        val frames = be32(b, p + 10)
+        // 80-bit IEEE extended: 16-bit exponent + 64-bit mantissa
+        val exp = be16(b, p + 16) & 0x7fff
+        val hi = be32(b, p + 18)
+        val rate =
+          if (exp == 0) 0.0
+          else hi.toDouble * math.pow(2.0, exp - 16383 - 31)
+        val dur = if (rate > 0) (frames * 1000L / rate.toLong) else 0L
+        return Some(Meta("audio/x-aiff", "audio", durationMs = dur,
+          sampleRate = math.round(rate).toInt, channels = channels))
+      }
+      p += 8 + len + (len & 1)
+      if (len < 0) return None
+    }
+    Some(Meta("audio/x-aiff", "audio"))
+  }
+
+  /** Sun audio (.snd/.au): big-endian header — rate at 16, channels 20. */
+  private def parseAu(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 24) return None
+    val dataOff = be32(b, 4)
+    val dataLen = be32(b, 8)
+    val enc = be32(b, 12)
+    val rate = be32(b, 16).toInt
+    val ch = be32(b, 20).toInt
+    val bytesPerSample = enc match {
+      case 1 | 2 => 1L
+      case 3 => 2L
+      case 4 => 3L
+      case 5 | 6 => 4L
+      case _ => 0L
+    }
+    val dur =
+      if (bytesPerSample > 0 && rate > 0 && ch > 0 && dataLen > 0 &&
+          dataLen != 0xffffffffL)
+        dataLen * 1000L / (bytesPerSample * rate * ch)
+      else 0L
+    val _ = dataOff
+    Some(Meta("audio/basic", "audio", durationMs = dur,
+      sampleRate = rate, channels = ch))
   }
 
   /** GIF logical screen descriptor: width/height little-endian at 6/8. */

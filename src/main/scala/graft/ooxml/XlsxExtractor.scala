@@ -170,6 +170,20 @@ object PptxExtractor {
       val path = if (target.startsWith("/")) target.substring(1) else "ppt/" + target
       parts.get(path).foreach { bytes =>
         DocxExtractor.saxParse(bytes, new SlideHandler(sink))
+        // speaker notes follow their slide (OfficeParserConfig
+        // includeSlideNotes defaults true in the reference)
+        val slash = path.lastIndexOf('/')
+        val relsPath = path.substring(0, slash + 1) + "_rels/" +
+          path.substring(slash + 1) + ".rels"
+        for (rel <- XlsxDrawings.relsOf(parts, relsPath)
+            if rel.tpe.endsWith("/notesSlide")) {
+          val nPath =
+            if (rel.target.startsWith("/")) rel.target.substring(1)
+            else "ppt/" + rel.target.stripPrefix("../")
+          parts.get(nPath).foreach { nb =>
+            DocxExtractor.saxParse(nb, new SlideHandler(sink))
+          }
+        }
         sink.newline() // slide end
       }
     }

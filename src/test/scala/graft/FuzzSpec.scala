@@ -230,4 +230,35 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("property: mutated xlsb/pub/vsd/media payloads never escape the envelope") {
+    val rnd = new scala.util.Random(23)
+    val seeds = Seq(
+      graft.corpus.MsBinCorpus.xlsbFile(new scala.util.Random(6)),
+      graft.corpus.MsBinCorpus.pubFile(new scala.util.Random(7)),
+      graft.corpus.MsBinCorpus.vsdFile(new scala.util.Random(8)),
+      graft.corpus.MediaCorpus.jpeg(new scala.util.Random(9)),
+      graft.corpus.MediaCorpus.png(new scala.util.Random(10)))
+    seeds.foreach { valid =>
+      (0 until 60).foreach { i =>
+        val mutated = valid.clone()
+        i % 3 match {
+          case 0 =>
+            val pos = rnd.nextInt(mutated.length)
+            mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+          case 1 =>
+            val n = 1 + rnd.nextInt(mutated.length)
+            val out = Extractor.extract(DocRow("f",
+              Seq(Span("bytes", Corpus.b64(java.util.Arrays.copyOf(mutated, n)), null, 0))))
+            assert(out.status != null && out.mime != null)
+          case _ =>
+            val pos = rnd.nextInt(mutated.length)
+            (pos until mutated.length).foreach(j => mutated(j) = rnd.nextInt(256).toByte)
+        }
+        val out = Extractor.extract(DocRow("f",
+          Seq(Span("bytes", Corpus.b64(mutated), null, 0))))
+        assert(out.status != null && out.mime != null)
+      }
+    }
+  }
+
 }

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.media.MediaParser
+
+/** PSD / WebP / ICO / AIFF / AU container metadata vs the reference's
+  * real fixtures (PSDParserTest, WebPParserTest, AudioParserTest).
+  */
+class MediaExtraSpec extends AnyFunSuite {
+
+  private val img = Path.of("/root/reference/tika-parsers/" +
+    "tika-parsers-standard/tika-parsers-standard-modules/" +
+    "tika-parser-image-module/src/test/resources/test-documents")
+  private val av = Path.of("/root/reference/tika-parsers/" +
+    "tika-parsers-standard/tika-parsers-standard-modules/" +
+    "tika-parser-audiovideo-module/src/test/resources/test-documents")
+
+  private def parse(dir: Path, name: String): MediaParser.Meta = {
+    org.scalatest.Assertions.assume(Files.isRegularFile(dir.resolve(name)),
+      "reference fixtures not present")
+    MediaParser.parse(Files.readAllBytes(dir.resolve(name))).get
+  }
+
+  test("testPSD.psd: 537x51, 8 bits per sample") {
+    val m = parse(img, "testPSD.psd")
+    assert(m.mime == "image/vnd.adobe.photoshop")
+    assert(m.width == 537 && m.height == 51, (m.width, m.height))
+    assert(m.tags.get("tiff:BitsPerSample").contains("8"))
+  }
+
+  test("webp variants: lossy, lossless, extended all carry dimensions") {
+    for (n <- Seq("testWEBP.webp", "testWebp_Alpha_Lossless.webp",
+        "testWebp_Alpha_Lossy.webp")) {
+      val m = parse(img, n)
+      assert(m.mime == "image/webp", n)
+      assert(m.width > 0 && m.height > 0, s"$n: ${(m.width, m.height)}")
+    }
+  }
+
+  test("testAIFF.aif: 44100 Hz stereo with duration") {
+    val m = parse(av, "testAIFF.aif")
+    assert(m.mime == "audio/x-aiff")
+    assert(m.sampleRate == 44100, m.sampleRate)
+    assert(m.channels == 2, m.channels)
+  }
+
+  test("testAU.au: 44100 Hz") {
+    val m = parse(av, "testAU.au")
+    assert(m.mime == "audio/basic")
+    assert(m.sampleRate == 44100, m.sampleRate)
+  }
+
+  test("PNG tEXt chunks surface as png: tags") {
+    // synthetic: IHDR + one tEXt chunk (CRCs unchecked by the parser)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      val len = body.length
+      out.write(Array((len >> 24).toByte, (len >> 16).toByte,
+        (len >> 8).toByte, len.toByte))
+      out.write(tag.getBytes("US-ASCII"))
+      out.write(body)
+      out.write(new Array[Byte](4)) // crc (unvalidated)
+    }
+    chunk("IHDR", Array[Byte](0, 0, 0, 10, 0, 0, 0, 5, 8, 2, 0, 0, 0))
+    chunk("tEXt", ("Comment" + "\u0000" + "made by graft").getBytes("ISO-8859-1"))
+    val m = MediaParser.parse(out.toByteArray).get
+    assert(m.width == 10 && m.height == 5)
+    assert(m.tags.get("png:Comment").contains("made by graft"), m.tags)
+  }
+}
