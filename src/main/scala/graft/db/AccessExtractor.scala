@@ -31,7 +31,32 @@ object AccessExtractor {
       offV: Int, offF: Int, len: Int, fixed: Boolean)
   private final case class TDef(page: Int, nvar: Int, cols: Vector[Col])
 
-  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+  /** OLE 1.0 embedded-object envelope (0x1C15 header, OLEVersion,
+    * FormatID 2 = embedded, class/topic/item names, native size+data):
+    * returns (className, nativeData) for embedded objects.
+    */
+  private def ole1Native(blob: Array[Byte]): Option[(String, Array[Byte])] = {
+    def u16(o: Int): Int = (blob(o) & 0xff) | ((blob(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (blob(o) & 0xffL) | ((blob(o + 1) & 0xffL) << 8) |
+      ((blob(o + 2) & 0xffL) << 16) | ((blob(o + 3) & 0xffL) << 24)
+    try {
+      if (blob.length < 24 || u16(0) != 0x1c15) return None
+      val o = u16(2)
+      if (u32(o) != 0x501L || u32(o + 4) != 2L) return None
+      val cl = u32(o + 8).toInt
+      val cls = new String(blob, o + 12, math.max(cl - 1, 0), "windows-1252")
+      var p = o + 12 + cl
+      p += 4 + u32(p).toInt // topic
+      p += 4 + u32(p).toInt // item
+      val n = u32(p).toInt
+      if (n <= 0 || p + 4 + n > blob.length) None
+      else Some((cls,
+        java.util.Arrays.copyOfRange(blob, p + 4, p + 4 + n)))
+    } catch { case _: Exception => None }
+  }
+
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
+      child: (String, Array[Byte]) => Unit = (_, _) => ()): Unit = {
     if (bytes.length < 0x20) throw new IllegalArgumentException("truncated")
     val version = bytes(0x14) & 0xff
     val jet3 = version == 0
@@ -448,11 +473,23 @@ object AccessExtractor {
         sink.newline()
         td.cols.foreach { c => sink.tab(); sink.chars(c.name) }
         sink.newline()
+        val oleCols = td.cols.filter(_.tpe == 11)
         tableRows(tdefPg).foreach { case (s, e) =>
           try {
             val vals = decodeRow(s, e, td)
             vals.foreach { v => sink.tab(); sink.chars(v) }
             sink.newline()
+            // OLE columns: unwrap the OLE 1.0 envelope and hand the
+            // native payload to embedded-document recursion
+            // (JackcessParser's OleBlob handling)
+            oleCols.foreach { c =>
+              colExtent(s, e, td, c).foreach { case (f, u) =>
+                val blob = memoBytes(bytes, f, u)
+                ole1Native(blob).foreach { case (cls, native) =>
+                  child(cls, native)
+                }
+              }
+            }
           } catch { case _: Exception => () } // skip undecodable rows
         }
         sink.newline()

@@ -546,7 +546,8 @@ object Extractor {
             graft.db.SqliteExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(name, data))
           case m if m == graft.mime.MimeDb.MsAccess =>
-            graft.db.AccessExtractor.extract(bytes, sink, meta)
+            graft.db.AccessExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(Some(name), data))
           case m if m == graft.mime.MimeDb.OneNote =>
             graft.onenote.OneNoteExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Chm =>
@@ -622,7 +623,8 @@ object Extractor {
           case MediaTypes.MsPowerPoint =>
             graft.ole2.PptExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsOutlook =>
-            graft.ole2.MsgExtractor.extract(bytes, sink, meta)
+            graft.ole2.MsgExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(Some(name), data))
           case m if m == graft.ole2.Ole2Detector.OoxmlProtected =>
             // password-protected OOXML (CFB-wrapped EncryptedPackage):
             // the reference throws EncryptedDocumentException — record a
@@ -631,9 +633,29 @@ object Extractor {
             meta.add("parse:exception",
               s"$m password-protected at ${if (idPath.isEmpty) "/" else idPath}")
           case MediaTypes.TikaMsOffice =>
-            // CFB container whose subtype markers matched nothing —
-            // recorded, like the reference's unknown-POIFS fallthrough
-            sawUnsupported = true
+            // embedded-object carriers first (AbstractPOIFSExtractor
+            // .handleEmbeddedOfficeDoc): a `Package` stream holds an OPC
+            // zip; a `CONTENTS` stream starting %PDF is a raw PDF
+            val carrier =
+              try {
+                val cfb = graft.ole2.Cfb.parse(bytes)
+                graft.ole2.OleProps.fromCfb(cfb, meta)
+                cfb.stream("Package")
+                  .filter(p => p.length > 4 && p(0) == 'P' && p(1) == 'K')
+                  .map(("package.zip", _))
+                  .orElse(cfb.stream("CONTENTS")
+                    .filter(p => p.length > 4 && p(0) == '%' &&
+                      p(1) == 'P' && p(2) == 'D' && p(3) == 'F')
+                    .map(("contents.pdf", _)))
+              } catch { case _: Exception => None }
+            carrier match {
+              case Some((nm, data)) =>
+                inlineChild(idPath, depth)(Some(nm), data)
+              case None =>
+                // CFB whose subtype markers matched nothing — recorded,
+                // like the reference's unknown-POIFS fallthrough
+                sawUnsupported = true
+            }
           case other =>
             // CompositeParser.getParser supertype-walk dispatch
             // (tika-core parser/CompositeParser.java:245-268): a type

@@ -333,17 +333,28 @@ object PptExtractor {
 object MsgExtractor {
 
   /** MS-OXMSG: property streams named `__substg1.0_TTTTYYYY` (TTTT =
-    * property id, YYYY = 001F UTF-16LE / 001E ANSI). Subject 0x0037,
-    * sender name 0x0C1A, display-to 0x0E04, body 0x1000 — the same
-    * fields tika's OutlookExtractor surfaces as metadata + body text.
+    * property id, YYYY = 001F UTF-16LE / 001E ANSI / 0102 binary).
+    * Subject 0x0037, sender name 0x0C1A, display-to 0x0E04, body 0x1000
+    * (falling back to the 0x1009 MS-OXRTFCP compressed-RTF body) — the
+    * fields tika's OutlookExtractor surfaces. Attachments live under
+    * `__attach_version1.0_#N` storages: binary payloads (0x3701 type
+    * 0102) recurse as embedded documents under their long filename
+    * (0x3707, else 0x3704); embedded-message attachments (0x3701 type
+    * 000D) are re-wrapped as standalone .msg children named after their
+    * subject, the OutlookParserTest.testEmbeddedPath shape.
     */
-  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
+      child: (String, Array[Byte]) => Unit = (_, _) => ()): Unit = {
     val cfb = Cfb.parse(bytes)
-    def prop(tag: String): Option[String] =
-      cfb.stream(s"__substg1.0_${tag}001F")
-        .map(b => new String(b, StandardCharsets.UTF_16LE))
-        .orElse(cfb.stream(s"__substg1.0_${tag}001E")
-          .map(b => new String(b, Charset.forName("windows-1252"))))
+    def propAt(prefix: String, tag: String): Option[String] =
+      cfb.entries.find(e => e.objType == 2 && e.path == prefix &&
+          e.name == s"__substg1.0_${tag}001F")
+        .map(e => new String(cfb.readStream(e), StandardCharsets.UTF_16LE))
+        .orElse(cfb.entries.find(e => e.objType == 2 && e.path == prefix &&
+            e.name == s"__substg1.0_${tag}001E")
+          .map(e => new String(cfb.readStream(e),
+            Charset.forName("windows-1252"))))
+    def prop(tag: String): Option[String] = propAt("", tag)
 
     val subject = prop("0037")
     val from = prop("0C1A")
@@ -352,10 +363,50 @@ object MsgExtractor {
     from.foreach(meta.set("message:from", _))
     to.foreach(meta.set("message:to", _))
     subject.foreach { s => sink.chars(s); sink.newline() }
-    prop("1000").foreach { body =>
-      body.split("\r\n|\r|\n").foreach { line =>
-        sink.chars(line)
-        sink.newline()
+    prop("1000") match {
+      case Some(body) =>
+        body.split("\r\n|\r|\n").foreach { line =>
+          sink.chars(line)
+          sink.newline()
+        }
+      case None =>
+        // compressed-RTF body (PidTagRtfCompressed) through the shared
+        // MS-OXRTFCP codec and the RTF extractor
+        cfb.entries.find(e => e.objType == 2 && e.path == "" &&
+            e.name == "__substg1.0_10090102").foreach { e =>
+          try {
+            val rtf = graft.mail.TnefExtractor.decompressRtf(cfb.readStream(e))
+            meta.set("rtf:encapsulated", "true")
+            graft.textparse.RtfExtractor.extract(rtf, sink, meta)
+          } catch { case _: Exception => () }
+        }
+    }
+
+    // attachments, storage order
+    val attachStorages = cfb.entries
+      .filter(e => e.objType == 1 && e.name.startsWith("__attach_version1.0_"))
+      .sortBy(_.name)
+    attachStorages.foreach { st =>
+      val ap = st.path + st.name + "/"
+      val data = cfb.entries.find(e => e.objType == 2 && e.path == ap &&
+        e.name == "__substg1.0_37010102").map(cfb.readStream)
+      data match {
+        case Some(d) =>
+          val name = propAt(ap, "3707").orElse(propAt(ap, "3704"))
+            .getOrElse("attachment")
+          child(name, d)
+        case None =>
+          // embedded message: re-wrap the nested storage's direct
+          // property streams as a standalone .msg container
+          val np = ap + "__substg1.0_3701000D/"
+          val streams = cfb.entries
+            .filter(e => e.objType == 2 && e.path == np)
+            .map(e => e.name -> cfb.readStream(e))
+          if (streams.nonEmpty) {
+            val nm = propAt(np, "0037").map(_ + ".msg")
+              .getOrElse("attachment.msg")
+            child(nm, CfbWriter.write(streams.take(100)))
+          }
       }
     }
   }

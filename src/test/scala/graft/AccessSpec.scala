@@ -41,6 +41,9 @@ class AccessSpec extends AnyFunSuite {
       assert(t.contains("普林斯顿大学"), n)
       assert(t.contains("the quick"), n)
       assert(!t.contains("<div>"), n) // markup stripped
+      // JackcessParserTest.testBasic: the OLEObject column carries an
+      // embedded docx whose own embedded pdf says this
+      assert(t.contains("Test Document with embedded pdf"), n)
     }
   }
 
