@@ -12,6 +12,34 @@ import graft.engine.{MetaSink, SpanSink}
   * public MS-DOC / MS-XLS (BIFF8) / MS-PPT / MS-OXMSG specifications that
   * POI itself implements.
   */
+
+/** Embedded OLE objects inside legacy Office containers: each child
+  * storage (Word `ObjectPool/_NNN`, Excel `MBDxxxxxxxx`) is re-wrapped
+  * as a standalone CFB from its direct streams and handed to container
+  * recursion, where subtype detection routes it (WordDocument /
+  * Workbook / PowerPoint Document markers, `Package` OPC carriers,
+  * `CONTENTS` PDFs) — the POIFS-extractor embedded-office rule.
+  */
+private[ole2] object EmbeddedCfb {
+  def recurse(cfb: Cfb.Doc, prefix: String,
+      child: (String, Array[Byte]) => Unit): Unit = {
+    val storages = cfb.entries
+      .filter(e => e.objType == 1 && e.path == prefix)
+      .filter(e => prefix.nonEmpty || e.name.startsWith("MBD") ||
+        e.name.startsWith("_"))
+    storages.take(64).foreach { st =>
+      val sp = st.path + st.name + "/"
+      val streams = cfb.entries
+        .filter(e => e.objType == 2 && e.path == sp)
+        .map(e => e.name -> cfb.readStream(e))
+      if (streams.nonEmpty) {
+        try child(st.name, CfbWriter.write(streams.take(100)))
+        catch { case _: Exception => () }
+      }
+    }
+  }
+}
+
 object DocExtractor {
 
   /** MS-DOC: FIB in the `WordDocument` stream; piece table (Clx→Pcdt→
@@ -19,9 +47,12 @@ object DocExtractor {
     * each piece is CP1252 (fc bit 30 set, offset fc/2) or UTF-16LE.
     * Mirrors POI WordExtractor's text-piece walk.
     */
-  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
+      child: (String, Array[Byte]) => Unit = (_, _) => ()): Unit = {
     val cfb = Cfb.parse(bytes)
     OleProps.fromCfb(cfb, meta)
+    // embedded OLE objects live under the ObjectPool storage
+    EmbeddedCfb.recurse(cfb, "ObjectPool/", child)
     val word = cfb.stream("WordDocument")
       .getOrElse(throw new IllegalArgumentException("no WordDocument stream"))
     val buf = ByteBuffer.wrap(word).order(ByteOrder.LITTLE_ENDIAN)
@@ -119,7 +150,8 @@ object XlsExtractor {
     * row-major, tab-separated, one sheet per block (same table framing
     * as the XLSX decorator).
     */
-  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
+      child: (String, Array[Byte]) => Unit = (_, _) => ()): Unit = {
     // pre-OLE2 Excel (BIFF2-4) ships the record stream RAW, no CFB
     // wrapper (reference: vnd.ms-excel.sheet.2/3/4 in tika-mimetypes)
     val rawBiff = bytes.length >= 8 && (bytes(0) & 0xff) == 0x09 &&
@@ -130,6 +162,8 @@ object XlsExtractor {
       else {
         val cfb = Cfb.parse(bytes)
         OleProps.fromCfb(cfb, meta)
+        // embedded OLE objects sit in root MBDxxxxxxxx storages
+        EmbeddedCfb.recurse(cfb, "", child)
         cfb.stream("Workbook").orElse(cfb.stream("Book"))
           .getOrElse(throw new IllegalArgumentException("no Workbook stream"))
       }
@@ -292,12 +326,49 @@ object PptExtractor {
   val TextCharsAtom = 0x0FA0
   val TextBytesAtom = 0x0FA8
 
-  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+  def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
+      child: (String, Array[Byte]) => Unit = (_, _) => ()): Unit = {
     val cfb = Cfb.parse(bytes)
     OleProps.fromCfb(cfb, meta)
     val ppt = cfb.stream("PowerPoint Document")
       .getOrElse(throw new IllegalArgumentException("no PowerPoint Document stream"))
     walk(ppt, 0, ppt.length, sink, 0)
+    cfb.stream("Pictures").foreach(pics => pictures(pics, child))
+  }
+
+  /** `Pictures` stream: escher BSE blip records — JPEG (0xF01D/0xF02A),
+    * PNG (0xF01E) and DIB/metafile blips. Image bytes start after the
+    * 8-byte record header and one or two 16-byte UIDs (+34-byte header
+    * for metafiles); the start is located by magic-byte probe, which is
+    * robust across the single/double-UID variants.
+    */
+  private def pictures(d: Array[Byte], child: (String, Array[Byte]) => Unit): Unit = {
+    val buf = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
+    var p = 0
+    var n = 0
+    while (p + 8 <= d.length && n < 256) {
+      val typ = buf.getShort(p + 2) & 0xffff
+      val len = buf.getInt(p + 4)
+      if (len <= 0 || p + 8 + len > d.length) return
+      if (typ >= 0xf018 && typ <= 0xf117) {
+        val body = p + 8
+        // probe the blip payload start for a known image signature
+        val candidates = Seq(body + 17, body + 16, body + 33, body + 32,
+          body + 24)
+        val img = candidates.find { o =>
+          o + 4 <= p + 8 + len &&
+            (((d(o) & 0xff) == 0x89 && d(o + 1) == 'P') || // png
+              ((d(o) & 0xff) == 0xff && (d(o + 1) & 0xff) == 0xd8)) // jpeg
+        }
+        img.foreach { o =>
+          n += 1
+          val ext = if ((d(o) & 0xff) == 0x89) "png" else "jpg"
+          child(s"image-$n.$ext",
+            java.util.Arrays.copyOfRange(d, o, p + 8 + len))
+        }
+      }
+      p += 8 + len
+    }
   }
 
   private def walk(d: Array[Byte], from: Int, to: Int, sink: SpanSink,

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import graft.core.{DocRow, Span, Status}
+import graft.corpus.Corpus
+import graft.engine.Extractor
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Embedded OLE objects in legacy Office containers — expectations
+  * mirror microsoft/POIContainerExtractionTest: Word ObjectPool and
+  * Excel MBD storages recurse as child documents (re-wrapped CFBs route
+  * through subtype detection), and PPT Pictures-stream blips surface as
+  * image children.
+  */
+class OleEmbeddedSpec extends AnyFunSuite {
+
+  private val docs = Path.of("/root/reference/tika-parsers/" +
+    "tika-parsers-standard/tika-parsers-standard-modules/" +
+    "tika-parser-microsoft-module/src/test/resources/test-documents")
+
+  private def extract(name: String): graft.core.ExtractedDoc = {
+    org.scalatest.Assertions.assume(Files.isRegularFile(docs.resolve(name)),
+      "reference fixtures not present")
+    val b = Files.readAllBytes(docs.resolve(name))
+    Extractor.extract(DocRow(name, Seq(Span("bytes", Corpus.b64(b), null, 0))))
+  }
+
+  test("testWORD_embeded.doc: ObjectPool children recurse with text") {
+    val d = extract("testWORD_embeded.doc")
+    assert(d.status == Status.ParseSuccess, d.status)
+    val paths = d.meta.getOrElse("embedded:path", Seq.empty)
+    assert(paths.nonEmpty, d.meta.keys.toVector.sorted)
+    // the fixture carries embedded ppt/xls/docx objects
+    val kinds = d.spans.count(_.kind == "embedded-open")
+    assert(kinds >= 3, s"embedded count $kinds, paths $paths")
+  }
+
+  test("testEXCEL_embeded.xls: MBD storages recurse") {
+    val d = extract("testEXCEL_embeded.xls")
+    assert(d.status == Status.ParseSuccess, d.status)
+    assert(d.spans.count(_.kind == "embedded-open") >= 2,
+      d.meta.getOrElse("embedded:path", Seq.empty))
+  }
+
+  test("pictures.ppt: Pictures-stream blips surface as image children") {
+    val d = extract("pictures.ppt")
+    assert(d.status == Status.ParseSuccess, d.status)
+    val paths = d.meta.getOrElse("embedded:path", Seq.empty)
+    assert(paths.exists(_.contains(".png")) || paths.exists(_.contains(".jpg")),
+      paths)
+  }
+}
