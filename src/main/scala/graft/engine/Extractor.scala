@@ -207,13 +207,16 @@ object Extractor {
             PdfExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(name, data))
           case MediaTypes.Docx =>
-            DocxExtractor.extract(bytes, sink, meta)
+            DocxExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(Some(name), data))
           case MediaTypes.Xlsx =>
-            graft.ooxml.XlsxExtractor.extract(bytes, sink, meta)
+            graft.ooxml.XlsxExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(Some(name), data))
           case MediaTypes.Xlsb =>
             graft.ooxml.XlsbExtractor.extract(bytes, sink, meta)
           case MediaTypes.Pptx =>
-            graft.ooxml.PptxExtractor.extract(bytes, sink, meta)
+            graft.ooxml.PptxExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(Some(name), data))
           case MediaTypes.Xps =>
             graft.ooxml.XpsExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(Some(name), data))

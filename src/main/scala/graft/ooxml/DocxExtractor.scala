@@ -32,6 +32,21 @@ object DocxExtractor {
     parts.get(dir + "_rels/" + base + ".rels").map(parseRels).getOrElse(Map.empty)
   }
 
+
+  /** OOXML embedded objects (word/xl/ppt `embeddings/` parts): each
+    * payload recurses as a child document — CFB parts route through
+    * subtype detection, OPC parts through zip recursion
+    * (SXWPFWordExtractorDecorator's embedded-part handling).
+    */
+  private[ooxml] def embeddedParts(parts: Map[String, Array[Byte]],
+      child: (String, Array[Byte]) => Unit): Unit =
+    parts.iterator
+      .filter { case (n, d) => n.contains("/embeddings/") && d.nonEmpty }
+      .toSeq.sortBy(_._1)
+      .foreach { case (n, d) =>
+        child(n.substring(n.lastIndexOf('/') + 1), d)
+      }
+
   def parseRels(bytes: Array[Byte]): Map[String, String] = {
     val rels = scala.collection.mutable.Map[String, String]()
     val handler = new DefaultHandler {
@@ -49,10 +64,14 @@ object DocxExtractor {
     rels.toMap
   }
 
-  def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    // one pass over the archive (xml/rels parts only — media blobs are
-    // never read by text extraction and must not be buffered)
-    val parts = ZipUtil.entriesMap(zipBytes, ZipUtil.XmlParts)
+  def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink,
+      child: (String, Array[Byte]) => Unit = (_, _) => ()): Unit = {
+    // one pass over the archive (xml/rels parts + embedded-object
+    // payloads — media blobs are never read by text extraction and
+    // must not be buffered)
+    val parts = ZipUtil.entriesMap(zipBytes,
+      n => ZipUtil.XmlParts(n) || n.contains("/embeddings/"))
+    embeddedParts(parts, child)
     val doc = parts.getOrElse("word/document.xml",
       throw new IllegalArgumentException("no word/document.xml"))
     corePropsFrom(parts, meta)

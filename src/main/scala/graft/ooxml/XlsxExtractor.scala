@@ -18,8 +18,11 @@ import graft.zipx.ZipUtil
   */
 object XlsxExtractor {
 
-  def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    val parts = ZipUtil.entriesMap(zipBytes, ZipUtil.XmlParts) // single pass, xml/rels only
+  def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink,
+      child: (String, Array[Byte]) => Unit = (_, _) => ()): Unit = {
+    val parts = ZipUtil.entriesMap(zipBytes,
+      n => ZipUtil.XmlParts(n) || n.contains("/embeddings/"))
+    DocxExtractor.embeddedParts(parts, child)
     val shared = sharedStringsFrom(parts)
     val sheets = sheetTargetsFrom(parts)
     val (xfs, customFmts) = XlsxNumFormat.stylesFrom(parts)
@@ -163,8 +166,11 @@ object XlsxExtractor {
   */
 object PptxExtractor {
 
-  def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
-    val parts = ZipUtil.entriesMap(zipBytes, ZipUtil.XmlParts) // single pass, xml/rels only
+  def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink,
+      child: (String, Array[Byte]) => Unit = (_, _) => ()): Unit = {
+    val parts = ZipUtil.entriesMap(zipBytes,
+      n => ZipUtil.XmlParts(n) || n.contains("/embeddings/"))
+    DocxExtractor.embeddedParts(parts, child)
     DocxExtractor.corePropsFrom(parts, meta)
     slideTargetsFrom(parts).foreach { target =>
       val path = if (target.startsWith("/")) target.substring(1) else "ppt/" + target

@@ -49,4 +49,21 @@ class OleEmbeddedSpec extends AnyFunSuite {
     assert(paths.exists(_.contains(".png")) || paths.exists(_.contains(".jpg")),
       paths)
   }
+
+  test("EmbeddedDocument.docx: xls embedding recurses (OOXML embeddings)") {
+    val d = extract("EmbeddedDocument.docx")
+    assert(d.status == Status.ParseSuccess, d.status)
+    val paths = d.meta.getOrElse("embedded:path", Seq.empty)
+    assert(paths.exists(_.contains("Worksheet1.bin")), paths)
+  }
+
+  test("testWORD_embeded.docx / testEXCEL_embeded.xlsx recurse children") {
+    for (n <- Seq("testWORD_embeded.docx", "testEXCEL_embeded.xlsx",
+        "testPPT_embeded.pptx")) {
+      val d = extract(n)
+      assert(d.status == Status.ParseSuccess, s"$n: ${d.status}")
+      assert(d.spans.exists(_.kind == "embedded-open"),
+        s"$n: ${d.meta.getOrElse("embedded:path", Seq.empty)}")
+    }
+  }
 }
