@@ -804,7 +804,7 @@ object SparkEntry {
            ('application/pdf', 'parse_success', 340),
            ('application/rtf', 'parse_success', 80),
            ('application/vnd.ms-excel', 'parse_success', 80),
-           ('application/vnd.ms-excel.sheet.binary.macroenabled.12', 'parse_success', 15),
+           ('application/vnd.ms-excel.sheet.binary.macroenabled.12', 'parse_success', 12),
            ('application/vnd.ms-outlook', 'parse_success', 24),
            ('application/vnd.ms-outlook-pst', 'parse_success', 16),
            ('application/vnd.ms-powerpoint', 'parse_success', 60),
@@ -814,7 +814,7 @@ object SparkEntry {
            ('application/vnd.openxmlformats-officedocument.presentationml.presentation', 'parse_success', 100),
            ('application/vnd.openxmlformats-officedocument.spreadsheetml.sheet', 'parse_success', 100),
            ('application/vnd.openxmlformats-officedocument.wordprocessingml.document', 'parse_success', 360),
-           ('application/vnd.visio', 'parse_success', 16),
+           ('application/vnd.visio', 'parse_success', 12),
            ('application/vnd.wordperfect', 'parse_success', 12),
            ('application/warc', 'parse_success', 20),
            ('application/x-7z-compressed', 'parse_success', 12),
@@ -825,7 +825,8 @@ object SparkEntry {
            ('application/x-fictionbook+xml', 'parse_success', 12),
            ('application/x-grib', 'parse_success', 6),
            ('application/x-matlab-data', 'parse_success', 9),
-           ('application/x-mspublisher', 'parse_success', 17),
+           ('application/x-msaccess', 'parse_success', 12),
+           ('application/x-mspublisher', 'parse_success', 12),
            ('application/x-netcdf', 'parse_success', 5),
            ('application/x-plist', 'parse_success', 8),
            ('application/x-quattro-pro', 'parse_success', 8),

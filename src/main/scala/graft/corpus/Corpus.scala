@@ -90,7 +90,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 19
+  val Version = 20
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -143,10 +143,11 @@ object Corpus {
       case "onenote" =>
         Seq(Span("bytes", b64(OneCorpus.oneFile(r)), null, 0))
       case "msbin" =>
-        val bytes = (index % 3) match {
+        val bytes = (index % 4) match {
           case 0 => MsBinCorpus.xlsbFile(r)
           case 1 => MsBinCorpus.pubFile(r)
-          case _ => MsBinCorpus.vsdFile(r)
+          case 2 => MsBinCorpus.vsdFile(r)
+          case _ => MsBinCorpus.accessFile(r) // v20
         }
         Seq(Span("bytes", b64(bytes), null, 0))
       case "warc" =>
