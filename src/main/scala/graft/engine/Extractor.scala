@@ -66,6 +66,43 @@ object Extractor {
   private val BinaryKinds =
     Set("docx", "pdf", "zip", "junk", "bytes", "gzip", "png", "jpeg", "gif", "text")
 
+  /** zlib-wrapped DEFLATE with an output budget (CompressorParser's
+    * "deflate" route).
+    */
+  private def inflateZlib(b: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(b)
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+    val buf = new Array[Byte](65536)
+    try {
+      while (!inf.finished() && !inf.needsInput() && out.size < (256 << 20)) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) throw new IllegalArgumentException("zlib stall")
+        out.write(buf, 0, n)
+      }
+    } finally inf.end()
+    if (out.size >= (256 << 20)) throw new ZipBombDetected
+    out.toByteArray
+  }
+
+  /** Raw .lzma file: props byte, u32 dict size, u64 uncompressed size,
+    * LZMA1 stream (the XZ-for-Java LZMAInputStream surface). Unknown
+    * (-1) sizes and over-budget declarations are rejected — the
+    * testLZMA_oom-style crafted headers must fail, not allocate.
+    */
+  private def decodeLzmaFile(b: Array[Byte]): Array[Byte] = {
+    if (b.length < 14) throw new IllegalArgumentException("truncated lzma")
+    val props = b(0) & 0xff
+    var size = 0L
+    var i = 0
+    while (i < 8) { size |= (b(5 + i) & 0xffL) << (8 * i); i += 1 }
+    if (size < 0 || size > (256 << 20))
+      throw new IllegalArgumentException(s"lzma size $size out of budget")
+    val win = new graft.pkgx.Lzma2.Window(size)
+    graft.pkgx.Lzma2.decodeLzma1(props, b, 13, b.length - 13, size.toInt, win)
+    java.util.Arrays.copyOf(win.buf, win.len)
+  }
+
   def payloadBytes(s: Span): Array[Byte] =
     if (s.text == null || s.text.isEmpty) Array.emptyByteArray
     else if (BinaryKinds.contains(s.kind))
@@ -490,6 +527,21 @@ object Extractor {
               // else is scheduled in between), so the budget just checked
               // still holds at pop time
               val inner = ZipUtil.gunzip(bytes)
+              stack.push(NodeFrame(inner, idPath, None, depth + 1,
+                onPop = _ => (), onDrop = () => sawUnsupported = true))
+            }
+          case m if m == graft.mime.MimeDb.Zlib ||
+              m == graft.mime.MimeDb.SnappyFramed ||
+              m == graft.mime.MimeDb.Lzma =>
+            // CompressorParser's zlib / snappy-framed / raw-LZMA routes
+            if (depth >= cfg.maxDepth || embeddedCount >= cfg.maxEmbedded)
+              sawUnsupported = true
+            else {
+              val inner =
+                if (m == graft.mime.MimeDb.Zlib) inflateZlib(bytes)
+                else if (m == graft.mime.MimeDb.SnappyFramed)
+                  graft.pkgx.Snappy.decompressFramed(bytes)
+                else decodeLzmaFile(bytes)
               stack.push(NodeFrame(inner, idPath, None, depth + 1,
                 onPop = _ => (), onDrop = () => sawUnsupported = true))
             }

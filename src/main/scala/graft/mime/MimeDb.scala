@@ -104,6 +104,7 @@ object MimeDb {
   val Arj = "application/x-arj"
   val UnixDump = "application/x-tika-unix-dump"
   val Zlib = "application/zlib"
+  val Lzma = "application/x-lzma"
   val SnappyFramed = "application/x-snappy-framed"
   val Netcdf = "application/x-netcdf"
   val Grib = "application/x-grib"
@@ -324,7 +325,7 @@ object MimeDb {
     Magic(Zlib, 20, OrClause(Seq(
       bytes(0, 0x78, 0x01), bytes(0, 0x78, 0x5e),
       bytes(0, 0x78, 0x9c), bytes(0, 0x78, 0xda)))),
-    Magic(SnappyFramed, 50, string(0, "sNaPpY")),
+    Magic(SnappyFramed, 50, string(4, "sNaPpY")),
     Magic(Netcdf, 50, OrClause(Seq(
       AndClause(Seq(string(0, "CDF"), bytes(3, 1))),
       AndClause(Seq(string(0, "CDF"), bytes(3, 2))),

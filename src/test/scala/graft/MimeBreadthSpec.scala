@@ -165,7 +165,9 @@ class MimeBreadthSpec extends AnyFunSuite {
     assert(det(b(30, 5) ++ s("-lh5-")) == MimeDb.Lha)
     assert(det(b(0x60, 0xea, 5, 5)) == MimeDb.Arj)
     assert(det(b(0x78, 0x9c, 0x62, 0x60)) == MimeDb.Zlib)
-    assert(det(s("sNaPpY")) == MimeDb.SnappyFramed)
+    // real framed streams lead with the stream-identifier chunk header
+    // (ff 06 00 00) before "sNaPpY" — r4g fixed the magic offset
+    assert(det(b(0xff, 0x06, 0x00, 0x00) ++ s("sNaPpY")) == MimeDb.SnappyFramed)
     assert(det(s("CDF") ++ b(1, 9)) == MimeDb.Netcdf)
     assert(det(s("GRIB") ++ b(0, 0, 0, 1)) == MimeDb.Grib)
     assert(det(s("SIMPLE  =                    T")) == MimeDb.Fits)
