@@ -44,6 +44,7 @@ object MediaParser {
       else if (matches(bytes, 0, 'F', 'O', 'R', 'M') &&
                matches(bytes, 8, 'A', 'I', 'F')) parseAiff(bytes)
       else if (matches(bytes, 0, '.', 's', 'n', 'd')) parseAu(bytes)
+      else if (matches(bytes, 0, 'M', 'T', 'h', 'd')) parseMidi(bytes)
       else if (matches(bytes, 0, 'I', 'D', '3') ||
                (bytes.length > 1 && (bytes(0) & 0xff) == 0xff &&
                  (bytes(1) & 0xe0) == 0xe0)) parseMp3(bytes)
@@ -341,6 +342,77 @@ object MediaParser {
     val _ = dataOff
     Some(Meta("audio/basic", "audio", durationMs = dur,
       sampleRate = rate, channels = ch))
+  }
+
+  /** Standard MIDI file: MThd header (tracks, division type) + MTrk
+    * event walk for text meta events (track names, lyrics, copyright) —
+    * the reference MidiParser's tracks/divisionType metadata and lyric
+    * body surface.
+    */
+  private def parseMidi(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 14) return None
+    val ntrks = be16(b, 10)
+    val division = be16(b, 12)
+    val tags = Map.newBuilder[String, String]
+    tags += "midi:tracks" -> ntrks.toString
+    tags += "midi:divisionType" ->
+      (if ((division & 0x8000) != 0) "SMPTE" else "PPQ")
+    val texts = new StringBuilder
+    var p = 8 + be32(b, 4).toInt
+    var trk = 0
+    while (p + 8 <= b.length && trk < 256) {
+      if (!matches(b, p, 'M', 'T', 'r', 'k')) return finishMidi(tags, texts)
+      val len = be32(b, p + 4).toInt
+      val end = math.min(p + 8 + len, b.length)
+      var q = p + 8
+      var running = 0
+      var guard = 0
+      def varint(): Int = {
+        var v = 0
+        var more = true
+        while (more && q < end) {
+          val c = b(q) & 0xff
+          q += 1
+          v = (v << 7) | (c & 0x7f)
+          more = (c & 0x80) != 0
+        }
+        v
+      }
+      while (q < end && guard < 1000000) {
+        guard += 1
+        varint() // delta time
+        if (q >= end) { q = end }
+        else {
+          var status = b(q) & 0xff
+          if (status >= 0x80) { q += 1; running = status } else status = running
+          if (status == 0xff) {
+            val tpe = if (q < end) b(q) & 0xff else 0
+            q += 1
+            val n = varint()
+            if (tpe >= 0x01 && tpe <= 0x05 && n > 0 && q + n <= end) {
+              if (texts.nonEmpty) texts.append('\n')
+              texts.append(new String(b, q, n,
+                java.nio.charset.StandardCharsets.ISO_8859_1))
+            }
+            q += n
+          } else if (status == 0xf0 || status == 0xf7) {
+            q += varint()
+          } else if (status >= 0x80) {
+            q += (if ((status & 0xf0) == 0xc0 || (status & 0xf0) == 0xd0) 1 else 2)
+          } else q = end // garbage before any status byte
+        }
+      }
+      p = end
+      trk += 1
+    }
+    finishMidi(tags, texts)
+  }
+
+  private def finishMidi(tags: scala.collection.mutable.Builder[(String, String), Map[String, String]],
+      texts: StringBuilder): Option[Meta] = {
+    if (texts.nonEmpty)
+      tags += "midi:text" -> texts.toString.take(4096)
+    Some(Meta("audio/midi", "audio", tags = tags.result()))
   }
 
   /** GIF logical screen descriptor: width/height little-endian at 6/8. */

@@ -69,4 +69,11 @@ class MediaExtraSpec extends AnyFunSuite {
     assert(m.width == 10 && m.height == 5)
     assert(m.tags.get("png:Comment").contains("made by graft"), m.tags)
   }
+
+  test("testMID.mid: track count, division type, text events") {
+    val m = parse(av, "testMID.mid")
+    assert(m.mime == "audio/midi")
+    assert(m.tags.get("midi:tracks").contains("2"), m.tags)
+    assert(m.tags.get("midi:divisionType").contains("PPQ"), m.tags)
+  }
 }
