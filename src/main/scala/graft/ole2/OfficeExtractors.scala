@@ -334,6 +334,50 @@ object PptExtractor {
       .getOrElse(throw new IllegalArgumentException("no PowerPoint Document stream"))
     walk(ppt, 0, ppt.length, sink, 0)
     cfb.stream("Pictures").foreach(pics => pictures(pics, child))
+    exOleObjects(ppt, child)
+  }
+
+  /** ExOleObjStg atoms (type 0x1011) hold embedded OLE objects as
+    * zlib-compressed CFB payloads (u32 decompressed size + deflate
+    * stream when the instance nibble is 1, raw otherwise) — HSLF's
+    * ExOleObjStg surface; each recurses as a child document.
+    */
+  private def exOleObjects(d: Array[Byte],
+      child: (String, Array[Byte]) => Unit): Unit = {
+    val buf = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
+    var p = 0
+    var n = 0
+    while (p + 8 <= d.length && n < 64) {
+      val verInst = buf.getShort(p) & 0xffff
+      val typ = buf.getShort(p + 2) & 0xffff
+      val len = buf.getInt(p + 4)
+      if (len < 0 || p + 8 + len > d.length) return
+      if (typ == 0x1011 && len > 4) {
+        n += 1
+        try {
+          val payload =
+            if ((verInst >> 4) == 1) { // compressed: u32 size + zlib
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(d, p + 12, len - 4)
+              val out = new java.io.ByteArrayOutputStream()
+              val tmp = new Array[Byte](65536)
+              while (!inf.finished() && !inf.needsInput() &&
+                  out.size < (64 << 20)) {
+                val k = inf.inflate(tmp)
+                if (k == 0 && !inf.finished()) throw new IllegalArgumentException("stall")
+                out.write(tmp, 0, k)
+              }
+              inf.end()
+              out.toByteArray
+            } else java.util.Arrays.copyOfRange(d, p + 8, p + 8 + len)
+          if (payload.length > 8) child(s"ole-object-$n", payload)
+        } catch { case _: Exception => () } // best-effort, like pictures
+      }
+      if ((verInst & 0x000f) == 0x000f && typ != 0x1011) {
+        // container: descend (embedded storages sit in ExObjList trees)
+        p += 8
+      } else p += 8 + len
+    }
   }
 
   /** `Pictures` stream: escher BSE blip records — JPEG (0xF01D/0xF02A),

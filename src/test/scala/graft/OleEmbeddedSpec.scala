@@ -66,4 +66,11 @@ class OleEmbeddedSpec extends AnyFunSuite {
         s"$n: ${d.meta.getOrElse("embedded:path", Seq.empty)}")
     }
   }
+
+  test("testPPT_embeded.ppt: ExOleObjStg objects recurse") {
+    val d = extract("testPPT_embeded.ppt")
+    assert(d.status == Status.ParseSuccess, d.status)
+    assert(d.spans.exists(_.kind == "embedded-open"),
+      d.meta.getOrElse("embedded:path", Seq.empty))
+  }
 }
