@@ -43,7 +43,11 @@ object Ole2Detector {
     "PowerPoint Document" -> MediaTypes.MsPowerPoint,
     "WordDocument" -> MediaTypes.MsWord,
     "Workbook" -> MediaTypes.MsExcel,
-    "Book" -> MediaTypes.MsExcel
+    "Book" -> MediaTypes.MsExcel,
+    // after the main Office markers: an equation object's own CFB has
+    // only this stream at root, but a damaged Word file scanned by the
+    // fallback must still prefer WordDocument
+    "Equation Native" -> "application/vnd.ms-equation"
   )
 
   private val Markers: Seq[(Array[Byte], String)] =
