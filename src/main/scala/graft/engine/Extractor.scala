@@ -39,7 +39,7 @@ object Extractor {
     MediaTypes.Png, MediaTypes.Jpeg, MediaTypes.Gif, MediaTypes.Tiff,
     MediaTypes.Bmp, MediaTypes.Webp, MediaTypes.Mp3, MediaTypes.Wav,
     MediaTypes.Ogg, MediaTypes.Mp4, MediaTypes.Avi, MediaTypes.Matroska,
-    graft.mime.MimeDb.Flac, graft.mime.MimeDb.Midi, graft.mime.MimeDb.M4a,
+    graft.mime.MimeDb.Midi, graft.mime.MimeDb.M4a,
     graft.mime.MimeDb.M4v, graft.mime.MimeDb.Flv, graft.mime.MimeDb.MpegVideo,
     graft.mime.MimeDb.QuickTime, graft.mime.MimeDb.WebmVideo,
     graft.mime.MimeDb.Heic, graft.mime.MimeDb.Avif, graft.mime.MimeDb.Jp2,
@@ -653,6 +653,20 @@ object Extractor {
               (name, data) => inlineChild(idPath, depth)(name, data))
           case m if m == graft.mime.MimeDb.MsOwner =>
             graft.ole2.OwnerFileExtractor.extract(bytes, meta)
+          case m if m == graft.mime.MimeDb.Flac =>
+            // FlacParser analog: STREAMINFO + VorbisComment metadata,
+            // PICTURE blocks recurse as embedded children in file order
+            graft.media.FlacExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(name, data))
+          case m if m == graft.mime.MimeDb.JavaClass =>
+            // ClassParser analog: javap-style declaration text
+            graft.code.ClassExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Elf || m == graft.mime.MimeDb.ElfExe ||
+              m == graft.mime.MimeDb.ElfLib || m == graft.mime.MimeDb.ElfObj ||
+              m == graft.mime.MimeDb.ElfCore || m == graft.mime.MimeDb.MsExe ||
+              m == graft.mime.MimeDb.MachO || m == graft.mime.MimeDb.MachOFat =>
+            // ExecutableParser analog: machine:* metadata, header-only
+            graft.code.ExecutableExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Emf =>
             graft.media.MetafileExtractor.emf(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(Some(name), data))

@@ -583,6 +583,17 @@ object MediaParser {
         if (size < headerLen || size > to - p) return
         typ match {
           case "moov" | "trak" => walk(p + headerLen, p + size, depth + 1)
+          case "meta" => // HEIF/AVIF: fullbox container (4-byte ver/flags)
+            if (p + headerLen + 4 <= to)
+              walk(p + headerLen + 4, p + size, depth + 1)
+          case "iprp" | "ipco" => walk(p + headerLen, p + size, depth + 1)
+          case "ispe" => // ImageSpatialExtents: ver/flags, width, height
+            if (p + headerLen + 12 <= to) {
+              val iw = be32(b, p.toInt + headerLen + 4).toInt
+              val ih = be32(b, p.toInt + headerLen + 8).toInt
+              // the primary item's extent comes first; thumbnails follow
+              if (w == 0 && iw > 0 && ih > 0) { w = iw; h = ih }
+            }
           case "mvhd" =>
             val v = b(p.toInt + 8) & 0xff
             if (v == 0 && p + 28 <= to) {
@@ -610,7 +621,12 @@ object MediaParser {
       }
     }
     walk(0, b.length, 0)
-    Some(Meta("video/mp4", if (w > 0) "video" else "audio",
-      width = w, height = h, durationMs = durMs))
+    val brand = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val (mime, kind) = brand match {
+      case "heic" | "heix" | "mif1" | "msf1" => ("image/heic", "image")
+      case "avif" | "avis" => ("image/avif", "image")
+      case _ => ("video/mp4", if (w > 0) "video" else "audio")
+    }
+    Some(Meta(mime, kind, width = w, height = h, durationMs = durMs))
   }
 }
