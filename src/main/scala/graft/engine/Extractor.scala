@@ -30,7 +30,10 @@ object Extractor {
       softDeadlineMs: Long = 60000L,   // PipesServer per-task timeout analog
       // opt-in like the reference's StringsParser (requires explicit
       // config there): printable-run extraction for types nothing parses
-      stringsFallback: Boolean = false
+      stringsFallback: Boolean = false,
+      // opt-in like OfficeParserConfig.setExtractMacros (default false
+      // in the reference): VBA module sources become embedded docs
+      extractMacros: Boolean = false
   )
   val DefaultConfig: Config = Config()
 
@@ -267,7 +270,8 @@ object Extractor {
             // recognized OPC container without a known core document
             sawUnsupported = true
           case MediaTypes.Rtf =>
-            graft.textparse.RtfExtractor.extract(bytes, sink, meta)
+            graft.textparse.RtfExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(Some(name), data))
           case m if m == graft.mime.MimeDb.Markdown =>
             // reached via the .md name-hint glob (no magic exists);
             // reference analog: tika text-module MarkdownParser
@@ -597,6 +601,13 @@ object Extractor {
             graft.sci.GribExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Matlab =>
             graft.sci.MatExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.EnviHdr =>
+            graft.sci.EnviExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.ActiveMime =>
+            graft.ole2.ActiveMimeExtractor.extract(bytes, meta,
+              (name, data) => inlineChild(idPath, depth)(Some(name), data))
+          case m if m == graft.mime.MimeDb.SasData =>
+            graft.sci.SasExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Sqlite =>
             graft.db.SqliteExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(name, data))
@@ -707,22 +718,19 @@ object Extractor {
           case MediaTypes.TikaMsOffice =>
             // embedded-object carriers first (AbstractPOIFSExtractor
             // .handleEmbeddedOfficeDoc): a `Package` stream holds an OPC
-            // zip; a `CONTENTS` stream starting %PDF is a raw PDF
+            // zip, an Ole10Native record wraps a named payload, and a
+            // `CONTENTS` stream starting %PDF is a raw PDF
             val carrier =
               try {
                 val cfb = graft.ole2.Cfb.parse(bytes)
                 graft.ole2.OleProps.fromCfb(cfb, meta)
-                cfb.stream("Package")
-                  .filter(p => p.length > 4 && p(0) == 'P' && p(1) == 'K')
-                  .map(("package.zip", _))
-                  .orElse(cfb.stream("CONTENTS")
-                    .filter(p => p.length > 4 && p(0) == '%' &&
-                      p(1) == 'P' && p(2) == 'D' && p(3) == 'F')
-                    .map(("contents.pdf", _)))
+                graft.ole2.OleEmbedded.unwrap(cfb)
               } catch { case _: Exception => None }
             carrier match {
               case Some((nm, data)) =>
-                inlineChild(idPath, depth)(Some(nm), data)
+                inlineChild(idPath, depth)(
+                  Some(nm.getOrElse("package" + graft.ole2.OleEmbedded.extFor(data))),
+                  data)
               case None =>
                 // CFB whose subtype markers matched nothing — recorded,
                 // like the reference's unknown-POIFS fallthrough
@@ -765,6 +773,28 @@ object Extractor {
             }
             if (!handled) sawUnsupported = true
         }
+        // VBA macro pass (OfficeParser.extractMacros, opt-in like
+        // OfficeParserConfig.setExtractMacros): any CFB node with a VBA
+        // project, or an OOXML package's vbaProject.bin part, emits one
+        // text/x-vbasic child per module
+        if (cfg.extractMacros) {
+          try {
+            val vbaCfb: Option[Array[Byte]] =
+              if (graft.ole2.Cfb.isCfb(bytes)) Some(bytes)
+              else if (bytes.length > 4 && bytes(0) == 'P' && bytes(1) == 'K')
+                ZipUtil.entryNames(bytes).find(_.endsWith("vbaProject.bin"))
+                  .flatMap(n => ZipUtil.entry(bytes, n))
+              else None
+            vbaCfb.foreach { cb =>
+              graft.ole2.VbaMacros.readMacros(graft.ole2.Cfb.parse(cb))
+                .foreach { m =>
+                  meta.add("embedded:macro", m.name)
+                  inlineChild(idPath, depth)(Some(m.name + ".vba"),
+                    m.source.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                }
+            }
+          } catch { case _: Exception => () }
+        }
       } catch {
         case _: WriteLimitReached => throw new WriteLimitReached
         case t: DocTimeout => throw t
@@ -789,7 +819,11 @@ object Extractor {
         try ZipUtil.entries(bytes)
         catch {
           case _: ZipBombDetected => bomb = true; return
-          case _: Exception => sawException = true; return
+          case _: Exception =>
+            sawException = true
+            meta.add("parse:exception",
+              s"zip read at ${if (idPath.isEmpty) "/" else idPath}")
+            return
         }
       entries.reverseIterator.foreach { e =>
         stack.push(NodeFrame(e.data, idPath, Some(e.name), depth + 1,

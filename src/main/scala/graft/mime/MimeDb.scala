@@ -152,6 +152,11 @@ object MimeDb {
   val StuffIt = "application/x-stuffit"
   val Shapefile = "application/x-shapefile"
   val SasData = "application/x-sas-data"
+  val EnviHdr = "application/envi.hdr"
+  val Wacz = "application/x-wacz"
+  val DataPackageZip = "application/x-vnd.datapackage+zip"
+  val VBasic = "text/x-vbasic"
+  val ActiveMime = "application/x-activemime"
   val SpssSav = "application/x-spss-sav"
   val StataDta = "application/x-stata-dta"
   val Jks = "application/x-java-keystore"
@@ -405,6 +410,11 @@ object MimeDb {
     Magic(StuffIt, 50, OrClause(Seq(string(0, "StuffIt"), string(0, "SIT!")))),
     Magic(Shapefile, 50, big32(0, 0x0000270aL)),
     Magic(SasData, 50, string(84, "SAS FILE")),
+    Magic(EnviHdr, 50, OrClause(Seq(string(0, "ENVI\n"), string(0, "ENVI\r")))),
+    // tika-mimetypes.xml:3394 — "ActiveMime" + two NULs
+    Magic(ActiveMime, 60, BytesClause(0, 0,
+      "ActiveMime".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        ++ Array[Byte](0, 0))),
     Magic(SpssSav, 50, string(0, "$FL2@(#)")),
     Magic(StataDta, 50, string(0, "<stata_dta>")),
     Magic(Jks, 50, big32(0, 0xfeedfeedL)),
@@ -445,6 +455,8 @@ object MimeDb {
   val superTypes: Map[String, String] = Map(
     Gtar -> Tar,
     Deb -> Ar,
+    Wacz -> DataPackageZip, DataPackageZip -> MediaTypes.Zip,
+    VBasic -> MediaTypes.TextPlain,
     ElfExe -> Elf, ElfLib -> Elf, ElfObj -> Elf, ElfCore -> Elf,
     M4a -> "video/mp4",
     M4v -> "video/mp4",

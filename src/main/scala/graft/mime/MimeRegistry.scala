@@ -342,6 +342,32 @@ object MimeRegistry {
       (data(i + 4) == 'l' || data(i + 4) == 'L')
   }
 
+  /** Preferred extension (with leading dot) for a media type — the
+    * MimeType.getExtension analog used when naming unnamed embedded
+    * payloads. Explicit entries for the common embedded types; inverted
+    * glob table (deterministic shortest-then-alpha pick) as fallback;
+    * ".bin" when unknown.
+    */
+  def extensionFor(mime: String): String =
+    preferredExt.getOrElse(mime, invertedGlobExt.getOrElse(mime, ".bin"))
+
+  private val preferredExt: Map[String, String] = Map(
+    MediaTypes.MsWord -> ".doc", MediaTypes.MsExcel -> ".xls",
+    MediaTypes.MsPowerPoint -> ".ppt", MediaTypes.MsOutlook -> ".msg",
+    MediaTypes.Docx -> ".docx", MediaTypes.Xlsx -> ".xlsx",
+    MediaTypes.Pptx -> ".pptx", MediaTypes.Pdf -> ".pdf",
+    MediaTypes.Zip -> ".zip", MediaTypes.Html -> ".html",
+    MediaTypes.TextPlain -> ".txt", MediaTypes.Xml -> ".xml",
+    "image/jpeg" -> ".jpg", "image/png" -> ".png", "image/gif" -> ".gif",
+    "image/bmp" -> ".bmp", "image/emf" -> ".emf", "image/wmf" -> ".wmf",
+    "image/tiff" -> ".tif", MediaTypes.TikaMsOffice -> ".ole2",
+    MediaTypes.OctetStream -> ".bin")
+
+  private lazy val invertedGlobExt: Map[String, String] =
+    MimeDbGlobs.pairs.toSeq.groupBy(_._2).map { case (t, exts) =>
+      t -> ("." + exts.map(_._1).minBy(e => (e.length, e)))
+    }
+
   /** Name-glob hint, all three Patterns tiers (Patterns.java:40-162):
     * exact-name hash → extension hash → regex globs.
     */

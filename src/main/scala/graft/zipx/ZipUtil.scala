@@ -369,6 +369,19 @@ object OpcDetector {
       if (head.contains("<ls:document")) return "application/vnd.apple.numbers"
       if (head.contains("<key:presentation")) return "application/vnd.apple.keynote"
     }
+    // Frictionless data packages / WACZ web archives
+    // (FrictionlessPackageDetector.java:75-106): datapackage.json is
+    // required for both; archive/ members (or indexes/ + pages/) make it
+    // a WACZ, a lone datapackage.json is a plain data package.
+    if (names.contains("datapackage.json")) {
+      val archive = names.exists(_.startsWith("archive/"))
+      val indexes = names.exists(_.startsWith("indexes/"))
+      val pages = names.exists(_.startsWith("pages/"))
+      if (archive || (indexes && pages)) return graft.mime.MimeDb.Wacz
+      // a lone WACZ part alongside the package stays a plain zip,
+      // matching the reference's parts.size()==1 rule
+      if (!indexes && !pages) return graft.mime.MimeDb.DataPackageZip
+    }
     if (!names.exists(n => n == "[Content_Types].xml" || n == "_rels/.rels")) Zip
     else {
       // XPS/OpenXPS: a fixed-document-sequence part marks the package

@@ -109,6 +109,38 @@ class WarcSpec extends AnyFunSuite {
       k.endsWith("WARC-Target-URI")), out.meta.keys.filter(_.startsWith("warc")))
   }
 
+  test("wacz detection: datapackage.json + archive/ specializes the zip") {
+    // FrictionlessPackageDetector.java:75-106 — datapackage.json is
+    // required; archive/ (or indexes/ + pages/) makes it a WACZ, a lone
+    // datapackage.json is a frictionless data package
+    val wacz = Corpus.zip(Seq(
+      "datapackage.json" -> "{\"profile\":\"data-package\"}".getBytes(UTF_8),
+      "archive/data.warc" -> sampleWarc))
+    val out = Extractor.extract(DocRow("wz2",
+      Seq(Span("zip", Corpus.b64(wacz), null, 0))))
+    assert(out.mime == "application/x-wacz", out.mime)
+    // supertype chain x-wacz -> datapackage+zip -> zip recurses members
+    assert(out.status == Status.ParseSuccess)
+    assert(out.meta("embedded:path").exists(_.endsWith(":archive/data.warc")),
+      out.meta("embedded:path"))
+
+    val pkg = Corpus.zip(Seq(
+      "datapackage.json" -> "{\"profile\":\"data-package\"}".getBytes(UTF_8),
+      "data/table.csv" -> "a,b\n1,2\n".getBytes(UTF_8)))
+    val o2 = Extractor.extract(DocRow("wz3",
+      Seq(Span("zip", Corpus.b64(pkg), null, 0))))
+    assert(o2.mime == "application/x-vnd.datapackage+zip", o2.mime)
+    assert(o2.status == Status.ParseSuccess)
+
+    // indexes/ without pages/ is not enough — stays a plain zip
+    val half = Corpus.zip(Seq(
+      "datapackage.json" -> "{}".getBytes(UTF_8),
+      "indexes/index.cdx" -> "cdx".getBytes(UTF_8)))
+    val o3 = Extractor.extract(DocRow("wz4",
+      Seq(Span("zip", Corpus.b64(half), null, 0))))
+    assert(o3.mime == "application/zip", o3.mime)
+  }
+
   test("non-http response body is the payload as-is") {
     val body = "raw resource bytes".getBytes(UTF_8)
     val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
