@@ -790,7 +790,7 @@ object SparkEntry {
            CAST(sum(len(regexp_extract_all(text, '(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)', 1))) AS BIGINT) AS n_urls
          FROM documents GROUP BY source""",
     // x03's oracle is the FROZEN expected detection distribution for the
-    // sf0.01 gate (4000 corpus-v18 docs) — pinned independently by
+    // sf0.01 gate (4000 corpus-v21 docs) — pinned independently by
     // X03FrozenSpec so a corpus or detector change fails loudly here
     // before the driver sees it
     "x03_detect_mime_stats" ->
@@ -810,7 +810,8 @@ object SparkEntry {
            ('application/vnd.ms-powerpoint', 'parse_success', 60),
            ('application/vnd.ms-tnef', 'parse_success', 12),
            ('application/vnd.ms-xpsdocument', 'parse_success', 8),
-           ('application/vnd.oasis.opendocument.text', 'parse_success', 80),
+           ('application/vnd.oasis.opendocument.flat.text', 'parse_success', 16),
+           ('application/vnd.oasis.opendocument.text', 'parse_success', 64),
            ('application/vnd.openxmlformats-officedocument.presentationml.presentation', 'parse_success', 100),
            ('application/vnd.openxmlformats-officedocument.spreadsheetml.sheet', 'parse_success', 100),
            ('application/vnd.openxmlformats-officedocument.wordprocessingml.document', 'parse_success', 360),
@@ -823,11 +824,12 @@ object SparkEntry {
            ('application/x-cpio', 'parse_success', 17),
            ('application/x-dbf', 'parse_success', 12),
            ('application/x-fictionbook+xml', 'parse_success', 12),
-           ('application/x-grib', 'parse_success', 6),
-           ('application/x-matlab-data', 'parse_success', 9),
+           ('application/envi.hdr', 'parse_success', 4),
+           ('application/x-grib', 'parse_success', 4),
+           ('application/x-matlab-data', 'parse_success', 8),
            ('application/x-msaccess', 'parse_success', 12),
            ('application/x-mspublisher', 'parse_success', 12),
-           ('application/x-netcdf', 'parse_success', 5),
+           ('application/x-netcdf', 'parse_success', 4),
            ('application/x-plist', 'parse_success', 8),
            ('application/x-quattro-pro', 'parse_success', 8),
            ('application/x-tar', 'parse_success', 11),

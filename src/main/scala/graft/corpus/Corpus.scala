@@ -81,7 +81,7 @@ object Corpus {
     else if (m < 926) "msg"
     else if (m < 930) "pst" // r4c: synthetic Unicode PST mailboxes
     else if (m < 960) "media"
-    else if (m < 965) "sci" // mat/nc/grib rotation (r4d)
+    else if (m < 965) "sci" // mat/nc/envi/grib rotation (r4d, v21)
     else if (m < 985) "legacy" // wpd/qpw/dbf/dif/tmx/fb2/plist/tnef rotation (r4)
     else if (m < 990) "fixed" // xps/emf/wmf fixed-layout rotation (r4d)
     else "junk"
@@ -90,7 +90,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 20
+  val Version = 21
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -113,9 +113,12 @@ object Corpus {
       case "xlsx" => Seq(Span("bytes", b64(xlsxDoc(r)), null, 0))
       case "pptx" => Seq(Span("bytes", b64(pptxDoc(r)), null, 0))
       case "csv" => Seq(Span("bytes", b64(csvDoc(r)), null, 0))
-      case "rtf" => Seq(Span("bytes", b64(rtfDoc(r)), null, 0))
+      case "rtf" => Seq(Span("bytes", b64(rtfDoc(r, index)), null, 0))
       case "eml" => Seq(Span("bytes", b64(emlDoc(r)), null, 0))
-      case "odt" => Seq(Span("bytes", b64(odtDoc(r)), null, 0))
+      case "odt" =>
+        // every fifth row ships as a flat single-XML document (v21)
+        val bytes = if (index % 5 == 4) fodtDoc(r) else odtDoc(r)
+        Seq(Span("bytes", b64(bytes), null, 0))
       case "doc" => Seq(Span("bytes", b64(OleCorpus.docFile(r)), null, 0))
       case "xls" => Seq(Span("bytes", b64(OleCorpus.xlsFile(r)), null, 0))
       case "ppt" => Seq(Span("bytes", b64(OleCorpus.pptFile(r)), null, 0))
@@ -165,9 +168,10 @@ object Corpus {
         val payload = if (index % 2 == 0) warcBytes else gzipBytes(warcBytes)
         Seq(Span("bytes", b64(payload), null, 0))
       case "sci" =>
-        val bytes = (index % 3) match {
+        val bytes = (index % 4) match {
           case 0 => SciCorpus.mat(r)
           case 1 => SciCorpus.nc(r)
+          case 2 => enviDoc(r) // v21
           case _ => SciCorpus.grib(r)
         }
         Seq(Span("bytes", b64(bytes), null, 0))
@@ -535,9 +539,22 @@ $paras
   }
 
   // ---- RTF -----------------------------------------------------------
-  def rtfDoc(r: Random): Array[Byte] = {
+  def rtfDoc(r: Random, index: Long = 0): Array[Byte] = {
     val paras = (1 to 2 + r.nextInt(3))
       .map(_ => s"${paragraph(r, 2)}\\par").mkString("\n")
+    // v21: some rows carry embedded content — a \pict image and/or an
+    // \objdata OLE 1.0 Package (exercises the RTF embedded-object path)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    val pict =
+      if (index % 4 == 1)
+        "{\\pict\\pngblip\\picw8\\pich8 " + hex(MediaCorpus.png(r)) + "}\\par\n"
+      else ""
+    val objdata =
+      if (index % 8 == 5) {
+        val payload = paragraph(r, 2).getBytes(StandardCharsets.UTF_8)
+        "{\\object\\objemb{\\*\\objdata " +
+          hex(ole1Package(s"att$index.txt", payload)) + "}}\\par\n"
+      } else ""
     val doc =
       s"""{\\rtf1\\ansi\\deff0
 {\\fonttbl{\\f0 Times New Roman;}}
@@ -545,10 +562,65 @@ $paras
 {\\info{\\title ${sentence(r, 3).dropRight(1)}}}
 \\f0\\fs24
 $paras
-Col1\\tab Col2\\par
+$pict${objdata}Col1\\tab Col2\\par
 Unicode: \\u8212? dash and \\'e9 accent\\par
 }"""
     doc.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** OLE 1.0 embedded Package record (the `\objdata` payload shape). */
+  private def ole1Package(name: String, data: Array[Byte]): Array[Byte] = {
+    def u16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def u32(v: Int) =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def asciiz(s: String) = s.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
+    def lenAnsi(s: String) = u32(s.length + 1) ++ asciiz(s)
+    val pkg = u16(2) ++ asciiz(name) ++ asciiz("") ++ Array[Byte](0, 0) ++
+      u16(3) ++ u32(name.length + 1) ++ asciiz(s"C:\\data\\$name") ++
+      u32(data.length) ++ data ++ u32(0)
+    u32(1) ++ u32(2) ++ lenAnsi("Package") ++ lenAnsi("") ++ lenAnsi("") ++
+      u32(pkg.length) ++ pkg
+  }
+
+  /** Flat single-XML OpenDocument text (fodt). */
+  def fodtDoc(r: Random): Array[Byte] = {
+    val paras = (1 to 2 + r.nextInt(3))
+      .map(_ => s"<text:p>${xmlEscape(paragraph(r, 2))}</text:p>").mkString("\n")
+    val doc =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+<office:document xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+ xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+ xmlns:dc="http://purl.org/dc/elements/1.1/"
+ office:version="1.2" office:mimetype="application/vnd.oasis.opendocument.text">
+ <office:meta><dc:title>${xmlEscape(sentence(r, 3).dropRight(1))}</dc:title></office:meta>
+ <office:body><office:text>
+$paras
+ </office:text></office:body>
+</office:document>"""
+    doc.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** ENVI image header (detected by the leading ENVI line). */
+  def enviDoc(r: Random): Array[Byte] = {
+    val samples = 100 + r.nextInt(4000)
+    val lines = 100 + r.nextInt(4000)
+    val zone = 1 + r.nextInt(60)
+    val doc =
+      s"""ENVI
+description = {
+  Synthetic corpus raster [graft v21]}
+samples = $samples
+lines   = $lines
+bands   = ${1 + r.nextInt(7)}
+header offset = 0
+file type = ENVI Standard
+data type = 2
+interleave = bsq
+byte order = 0
+map info = {UTM, 1.000, 1.000, ${400000 + r.nextInt(200000)}.0, ${r.nextInt(9000000)}.0, 30.0, 30.0, $zone, North, WGS-84, units=Meters}
+wavelength units = Unknown
+"""
+    doc.getBytes(StandardCharsets.UTF_8)
   }
 
   // ---- EML -----------------------------------------------------------

@@ -307,7 +307,18 @@ object Extractor {
             graft.mail.EmlExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(name, data))
           case MediaTypes.Odt | MediaTypes.Ods | MediaTypes.Odp =>
-            graft.odf.OdtExtractor.extract(bytes, sink, meta)
+            graft.odf.OdtExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(Some(name), data),
+              cfg.extractMacros)
+          case m if m == graft.mime.MimeDb.Word2006Ml =>
+            graft.xmlx.Word2006MlExtractor.extract(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(Some(name), data))
+          case m if m == graft.mime.MimeDb.FlatOd ||
+              m == graft.mime.MimeDb.FlatOdt || m == graft.mime.MimeDb.FlatOds ||
+              m == graft.mime.MimeDb.FlatOdp =>
+            graft.odf.OdtExtractor.extractFlat(bytes, sink, meta,
+              (name, data) => inlineChild(idPath, depth)(Some(name), data),
+              cfg.extractMacros)
           case MediaTypes.Epub =>
             // EPUB = zip of XHTML chapters; container recursion parses them
             recurseZip(bytes, idPath, depth)

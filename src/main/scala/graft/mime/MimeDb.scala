@@ -156,7 +156,15 @@ object MimeDb {
   val Wacz = "application/x-wacz"
   val DataPackageZip = "application/x-vnd.datapackage+zip"
   val VBasic = "text/x-vbasic"
+  val Basic = "text/x-basic"
+  val Word2006Ml = "application/vnd.ms-word2006ml"
+  val Opf = "application/oebps-package+xml"
   val ActiveMime = "application/x-activemime"
+  // single-XML OpenDocument family (tika-mimetypes.xml:2571-2592)
+  val FlatOd = "application/vnd.oasis.opendocument.tika.flat.document"
+  val FlatOdt = "application/vnd.oasis.opendocument.flat.text"
+  val FlatOds = "application/vnd.oasis.opendocument.flat.spreadsheet"
+  val FlatOdp = "application/vnd.oasis.opendocument.flat.presentation"
   val SpssSav = "application/x-spss-sav"
   val StataDta = "application/x-stata-dta"
   val Jks = "application/x-java-keystore"
@@ -456,7 +464,9 @@ object MimeDb {
     Gtar -> Tar,
     Deb -> Ar,
     Wacz -> DataPackageZip, DataPackageZip -> MediaTypes.Zip,
-    VBasic -> MediaTypes.TextPlain,
+    VBasic -> MediaTypes.TextPlain, Basic -> MediaTypes.TextPlain,
+    FlatOd -> MediaTypes.Xml, FlatOdt -> FlatOd, FlatOds -> FlatOd,
+    FlatOdp -> FlatOd, Word2006Ml -> MediaTypes.Xml, Opf -> MediaTypes.Xml,
     ElfExe -> Elf, ElfLib -> Elf, ElfObj -> Elf, ElfCore -> Elf,
     M4a -> "video/mp4",
     M4v -> "video/mp4",

@@ -264,7 +264,12 @@ object MimeRegistry {
     // Office 2003 single-file XML formats (root-XML clauses in
     // tika-mimetypes.xml for vnd.ms-wordml / vnd.ms-spreadsheetml)
     "wordDocument" -> graft.xmlx.MsXml2003Extractor.WordMl,
-    "Workbook" -> graft.xmlx.MsXml2003Extractor.SpreadsheetMl
+    "Workbook" -> graft.xmlx.MsXml2003Extractor.SpreadsheetMl,
+    // flat OpenDocument (root-XML clause, tika-mimetypes.xml:2573);
+    // the bare localName is guarded by the office namespace in detect()
+    "document" -> graft.mime.MimeDb.FlatOd,
+    // namespace-disambiguated in detect(): word2006ml vs EPUB OPF
+    "package" -> graft.mime.MimeDb.Word2006Ml
   )
 
   /** Full detection pipeline over the leading bytes of a payload.
@@ -311,6 +316,37 @@ object MimeRegistry {
       XmlRootExtractor.rootElement(prefix) match {
         case Some(root) =>
           xmlRootTypes.get(root) match {
+            case Some(_) if root == "package" =>
+              // root-XML "package" is namespace-ambiguous: the OOXML
+              // single-file serialization (vnd.ms-word2006ml) vs the
+              // EPUB OPF package (oebps-package+xml); plain <package>
+              // stays generic XML (tika-mimetypes.xml:991, :2770)
+              val head = new String(prefix, 0,
+                math.min(prefix.length, 8192),
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+              if (head.contains("schemas.microsoft.com/office/2006/xmlPackage"))
+                result = graft.mime.MimeDb.Word2006Ml
+              else if (head.contains("www.idpf.org/2007/opf"))
+                result = graft.mime.MimeDb.Opf
+              else if (result == Html && xmlDecl) result = Xml
+            case Some(refined) if refined == graft.mime.MimeDb.FlatOd =>
+              // root-XML namespace guard (the reference clause requires
+              // urn:...:office:1.0); the office:mimetype root attribute
+              // then picks the flat subtype, which the reference only
+              // resolves during parse
+              val head = new String(prefix, 0,
+                math.min(prefix.length, 8192),
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+              if (head.contains("urn:oasis:names:tc:opendocument:xmlns:office:1.0")) {
+                result =
+                  if (head.contains("office:mimetype=\"application/vnd.oasis.opendocument.text\""))
+                    graft.mime.MimeDb.FlatOdt
+                  else if (head.contains("office:mimetype=\"application/vnd.oasis.opendocument.spreadsheet\""))
+                    graft.mime.MimeDb.FlatOds
+                  else if (head.contains("office:mimetype=\"application/vnd.oasis.opendocument.presentation\""))
+                    graft.mime.MimeDb.FlatOdp
+                  else refined
+              } else if (result == Html && xmlDecl) result = Xml
             case Some(refined) => result = refined
             case None => if (result == Html && xmlDecl) result = Xml
           }

@@ -48,6 +48,15 @@ object NsSax {
   private val plainParser = new ThreadLocal[SAXParser] {
     override def initialValue(): SAXParser = newParser(nsAware = false)
   }
+  // re-entrancy depth: a nested parse on the same thread (an embedded
+  // child recursing from inside a SAX callback) must NOT re-enter the
+  // in-flight thread-local parser — it gets a fresh single-use one
+  private val plainDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+  private val nsDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
 
   /** SAXException propagates (callers decide the failure mode), but
     * engine control-flow throwables tunnel through untranslated.
@@ -67,11 +76,19 @@ object NsSax {
     }
   }
 
+  private def runGuarded(depth: ThreadLocal[Integer], pooled: => SAXParser,
+      nsAware: Boolean, bytes: Array[Byte], handler: DefaultHandler): Unit = {
+    val d = depth.get()
+    val p = if (d == 0) pooled else newParser(nsAware)
+    depth.set(d + 1)
+    try run(p, bytes, handler) finally depth.set(d)
+  }
+
   /** Namespace-aware parse. */
   def parse(bytes: Array[Byte], handler: DefaultHandler): Unit =
-    run(nsParser.get(), bytes, handler)
+    runGuarded(nsDepth, nsParser.get(), nsAware = true, bytes, handler)
 
   /** Namespace-unaware (prefix-based) parse — the engine's main path. */
   def parsePlain(bytes: Array[Byte], handler: DefaultHandler): Unit =
-    run(plainParser.get(), bytes, handler)
+    runGuarded(plainDepth, plainParser.get(), nsAware = false, bytes, handler)
 }

@@ -224,7 +224,11 @@ class ContainerSpec extends AnyFunSuite {
       val kind = Corpus.kindOf(i)
       if (expectations.contains(kind) && !Corpus.isBombShaped(i)) {
         val out = Extractor.extract(Corpus.row(i))
-        assert(out.mime == expectations(kind), s"idx=$i kind=$kind got ${out.mime}")
+        val want =
+          if (kind == "odt" && i % 5 == 4) // v21: every fifth odt is flat
+            "application/vnd.oasis.opendocument.flat.text"
+          else expectations(kind)
+        assert(out.mime == want, s"idx=$i kind=$kind got ${out.mime}")
         val okStatus = out.status == Status.ParseSuccess ||
           out.status == Status.ParseSuccessWithException ||
           (Corpus.isOversized(i) && out.status == Status.WriteLimitReached)

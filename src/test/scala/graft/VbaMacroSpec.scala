@@ -79,6 +79,16 @@ class VbaMacroSpec extends AnyFunSuite {
     assert(t.contains("Sub Embolden()"), t.takeRight(400))
   }
 
+  test("testPPT_macros.ppt / .pptm: the VBA project surfaces via recursion") {
+    for (nm <- Seq("testPPT_macros.ppt", "testPPT_macros.pptm")) {
+      val p = docs.resolve(nm)
+      org.scalatest.Assertions.assume(Files.isRegularFile(p), "fixtures absent")
+      val on = extract(Files.readAllBytes(p), nm)
+      assert(on.meta.getOrElse("embedded:macro", Nil).contains("Module1"),
+        (nm, on.meta.getOrElse("embedded:macro", Nil)))
+    }
+  }
+
   test("activemime .mso wrapping a real vbaProject.bin extracts macros") {
     val p = docs.resolve("testWORD_macros.docm")
     org.scalatest.Assertions.assume(Files.isRegularFile(p), "fixtures absent")
