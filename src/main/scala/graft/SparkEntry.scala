@@ -789,6 +789,175 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(len(regexp_extract_all(text, '(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)', 1))) AS BIGINT) AS n_urls
          FROM documents GROUP BY source""",
+    // q17/q18/q25 oracles are FROZEN expected tables for the sf0.01
+    // gate, same pattern as x03 (banded-minhash pairs, Manku simhash
+    // pairs, and the DetectMime distribution are deterministic given
+    // the fixed corpus + hash seeds but not DuckDB-replicable); pinned
+    // independently by FrozenOraclesSpec
+    "q17_minhash_lsh" ->
+      """SELECT * FROM (VALUES
+           (8, 245, 1.0),
+           (26, 455, 0.8438),
+           (31, 383, 0.9688),
+           (44, 446, 0.9688),
+           (45, 267, 1.0),
+           (45, 413, 1.0),
+           (58, 293, 0.9063),
+           (61, 185, 1.0),
+           (70, 447, 1.0),
+           (72, 377, 0.9375),
+           (87, 134, 0.9688),
+           (92, 450, 0.9375),
+           (98, 290, 1.0),
+           (107, 387, 1.0),
+           (120, 332, 0.9688),
+           (152, 178, 0.9688),
+           (166, 323, 1.0),
+           (267, 413, 1.0),
+           (285, 301, 1.0),
+           (295, 374, 1.0),
+           (310, 389, 0.9688),
+           (326, 457, 1.0),
+           (393, 420, 1.0),
+           (435, 486, 0.9375),
+           (458, 462, 1.0)
+         ) AS t("doc_a", "doc_b", "est_jaccard")""",
+    "q18_simhash_neardups" ->
+      """SELECT * FROM (VALUES
+           (5, 233, 4),
+           (8, 197, 6),
+           (8, 245, 2),
+           (8, 264, 6),
+           (8, 436, 6),
+           (23, 145, 6),
+           (31, 383, 3),
+           (32, 341, 6),
+           (44, 446, 3),
+           (45, 121, 6),
+           (45, 267, 4),
+           (45, 312, 5),
+           (45, 413, 1),
+           (45, 494, 4),
+           (47, 250, 4),
+           (57, 441, 6),
+           (58, 293, 3),
+           (61, 185, 0),
+           (63, 251, 5),
+           (63, 264, 6),
+           (63, 312, 6),
+           (66, 341, 6),
+           (66, 352, 6),
+           (67, 199, 5),
+           (70, 447, 0),
+           (72, 317, 6),
+           (72, 377, 2),
+           (75, 470, 6),
+           (92, 450, 3),
+           (95, 431, 5),
+           (96, 233, 4),
+           (98, 290, 1),
+           (98, 439, 6),
+           (102, 195, 6),
+           (107, 387, 5),
+           (120, 332, 1),
+           (121, 316, 5),
+           (126, 187, 6),
+           (129, 161, 6),
+           (129, 311, 4),
+           (132, 264, 6),
+           (147, 176, 5),
+           (151, 316, 5),
+           (152, 178, 2),
+           (154, 303, 6),
+           (161, 311, 4),
+           (162, 233, 5),
+           (166, 323, 1),
+           (167, 442, 6),
+           (171, 434, 6),
+           (177, 416, 6),
+           (182, 245, 6),
+           (182, 413, 6),
+           (182, 423, 6),
+           (187, 197, 4),
+           (187, 426, 6),
+           (188, 453, 6),
+           (197, 245, 6),
+           (205, 403, 6),
+           (213, 228, 6),
+           (223, 240, 6),
+           (223, 423, 5),
+           (223, 459, 6),
+           (224, 429, 6),
+           (230, 470, 6),
+           (234, 312, 5),
+           (234, 329, 5),
+           (245, 264, 4),
+           (245, 436, 4),
+           (264, 328, 5),
+           (264, 436, 6),
+           (267, 413, 3),
+           (267, 494, 6),
+           (269, 312, 6),
+           (285, 301, 2),
+           (295, 374, 6),
+           (303, 333, 5),
+           (310, 389, 1),
+           (312, 349, 6),
+           (312, 413, 6),
+           (317, 377, 6),
+           (326, 457, 2),
+           (328, 341, 6),
+           (336, 388, 6),
+           (341, 385, 6),
+           (369, 486, 6),
+           (393, 420, 2),
+           (413, 494, 5),
+           (435, 486, 2),
+           (474, 498, 6)
+         ) AS t("doc_a", "doc_b", "hamming")""",
+    "q25_detect_mime_expr" ->
+      """SELECT * FROM (VALUES
+           ('application/dif+xml', 4),
+           ('application/envi.hdr', 2),
+           ('application/gzip', 15),
+           ('application/octet-stream', 32),
+           ('application/onenote', 14),
+           ('application/pdf', 170),
+           ('application/rtf', 40),
+           ('application/vnd.ms-outlook-pst', 8),
+           ('application/vnd.ms-tnef', 6),
+           ('application/vnd.oasis.opendocument.flat.text', 8),
+           ('application/vnd.wordperfect', 6),
+           ('application/warc', 10),
+           ('application/x-7z-compressed', 8),
+           ('application/x-archive', 9),
+           ('application/x-bzip2', 9),
+           ('application/x-cpio', 8),
+           ('application/x-fictionbook+xml', 6),
+           ('application/x-grib', 2),
+           ('application/x-matlab-data', 4),
+           ('application/x-msaccess', 6),
+           ('application/x-netcdf', 2),
+           ('application/x-plist', 4),
+           ('application/x-tar', 6),
+           ('application/x-tika-msoffice', 148),
+           ('application/x-tika-ooxml', 289),
+           ('application/x-tmx', 4),
+           ('application/xml', 80),
+           ('application/zip', 152),
+           ('audio/mpeg', 8),
+           ('audio/vnd.wave', 8),
+           ('image/bmp', 8),
+           ('image/emf', 5),
+           ('image/gif', 6),
+           ('image/jpeg', 8),
+           ('image/png', 8),
+           ('image/wmf', 2),
+           ('message/rfc822', 40),
+           ('text/html', 697),
+           ('text/plain', 150),
+           ('video/mp4', 8)
+         ) AS t("mime", "n")""",
     // x03's oracle is the FROZEN expected detection distribution for the
     // sf0.01 gate (4000 corpus-v21 docs) — pinned independently by
     // X03FrozenSpec so a corpus or detector change fails loudly here

@@ -212,7 +212,8 @@ object Extractor {
       // container specialization needs full bytes (OPCPackageDetector)
       val mime =
         if (mime0 == MediaTypes.Zip || mime0 == MediaTypes.TikaOoxml)
-          try OpcDetector.specialize(bytes) catch { case _: Exception => mime0 }
+          try OpcDetector.specialize(bytes, nameHint)
+          catch { case _: Exception => mime0 }
         else if (mime0 == MediaTypes.TikaMsOffice)
           try graft.ole2.Ole2Detector.specialize(bytes)
           catch { case _: Exception => mime0 }
@@ -320,8 +321,14 @@ object Extractor {
               (name, data) => inlineChild(idPath, depth)(Some(name), data),
               cfg.extractMacros)
           case MediaTypes.Epub =>
-            // EPUB = zip of XHTML chapters; container recursion parses them
-            recurseZip(bytes, idPath, depth)
+            // OPF metadata + spine-ordered content into the parent,
+            // resources as children (EpubParser/OPFParser semantics);
+            // packages without an OPF fall back to zip recursion
+            val handled =
+              try graft.zipx.EpubExtractor.extract(bytes, sink, meta,
+                (name, data) => inlineChild(idPath, depth)(Some(name), data))
+              catch { case _: Exception => false }
+            if (!handled) recurseZip(bytes, idPath, depth)
           case MediaTypes.Zip =>
             recurseZip(bytes, idPath, depth)
           case m if m == graft.mime.MimeDb.Tar || m == graft.mime.MimeDb.Gtar =>
@@ -614,6 +621,12 @@ object Extractor {
             graft.sci.MatExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.EnviHdr =>
             graft.sci.EnviExtractor.extract(bytes, sink, meta)
+          case m if m == graft.zipx.Iwork13Extractor.Keynote13 ||
+              m == graft.zipx.Iwork13Extractor.Numbers13 ||
+              m == graft.zipx.Iwork13Extractor.Pages13 ||
+              m == graft.zipx.Iwork13Extractor.Unknown13 =>
+            graft.zipx.Iwork13Extractor.extract(bytes, meta,
+              (name, data) => inlineChild(idPath, depth)(Some(name), data))
           case m if m == graft.mime.MimeDb.ActiveMime =>
             graft.ole2.ActiveMimeExtractor.extract(bytes, meta,
               (name, data) => inlineChild(idPath, depth)(Some(name), data))

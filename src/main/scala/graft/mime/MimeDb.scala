@@ -467,6 +467,10 @@ object MimeDb {
     VBasic -> MediaTypes.TextPlain, Basic -> MediaTypes.TextPlain,
     FlatOd -> MediaTypes.Xml, FlatOdt -> FlatOd, FlatOds -> FlatOd,
     FlatOdp -> FlatOd, Word2006Ml -> MediaTypes.Xml, Opf -> MediaTypes.Xml,
+    "application/vnd.apple.keynote.13" -> "application/vnd.apple.unknown.13",
+    "application/vnd.apple.numbers.13" -> "application/vnd.apple.unknown.13",
+    "application/vnd.apple.pages.13" -> "application/vnd.apple.unknown.13",
+    "application/vnd.apple.unknown.13" -> MediaTypes.Zip,
     ElfExe -> Elf, ElfLib -> Elf, ElfObj -> Elf, ElfCore -> Elf,
     M4a -> "video/mp4",
     M4v -> "video/mp4",

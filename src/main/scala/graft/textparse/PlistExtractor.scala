@@ -29,12 +29,15 @@ object PlistExtractor {
   final case class PUid(v: Long) extends PObj
   case object PNull extends PObj
 
+  /** Root object of an XML or binary plist (shared with iWork '13). */
+  def parseRoot(bytes: Array[Byte]): PObj =
+    if (bytes.length >= 8 && new String(bytes, 0, 7, StandardCharsets.US_ASCII) == "bplist0")
+      parseBinary(bytes)
+    else parseXml(bytes)
+
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
       child: (Option[String], Array[Byte]) => Unit = (_, _) => ()): Unit = {
-    val root =
-      if (bytes.length >= 8 && new String(bytes, 0, 7, StandardCharsets.US_ASCII) == "bplist0")
-        parseBinary(bytes)
-      else parseXml(bytes)
+    val root = parseRoot(bytes)
     root match {
       case PDict(entries) =>
         val keys = entries.map(_._1).toSet

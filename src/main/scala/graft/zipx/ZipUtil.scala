@@ -338,7 +338,8 @@ object ZipUtil {
 object OpcDetector {
   import graft.mime.MediaTypes._
 
-  def specialize(zipBytes: Array[Byte]): String = {
+  def specialize(zipBytes: Array[Byte],
+      nameHint: Option[String] = None): String = {
     val names = ZipUtil.entryNames(zipBytes)
     // ODF/EPUB carry a "mimetype" entry — conformant files put it first
     // and uncompressed, but real ones stray (ZipContainerDetector reads
@@ -358,6 +359,10 @@ object OpcDetector {
     // non-xlf siblings go through normal recursion)
     // iWork '09 packages: index.apxl = Keynote; index.xml's root element
     // distinguishes Pages from Numbers (iWorkPackageParser semantics)
+    // iWork '13+ (IWork13PackageParser.IWORK13_COMMON_ENTRY): slide iwa
+    // names mean Keynote, else the resource-name extension decides
+    if (Iwork13Extractor.isIwork13(names))
+      return Iwork13Extractor.subtype(names, nameHint)
     if (names.exists(n => n == "index.apxl" || n == "index.apxl.gz"))
       return "application/vnd.apple.keynote"
     if (names.contains("index.xml") &&

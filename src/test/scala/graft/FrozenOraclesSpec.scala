@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the q17/q18/q25 frozen oracles (banded-minhash pairs, simhash
+  * pairs, DetectMime distribution) to fresh sf0.01 runs — the same
+  * drift guard X03FrozenSpec provides for x03: a corpus, hash-seed, or
+  * detector change must update the SparkEntry.oracleSql tables.
+  */
+class FrozenOraclesSpec extends AnyFunSuite {
+
+  private val Row = """\(([^)]+)\)""".r
+
+  private def frozenRows(name: String): Set[Vector[String]] = {
+    val sql = SparkEntry.oracleSql(name)
+    val body = sql.substring(sql.indexOf("VALUES") + 6, sql.lastIndexOf(") AS t("))
+    Row.findAllMatchIn(body)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toVector)
+      .toSet
+  }
+
+  private def fresh(name: String): Set[Vector[String]] = {
+    val spark = TestSpark.spark
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.01").collect()
+      .map(_.toSeq.map {
+        case d: Double => d.toString
+        case x => String.valueOf(x)
+      }.toVector).toSet
+  }
+
+  for (q <- Seq("q17_minhash_lsh", "q18_simhash_neardups", "q25_detect_mime_expr")) {
+    test(s"$q frozen oracle matches a fresh sf0.01 run") {
+      val expected = frozenRows(q)
+      val got = fresh(q)
+      assert(expected.nonEmpty)
+      assert(expected == got,
+        s"frozen-table drift; missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+}
