@@ -789,7 +789,40 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(len(regexp_extract_all(text, '(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)', 1))) AS BIGINT) AS n_urls
          FROM documents GROUP BY source""",
-    // q17/q18/q25 oracles are FROZEN expected tables for the sf0.01
+    "q21_media_features" ->
+      """SELECT * FROM (VALUES
+           ('blob://0287ba5e', 'audio', 'audio/vnd.wave', 0, 0, 0, 374, 8000, 8, -1352597544),
+           ('blob://03bf8e24', 'image', 'image/gif', 120, 360, 1, 0, 0, 8, -1980277047),
+           ('blob://e54f5b3c', 'image', 'image/gif', 53, 181, 1, 0, 0, 8, 807566395),
+           ('corpus://doc-000000000021', 'audio', 'audio/vnd.wave', 0, 0, 0, 487, 8000, 8, 1023824477),
+           ('corpus://doc-000000000050', 'image', 'image/jpeg', 1518, 893, 1, 0, 0, 8, -1646980993),
+           ('corpus://doc-000000000079', 'video', 'video/mp4', 1891, 342, 1696, 56538, 0, 8, -255478392),
+           ('corpus://doc-000000000108', 'image', 'image/bmp', 144, 51, 1, 0, 0, 8, -1035540380),
+           ('corpus://doc-000000000145', 'image', 'image/png', 106, 115, 1, 0, 0, 8, -63429157),
+           ('corpus://doc-000000000174', 'audio', 'audio/mpeg', 0, 0, 0, 390, 44100, 8, 762489267),
+           ('corpus://doc-000000000203', 'image', 'image/gif', 578, 132, 1, 0, 0, 8, -907387105),
+           ('corpus://doc-000000000269', 'audio', 'audio/vnd.wave', 0, 0, 0, 1141, 8000, 8, 376534602),
+           ('corpus://doc-000000000298', 'image', 'image/jpeg', 1512, 1129, 1, 0, 0, 8, -1688089017),
+           ('corpus://doc-000000000327', 'video', 'video/mp4', 721, 584, 887, 29593, 0, 8, -151033621),
+           ('corpus://doc-000000000364', 'image', 'image/bmp', 112, 43, 1, 0, 0, 8, 1334638948),
+           ('corpus://doc-000000000393', 'image', 'image/png', 66, 31, 1, 0, 0, 8, 851365135),
+           ('corpus://doc-000000000422', 'audio', 'audio/mpeg', 0, 0, 0, 312, 44100, 8, -1956395332),
+           ('corpus://doc-000000000517', 'audio', 'audio/vnd.wave', 0, 0, 0, 554, 8000, 8, -299378728),
+           ('corpus://doc-000000000546', 'image', 'image/jpeg', 870, 356, 1, 0, 0, 8, -410031947),
+           ('corpus://doc-000000000583', 'video', 'video/mp4', 1586, 1009, 654, 21819, 0, 8, -702052532),
+           ('corpus://doc-000000000612', 'image', 'image/bmp', 136, 65, 1, 0, 0, 8, 514423075),
+           ('corpus://doc-000000000641', 'image', 'image/png', 66, 30, 1, 0, 0, 8, -907109903),
+           ('corpus://doc-000000000670', 'audio', 'audio/mpeg', 0, 0, 0, 547, 44100, 8, 278661872),
+           ('corpus://doc-000000000707', 'image', 'image/gif', 408, 56, 1, 0, 0, 8, 1859016348),
+           ('corpus://doc-000000000765', 'audio', 'audio/vnd.wave', 0, 0, 0, 1203, 8000, 8, 1519892671),
+           ('corpus://doc-000000000802', 'image', 'image/jpeg', 1554, 529, 1, 0, 0, 8, -1743464437),
+           ('corpus://doc-000000000831', 'video', 'video/mp4', 1198, 836, 218, 7271, 0, 8, -95937241),
+           ('corpus://doc-000000000860', 'image', 'image/bmp', 203, 64, 1, 0, 0, 8, -1938601618),
+           ('corpus://doc-000000000889', 'image', 'image/png', 77, 25, 1, 0, 0, 8, -1612952147),
+           ('corpus://doc-000000000926', 'audio', 'audio/mpeg', 0, 0, 0, 338, 44100, 8, 1251713945),
+           ('corpus://doc-000000000955', 'image', 'image/gif', 402, 131, 1, 0, 0, 8, -1014683192)
+         ) AS t("media_ref", "media_type", "mime", "width", "height", "n_frames", "duration_ms", "sample_rate", "feature_dim", "feature_fingerprint")""",
+    // q21/q17/q18/q25 oracles are FROZEN expected tables for the sf0.01
     // gate, same pattern as x03 (banded-minhash pairs, Manku simhash
     // pairs, and the DetectMime distribution are deterministic given
     // the fixed corpus + hash seeds but not DuckDB-replicable); pinned

@@ -28,7 +28,8 @@ class FrozenOraclesSpec extends AnyFunSuite {
       }.toVector).toSet
   }
 
-  for (q <- Seq("q17_minhash_lsh", "q18_simhash_neardups", "q25_detect_mime_expr")) {
+  for (q <- Seq("q17_minhash_lsh", "q18_simhash_neardups",
+      "q25_detect_mime_expr", "q21_media_features")) {
     test(s"$q frozen oracle matches a fresh sf0.01 run") {
       val expected = frozenRows(q)
       val got = fresh(q)
