@@ -51,7 +51,8 @@ object Unpack {
       val mime0 = MimeRegistry.detect(bytes, nameHint)
       val mime =
         if (mime0 == MediaTypes.Zip || mime0 == MediaTypes.TikaOoxml)
-          try OpcDetector.specialize(bytes) catch { case _: Exception => mime0 }
+          try OpcDetector.specialize(bytes, nameHint)
+          catch { case _: Exception => mime0 }
         else mime0
       mime match {
         case MediaTypes.Zip | MediaTypes.Epub =>

@@ -270,6 +270,11 @@ object SasExtractor {
 
   private def formatNumeric(v: Double, c: Col): String = {
     if (java.lang.Double.isNaN(v)) return ""
+    try formatNumeric0(v, c)
+    catch { case _: Exception => plainNumber(v) } // absurd date values
+  }
+
+  private def formatNumeric0(v: Double, c: Col): String = {
     val f = c.format.toUpperCase(java.util.Locale.ROOT)
     val base = f.stripSuffix("D").stripSuffix("S").stripSuffix("N")
       .stripSuffix("B").stripSuffix("C").stripSuffix("P")

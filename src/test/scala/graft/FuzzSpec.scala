@@ -230,6 +230,56 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Round-4h parsers under mutation: SAS7BDAT, ENVI headers, flat
+    * ODF, Word 2006 ML packages, and RTF rows carrying embedded
+    * objdata/pict payloads.
+    */
+  test("property: mutated sas/envi/fodt/2006ml/rtf-embedded payloads never escape the envelope") {
+    val rnd = new scala.util.Random(41)
+    val ml2006 =
+      ("""<?xml version="1.0"?><?mso-application progid="Word.Document"?>""" +
+       """<pkg:package xmlns:pkg="http://schemas.microsoft.com/office/2006/xmlPackage">""" +
+       """<pkg:part pkg:name="/word/document.xml" pkg:contentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml">""" +
+       """<pkg:xmlData><w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+       """<w:body><w:p><w:r><w:t>fuzz 2006ml text</w:t></w:r></w:p></w:body></w:document></pkg:xmlData></pkg:part>""" +
+       """<pkg:part pkg:name="/word/media/x.bin" pkg:contentType="application/octet-stream">""" +
+       """<pkg:binaryData>AAECAwQF</pkg:binaryData></pkg:part></pkg:package>""").getBytes("UTF-8")
+    val sasFixture = {
+      val p = java.nio.file.Path.of("/root/reference/tika-parsers/" +
+        "tika-parsers-standard/tika-parsers-standard-modules/" +
+        "tika-parser-code-module/src/test/resources/test-documents/testSAS.sas7bdat")
+      if (java.nio.file.Files.isRegularFile(p))
+        Seq(java.nio.file.Files.readAllBytes(p)) else Nil
+    }
+    val seeds = sasFixture ++ Seq(
+      Corpus.enviDoc(new scala.util.Random(31)),
+      Corpus.fodtDoc(new scala.util.Random(32)),
+      ml2006,
+      Corpus.rtfDoc(new scala.util.Random(33), 5), // objdata row
+      Corpus.rtfDoc(new scala.util.Random(34), 1)) // pict row
+    seeds.foreach { valid =>
+      (0 until 60).foreach { i =>
+        val mutated = valid.clone()
+        i % 3 match {
+          case 0 =>
+            val p = rnd.nextInt(mutated.length)
+            mutated(p) = (mutated(p) ^ (1 << rnd.nextInt(8))).toByte
+          case 1 =>
+            val n = 1 + rnd.nextInt(mutated.length)
+            val out = Extractor.extract(DocRow("f",
+              Seq(Span("bytes", Corpus.b64(java.util.Arrays.copyOf(mutated, n)), null, 0))))
+            assert(out.status != null && out.mime != null)
+          case _ =>
+            val p = rnd.nextInt(mutated.length)
+            (p until mutated.length).foreach(j => mutated(j) = rnd.nextInt(256).toByte)
+        }
+        val out = Extractor.extract(DocRow("f",
+          Seq(Span("bytes", Corpus.b64(mutated), null, 0))))
+        assert(out.status != null && out.mime != null)
+      }
+    }
+  }
+
   test("property: mutated xlsb/pub/vsd/media payloads never escape the envelope") {
     val rnd = new scala.util.Random(23)
     val seeds = Seq(
