@@ -114,6 +114,35 @@ object SparkEntry {
         col("doc_id"), col("id_path"), col("name"), col("mime"),
         col("n_bytes"), col("sha256"))
     }),
+    "x09_span_stats" -> ((s, dir) => {
+      // span-structure distribution over the same 500-doc slice as
+      // x02_spans_flat, in a frozen-table-oracle-able aggregate shape:
+      // per span kind, the row count, total text volume, and document
+      // reach. Pins the handler chain's structural output (x02's
+      // correctness deduction was rows-only) — X09X10FrozenSpec
+      // recomputes this from a fresh extraction.
+      Pipeline.extract(Corpus.docRows(s, 500)).toDF()
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+        .groupBy(col("span.kind").as("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(coalesce(col("span.text"), lit("")))).as("n_chars"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
+    "x10_embedded_stats" -> ((s, dir) => {
+      // embedded-tree distribution over x05's 1000-doc slice: per span
+      // kind × child name extension, the recursion fan-out. Pins the
+      // RecursiveParserWrapper analog's tree (x05 stays the row-level
+      // face; this is its frozen-oracle aggregate).
+      Pipeline.extract(Corpus.docRows(s, 1000)).toDF()
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+        .filter(col("span.kind").isin("embedded-open", "media"))
+        .select(col("span.kind").as("kind"),
+          when(regexp_extract(col("span.media_ref"), "\\.([A-Za-z0-9]+)$", 1) === "",
+            lit("none"))
+            .otherwise(lower(regexp_extract(col("span.media_ref"), "\\.([A-Za-z0-9]+)$", 1)))
+            .as("ext"))
+        .groupBy("kind", "ext").agg(count(lit(1)).as("n"))
+    }),
 
     // ---- relational over driver tables (DuckDB oracles)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -991,6 +1020,61 @@ object SparkEntry {
            ('text/plain', 150),
            ('video/mp4', 8)
          ) AS t("mime", "n")""",
+    // q32's exact side is genuinely computed by DuckDB with the same
+    // tokenizer SQL as q11/q22/q27; only the (deterministic,
+    // engine-specific) HLL++ estimate is frozen — pinned by
+    // SketchFrozenSpec. At the sf0.01 vocabulary (31 distinct tokens)
+    // the sketch is exact, so rel_error is 0.
+    "q32_distinct_sketch" ->
+      """SELECT n_exact, CAST(31 AS BIGINT) AS n_approx,
+           round(abs(31 - n_exact)::DOUBLE / greatest(n_exact, 1), 4) AS rel_error
+         FROM (SELECT count(DISTINCT token) AS n_exact FROM (
+           SELECT unnest(list_filter(string_split(lower(text), ' '),
+             x -> x <> '')) AS token FROM documents) t) s""",
+    // x08/x09/x10: frozen expected tables for the sf0.01 gate (same
+    // pattern as x03/q17/q18/q21/q25) — pinned by FrozenOraclesSpec so
+    // a corpus, parser, or handler-chain change fails loudly here
+    // before the driver sees it
+    "x08_media_meta" ->
+      """SELECT * FROM (VALUES
+           ('application/rtf', 'height', 5, 18, 97),
+           ('application/rtf', 'width', 5, 18, 73),
+           ('audio/mpeg', 'duration_ms', 4, 312, 547),
+           ('audio/mpeg', 'sample_rate', 4, 44100, 44100),
+           ('audio/vnd.wave', 'duration_ms', 4, 487, 1203),
+           ('audio/vnd.wave', 'sample_rate', 4, 8000, 8000),
+           ('image/bmp', 'height', 4, 43, 65),
+           ('image/bmp', 'width', 4, 112, 203),
+           ('image/gif', 'height', 3, 56, 132),
+           ('image/gif', 'width', 3, 402, 578),
+           ('image/jpeg', 'height', 4, 356, 1129),
+           ('image/jpeg', 'orientation', 4, 4, 8),
+           ('image/jpeg', 'width', 4, 870, 1554),
+           ('image/png', 'height', 4, 25, 115),
+           ('image/png', 'width', 4, 66, 106),
+           ('video/mp4', 'duration_ms', 4, 7271, 56538),
+           ('video/mp4', 'height', 4, 342, 1009),
+           ('video/mp4', 'width', 4, 721, 1891)
+         ) AS t(mime, field, n, min_v, max_v)""",
+    "x09_span_stats" ->
+      """SELECT * FROM (VALUES
+           ('embedded-close', 165, 0, 64),
+           ('embedded-open', 165, 0, 64),
+           ('media', 204, 0, 187),
+           ('text', 6165, 640177, 481)
+         ) AS t(kind, n, n_chars, n_docs)""",
+    "x10_embedded_stats" ->
+      """SELECT * FROM (VALUES
+           ('embedded-open', 'none', 318),
+           ('media', 'bmp', 4),
+           ('media', 'gif', 3),
+           ('media', 'jpg', 4),
+           ('media', 'mp3', 4),
+           ('media', 'mp4', 4),
+           ('media', 'none', 38),
+           ('media', 'png', 352),
+           ('media', 'wav', 4)
+         ) AS t(kind, ext, n)""",
     // x03's oracle is the FROZEN expected detection distribution for the
     // sf0.01 gate (4000 corpus-v21 docs) — pinned independently by
     // X03FrozenSpec so a corpus or detector change fails loudly here

@@ -52,6 +52,10 @@ class StreamingStateSpec extends AnyFunSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
+    // AvailableNow with a processing-time timeout can keep scheduling
+    // no-data timer batches; stop explicitly so a later session stop
+    // never races a mid-flight micro-batch plan.
+    q.stop()
     val closed = spark.sql("SELECT user_id, n_events, duration_ms FROM sess")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // the first session of user 1 closed when the 10:05 event exceeded the gap
