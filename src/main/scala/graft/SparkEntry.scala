@@ -301,6 +301,52 @@ object SparkEntry {
         .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
           col("sig"), col("is_dup"))
     }),
+    "q39_stream_sessionize" -> ((s, dir) => {
+      // The STREAMING stateful face as a DuckDB-oracled contract query:
+      // the events table driven through the file-source stream and the
+      // flatMapGroupsWithState sessionizer (one AvailableNow batch,
+      // parquet sink + checkpoint — the at-scale deployment shape, no
+      // driver-side collection). One sentinel event per user, one gap
+      // past the global max ts, closes every trailing session, so the
+      // emitted set equals batch sessionization (q05's CTE re-derives
+      // it in DuckDB); each sentinel's own 1-event session stays in
+      // state and is never emitted. session_id is re-derived from the
+      // per-user start_ts order, matching the oracle's running count.
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      // the parquet ts column is TIMESTAMP_NTZ; sessions run in UTC, so
+      // casting to TIMESTAMP preserves the wall-clock reading and the
+      // output is emitted as epoch millis (no tz-formatting ambiguity
+      // against the DuckDB side)
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      val maxMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+      val sentinel = new java.sql.Timestamp(maxMs + 1801L * 1000L)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q39").toString
+      ev.unionAll(ev.select(col("user_id")).distinct()
+          .withColumn("ts", lit(sentinel)))
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val schema = new StructType().add("user_id", LongType).add("ts", TimestampType)
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
+        .toDF("_1", "_2").as[(Long, java.sql.Timestamp)]
+      val q = graft.streaming.StreamingPipeline
+        .sessionize(stream, gapMs = 1800L * 1000L)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.read.parquet(s"$tmp/out")
+        .withColumn("session_id", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("start_ts"))).cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          unix_millis(col("start_ts")).as("start_ms"),
+          unix_millis(col("end_ts")).as("end_ms"),
+          col("duration_ms"))
+    }),
     "q37_repetition" -> ((s, dir) => {
       // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
       // duplicate-line and duplicate-word fractions per document. All
@@ -644,6 +690,27 @@ object SparkEntry {
          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            count(*) AS n_events,
            min(event_id) AS first_event, max(event_id) AS last_event
+         FROM s GROUP BY user_id, session_id""",
+    // q39: the streaming sessionizer's emitted sessions equal batch
+    // sessionization over the same events (q05's CTE, with per-session
+    // time bounds instead of event-id bounds)
+    "q39_stream_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM g)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,
+           CAST(epoch_ms(max(ts)) AS BIGINT) AS end_ms,
+           CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms
          FROM s GROUP BY user_id, session_id""",
     "q27_common_tokens" -> graft.ops.LangOracle.q27Sql,
     "q10_doc_stats" ->
