@@ -128,6 +128,36 @@ object SparkEntry {
           sum(length(coalesce(col("span.text"), lit("")))).as("n_chars"),
           countDistinct(col("doc_id")).as("n_docs"))
     }),
+    "x11_main_content_stats" -> ((s, dir) => {
+      // frozen-oracle aggregate face for the boilerplate classifier —
+      // the north rule's "HTML boilerplate strip" was rows-only via
+      // x04. Same 500-id html slice; content_hash XORs per-document
+      // xxhash64 of the extracted main content, so ANY classifier or
+      // tokenizer drift flips the row (FrozenOraclesSpec recomputes).
+      import s.implicits._
+      s.range(0, 500, 1, 8)
+        .mapPartitions(_.filter(i => Corpus.kindOf(i) == "html").map { i =>
+          val html = Corpus.htmlDoc(Corpus.rng(i), i)
+          (Corpus.docId(i), Boilerplate.mainContentText(html))
+        }).toDF("doc_id", "main_content")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("main_content"))).as("n_chars"),
+          min(length(col("main_content"))).as("min_chars"),
+          max(length(col("main_content"))).as("max_chars"),
+          expr("bit_xor(xxhash64(main_content))").as("content_hash"))
+    }),
+    "x12_unpack_stats" -> ((s, dir) => {
+      // frozen-oracle aggregate face for the unpack table (x06 stays
+      // the row-level face): per child mime, entry count, byte volume,
+      // parent reach, and an XOR pin over (sha256, id_path, name) so a
+      // payload, traversal-order, or naming change flips its row.
+      graft.engine.Unpack.unpack(Corpus.docRows(s, 1000))
+        .groupBy("mime")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("n_bytes"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          expr("bit_xor(xxhash64(sha256, id_path, name))").as("tree_hash"))
+    }),
     "x10_embedded_stats" -> ((s, dir) => {
       // embedded-tree distribution over x05's 1000-doc slice: per span
       // kind × child name extension, the recursion fan-out. Pins the
@@ -330,15 +360,30 @@ object SparkEntry {
       val schema = new StructType().add("user_id", LongType).add("ts", TimestampType)
       val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
         .toDF("_1", "_2").as[(Long, java.sql.Timestamp)]
-      val q = graft.streaming.StreamingPipeline
-        .sessionize(stream, gapMs = 1800L * 1000L)
-        .writeStream.format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ck")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(300000)
-      q.stop()
+      // the sessionizer's pending 30-min ProcessingTimeTimeout timers
+      // make shouldRunAnotherBatch stay true, so AvailableNow spins
+      // no-data microbatches until the timer deadline instead of
+      // terminating (measured: 775 empty batches / 302 s in one bench
+      // window). The sentinels already close every session in-data —
+      // the timeout path is unused — so no-data batches are disabled
+      // for this one-shot run and the query terminates after batch 0.
+      val ndmKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val ndmPrev = s.conf.getOption(ndmKey)
+      s.conf.set(ndmKey, "false")
+      try {
+        val q = graft.streaming.StreamingPipeline
+          .sessionize(stream, gapMs = 1800L * 1000L)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        q.stop()
+      } finally ndmPrev match {
+        case Some(v) => s.conf.set(ndmKey, v)
+        case None    => s.conf.unset(ndmKey)
+      }
       s.read.parquet(s"$tmp/out")
         .withColumn("session_id", row_number().over(
           Window.partitionBy(col("user_id")).orderBy(col("start_ts"))).cast("long"))
@@ -1123,6 +1168,18 @@ object SparkEntry {
            ('video/mp4', 'height', 4, 342, 1009),
            ('video/mp4', 'width', 4, 721, 1891)
          ) AS t(mime, field, n, min_v, max_v)""",
+    "x11_main_content_stats" ->
+      """SELECT * FROM (VALUES
+           (174, 183349, 462, 1651, 1837448622516171420)
+         ) AS t(n_docs, n_chars, min_chars, max_chars, content_hash)""",
+    "x12_unpack_stats" ->
+      """SELECT * FROM (VALUES
+           ('application/warc', 5, 7339, 5, 6491594058506599511),
+           ('application/x-tar', 9, 32768, 9, 1808250790718850321),
+           ('application/xml', 80, 32974, 60, -6352347894982380706),
+           ('text/html', 91, 15916, 64, 2856758511637291824),
+           ('text/plain', 106, 22061, 80, 3356914366824392759)
+         ) AS t(mime, n, n_bytes, n_docs, tree_hash)""",
     "x09_span_stats" ->
       """SELECT * FROM (VALUES
            ('embedded-close', 165, 0, 64),
