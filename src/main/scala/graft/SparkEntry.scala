@@ -128,6 +128,32 @@ object SparkEntry {
           sum(length(coalesce(col("span.text"), lit("")))).as("n_chars"),
           countDistinct(col("doc_id")).as("n_docs"))
     }),
+    "x13_rmeta_stats" -> ((s, dir) => {
+      // frozen-oracle aggregate pin for the /rmeta JSON face (x07 stays
+      // row-level): doc count, serialized volume, and an XOR over the
+      // full JSON strings — any change to metadata keys, escaping, or
+      // ordering in toRmetaJson flips the hash.
+      import s.implicits._
+      Pipeline.extract(Corpus.docRows(s, 500))
+        .map(d => (d.doc_id, graft.ops.Projections.toRmetaJson(d)))
+        .toDF("doc_id", "rmeta")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("rmeta"))).as("n_chars"),
+          expr("bit_xor(xxhash64(doc_id, rmeta))").as("rmeta_hash"))
+    }),
+    "x14_extract_stats" -> ((s, dir) => {
+      // frozen-oracle aggregate pin for the extract-all face (x01 stays
+      // row-level): per status, doc/span/char volumes and an XOR over
+      // every output row. Pinned to the sf0.01 gate like x03 (the doc
+      // count scales with the sf dir).
+      Pipeline.extract(Corpus.docRows(s, corpusSize(dir))).toDF()
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_spans")).as("n_spans"),
+          sum(col("n_chars")).as("n_chars"),
+          expr("bit_xor(xxhash64(doc_id, mime, status, n_spans, n_chars))")
+            .as("row_hash"))
+    }),
     "x11_main_content_stats" -> ((s, dir) => {
       // frozen-oracle aggregate face for the boilerplate classifier —
       // the north rule's "HTML boilerplate strip" was rows-only via
@@ -1168,6 +1194,24 @@ object SparkEntry {
            ('video/mp4', 'height', 4, 342, 1009),
            ('video/mp4', 'width', 4, 721, 1891)
          ) AS t(mime, field, n, min_v, max_v)""",
+    // q23: two independent extractions of the same 500 docs must agree
+    // on every doc, mime, status, and span sequence (determinism 1.0) —
+    // frozen expected profile for the sf0.01 gate
+    "q23_extract_compare" ->
+      """SELECT * FROM (VALUES
+           (500, 500, 500, 500, 500, 0, 1.0)
+         ) AS t(n_docs, n_in_both, n_span_equal, n_mime_match,
+                n_status_match, total_char_delta, span_equality_rate)""",
+    "x13_rmeta_stats" ->
+      """SELECT * FROM (VALUES
+           (500, 893593, 2388121125677632520)
+         ) AS t(n_docs, n_chars, rmeta_hash)""",
+    "x14_extract_stats" ->
+      """SELECT * FROM (VALUES
+           ('parse_success', 3942, 44297, 3156634, -6685720437520686888),
+           ('unsupported_type', 40, 0, 0, 7229079304241689592),
+           ('write_limit_reached', 18, 4252, 1800000, 934677292960717726)
+         ) AS t(status, n, n_spans, n_chars, row_hash)""",
     "x11_main_content_stats" ->
       """SELECT * FROM (VALUES
            (174, 183349, 462, 1651, 1837448622516171420)
