@@ -732,14 +732,22 @@ object Extractor {
           case MediaTypes.MsOutlook =>
             graft.ole2.MsgExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(Some(name), data))
-          case m if m == graft.ole2.Ole2Detector.OoxmlProtected =>
-            // password-protected OOXML (CFB-wrapped EncryptedPackage):
-            // the reference throws EncryptedDocumentException — record a
-            // parse failure, not an unknown type
+          case m if m == graft.ole2.Ole2Detector.OoxmlProtected ||
+              m == graft.ole2.Ole2Detector.DrmEncrypted =>
+            // password-protected OOXML (CFB-wrapped EncryptedPackage) or
+            // OLE2 DRM dataspaces (TIKA-3666): the reference throws
+            // EncryptedDocumentException — record a parse failure, not an
+            // unknown type
             sawException = true
             meta.add("parse:exception",
               s"$m password-protected at ${if (idPath.isEmpty) "/" else idPath}")
-          case MediaTypes.TikaMsOffice =>
+          case m if m == graft.ole2.Ole2Detector.MsProject =>
+            // OfficeParser POIFSDocumentType.PROJECT: summary properties
+            // only, no body text
+            graft.ole2.OleProps.fromCfb(graft.ole2.Cfb.parse(bytes), meta)
+          case m if m == MediaTypes.TikaMsOffice ||
+              m == graft.ole2.Ole2Detector.CompObjEmbedded ||
+              m == graft.ole2.Ole2Detector.Ole10Native =>
             // embedded-object carriers first (AbstractPOIFSExtractor
             // .handleEmbeddedOfficeDoc): a `Package` stream holds an OPC
             // zip, an Ole10Native record wraps a named payload, and a

@@ -171,6 +171,13 @@ object MimeDb {
   val Hwp = "application/x-hwp"
   val HwpV5 = "application/x-hwp-v5"
   val Qpw = "application/x-quattro-pro"
+  val Lotus123 = "application/vnd.lotus-1-2-3"
+  val Lotus123V1 = "application/vnd.lotus-1-2-3;version=1"
+  val Lotus123V2 = "application/vnd.lotus-1-2-3;version=2"
+  val Lotus123V3 = "application/vnd.lotus-1-2-3;version=3"
+  val Lotus123V4 = "application/vnd.lotus-1-2-3;version=4"
+  val Lotus123V97 = "application/vnd.lotus-1-2-3;version=97+9.x"
+  val ThreeMf = "application/vnd.ms-package.3dmanufacturing-3dmodel+xml"
   val Dbf = "application/x-dbf"
   val DifXml = "application/dif+xml"
   val Mif = "application/vnd.mif"
@@ -454,13 +461,24 @@ object MimeDb {
     Magic(MediaTypes.MsExcel, 50, OrClause(Seq(
       bytes(0, 0x09, 0x04, 0x06, 0x00), // BIFF4 BOF
       bytes(0, 0x09, 0x02, 0x06, 0x00), // BIFF3 BOF
-      bytes(0, 0x09, 0x00, 0x04, 0x00)))) // BIFF2 BOF
+      bytes(0, 0x09, 0x00, 0x04, 0x00)))), // BIFF2 BOF
+    // Lotus 1-2-3 worksheet BOF records, one versioned magic each
+    // (tika-mimetypes.xml:1851-1901)
+    Magic(Lotus123V1, 50, bytes(0, 0x00, 0x00, 0x02, 0x00, 0x04, 0x04)),
+    Magic(Lotus123V2, 50, bytes(0, 0x00, 0x00, 0x02, 0x00, 0x06, 0x04,
+      0x06, 0x00, 0x08, 0x00)),
+    Magic(Lotus123V3, 50, bytes(0, 0x00, 0x00, 0x1a, 0x00, 0x00, 0x10, 0x04, 0x00)),
+    Magic(Lotus123V4, 50, bytes(0, 0x00, 0x00, 0x1a, 0x00, 0x02, 0x10, 0x04, 0x00)),
+    Magic(Lotus123V97, 50, bytes(0, 0x00, 0x00, 0x1a, 0x00, 0x03, 0x10, 0x04, 0x00))
   )
 
   /** sub-class-of edges for the added types (text/x-* get text/plain via
     * the prefix heuristic and need no edge).
     */
   val superTypes: Map[String, String] = Map(
+    Lotus123V1 -> Lotus123, Lotus123V2 -> Lotus123, Lotus123V3 -> Lotus123,
+    Lotus123V4 -> Lotus123, Lotus123V97 -> Lotus123,
+    ThreeMf -> MediaTypes.Zip,
     Gtar -> Tar,
     Deb -> Ar,
     Wacz -> DataPackageZip, DataPackageZip -> MediaTypes.Zip,

@@ -394,6 +394,14 @@ object OpcDetector {
       // fixedrepresentation relationship; the .fdseq part name is the
       // cheap equivalent — both XPS and OpenXPS packages carry one)
       if (names.exists(_.endsWith(".fdseq"))) Xps
+      // 3MF: root relationship targets the 3D model part
+      // (OPCPackageDetector.java:189-194 THREE_MF_DOCUMENT rel; the
+      // conventional part name is the cheap equivalent)
+      else if (names.contains("3D/3dmodel.model") ||
+        ZipUtil.entry(zipBytes, "_rels/.rels").exists(b =>
+          new String(b, java.nio.charset.StandardCharsets.UTF_8)
+            .contains("3dmanufacturing/2013/01/3dmodel")))
+        graft.mime.MimeDb.ThreeMf
       // Visio OOXML: subtype from the main-part content type
       // (OPCPackageDetector.java:128-145 OOXML_CONTENT_TYPES)
       else if (names.exists(_.startsWith("visio/document"))) {
