@@ -57,7 +57,7 @@ object Extractor {
     graft.mime.MimeDb.Ac3, graft.mime.MimeDb.CanonCr2, graft.mime.MimeDb.Pcx,
     graft.mime.MimeDb.Pam, graft.mime.MimeDb.SgiRgb, graft.mime.MimeDb.Bpg,
     graft.mime.MimeDb.Icns, graft.mime.MimeDb.Dpx, graft.mime.MimeDb.Nitf,
-    graft.mime.MimeDb.Aiff, graft.mime.MimeDb.AuBasic)
+    graft.mime.MimeDb.Aiff, graft.mime.MimeDb.AuBasic, graft.mime.MimeDb.Jxl)
 
   private val MediaExt: Map[String, String] = Map(
     MediaTypes.Jpeg -> "jpg", MediaTypes.Tiff -> "tif", MediaTypes.Mp3 -> "mp3",

@@ -52,6 +52,9 @@ object MediaParser {
         parseMp4(bytes)
       else if (matches(bytes, 0, 'O', 'g', 'g', 'S')) parseOgg(bytes)
       else if (matches(bytes, 0, 0x30, 0x26, 0xb2, 0x75)) parseAsf(bytes)
+      else if (matches(bytes, 0, 0xff, 0x0a)) parseJxlCodestream(bytes, 2)
+      else if (matches(bytes, 4, 'J', 'X', 'L', ' ') &&
+               matches(bytes, 8, 0x0d, 0x0a, 0x87, 0x0a)) parseJxlContainer(bytes)
       else None
       // descriptive tags ride on top of the structural metadata:
       // XMP packets (JPEG APP1 / PNG iTXt / TIFF) found by bounded scan
@@ -554,6 +557,99 @@ object MediaParser {
     f(93, 4).foreach(out("year") = _)
     out.toMap
   }
+
+  /** JPEG XL codestream SizeHeader (ISO/IEC 18181-1 §6): an LSB-first
+    * bitstream right after the FF 0A signature — small/div8 flag, U32
+    * distribution-coded ysize, 3-bit aspect-ratio code or explicit xsize.
+    * Reference analog: tika detects image/jxl and reports dimensions via
+    * its image module; this is the same metadata-only surface.
+    */
+  private final class BitReaderLsb(b: Array[Byte], private var pos: Int) {
+    private var bitPos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (pos >= b.length) return v
+        v |= ((b(pos) >> bitPos) & 1) << i
+        bitPos += 1
+        if (bitPos == 8) { bitPos = 0; pos += 1 }
+        i += 1
+      }
+      v
+    }
+  }
+
+  private def parseJxlCodestream(b: Array[Byte], off: Int): Option[Meta] = {
+    if (off + 4 > b.length) return None
+    val r = new BitReaderLsb(b, off)
+    // U32(): 2-bit selector, then the chosen distribution Bits(d)+1
+    def u32(d0: Int, d1: Int, d2: Int, d3: Int): Int = r.u(2) match {
+      case 0 => r.u(d0) + 1
+      case 1 => r.u(d1) + 1
+      case 2 => r.u(d2) + 1
+      case _ => r.u(d3) + 1
+    }
+    val small = r.u(1)
+    val ysize = if (small == 1) 8 * (r.u(5) + 1) else u32(9, 13, 18, 30)
+    val ratio = r.u(3)
+    val xsize =
+      if (ratio != 0) {
+        val (num, den) = ratio match {
+          case 1 => (1, 1)
+          case 2 => (12, 10)
+          case 3 => (4, 3)
+          case 4 => (3, 2)
+          case 5 => (16, 9)
+          case 6 => (5, 4)
+          case _ => (2, 1)
+        }
+        (ysize.toLong * num / den).toInt
+      } else if (small == 1) 8 * (r.u(5) + 1)
+      else u32(9, 13, 18, 30)
+    if (xsize <= 0 || ysize <= 0) None
+    else Some(Meta("image/jxl", "image", width = xsize, height = ysize))
+  }
+
+  /** JPEG XL container (ISO/IEC 18181-2): BMFF boxes; the codestream
+    * lives in a `jxlc` box (or the first `jxlp` partial box, which
+    * carries a 4-byte sequence index before the codestream bytes).
+    */
+  private def parseJxlContainer(b: Array[Byte]): Option[Meta] = {
+    var p = 0L
+    var hops = 0
+    var meta: Option[Meta] = None
+    var exif = Exif.Empty
+    while (p + 8 <= b.length && hops < 64) {
+      hops += 1
+      val size0 = be32(b, p.toInt)
+      val typ = new String(b, p.toInt + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val size =
+        if (size0 == 1) { if (p + 16 <= b.length) be64(b, p.toInt + 8) else return meta }
+        else if (size0 == 0) b.length - p
+        else size0
+      val hdr = if (size0 == 1) 16L else 8L
+      if (size < hdr || size > b.length - p) return finishJxl(meta, exif)
+      if (meta.isEmpty && typ == "jxlc" && matches(b, (p + hdr).toInt, 0xff, 0x0a))
+        meta = parseJxlCodestream(b, (p + hdr + 2).toInt)
+      if (meta.isEmpty && typ == "jxlp" && matches(b, (p + hdr + 4).toInt, 0xff, 0x0a))
+        meta = parseJxlCodestream(b, (p + hdr + 6).toInt)
+      if (typ == "Exif" && size >= hdr + 12) {
+        // payload: BE32 offset to the TIFF header, then the TIFF blob
+        val off = be32(b, (p + hdr).toInt)
+        val tiffAt = p + hdr + 4 + off
+        if (off >= 0 && tiffAt < p + size)
+          exif = Exif.parse(b, tiffAt.toInt, (p + size - tiffAt).toInt)
+      }
+      p += size
+    }
+    finishJxl(meta, exif)
+  }
+
+  private def finishJxl(meta: Option[Meta], exif: Exif.Result): Option[Meta] =
+    meta.map(m => m.copy(orientation = exif.orientation,
+      tags = m.tags ++ (exif.tags -- Seq("exif:ImageWidth", "exif:ImageLength"))))
 
   /** MP4/ISOBMFF: box walk — mvhd gives timescale+duration, the first
     * video tkhd gives width/height (16.16 fixed point).

@@ -76,4 +76,26 @@ class MediaExtraSpec extends AnyFunSuite {
     assert(m.tags.get("midi:tracks").contains("2"), m.tags)
     assert(m.tags.get("midi:divisionType").contains("PPQ"), m.tags)
   }
+
+  test("testJXL.jxl: bare codestream SizeHeader dimensions") {
+    val m = parse(img, "testJXL.jxl")
+    assert(m.mime == "image/jxl")
+    assert(m.width == 320 && m.height == 320, (m.width, m.height))
+  }
+
+  test("testJXL_ISOBMFF.jxl: container jxlc dims + XMP title (JXLTest)") {
+    val m = parse(img, "testJXL_ISOBMFF.jxl")
+    assert(m.mime == "image/jxl")
+    // independent python SizeHeader decode: 2550x3300 (letter @ 300dpi)
+    assert(m.width == 2550 && m.height == 3300, (m.width, m.height))
+    // the reference's JXLTest pins dc:title from the xml box's XMP packet
+    assert(m.tags.get("xmp:title").contains("Unknown Title"), m.tags)
+  }
+
+  test("testJXL_exif.jxl: Exif box orientation + camera tags") {
+    val m = parse(img, "testJXL_exif.jxl")
+    assert(m.mime == "image/jxl")
+    assert(m.width == 4032 && m.height == 3024, (m.width, m.height))
+    assert(m.orientation >= 1, m.orientation)
+  }
 }
