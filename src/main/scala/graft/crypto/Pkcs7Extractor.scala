@@ -17,7 +17,15 @@ object Pkcs7Extractor {
   private val OidSignedData = "1.2.840.113549.1.7.2"
   private val OidData = "1.2.840.113549.1.7.1"
   private val OidEnveloped = "1.2.840.113549.1.7.3"
+  private val OidDigested = "1.2.840.113549.1.7.5"
+  private val OidEncrypted = "1.2.840.113549.1.7.6"
+  private val OidCompressed = "1.2.840.113549.1.9.16.1.9"
   private val OidTimestamped = "1.2.840.113549.1.9.16.1.31"
+
+  /** Inflated-output cap for CMS compressedData (crypto-module
+    * Pkcs7Parser.MAX_DECOMPRESSED = 100 MB) — bounds a zlib bomb.
+    */
+  private val MaxDecompressed = 100L * 1024 * 1024
 
   /** One BER TLV: (tag, constructed, contentStart, contentEnd, nextPos).
     * For indefinite lengths contentEnd is the position of the 00 00
@@ -94,10 +102,19 @@ object Pkcs7Extractor {
     }
   }
 
-  final case class Unwrapped(contentType: String, content: Array[Byte])
+  /** contentType = the ContentInfo OID; smimeType = the reference
+    * CmsClassifier label (signed-data / certs-only / enveloped-data /
+    * compressed-data / digested-data / encrypted-data; null when the
+    * OID is outside that mapping); content = the recoverable payload
+    * (inflated for compressedData), empty when absent or encrypted.
+    */
+  final case class Unwrapped(contentType: String, smimeType: String,
+      content: Array[Byte])
 
-  /** Unwrap ContentInfo → inner content bytes. Throws for enveloped
-    * (encrypted) data; returns empty content for detached signatures.
+  /** Unwrap ContentInfo → inner content bytes. Non-signed CMS types are
+    * labelled without throwing (Pkcs7Parser: enveloped/digested/encrypted
+    * yield an empty document); compressedData is zlib-inflated (RFC 3274)
+    * and its payload returned; structural DER errors still throw.
     */
   def unwrap(bytes: Array[Byte]): Unwrapped = {
     val root = readTlv(bytes, 0)
@@ -106,9 +123,18 @@ object Pkcs7Extractor {
     if ((oidTlv.tag & 0x1f) != 0x06) throw new Pkcs7Malformed("no content type")
     val ct = oidAt(bytes, oidTlv)
     if (ct == OidEnveloped)
-      throw new Pkcs7Malformed("enveloped (encrypted) cms content")
+      return Unwrapped(ct, "enveloped-data", Array.emptyByteArray)
+    if (ct == OidDigested)
+      return Unwrapped(ct, "digested-data", Array.emptyByteArray)
+    if (ct == OidEncrypted)
+      return Unwrapped(ct, "encrypted-data", Array.emptyByteArray)
+    if (ct == OidCompressed) {
+      val wrapper0 = readTlv(bytes, oidTlv.next) // [0] EXPLICIT
+      val cd = readTlv(bytes, wrapper0.start) // CompressedData SEQ
+      return Unwrapped(ct, "compressed-data", inflateCompressed(bytes, cd))
+    }
     if (ct != OidSignedData && ct != OidTimestamped)
-      throw new Pkcs7Malformed(s"unsupported cms content type $ct")
+      return Unwrapped(ct, null, Array.emptyByteArray)
     // [0] EXPLICIT wrapper
     val wrapper = readTlv(bytes, oidTlv.next)
     val body = readTlv(bytes, wrapper.start) // SignedData / TimestampedData SEQ
@@ -122,11 +148,11 @@ object Pkcs7Extractor {
         if ((c.tag & 0x1f) == 0x04 && (c.tag & 0xc0) == 0) {
           val out = new java.io.ByteArrayOutputStream()
           octets(bytes, c, out)
-          return Unwrapped(ct, out.toByteArray)
+          return Unwrapped(ct, null, out.toByteArray)
         }
         q = c.next
       }
-      return Unwrapped(ct, Array.emptyByteArray)
+      return Unwrapped(ct, null, Array.emptyByteArray)
     }
     // children: version INTEGER, (digestAlgorithms SET)?, then the
     // content sequence holding eContentType + [0] eContent
@@ -167,6 +193,51 @@ object Pkcs7Extractor {
       }
       p = t.next
     }
-    Unwrapped(ct, content)
+    Unwrapped(ct, if (content.isEmpty) "certs-only" else "signed-data",
+      content)
+  }
+
+  /** CompressedData ::= SEQUENCE { version, compressionAlgorithm,
+    * encapContentInfo } — find the encapContentInfo (the SEQUENCE whose
+    * first child is a content-type OID, not the algorithm OID sequence
+    * which carries 1.2.840.113549.1.9.16.3.8), collect its [0] octet
+    * string and zlib-inflate with the output cap.
+    */
+  private def inflateCompressed(b: Array[Byte], cd: Tlv): Array[Byte] = {
+    var p = cd.start
+    while (p < cd.end) {
+      val t = readTlv(b, p)
+      if ((t.tag & 0xc0) == 0 && (t.tag & 0x1f) == 0x10) {
+        val first = readTlv(b, t.start)
+        if ((first.tag & 0x1f) == 0x06) {
+          val oid = oidAt(b, first)
+          if ((oid == OidData || oid.startsWith("1.2.840.113549.1.9.16.1")) &&
+              first.next < t.end) {
+            val ctx0 = readTlv(b, first.next) // [0] EXPLICIT
+            val inner = readTlv(b, ctx0.start)
+            val deflated = new java.io.ByteArrayOutputStream()
+            if ((inner.tag & 0x1f) == 0x04) octets(b, inner, deflated)
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(deflated.toByteArray)
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](65536)
+            try {
+              while (!inf.finished() && !inf.needsInput() &&
+                  out.size() < MaxDecompressed) {
+                val n = inf.inflate(buf)
+                if (n == 0 && !inf.finished()) return out.toByteArray
+                out.write(buf, 0, n)
+              }
+            } catch {
+              case _: java.util.zip.DataFormatException =>
+                throw new Pkcs7Malformed("bad zlib stream in compressedData")
+            } finally inf.end()
+            return out.toByteArray
+          }
+        }
+      }
+      p = t.next
+    }
+    Array.emptyByteArray
   }
 }

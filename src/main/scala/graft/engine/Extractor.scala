@@ -207,7 +207,14 @@ object Extractor {
       // embedded nodes write document-level metadata under their own path
       // (per-document metadata, RecursiveParserWrapper-style)
       val meta = if (idPath.isEmpty) meta0 else meta0.scoped(idPath)
-      if (bytes.isEmpty) { sawUnsupported = true; return }
+      if (bytes.isEmpty) {
+        // a zero-byte payload is a legitimate empty document (the
+        // reference's EmptyParser yields no content and no exception;
+        // RecursiveParserWrapper still records the embedded resource)
+        if (idPath.nonEmpty)
+          meta.add("embedded:" + idPath, MediaTypes.OctetStream)
+        return
+      }
       val mime0 = MimeRegistry.detect(bytes, nameHint)
       // container specialization needs full bytes (OPCPackageDetector)
       val mime =
@@ -433,13 +440,18 @@ object Extractor {
               sawUnsupported = true // depth cap drops children, like zip
           case m if m == graft.mime.MimeDb.Pkcs7Mime ||
               m == graft.mime.MimeDb.Pkcs7Sig || m == graft.mime.MimeDb.Tsd =>
-            // CMS/PKCS#7: unwrap the signed / timestamped payload and
-            // recurse it (crypto-module Pkcs7Parser/TSDParser behavior);
-            // enveloped (encrypted) content throws → recorded failure,
+            // CMS/PKCS#7: unwrap the signed / timestamped / compressed
+            // payload and recurse it (crypto-module Pkcs7Parser/TSDParser
+            // behavior); enveloped/digested/encrypted are labelled with
+            // their smime-type and yield an empty document (no throw),
             // detached signatures yield metadata only
             val un = graft.crypto.Pkcs7Extractor.unwrap(bytes)
             meta.set("cms:content-type", un.contentType)
-            if (un.content.isEmpty) meta.set("cms:detached", "true")
+            if (un.smimeType != null) meta.set("cms:smime-type", un.smimeType)
+            if (un.content.isEmpty) {
+              if (un.smimeType == null || un.smimeType == "certs-only")
+                meta.set("cms:detached", "true")
+            }
             else if (depth < cfg.maxDepth)
               stack.push(NodeFrame(un.content, idPath, None, depth + 1,
                 onPop = _ => (), onDrop = () => sawUnsupported = true))

@@ -199,6 +199,33 @@ object MimeDb {
   val Pkcs7Mime = "application/pkcs7-mime"
   val Pkcs7Sig = "application/pkcs7-signature"
   val Tsd = "application/timestamped-data"
+  // round-4 parity tranche (tika-mimetypes.xml entries for fixtures that
+  // previously fell to octet-stream)
+  val PgpEncrypted = "application/pgp-encrypted"
+  val AxCrypt = "application/x-axcrypt"
+  val Indd = "application/x-adobe-indesign"
+  val BdbHash = "application/x-berkeley-db;format=hash"
+  val BdbBtree = "application/x-berkeley-db;format=btree"
+  val MySqlDb = "application/x-mysql-db"
+  val MySqlFrm = "application/x-mysql-table-definition"
+  val MySqlMyisamIdx = "application/x-mysql-misam-index"
+  val MySqlMyisamCIdx = "application/x-mysql-misam-compressed-index"
+  val MySqlMyisamData = "application/x-mysql-misam-data"
+  val SasV6 = "application/x-sas-data-v6"
+  val QpwDos14 = "application/x-quattro-pro;version=1-4"
+  val QpwDos5 = "application/x-quattro-pro;version=5"
+  val QpwWin15 = "application/x-quattro-pro;version=1+5"
+  val QpwWin6 = "application/x-quattro-pro;version=6"
+  val Os2Bga = "image/x-os2-graphics"
+  val Dgn = "image/vnd.dgn"
+  val Dgn7 = "image/vnd.dgn;version=7"
+  val Dcx = "image/vnd.zbrush.dcx"
+  val Jbig2 = "image/x-jbig2"
+  val HprofBin = "application/vnd.java.hprof"
+  val HprofText = "application/vnd.java.hprof.text"
+  val ErdasHfa = "application/x-erdas-hfa"
+  val Brotli = "application/x-brotli"
+  val Pack200 = "application/x-java-pack200"
 
   val magics: Vector[Magic] = Vector(
     // ---- archives & compressors
@@ -439,9 +466,12 @@ object MimeDb {
     Magic(Nitf, 50, string(0, "NITF0")),
     Magic(E57, 50, string(0, "ASTM-E57")),
     Magic(Zim, 50, bytes(0, 0x5a, 0x49, 0x4d, 0x04)),
-    Magic(BerkeleyDb, 50, OrClause(Seq(
+    Magic(BdbBtree, 50, OrClause(Seq(
       little32(12, 0x00053162L), big32(12, 0x00053162L),
       little32(0, 0x00053162L), big32(0, 0x00053162L)))),
+    Magic(BdbHash, 50, OrClause(Seq(
+      little32(12, 0x00061561L), big32(12, 0x00061561L),
+      little32(0, 0x00061561L), big32(0, 0x00061561L)))),
     Magic(Diff, 30, OrClause(Seq(string(0, "diff "), string(0, "Only in "),
       string(0, "Index:"), string(0, "*** ")))),
     // CMS/PKCS#7 wrappers: SEQUENCE (definite or indefinite) + the
@@ -450,8 +480,23 @@ object MimeDb {
       bytes(0, 0x30, 0x80, 0x06, 0x09, 0x2a, 0x86, 0x48, 0x86, 0xf7,
         0x0d, 0x01, 0x07, 0x02),
       bytes(4, 0x06, 0x09, 0x2a, 0x86, 0x48, 0x86, 0xf7, 0x0d, 0x01,
-        0x07, 0x02)))),
-    Magic(Tsd, 50, OrClause(Seq(
+        0x07, 0x02),
+      // CMS content types in the 1.2.840.113549.1.9.16.1.* arc with the
+      // final OID byte masked (compressedData .9, authData .2, ...);
+      // offset range 2..6 spans the DER SEQUENCE length forms. The exact
+      // .31 OID (timestamped-data) outranks this at priority 60.
+      AndClause(Seq(bytes(0, 0x30), BytesClause(2, 6,
+        Array(0x06, 0x0b, 0x2a, 0x86, 0x48, 0x86, 0xf7, 0x0d, 0x01,
+          0x09, 0x10, 0x01, 0x00).map(_.toByte),
+        mask = (Array.fill(12)(0xff) :+ 0x00).map(_.toByte))))))),
+    // coarse .7-arc label (envelopedData .3, digestedData .5, encrypted
+    // .6 — last OID byte masked, then the [0] content tag); exact
+    // signedData keeps its priority-50 pkcs7-mime match above
+    Magic(Pkcs7Sig, 40, AndClause(Seq(bytes(0, 0x30), BytesClause(2, 6,
+      Array(0x06, 0x09, 0x2a, 0x86, 0x48, 0x86, 0xf7, 0x0d, 0x01,
+        0x07, 0x00, 0xa0).map(_.toByte),
+      mask = (Array.fill(10)(0xff) ++ Array(0x00, 0xff)).map(_.toByte))))),
+    Magic(Tsd, 60, OrClause(Seq(
       bytes(0, 0x30, 0x80, 0x06, 0x0b, 0x2a, 0x86, 0x48, 0x86, 0xf7,
         0x0d, 0x01, 0x09, 0x10, 0x01, 0x1f),
       bytes(4, 0x06, 0x0b, 0x2a, 0x86, 0x48, 0x86, 0xf7, 0x0d, 0x01,
@@ -469,7 +514,46 @@ object MimeDb {
       0x06, 0x00, 0x08, 0x00)),
     Magic(Lotus123V3, 50, bytes(0, 0x00, 0x00, 0x1a, 0x00, 0x00, 0x10, 0x04, 0x00)),
     Magic(Lotus123V4, 50, bytes(0, 0x00, 0x00, 0x1a, 0x00, 0x02, 0x10, 0x04, 0x00)),
-    Magic(Lotus123V97, 50, bytes(0, 0x00, 0x00, 0x1a, 0x00, 0x03, 0x10, 0x04, 0x00))
+    Magic(Lotus123V97, 50, bytes(0, 0x00, 0x00, 0x1a, 0x00, 0x03, 0x10, 0x04, 0x00)),
+    // round-4 parity tranche — magic semantics re-expressed from
+    // tika-mimetypes.xml (pgp-encrypted, x-axcrypt, x-adobe-indesign,
+    // mysql family, x-sas-data-v6, quattro-pro DOS/Win versions,
+    // x-os2-graphics, vnd.dgn;version=7, zbrush.dcx, x-jbig2,
+    // vnd.java.hprof[.text], x-erdas-hfa)
+    Magic(PgpEncrypted, 50, AndClause(Seq(bytes(0, 0x85), bytes(3, 0x03)))),
+    Magic(AxCrypt, 60, AndClause(Seq(
+      bytes(0, 0xc0, 0xb9, 0x07, 0x2e, 0x4f, 0x93, 0xf1, 0x46, 0xa0,
+        0x15, 0x79, 0x2c, 0xa1, 0xd9, 0xe8, 0x21),
+      big32(17, 2L)))),
+    Magic(Indd, 50, bytes(0, 0x06, 0x06, 0xed, 0xf5, 0xd8, 0x1d, 0x46,
+      0xe5, 0xbd, 0x31, 0xef, 0xe7, 0xfe, 0x74, 0xb7, 0x1d)),
+    Magic(MySqlFrm, 40, OrClause((0x07 to 0x0c).map(v =>
+      bytes(0, 0xfe, 0x01, v)))),
+    Magic(MySqlMyisamIdx, 40, OrClause(Seq(
+      bytes(0, 0xfe, 0xfe, 0x03), bytes(0, 0xfe, 0xfe, 0x05)))),
+    Magic(MySqlMyisamCIdx, 40, OrClause(Seq(
+      bytes(0, 0xfe, 0xfe, 0x06), bytes(0, 0xfe, 0xfe, 0x07)))),
+    Magic(SasV6, 40, OrClause(Seq(
+      string(0, "SAS     6."), string(0, "SAS     7."),
+      string(0, "SAS     8.0"), string(0, "SAS     9.0")))),
+    Magic(QpwDos14, 50, bytes(0, 0x00, 0x00, 0x02, 0x00, 0x20, 0x51)),
+    Magic(QpwDos5, 50, bytes(0, 0x00, 0x00, 0x02, 0x00, 0x21, 0x51)),
+    Magic(QpwWin15, 50, bytes(0, 0x00, 0x00, 0x02, 0x00, 0x01, 0x10)),
+    Magic(QpwWin6, 50, bytes(0, 0x00, 0x00, 0x02, 0x00, 0x02, 0x10)),
+    Magic(Os2Bga, 50, AndClause(Seq(string(0, "BA"), OrClause(Seq(
+      string(14, "BM"), string(14, "CI"), string(14, "IC"),
+      string(14, "CP"), string(14, "PT")))))),
+    // v7 DGN: first byte 0x08 or 0xC8 (high nibble masked), then 09 FE 02
+    Magic(Dgn7, 50, BytesClause(0, 0,
+      Array(0x08, 0x09, 0xfe, 0x02).map(_.toByte),
+      mask = Array(0x0f, 0xff, 0xff, 0xff).map(_.toByte))),
+    Magic(Dcx, 50, bytes(0, 0xb1, 0x68, 0xde, 0x3a)),
+    Magic(Jbig2, 50, bytes(0, 0x97, 0x4a, 0x42, 0x32, 0x0d, 0x0a, 0x1a, 0x0a)),
+    Magic(HprofBin, 50, RegexClause(
+      "^JAVA PROFILE \\d\\.\\d\\.\\d\\x00", window = 32)),
+    Magic(HprofText, 50, RegexClause(
+      "^JAVA PROFILE \\d\\.\\d\\.\\d,", window = 32)),
+    Magic(ErdasHfa, 50, string(0, "EHFA_HEADER_TAG"))
   )
 
   /** sub-class-of edges for the added types (text/x-* get text/plain via
@@ -478,6 +562,12 @@ object MimeDb {
   val superTypes: Map[String, String] = Map(
     Lotus123V1 -> Lotus123, Lotus123V2 -> Lotus123, Lotus123V3 -> Lotus123,
     Lotus123V4 -> Lotus123, Lotus123V97 -> Lotus123,
+    BdbHash -> BerkeleyDb, BdbBtree -> BerkeleyDb,
+    MySqlFrm -> MySqlDb, MySqlMyisamIdx -> MySqlDb,
+    MySqlMyisamCIdx -> MySqlDb, MySqlMyisamData -> MySqlDb,
+    QpwDos14 -> Qpw, QpwDos5 -> Qpw, QpwWin15 -> Qpw, QpwWin6 -> Qpw,
+    Dgn7 -> Dgn,
+    HprofText -> MediaTypes.TextPlain,
     ThreeMf -> MediaTypes.Zip,
     Gtar -> Tar,
     Deb -> Ar,

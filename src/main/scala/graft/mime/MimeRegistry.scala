@@ -247,7 +247,20 @@ object MimeRegistry {
     "webm" -> MimeDb.WebmVideo, "msg" -> MsOutlook,
     // XLZ has no content marker distinct from plain zip — the reference
     // detects it by glob only (tika-mimetypes.xml x-xliff+zip)
-    "xlz" -> MimeDb.Xlz
+    "xlz" -> MimeDb.Xlz,
+    // round-4 parity tranche (glob entries from tika-mimetypes.xml; br /
+    // brotli and pack have no magic in the reference either)
+    "br" -> MimeDb.Brotli, "brotli" -> MimeDb.Brotli,
+    "pack" -> MimeDb.Pack200, "gpg" -> MimeDb.PgpEncrypted,
+    "axx" -> MimeDb.AxCrypt, "indd" -> MimeDb.Indd,
+    "sd2" -> MimeDb.SasV6,
+    "wq1" -> MimeDb.QpwDos14, "wkq" -> MimeDb.QpwDos14,
+    "wq2" -> MimeDb.QpwDos5, "wb1" -> MimeDb.QpwWin15,
+    "wb2" -> MimeDb.QpwWin6, "wb3" -> MimeDb.Qpw,
+    "dcx" -> MimeDb.Dcx, "jb2" -> MimeDb.Jbig2, "jbig2" -> MimeDb.Jbig2,
+    "hfa" -> MimeDb.ErdasHfa, "myi" -> MimeDb.MySqlMyisamCIdx,
+    "myd" -> MimeDb.MySqlMyisamData, "hprof" -> MimeDb.HprofBin,
+    "dgn" -> MimeDb.Dgn
   )
 
   /** XML root-element → refined type (root-XML entries; e.g. text/html

@@ -72,7 +72,8 @@ class MimeTranche2Spec extends AnyFunSuite {
     assert(det(s("NITF02.10")) == MimeDb.Nitf)
     assert(det(s("ASTM-E57")) == MimeDb.E57)
     assert(det(b(0x5a, 0x49, 0x4d, 0x04)) == MimeDb.Zim)
-    assert(det(new Array[Byte](12) ++ b(0x62, 0x31, 0x05, 0x00)) == MimeDb.BerkeleyDb)
+    // r4: refined to the format= parameter (tika-mimetypes.xml btree/hash)
+    assert(det(new Array[Byte](12) ++ b(0x62, 0x31, 0x05, 0x00)) == MimeDb.BdbBtree)
     assert(det(s("diff --git a/x b/x\n")) == MimeDb.Diff)
   }
 

@@ -44,13 +44,54 @@ class Pkcs7Spec extends AnyFunSuite {
     assert(new String(u.content, "US-ASCII").contains("This is"))
   }
 
-  test("enveloped (encrypted) cms records a failure; detached is metadata-only") {
-    intercept[Pkcs7Extractor.Pkcs7Malformed] {
-      Pkcs7Extractor.unwrap(fixture("testPKCS7_enveloped_def.p7m"))
-    }
+  test("enveloped (encrypted) cms is labelled, empty document, no throw") {
+    // Pkcs7Parser: enveloped/digested/encrypted -> smime-type label +
+    // empty document, never an exception (Pkcs7Parser.java parse())
+    val u = Pkcs7Extractor.unwrap(fixture("testPKCS7_enveloped_def.p7m"))
+    assert(u.smimeType == "enveloped-data" && u.content.isEmpty)
     val out = Extractor.extract(DocRow("env",
       Seq(Span("bytes", Corpus.b64(fixture("testPKCS7_enveloped_def.p7m")), null, 0))))
-    assert(out.status == Status.ParseException ||
-      out.status == Status.UnsupportedType)
+    assert(out.status == Status.ParseSuccess)
+    assert(out.meta("cms:smime-type") == Seq("enveloped-data"))
+  }
+
+  test("digested cms is labelled digested-data (TIKA-2856 coarse route)") {
+    val u = Pkcs7Extractor.unwrap(fixture("testPKCS7_digested.p7"))
+    assert(u.smimeType == "digested-data" && u.content.isEmpty)
+    // detection: the coarse masked .7-arc magic labels it pkcs7-signature
+    // (Pkcs7DetectionTest expectation)
+    assert(graft.mime.MimeRegistry.detect(fixture("testPKCS7_digested.p7"))
+      == graft.mime.MimeDb.Pkcs7Sig)
+  }
+
+  test("compressedData inflates (zlib) and the payload recurses") {
+    // Pkcs7ParserTest: testPKCS7_compressed_def_long.p7z /
+    // testPKCS7_compressed_ind.p7z -> smime-type=compressed-data with
+    // the inner document extracted via ZlibExpanderProvider
+    for (name <- Seq("testPKCS7_compressed_def_long.p7z",
+        "testPKCS7_compressed_ind.p7z")) {
+      val bytes = fixture(name)
+      assert(graft.mime.MimeRegistry.detect(bytes)
+        == graft.mime.MimeDb.Pkcs7Mime, name)
+      val u = Pkcs7Extractor.unwrap(bytes)
+      assert(u.smimeType == "compressed-data" && u.content.nonEmpty, name)
+      val out = Extractor.extract(DocRow(name,
+        Seq(Span("bytes", Corpus.b64(bytes), null, 0))))
+      assert(out.status == Status.ParseSuccess, (name, out.status))
+      assert(out.meta("cms:smime-type") == Seq("compressed-data"))
+      // the inner payload recursed (def_long wraps a PDF with text; ind
+      // wraps a zip holding one zero-byte entry — structure only)
+      assert(out.spans.exists(_.kind == Span.KindEmbeddedOpen), name)
+    }
+    val pdfOut = Extractor.extract(DocRow("p",
+      Seq(Span("bytes", Corpus.b64(fixture("testPKCS7_compressed_def_long.p7z")),
+        null, 0))))
+    assert(pdfOut.spans.exists(s => s.kind == Span.KindText && s.text.nonEmpty))
+    assert(pdfOut.meta("embedded:/1") == Seq("application/pdf"))
+  }
+
+  test("signed unwrap labels signed-data") {
+    val u = Pkcs7Extractor.unwrap(fixture("testPKCS7_signed_data_def.p7m"))
+    assert(u.smimeType == "signed-data")
   }
 }

@@ -29,6 +29,8 @@ object SweepGap {
       val key = (out.status, out.mime)
       val (c, ex) = agg.getOrElse(key, (0, Nil))
       agg(key) = (c + 1, if (ex.size < 4) name :: ex else ex)
+      args.collectFirst { case a if a.startsWith("--mime=") => a.drop(7) }
+        .foreach(m => if (out.mime == m) println(s"FILE ${out.status} $p"))
     }
     println(s"swept $n files")
     for (((status, mime), (c, ex)) <- agg.toSeq.sortBy { case ((s, _), (c, _)) => (s, -c) }
