@@ -223,6 +223,7 @@ object MimeDb {
   val Jbig2 = "image/x-jbig2"
   val HprofBin = "application/vnd.java.hprof"
   val HprofText = "application/vnd.java.hprof.text"
+  val Wp42 = "application/vnd.wordperfect;version=4.2"
   val ErdasHfa = "application/x-erdas-hfa"
   val Brotli = "application/x-brotli"
   val Pack200 = "application/x-java-pack200"
@@ -348,6 +349,10 @@ object MimeDb {
     Magic(Pcapng, 50, AndClause(Seq(bytes(0, 0x0a, 0x0d, 0x0d, 0x0a),
       OrClause(Seq(big32(8, 0xa1b2c3d4L), little32(8, 0xa1b2c3d4L)))))),
     Magic(Wpd, 50, big32(0, 0xFF575043L)),
+    // WP 4.2 pre-dates the WPC prefix (tika-mimetypes.xml:3229); the
+    // reference detects it but its WordPerfectParser takes only 5.x/6.x
+    Magic(Wp42, 50, AndClause(Seq(
+      bytes(0, 0xcb, 0x0a, 0x01), bytes(5, 0xcb)))),
     Magic(Afm, 50, string(0, "StartFontMetrics")),
     Magic(AppleSingle, 50, bytes(0, 0x00, 0x05, 0x16, 0x00)),
     Magic(Prt, 50, string(8, "0M3C")),
@@ -567,6 +572,7 @@ object MimeDb {
     MySqlMyisamCIdx -> MySqlDb, MySqlMyisamData -> MySqlDb,
     QpwDos14 -> Qpw, QpwDos5 -> Qpw, QpwWin15 -> Qpw, QpwWin6 -> Qpw,
     Dgn7 -> Dgn,
+    Wp42 -> Wpd,
     HprofText -> MediaTypes.TextPlain,
     ThreeMf -> MediaTypes.Zip,
     Gtar -> Tar,

@@ -58,6 +58,9 @@ class DetectParityR4Spec extends AnyFunSuite {
     assert(detectContent("testJavaHprofBinary") == MimeDb.HprofBin)
     assert(detectContent("testJavaHprofText") == MimeDb.HprofText)
     assert(detectContent("testHFA.hfa") == MimeDb.ErdasHfa)
+    // WP 4.2 magic beats the misleading .doc name hint (the hint may
+    // only specialize; msword does not specialize vnd.wordperfect)
+    assert(detectNamed("testWordPerfect_42.doc") == MimeDb.Wp42)
   }
 
   test("glob-only tranche (brotli / pack200 have no magic upstream)") {
