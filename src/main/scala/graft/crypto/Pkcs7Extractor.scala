@@ -105,11 +105,15 @@ object Pkcs7Extractor {
   /** contentType = the ContentInfo OID; smimeType = the reference
     * CmsClassifier label (signed-data / certs-only / enveloped-data /
     * compressed-data / digested-data / encrypted-data; null when the
-    * OID is outside that mapping); content = the recoverable payload
-    * (inflated for compressedData), empty when absent or encrypted.
+    * OID is outside that mapping, and for a detached signature with
+    * signers — the reference labels that one by its pkcs7-signature
+    * media type, not an smime-type); content = the recoverable payload
+    * (inflated for compressedData), empty when absent or encrypted;
+    * truncated = the compressedData bomb cap clipped the payload
+    * (Pkcs7Parser records a truncation warning and keeps the prefix).
     */
   final case class Unwrapped(contentType: String, smimeType: String,
-      content: Array[Byte])
+      content: Array[Byte], truncated: Boolean = false)
 
   /** Unwrap ContentInfo → inner content bytes. Non-signed CMS types are
     * labelled without throwing (Pkcs7Parser: enveloped/digested/encrypted
@@ -117,8 +121,13 @@ object Pkcs7Extractor {
     * and its payload returned; structural DER errors still throw.
     */
   def unwrap(bytes: Array[Byte]): Unwrapped = {
+    // not a DER SEQUENCE (e.g. PEM armor): the reference's CmsClassifier
+    // peeks the first byte and returns null, and Pkcs7Parser emits an
+    // empty document without throwing — only errors INSIDE a real
+    // SEQUENCE are parse exceptions there (CMSException path)
+    if (bytes.isEmpty || (bytes(0) & 0x1f) != 0x10)
+      return Unwrapped(null, null, Array.emptyByteArray)
     val root = readTlv(bytes, 0)
-    if ((root.tag & 0x1f) != 0x10) throw new Pkcs7Malformed("not a SEQUENCE")
     val oidTlv = readTlv(bytes, root.start)
     if ((oidTlv.tag & 0x1f) != 0x06) throw new Pkcs7Malformed("no content type")
     val ct = oidAt(bytes, oidTlv)
@@ -131,7 +140,9 @@ object Pkcs7Extractor {
     if (ct == OidCompressed) {
       val wrapper0 = readTlv(bytes, oidTlv.next) // [0] EXPLICIT
       val cd = readTlv(bytes, wrapper0.start) // CompressedData SEQ
-      return Unwrapped(ct, "compressed-data", inflateCompressed(bytes, cd))
+      val deflated = encapContent(bytes, cd)
+      val (inflated, truncated) = inflate(deflated)
+      return Unwrapped(ct, "compressed-data", inflated, truncated)
     }
     if (ct != OidSignedData && ct != OidTimestamped)
       return Unwrapped(ct, null, Array.emptyByteArray)
@@ -154,84 +165,62 @@ object Pkcs7Extractor {
       }
       return Unwrapped(ct, null, Array.emptyByteArray)
     }
-    // children: version INTEGER, (digestAlgorithms SET)?, then the
-    // content sequence holding eContentType + [0] eContent
+    // SignedData ::= SEQUENCE { version, digestAlgorithms SET,
+    // encapContentInfo, [0] certs?, [1] crls?, signerInfos SET }
+    val content = encapContent(bytes, body)
+    if (content.nonEmpty) return Unwrapped(ct, "signed-data", content)
+    // detached: distinguish certs-only (certificates present, zero
+    // signers — CmsClassifier.CERTS_ONLY) from a detached signature
+    // with signers (labelled by the pkcs7-signature media type there,
+    // no smime-type)
+    var hasCerts = false
+    var signersEmpty = true
     var p = body.start
-    var content: Array[Byte] = Array.emptyByteArray
-    var found = false
-    while (!found && p < body.end) {
+    var lastSet: Tlv = null
+    while (p < body.end) {
       val t = readTlv(bytes, p)
-      val tagNum = t.tag & 0x1f
-      if ((t.tag & 0xc0) == 0 && tagNum == 0x10) {
-        // a SEQUENCE: encapContentInfo if its first child is an OID
-        val first = readTlv(bytes, t.start)
-        if ((first.tag & 0x1f) == 0x06) {
-          val inner = oidAt(bytes, first)
-          if (inner == OidData || inner.startsWith("1.2.840.113549.1.9.16.1")) {
-            if (first.next < t.end) {
-              val ctx0 = readTlv(bytes, first.next) // [0] EXPLICIT
-              val out = new java.io.ByteArrayOutputStream()
-              // inside: OCTET STRING (possibly constructed/segmented) —
-              // or for timestamped-data, a TimeStampedData SEQ whose
-              // content octet string sits after version [+ dataUri]
-              val innerTlv = readTlv(bytes, ctx0.start)
-              if ((innerTlv.tag & 0x1f) == 0x04) octets(bytes, innerTlv, out)
-              else if ((innerTlv.tag & 0x1f) == 0x10) {
-                var q = innerTlv.start
-                while (q < innerTlv.end && out.size() == 0) {
-                  val c = readTlv(bytes, q)
-                  if ((c.tag & 0x1f) == 0x04 && (c.tag & 0xc0) == 0)
-                    octets(bytes, c, out)
-                  q = c.next
-                }
-              }
-              content = out.toByteArray
-            }
-            found = true
-          }
-        }
-      }
+      if ((t.tag & 0xc0) == 0x80 && (t.tag & 0x1f) == 0x00) hasCerts = true
+      if ((t.tag & 0xc0) == 0 && (t.tag & 0x1f) == 0x11) lastSet = t
       p = t.next
     }
-    Unwrapped(ct, if (content.isEmpty) "certs-only" else "signed-data",
-      content)
+    // signerInfos is the final SET; the first SET is digestAlgorithms
+    if (lastSet != null) signersEmpty = lastSet.start == lastSet.end
+    Unwrapped(ct,
+      if (hasCerts && signersEmpty) "certs-only" else null,
+      Array.emptyByteArray)
   }
 
-  /** CompressedData ::= SEQUENCE { version, compressionAlgorithm,
-    * encapContentInfo } — find the encapContentInfo (the SEQUENCE whose
-    * first child is a content-type OID, not the algorithm OID sequence
-    * which carries 1.2.840.113549.1.9.16.3.8), collect its [0] octet
-    * string and zlib-inflate with the output cap.
+  /** Find the encapContentInfo inside a SignedData / CompressedData
+    * body — the SEQUENCE whose first child is a content-type OID in
+    * the data / 1.2.840.113549.1.9.16.1.* arcs (the algorithm OID
+    * sequences carry different arcs) — and collect its [0] payload:
+    * an OCTET STRING (possibly constructed/segmented under BER) or a
+    * nested SEQUENCE holding one.
     */
-  private def inflateCompressed(b: Array[Byte], cd: Tlv): Array[Byte] = {
-    var p = cd.start
-    while (p < cd.end) {
+  private def encapContent(b: Array[Byte], body: Tlv): Array[Byte] = {
+    var p = body.start
+    while (p < body.end) {
       val t = readTlv(b, p)
       if ((t.tag & 0xc0) == 0 && (t.tag & 0x1f) == 0x10) {
         val first = readTlv(b, t.start)
         if ((first.tag & 0x1f) == 0x06) {
           val oid = oidAt(b, first)
-          if ((oid == OidData || oid.startsWith("1.2.840.113549.1.9.16.1")) &&
-              first.next < t.end) {
-            val ctx0 = readTlv(b, first.next) // [0] EXPLICIT
-            val inner = readTlv(b, ctx0.start)
-            val deflated = new java.io.ByteArrayOutputStream()
-            if ((inner.tag & 0x1f) == 0x04) octets(b, inner, deflated)
-            val inf = new java.util.zip.Inflater()
-            inf.setInput(deflated.toByteArray)
+          if (oid == OidData || oid.startsWith("1.2.840.113549.1.9.16.1.")) {
             val out = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](65536)
-            try {
-              while (!inf.finished() && !inf.needsInput() &&
-                  out.size() < MaxDecompressed) {
-                val n = inf.inflate(buf)
-                if (n == 0 && !inf.finished()) return out.toByteArray
-                out.write(buf, 0, n)
+            if (first.next < t.end) {
+              val ctx0 = readTlv(b, first.next) // [0] EXPLICIT
+              val innerTlv = readTlv(b, ctx0.start)
+              if ((innerTlv.tag & 0x1f) == 0x04) octets(b, innerTlv, out)
+              else if ((innerTlv.tag & 0x1f) == 0x10) {
+                var q = innerTlv.start
+                while (q < innerTlv.end && out.size() == 0) {
+                  val c = readTlv(b, q)
+                  if ((c.tag & 0x1f) == 0x04 && (c.tag & 0xc0) == 0)
+                    octets(b, c, out)
+                  q = c.next
+                }
               }
-            } catch {
-              case _: java.util.zip.DataFormatException =>
-                throw new Pkcs7Malformed("bad zlib stream in compressedData")
-            } finally inf.end()
+            }
             return out.toByteArray
           }
         }
@@ -239,5 +228,34 @@ object Pkcs7Extractor {
       p = t.next
     }
     Array.emptyByteArray
+  }
+
+  /** zlib-inflate with the bomb cap. Returns (bytes, truncatedByCap);
+    * a stream that ends mid-block (needs more input, never finished)
+    * is malformed and throws — the reference's BouncyCastle path
+    * surfaces that as a parse exception, while a cap trip is recorded
+    * as a truncation warning with the prefix kept.
+    */
+  private def inflate(deflated: Array[Byte]): (Array[Byte], Boolean) = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(deflated)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    try {
+      while (!inf.finished() && out.size() < MaxDecompressed) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          if (inf.finished()) return (out.toByteArray, false)
+          throw new Pkcs7Malformed(
+            if (inf.needsInput()) "truncated zlib stream in compressedData"
+            else "zlib preset dictionary unsupported in compressedData")
+        }
+        out.write(buf, 0, n)
+      }
+      (out.toByteArray, !inf.finished())
+    } catch {
+      case _: java.util.zip.DataFormatException =>
+        throw new Pkcs7Malformed("bad zlib stream in compressedData")
+    } finally inf.end()
   }
 }

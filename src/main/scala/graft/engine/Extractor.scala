@@ -210,9 +210,12 @@ object Extractor {
       if (bytes.isEmpty) {
         // a zero-byte payload is a legitimate empty document (the
         // reference's EmptyParser yields no content and no exception;
-        // RecursiveParserWrapper still records the embedded resource)
+        // RecursiveParserWrapper still records the embedded resource,
+        // typed by its name glob when the empty stream is named)
         if (idPath.nonEmpty)
-          meta.add("embedded:" + idPath, MediaTypes.OctetStream)
+          meta.add("embedded:" + idPath, nameHint
+            .flatMap(MimeRegistry.fromName)
+            .getOrElse(MediaTypes.OctetStream))
         return
       }
       val mime0 = MimeRegistry.detect(bytes, nameHint)
@@ -446,10 +449,18 @@ object Extractor {
             // their smime-type and yield an empty document (no throw),
             // detached signatures yield metadata only
             val un = graft.crypto.Pkcs7Extractor.unwrap(bytes)
-            meta.set("cms:content-type", un.contentType)
+            if (un.contentType != null)
+              meta.set("cms:content-type", un.contentType)
             if (un.smimeType != null) meta.set("cms:smime-type", un.smimeType)
+            if (un.truncated) {
+              // bomb cap clipped the inflated payload: keep the prefix
+              // but mark the document (Pkcs7Parser truncation warning)
+              meta.set("cms:truncated", "true")
+              sawUnsupported = true
+            }
             if (un.content.isEmpty) {
-              if (un.smimeType == null || un.smimeType == "certs-only")
+              if (un.contentType != null &&
+                  (un.smimeType == null || un.smimeType == "certs-only"))
                 meta.set("cms:detached", "true")
             }
             else if (depth < cfg.maxDepth)

@@ -626,7 +626,10 @@ object MediaParser {
       val typ = new String(b, p.toInt + 4, 4,
         java.nio.charset.StandardCharsets.US_ASCII)
       val size =
-        if (size0 == 1) { if (p + 16 <= b.length) be64(b, p.toInt + 8) else return meta }
+        if (size0 == 1) {
+          if (p + 16 <= b.length) be64(b, p.toInt + 8)
+          else return finishJxl(meta, exif)
+        }
         else if (size0 == 0) b.length - p
         else size0
       val hdr = if (size0 == 1) 16L else 8L

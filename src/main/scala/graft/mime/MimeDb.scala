@@ -216,7 +216,7 @@ object MimeDb {
   val QpwDos5 = "application/x-quattro-pro;version=5"
   val QpwWin15 = "application/x-quattro-pro;version=1+5"
   val QpwWin6 = "application/x-quattro-pro;version=6"
-  val Os2Bga = "image/x-os2-graphics"
+  val Os2Bga = "image/x-os2-graphics; charset=binary"
   val Dgn = "image/vnd.dgn"
   val Dgn7 = "image/vnd.dgn;version=7"
   val Dcx = "image/vnd.zbrush.dcx"
@@ -479,33 +479,29 @@ object MimeDb {
       little32(0, 0x00061561L), big32(0, 0x00061561L)))),
     Magic(Diff, 30, OrClause(Seq(string(0, "diff "), string(0, "Only in "),
       string(0, "Index:"), string(0, "*** ")))),
-    // CMS/PKCS#7 wrappers: SEQUENCE (definite or indefinite) + the
-    // signedData OID 1.2.840.113549.1.7.2 / timestamped-data OID
-    Magic(Pkcs7Mime, 50, OrClause(Seq(
-      bytes(0, 0x30, 0x80, 0x06, 0x09, 0x2a, 0x86, 0x48, 0x86, 0xf7,
-        0x0d, 0x01, 0x07, 0x02),
-      bytes(4, 0x06, 0x09, 0x2a, 0x86, 0x48, 0x86, 0xf7, 0x0d, 0x01,
-        0x07, 0x02),
-      // CMS content types in the 1.2.840.113549.1.9.16.1.* arc with the
-      // final OID byte masked (compressedData .9, authData .2, ...);
-      // offset range 2..6 spans the DER SEQUENCE length forms. The exact
-      // .31 OID (timestamped-data) outranks this at priority 60.
+    // CMS content types in the 1.2.840.113549.1.9.16.1.* arc with the
+    // final OID byte masked (compressedData .9, authData .2, ...);
+    // offset range 2..6 spans the DER SEQUENCE length forms. The exact
+    // .31 OID (timestamped-data) outranks this at priority 60.
+    Magic(Pkcs7Mime, 50, AndClause(Seq(bytes(0, 0x30), BytesClause(2, 6,
+      Array(0x06, 0x0b, 0x2a, 0x86, 0x48, 0x86, 0xf7, 0x0d, 0x01,
+        0x09, 0x10, 0x01, 0x00).map(_.toByte),
+      mask = (Array.fill(12)(0xff) :+ 0x00).map(_.toByte))))),
+    // the whole .7 arc (signedData .2, envelopedData .3, digestedData
+    // .5, encryptedData .6 — last OID byte masked, then the [0] content
+    // tag) detects coarsely as pkcs7-signature like the reference
+    // (tika-mimetypes.xml pkcs7-signature block + Pkcs7DetectionTest:
+    // signed/enveloped/digested all land here; the parser refines the
+    // smime-type), plus the PEM form
+    Magic(Pkcs7Sig, 50, OrClause(Seq(
+      string(0, "-----BEGIN PKCS7"),
       AndClause(Seq(bytes(0, 0x30), BytesClause(2, 6,
-        Array(0x06, 0x0b, 0x2a, 0x86, 0x48, 0x86, 0xf7, 0x0d, 0x01,
-          0x09, 0x10, 0x01, 0x00).map(_.toByte),
-        mask = (Array.fill(12)(0xff) :+ 0x00).map(_.toByte))))))),
-    // coarse .7-arc label (envelopedData .3, digestedData .5, encrypted
-    // .6 — last OID byte masked, then the [0] content tag); exact
-    // signedData keeps its priority-50 pkcs7-mime match above
-    Magic(Pkcs7Sig, 40, AndClause(Seq(bytes(0, 0x30), BytesClause(2, 6,
-      Array(0x06, 0x09, 0x2a, 0x86, 0x48, 0x86, 0xf7, 0x0d, 0x01,
-        0x07, 0x00, 0xa0).map(_.toByte),
-      mask = (Array.fill(10)(0xff) ++ Array(0x00, 0xff)).map(_.toByte))))),
-    Magic(Tsd, 60, OrClause(Seq(
-      bytes(0, 0x30, 0x80, 0x06, 0x0b, 0x2a, 0x86, 0x48, 0x86, 0xf7,
-        0x0d, 0x01, 0x09, 0x10, 0x01, 0x1f),
-      bytes(4, 0x06, 0x0b, 0x2a, 0x86, 0x48, 0x86, 0xf7, 0x0d, 0x01,
-        0x09, 0x10, 0x01, 0x1f)))),
+        Array(0x06, 0x09, 0x2a, 0x86, 0x48, 0x86, 0xf7, 0x0d, 0x01,
+          0x07, 0x00, 0xa0).map(_.toByte),
+        mask = (Array.fill(10)(0xff) ++ Array(0x00, 0xff)).map(_.toByte))))))),
+    Magic(Tsd, 60, AndClause(Seq(bytes(0, 0x30), BytesClause(2, 6,
+      Array(0x06, 0x0b, 0x2a, 0x86, 0x48, 0x86, 0xf7, 0x0d, 0x01,
+        0x09, 0x10, 0x01, 0x1f).map(_.toByte))))),
     // pre-OLE2 raw-BIFF Excel sheets (BOF record + its length field;
     // tika types vnd.ms-excel.sheet.2/3/4 — routed to the xls extractor)
     Magic(MediaTypes.MsExcel, 50, OrClause(Seq(

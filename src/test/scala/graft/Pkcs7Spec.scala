@@ -26,7 +26,11 @@ class Pkcs7Spec extends AnyFunSuite {
   test("signed xml unwraps and recurses (indefinite-length BER)") {
     val out = Extractor.extract(DocRow("p7m",
       Seq(Span("bytes", Corpus.b64(fixture("test.xml.p7m")), null, 0))))
-    assert(out.mime == graft.mime.MimeDb.Pkcs7Mime)
+    // the reference's coarse masked .7-arc magic labels signedData as
+    // pkcs7-signature by content (Pkcs7DetectionTest); the parser
+    // refines the smime-type
+    assert(out.mime == graft.mime.MimeDb.Pkcs7Sig)
+    assert(out.meta("cms:smime-type") == Seq("signed-data"))
     assert(out.status == Status.ParseSuccess)
     assert(out.meta("cms:content-type") == Seq("1.2.840.113549.1.7.2"))
     // the wrapped test.xml content extracts through recursion
@@ -93,5 +97,28 @@ class Pkcs7Spec extends AnyFunSuite {
   test("signed unwrap labels signed-data") {
     val u = Pkcs7Extractor.unwrap(fixture("testPKCS7_signed_data_def.p7m"))
     assert(u.smimeType == "signed-data")
+  }
+
+  test("detached signature with signers is NOT certs-only") {
+    // CmsClassifier reserves certs-only for certificates-without-signers;
+    // a detached signature (signers, no eContent) keeps the
+    // pkcs7-signature media type with no smime-type
+    for (name <- Seq("testDetached.p7s", "testPKCS7_signature_def.p7s",
+        "testPKCS7_signature_ind.p7s")) {
+      val u = Pkcs7Extractor.unwrap(fixture(name))
+      assert(u.smimeType == null && u.content.isEmpty, (name, u.smimeType))
+    }
+  }
+
+  test("detection: signed/enveloped DER and PEM land on pkcs7-signature") {
+    // Pkcs7DetectionTest content-only expectations
+    assert(graft.mime.MimeRegistry.detect(fixture("testPKCS7_signed_data_def.p7m"))
+      == graft.mime.MimeDb.Pkcs7Sig)
+    assert(graft.mime.MimeRegistry.detect(fixture("testPKCS7_enveloped_def.p7m"))
+      == graft.mime.MimeDb.Pkcs7Sig)
+    assert(graft.mime.MimeRegistry.detect(fixture("testPKCS7_signed_data_def.pem"))
+      == graft.mime.MimeDb.Pkcs7Sig)
+    assert(graft.mime.MimeRegistry.detect(fixture("Test1.txt.tsd"))
+      == graft.mime.MimeDb.Tsd)
   }
 }
