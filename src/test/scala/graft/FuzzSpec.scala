@@ -311,4 +311,49 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Round-4i paths under mutation: JPEG XL fixtures (bare codestream +
+    * BMFF container with Exif/xml boxes) and the real CMS fixtures
+    * (signed DER, compressed zlib) with bit flips, truncations, and
+    * spliced tails must classify, never throw or hang.
+    */
+  test("property: mutated jxl/cms payloads never escape the envelope") {
+    import java.nio.file.{Files, Path}
+    val rnd = new scala.util.Random(11)
+    val img = Path.of("/root/reference/tika-parsers/tika-parsers-standard/" +
+      "tika-parsers-standard-modules/tika-parser-image-module/" +
+      "src/test/resources/test-documents")
+    val crypto = Path.of("/root/reference/tika-parsers/" +
+      "tika-parsers-standard/tika-parsers-standard-modules/" +
+      "tika-parser-crypto-module/src/test/resources/test-documents")
+    val candidates = Seq(
+      img.resolve("testJXL.jxl"), img.resolve("testJXL_ISOBMFF.jxl"),
+      img.resolve("testJXL_exif.jxl"),
+      crypto.resolve("testPKCS7_signed_data_def.p7m"),
+      crypto.resolve("testPKCS7_compressed_def_long.p7z"),
+      crypto.resolve("testPKCS7_compressed_ind.p7z"))
+    val seeds = candidates.filter(Files.isRegularFile(_)).map(Files.readAllBytes)
+    org.scalatest.Assertions.assume(seeds.nonEmpty, "reference fixtures absent")
+    seeds.foreach { valid =>
+      (0 until 60).foreach { i =>
+        val mutated = valid.clone()
+        i % 3 match {
+          case 0 =>
+            val pos = rnd.nextInt(mutated.length)
+            mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+          case 1 =>
+            val n = 1 + rnd.nextInt(mutated.length)
+            val out = Extractor.extract(DocRow("f",
+              Seq(Span("bytes", Corpus.b64(java.util.Arrays.copyOf(mutated, n)), null, 0))))
+            assert(out.status != null && out.mime != null)
+          case _ =>
+            val pos = rnd.nextInt(mutated.length)
+            (pos until mutated.length).foreach(j => mutated(j) = rnd.nextInt(256).toByte)
+        }
+        val out = Extractor.extract(DocRow("f",
+          Seq(Span("bytes", Corpus.b64(mutated), null, 0))))
+        assert(out.status != null && out.mime != null)
+      }
+    }
+  }
+
 }
