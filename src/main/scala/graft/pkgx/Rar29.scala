@@ -1,0 +1,279 @@
+package graft.pkgx
+
+/** RAR version-29 (RAR 3.x "unpack29") LZ decoder, written from the
+  * publicly documented format (RARLAB technote block layout; the LZ
+  * alphabet, canonical-Huffman table serialization, and base/extra-bit
+  * constant tables are documented across several independent
+  * decompressor implementations — ClamAV, The Unarchiver, 7-Zip's Rar
+  * handler). Decode-only; this is NOT derived from the unrar sources
+  * (whose license restricts reuse for creating compressors).
+  *
+  * Scope: the Huffman-coded LZ block type with the 4-distance history,
+  * short-match codes, and the low-distance sub-table. The two adaptive
+  * extensions — PPMd-vH blocks (stream bit 15 set at table time) and
+  * RarVM filters (main symbol 257) — and solid continuation are
+  * reported as [[Rar29.Unsupported]], which the container walk records
+  * per entry exactly like other declared-unsupported payloads.
+  *
+  * Reference behavior: tika pkg-module RarParser extracts these entries
+  * via junrar; CompressParserTest/RarParserTest expect the inner
+  * documents of test-documents.rar to parse.
+  */
+object Rar29 {
+
+  final class Unsupported(msg: String) extends Exception(msg)
+  final class Malformed(msg: String) extends Exception(msg)
+
+  // length slots (28): base value and extra bits
+  private val LDecode = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16,
+    20, 24, 28, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224)
+  private val LBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+    2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5)
+  // distance slots (60)
+  private val DDecode = Array(0, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48,
+    64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
+    6144, 8192, 12288, 16384, 24576, 32768, 49152, 65536, 98304, 131072,
+    196608, 262144, 327680, 393216, 458752, 524288, 589824, 655360,
+    720896, 786432, 851968, 917504, 983040, 1048576, 1310720, 1572864,
+    1835008, 2097152, 2359296, 2621440, 2883584, 3145728, 3407872,
+    3670016, 3932160)
+  private val DBits = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
+    6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15,
+    16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16,
+    16, 16, 16, 16, 16, 16, 16, 16, 16)
+  // short-match (length 2) distance slots (8)
+  private val SDDecode = Array(0, 4, 8, 16, 32, 64, 128, 192)
+  private val SDBits = Array(2, 2, 3, 4, 5, 6, 6, 6)
+
+  private val NC = 299 // main alphabet
+  private val DC = 60 // distances
+  private val LDC = 17 // low distances
+  private val RC = 28 // rep-match lengths
+  private val BC = 20 // pre-code
+
+  /** MSB-first bit reader over a slice. Reads past the end yield zero
+    * bits and flip `exhausted` so corrupt streams terminate cleanly.
+    */
+  private final class BitReader(b: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    private var bit = 0
+    var exhausted = false
+    def peek16: Int = {
+      val b0 = if (pos < end) b(pos) & 0xff else { exhausted = true; 0 }
+      val b1 = if (pos + 1 < end) b(pos + 1) & 0xff else 0
+      val b2 = if (pos + 2 < end) b(pos + 2) & 0xff else 0
+      (((b0 << 16) | (b1 << 8) | b2) >>> (8 - bit)) & 0xffff
+    }
+    def skip(n: Int): Unit = {
+      bit += n
+      pos += bit >> 3
+      bit &= 7
+    }
+    /** advance to the next byte boundary (table reads are byte-aligned
+      * in the v29 stream) */
+    def align(): Unit = if (bit != 0) skip(8 - bit)
+    def bits(n: Int): Int =
+      if (n == 0) 0
+      else { val v = peek16 >>> (16 - n); skip(n); v }
+  }
+
+  /** Canonical Huffman decoder from code lengths (0 = absent, 1..15). */
+  private final class Huff(lengths: Array[Int]) {
+    // left-justified 16-bit upper bounds per length, first code and
+    // first ordered-symbol index per length, symbols in canonical order
+    private val lim = new Array[Int](16)
+    private val first = new Array[Int](16)
+    private val firstIdx = new Array[Int](16)
+    private val syms: Array[Int] = {
+      val cnt = new Array[Int](16)
+      lengths.foreach(l => if (l > 0) cnt(l) += 1)
+      var code = 0
+      var idx = 0
+      var len = 1
+      while (len < 16) {
+        first(len) = code
+        firstIdx(len) = idx
+        idx += cnt(len)
+        code += cnt(len)
+        lim(len) = code << (16 - len)
+        code <<= 1
+        len += 1
+      }
+      val out = new Array[Int](idx)
+      val next = new Array[Int](16)
+      var i = 0
+      while (i < lengths.length) {
+        val l = lengths(i)
+        if (l > 0) { out(firstIdx(l) + next(l)) = i; next(l) += 1 }
+        i += 1
+      }
+      out
+    }
+    def decode(br: BitReader): Int = {
+      val v = br.peek16
+      var len = 1
+      while (len < 16 && v >= lim(len)) len += 1
+      if (len == 16) throw new Malformed("huffman code overrun")
+      val idx = firstIdx(len) + ((v >>> (16 - len)) - first(len))
+      if (idx < 0 || idx >= syms.length) throw new Malformed("huffman index")
+      br.skip(len)
+      syms(idx)
+    }
+  }
+
+  /** Cap on any single decompressed entry (bomb guard, same ceiling the
+    * 7z reader uses). */
+  val MaxOutput: Long = 256L * 1024 * 1024
+
+  /** Decompress one non-solid version-29 entry. */
+  def unpack(data: Array[Byte], off: Int, packSize: Int,
+      unpSize: Long): Array[Byte] = {
+    if (unpSize < 0 || unpSize > MaxOutput)
+      throw new Unsupported(s"rar entry too large: $unpSize")
+    // bomb guard: the output buffer is allocated up front, so bound the
+    // claimed expansion ratio before trusting the header (a crafted
+    // 100-byte entry must not allocate 256 MB)
+    if (unpSize > 1L * 1024 * 1024 && unpSize / math.max(1, packSize) > 1000)
+      throw new Unsupported(s"rar expansion ratio bomb: $packSize -> $unpSize")
+    val br = new BitReader(data, off, math.min(off.toLong + packSize,
+      data.length).toInt)
+    val out = new Array[Byte](unpSize.toInt)
+    var op = 0
+    val oldTable = new Array[Int](NC + DC + LDC + RC)
+    var ld: Huff = null
+    var dd: Huff = null
+    var ldd: Huff = null
+    var rd: Huff = null
+    val oldDist = new Array[Int](4)
+    var lastDist = 0
+    var lastLength = 0
+    var prevLowDist = 0
+    var lowDistRepCount = 0
+
+    def readTables(): Unit = {
+      br.align()
+      val bf = br.peek16
+      if ((bf & 0x8000) != 0)
+        throw new Unsupported("rar ppmd block")
+      if ((bf & 0x4000) == 0) java.util.Arrays.fill(oldTable, 0)
+      br.skip(2)
+      val bitLength = new Array[Int](BC)
+      var i = 0
+      while (i < BC) {
+        val len = br.bits(4)
+        if (len == 15) {
+          val zc = br.bits(4)
+          if (zc == 0) { bitLength(i) = 15; i += 1 }
+          else {
+            var n = zc + 2
+            while (n > 0 && i < BC) { bitLength(i) = 0; i += 1; n -= 1 }
+          }
+        } else { bitLength(i) = len; i += 1 }
+      }
+      val bd = new Huff(bitLength)
+      val table = new Array[Int](NC + DC + LDC + RC)
+      i = 0
+      while (i < table.length) {
+        if (br.exhausted) throw new Malformed("table underrun")
+        val num = bd.decode(br)
+        if (num < 16) { table(i) = (num + oldTable(i)) & 0xf; i += 1 }
+        else if (num < 18) {
+          if (i == 0) throw new Malformed("repeat at table start")
+          var n = if (num == 16) br.bits(3) + 3 else br.bits(7) + 11
+          while (n > 0 && i < table.length) {
+            table(i) = table(i - 1); i += 1; n -= 1
+          }
+        } else {
+          var n = if (num == 18) br.bits(3) + 3 else br.bits(7) + 11
+          while (n > 0 && i < table.length) { table(i) = 0; i += 1; n -= 1 }
+        }
+      }
+      ld = new Huff(java.util.Arrays.copyOfRange(table, 0, NC))
+      dd = new Huff(java.util.Arrays.copyOfRange(table, NC, NC + DC))
+      ldd = new Huff(java.util.Arrays.copyOfRange(table, NC + DC,
+        NC + DC + LDC))
+      rd = new Huff(java.util.Arrays.copyOfRange(table, NC + DC + LDC,
+        table.length))
+      System.arraycopy(table, 0, oldTable, 0, table.length)
+    }
+
+    def insertOldDist(d: Int): Unit = {
+      oldDist(3) = oldDist(2); oldDist(2) = oldDist(1)
+      oldDist(1) = oldDist(0); oldDist(0) = d
+    }
+
+    def copyString(length: Int, dist: Int): Unit = {
+      if (dist <= 0 || dist > op)
+        throw new Malformed("match before window start (solid?)")
+      var src = op - dist
+      var n = length
+      while (n > 0 && op < out.length) {
+        out(op) = out(src); op += 1; src += 1; n -= 1
+      }
+    }
+
+    readTables()
+    var done = false
+    while (!done && op < out.length) {
+      if (br.exhausted) throw new Malformed("bitstream underrun")
+      val num = ld.decode(br)
+      if (num < 256) { out(op) = num.toByte; op += 1 }
+      else if (num == 256) {
+        // end of block: high bit set -> same file, new tables follow;
+        // otherwise next bit tells whether tables precede the next file
+        val bf = br.peek16
+        if ((bf & 0x8000) != 0) { br.skip(1); readTables() }
+        else { br.skip(2); done = true }
+      }
+      else if (num == 257) throw new Unsupported("rar vm filter")
+      else if (num == 258) {
+        if (lastLength != 0) copyString(lastLength, lastDist)
+      }
+      else if (num < 263) {
+        val dn = num - 259
+        val dist = oldDist(dn)
+        var j = dn
+        while (j > 0) { oldDist(j) = oldDist(j - 1); j -= 1 }
+        oldDist(0) = dist
+        val ln = rd.decode(br)
+        val length = LDecode(ln) + 2 + br.bits(LBits(ln))
+        lastLength = length; lastDist = dist
+        copyString(length, dist)
+      }
+      else if (num < 271) {
+        val dn = num - 263
+        val dist = SDDecode(dn) + 1 + br.bits(SDBits(dn))
+        insertOldDist(dist)
+        lastLength = 2; lastDist = dist
+        copyString(2, dist)
+      }
+      else {
+        val ln = num - 271
+        var length = LDecode(ln) + 3 + br.bits(LBits(ln))
+        val dn = dd.decode(br)
+        var dist = DDecode(dn) + 1
+        if (DBits(dn) > 0) {
+          if (dn > 9) {
+            if (DBits(dn) > 4) dist += br.bits(DBits(dn) - 4) << 4
+            if (lowDistRepCount > 0) { lowDistRepCount -= 1; dist += prevLowDist }
+            else {
+              val lowDist = ldd.decode(br)
+              if (lowDist == 16) { lowDistRepCount = 15; dist += prevLowDist }
+              else { dist += lowDist; prevLowDist = lowDist }
+            }
+          } else dist += br.bits(DBits(dn))
+        }
+        if (dist >= 0x2000) {
+          length += 1
+          if (dist >= 0x40000) length += 1
+        }
+        insertOldDist(dist)
+        lastLength = length; lastDist = dist
+        copyString(length, dist)
+      }
+    }
+    if (op < out.length)
+      throw new Malformed(s"short rar stream: $op of ${out.length}")
+    out
+  }
+}

@@ -5,14 +5,14 @@ import java.nio.charset.StandardCharsets
 /** RAR archive header walk (RAR 4.x and RAR 5.x container formats).
   *
   * Reference behavior: tika-parsers pkg-module `RarParser.java` extracts
-  * entries via the junrar library. The RAR *compression* algorithm's
-  * license forbids re-implementation from the unrar sources, so this
-  * stays a declared exclusion for compressed entries (recorded per-entry
-  * as unsupported); the *container framing* below is from the public
-  * format notes (RARLAB technote / rar5 file-format description):
-  * entry names and sizes always surface as metadata, and STORED
-  * (uncompressed) entries are extracted and recurse like any embedded
-  * document.
+  * entries via the junrar library. The container framing below is from
+  * the public format notes (RARLAB technote / rar5 file-format
+  * description): entry names and sizes always surface as metadata,
+  * STORED (uncompressed) entries extract directly, and version-29
+  * LZ-compressed RAR3 entries decode through [[Rar29]] (from-scratch,
+  * public format knowledge only). PPMd blocks, RarVM-filtered streams,
+  * solid continuation, RAR5 compression, and encrypted entries remain
+  * declared exclusions recorded per entry as unsupported.
   */
 object RarUtil {
 
@@ -49,6 +49,7 @@ object RarUtil {
   private val MhdPassword = 0x0080 // main header: encrypted block headers
   private val FhdSplitBefore = 0x01
   private val FhdPassword = 0x04
+  private val FhdSolid = 0x10
   private val FhdLargeFile = 0x100
   private val FhdUnicode = 0x200
 
@@ -86,13 +87,22 @@ object RarUtil {
             nameOff + nameLen)
           val name = decodeName4(rawName, (flags & FhdUnicode) != 0)
           val enc = (flags & FhdPassword) != 0
+          val unpVer = b(p + 24) & 0xff
+          val solid = (flags & FhdSolid) != 0
           val dataOff = p + size
+          val dataOk = (flags & FhdSplitBefore) == 0 && !enc &&
+            dataOff + packSize <= b.length && packSize <= Int.MaxValue
           val stored =
-            if (method == 0x30 && !enc && (flags & FhdSplitBefore) == 0 &&
-                packSize == unpSize && dataOff + packSize <= b.length &&
-                packSize <= Int.MaxValue)
+            if (method == 0x30 && dataOk && packSize == unpSize)
               Some(java.util.Arrays.copyOfRange(b, dataOff,
                 (dataOff + packSize).toInt))
+            else if (method != 0x30 && dataOk && unpVer == 29 && !solid)
+              // version-29 LZ decode (Rar29); PPMd blocks / VM filters /
+              // corrupt streams fall back to the unsupported record
+              try Some(Rar29.unpack(b, dataOff, packSize.toInt, unpSize))
+              catch {
+                case _: Rar29.Unsupported | _: Rar29.Malformed => None
+              }
             else None
           out += Entry(name, unpSize, stored, enc)
           add = packSize

@@ -330,7 +330,12 @@ class FuzzSpec extends AnyFunSuite {
       img.resolve("testJXL_exif.jxl"),
       crypto.resolve("testPKCS7_signed_data_def.p7m"),
       crypto.resolve("testPKCS7_compressed_def_long.p7z"),
-      crypto.resolve("testPKCS7_compressed_ind.p7z"))
+      crypto.resolve("testPKCS7_compressed_ind.p7z"),
+      // exercises the Rar29 LZ decoder against corrupt streams
+      java.nio.file.Path.of("/root/reference/tika-parsers/" +
+        "tika-parsers-standard/tika-parsers-standard-modules/" +
+        "tika-parser-pkg-module/src/test/resources/test-documents/" +
+        "test-documents.rar"))
     val seeds = candidates.filter(Files.isRegularFile(_)).map(Files.readAllBytes)
     org.scalatest.Assertions.assume(seeds.nonEmpty, "reference fixtures absent")
     seeds.foreach { valid =>

@@ -23,7 +23,7 @@ class RarSpec extends AnyFunSuite {
   private def text(d: graft.core.ExtractedDoc): String =
     d.spans.filter(_.kind == graft.core.Span.KindText).map(_.text).mkString("\n")
 
-  test("reference test-documents.rar: all entry names surface") {
+  test("reference test-documents.rar: v29 entries decode and recurse") {
     val p = docs.resolve("test-documents.rar")
     org.scalatest.Assertions.assume(Files.isRegularFile(p))
     val d = extract("test-documents.rar", Files.readAllBytes(p))
@@ -34,9 +34,55 @@ class RarSpec extends AnyFunSuite {
         "testPDF.pdf", "testPPT.ppt", "testRTF.rtf", "testTXT.txt",
         "testWORD.doc", "testXML.xml"))
       assert(entries.exists(_.contains(n)), n)
-    // compressed entries: declared unsupported, not a parse failure
-    assert(d.status == Status.UnsupportedType ||
-      d.status == Status.ParseSuccess)
+    // eight of nine version-29 LZ entries decode (Rar29) and their
+    // inner documents extract; testEXCEL.xls carries a RarVM filter
+    // (declared unsupported, recorded per entry) so the container
+    // reports success-with-exception
+    assert(d.status == Status.ParseSuccessWithException, d.status)
+    val t = text(d)
+    assert(t.contains("Test d'indexation de Txt"), "txt content")
+    assert(t.toLowerCase.contains("indexation"), "html/doc content")
+  }
+
+  test("decoded v29 payloads match the archive's own CRC32 per entry") {
+    val p = docs.resolve("test-documents.rar")
+    org.scalatest.Assertions.assume(Files.isRegularFile(p))
+    val bytes = Files.readAllBytes(p)
+    val ar = graft.pkgx.RarUtil.parse(bytes)
+    assert(ar.entries.size == 9)
+    // header CRCs, read independently of RarUtil (file header fileCRC
+    // field at offset +16)
+    def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    var q = 7
+    val crcs = scala.collection.mutable.Map.empty[String, Long]
+    while (q + 7 <= bytes.length) {
+      val typ = bytes(q + 2) & 0xff
+      val flags = (bytes(q + 3) & 0xff) | ((bytes(q + 4) & 0xff) << 8)
+      val size = (bytes(q + 5) & 0xff) | ((bytes(q + 6) & 0xff) << 8)
+      var add = 0L
+      if (typ == 0x74) {
+        add = le32(bytes, q + 7)
+        val nameLen = (bytes(q + 26) & 0xff) | ((bytes(q + 27) & 0xff) << 8)
+        val name = new String(bytes, q + 32, nameLen, "ISO-8859-1")
+        crcs(name.substring(name.lastIndexOf('\\') + 1)) = le32(bytes, q + 16)
+      } else if ((flags & 0x8000) != 0) add = le32(bytes, q + 7)
+      if (typ == 0x7b || size < 7) q = bytes.length else q += size + add.toInt
+    }
+    for (e <- ar.entries) {
+      val short = e.name.substring(e.name.lastIndexOf('\\') + 1)
+      if (short == "testEXCEL.xls")
+        // RarVM-filtered stream: declared unsupported, never extracted
+        assert(e.stored.isEmpty, short)
+      else {
+        assert(e.stored.isDefined, short)
+        assert(e.stored.get.length.toLong == e.unpSize, short)
+        val crc = new java.util.zip.CRC32
+        crc.update(e.stored.get)
+        assert(crc.getValue == crcs(short), s"$short crc")
+      }
+    }
   }
 
   test("encrypted rar records an exception") {
