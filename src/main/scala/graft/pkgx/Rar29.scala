@@ -150,6 +150,150 @@ object Rar29 {
     var prevLowDist = 0
     var lowDistRepCount = 0
 
+    // --- VM filters (main symbol 257) -------------------------------
+    // Filter programs arrive as small RarVM bytecode blobs; the well
+    // known "standard filters" are recognized by (length, CRC32) and
+    // executed natively (the technote documents this shortcut; full VM
+    // interpretation is out of scope — unknown programs throw
+    // Unsupported). Invocations target [blockStart, blockStart+len) of
+    // the output, applied after the LZ pass: the LZ window always holds
+    // the RAW stream, filters only transform the written file bytes.
+    final case class FilterProg(kind: Int) // 1=E8 2=E8E9 3=DELTA
+    final case class FilterInv(kind: Int, blockStart: Int,
+        blockLength: Int, channels: Int)
+    val progs = scala.collection.mutable.ArrayBuffer.empty[FilterProg]
+    val progLengths = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val invocations = scala.collection.mutable.ArrayBuffer.empty[FilterInv]
+    var lastFilter = 0
+
+    def vmStandardKind(code: Array[Byte]): Int = {
+      val crc = new java.util.zip.CRC32
+      crc.update(code)
+      (code.length, crc.getValue) match {
+        case (53, 0xad576887L) => 1 // E8
+        case (57, 0x3cd7e57eL) => 2 // E8E9
+        case (29, 0x0e06077dL) => 3 // DELTA
+        case (len, c) =>
+          throw new Unsupported(f"rar vm filter len=$len crc=$c%08x")
+      }
+    }
+
+    def readVmCode(): Unit = {
+      val firstByte = br.bits(8)
+      var length = (firstByte & 7) + 1
+      if (length == 7) length = br.bits(8) + 7
+      else if (length == 8) length = br.bits(16)
+      if (length == 0 || length > 0x10000)
+        throw new Malformed("vm code length")
+      val code = new Array[Byte](length)
+      var i = 0
+      while (i < length) { code(i) = br.bits(8).toByte; i += 1 }
+      // the blob has its own bit reader
+      val vr = new BitReader(code, 0, code.length)
+      def readData(): Int = {
+        val d = vr.peek16
+        (d & 0xc000) match {
+          case 0 => vr.skip(6); (d >> 10) & 0xf
+          case 0x4000 =>
+            if ((d & 0x3c00) == 0) { vr.skip(14); 0xffffff00 | ((d >> 2) & 0xff) }
+            else { vr.skip(10); (d >> 6) & 0xff }
+          case 0x8000 => vr.skip(2); vr.bits(16)
+          case _ => vr.skip(2); (vr.bits(16) << 16) | vr.bits(16)
+        }
+      }
+      var filtPos =
+        if ((firstByte & 0x80) != 0) {
+          val fp = readData()
+          if (fp == 0) { progs.clear(); progLengths.clear(); 0 }
+          else fp - 1
+        } else lastFilter
+      if (filtPos > progs.size) throw new Malformed("vm filter position")
+      lastFilter = filtPos
+      val newFilter = filtPos == progs.size
+      var blockStart = readData()
+      if ((firstByte & 0x40) != 0) blockStart += 258
+      blockStart += op
+      val blockLength =
+        if ((firstByte & 0x20) != 0) readData()
+        else if (filtPos < progLengths.size) progLengths(filtPos)
+        else 0
+      if (newFilter) progLengths += blockLength
+      else progLengths(filtPos) = blockLength
+      // explicit register inits (R0..R6); only R0 = channel count is
+      // meaningful for the supported standard filters
+      var channels = 1
+      if ((firstByte & 0x10) != 0) {
+        val initMask = vr.bits(7)
+        var r = 0
+        while (r < 7) {
+          if ((initMask & (1 << r)) != 0) {
+            val v = readData()
+            if (r == 0) channels = v
+          }
+          r += 1
+        }
+      }
+      val prog =
+        if (newFilter) {
+          val vmSize = readData()
+          if (vmSize <= 0 || vmSize > 0x10000)
+            throw new Malformed("vm program size")
+          val vmCode = new Array[Byte](vmSize)
+          var j = 0
+          while (j < vmSize) { vmCode(j) = vr.bits(8).toByte; j += 1 }
+          val p = FilterProg(vmStandardKind(vmCode))
+          progs += p
+          p
+        } else progs(filtPos)
+      if (blockLength > 0 && blockStart >= 0)
+        invocations += FilterInv(prog.kind, blockStart, blockLength, channels)
+    }
+
+    def applyFilters(): Unit = invocations.foreach { f =>
+      val start = f.blockStart
+      val len = math.min(f.blockLength.toLong,
+        out.length.toLong - start).toInt
+      if (start >= 0 && len > 4) f.kind match {
+        case 1 | 2 => // E8 / E8E9 x86 call-target transform
+          val fileSize = 0x1000000
+          var cur = 0
+          while (cur < len - 4) {
+            val b = out(start + cur) & 0xff
+            cur += 1
+            if (b == 0xe8 || (f.kind == 2 && b == 0xe9)) {
+              val o = start + cur
+              val addr = (out(o) & 0xff) | ((out(o + 1) & 0xff) << 8) |
+                ((out(o + 2) & 0xff) << 16) | ((out(o + 3) & 0xff) << 24)
+              val offset = cur + start // block offset within the file
+              def set(v: Int): Unit = {
+                out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+                out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+              }
+              if (addr < 0) { if (addr + offset >= 0) set(addr + fileSize) }
+              else if (addr < fileSize) set(addr - offset)
+              cur += 4
+            }
+          }
+        case 3 => // DELTA: per-channel byte-delta decode, de-interleaved
+          val ch = math.max(1, math.min(f.channels, len))
+          val src = java.util.Arrays.copyOfRange(out, start, start + len)
+          var sp = 0
+          var c = 0
+          while (c < ch) {
+            var prev = 0
+            var dp = c
+            while (dp < len && sp < len) {
+              prev = (prev - src(sp)) & 0xff
+              out(start + dp) = prev.toByte
+              sp += 1
+              dp += ch
+            }
+            c += 1
+          }
+        case _ => ()
+      }
+    }
+
     def readTables(): Unit = {
       br.align()
       val bf = br.peek16
@@ -225,7 +369,7 @@ object Rar29 {
         if ((bf & 0x8000) != 0) { br.skip(1); readTables() }
         else { br.skip(2); done = true }
       }
-      else if (num == 257) throw new Unsupported("rar vm filter")
+      else if (num == 257) readVmCode()
       else if (num == 258) {
         if (lastLength != 0) copyString(lastLength, lastDist)
       }
@@ -274,6 +418,7 @@ object Rar29 {
     }
     if (op < out.length)
       throw new Malformed(s"short rar stream: $op of ${out.length}")
+    applyFilters()
     out
   }
 }
