@@ -1129,16 +1129,17 @@ object SparkEntry {
            ('application/vnd.oasis.opendocument.flat.text', 8),
            ('application/vnd.wordperfect', 6),
            ('application/warc', 10),
-           ('application/x-7z-compressed', 8),
-           ('application/x-archive', 9),
+           ('application/x-7z-compressed', 5),
+           ('application/x-archive', 8),
            ('application/x-bzip2', 9),
-           ('application/x-cpio', 8),
+           ('application/x-cpio', 6),
            ('application/x-fictionbook+xml', 6),
            ('application/x-grib', 2),
            ('application/x-matlab-data', 4),
            ('application/x-msaccess', 6),
            ('application/x-netcdf', 2),
            ('application/x-plist', 4),
+           ('application/x-rar-compressed', 6),
            ('application/x-tar', 6),
            ('application/x-tika-msoffice', 148),
            ('application/x-tika-ooxml', 289),
@@ -1204,11 +1205,11 @@ object SparkEntry {
                 n_status_match, total_char_delta, span_equality_rate)""",
     "x13_rmeta_stats" ->
       """SELECT * FROM (VALUES
-           (500, 893593, 2388121125677632520)
+           (500, 893588, 1979844339100031577)
          ) AS t(n_docs, n_chars, rmeta_hash)""",
     "x14_extract_stats" ->
       """SELECT * FROM (VALUES
-           ('parse_success', 3942, 44297, 3156634, -6685720437520686888),
+           ('parse_success', 3942, 44326, 3156739, 3825201550305969730),
            ('unsupported_type', 40, 0, 0, 7229079304241689592),
            ('write_limit_reached', 18, 4252, 1800000, 934677292960717726)
          ) AS t(status, n, n_spans, n_chars, row_hash)""",
@@ -1220,9 +1221,9 @@ object SparkEntry {
       """SELECT * FROM (VALUES
            ('application/warc', 5, 7339, 5, 6491594058506599511),
            ('application/x-tar', 9, 32768, 9, 1808250790718850321),
-           ('application/xml', 80, 32974, 60, -6352347894982380706),
-           ('text/html', 91, 15916, 64, 2856758511637291824),
-           ('text/plain', 106, 22061, 80, 3356914366824392759)
+           ('application/xml', 78, 32135, 58, 7044303702137819951),
+           ('text/html', 87, 15130, 62, 8355930570111644178),
+           ('text/plain', 103, 21407, 77, 5849542562172469223)
          ) AS t(mime, n, n_bytes, n_docs, tree_hash)""",
     "x09_span_stats" ->
       """SELECT * FROM (VALUES
@@ -1250,6 +1251,7 @@ object SparkEntry {
     "x03_detect_mime_stats" ->
       """SELECT * FROM (VALUES
            ('application/dif+xml', 'parse_success', 8),
+           ('application/envi.hdr', 'parse_success', 4),
            ('application/gzip', 'parse_success', 34),
            ('application/msword', 'parse_success', 100),
            ('application/octet-stream', 'parse_success', 12),
@@ -1272,13 +1274,12 @@ object SparkEntry {
            ('application/vnd.visio', 'parse_success', 12),
            ('application/vnd.wordperfect', 'parse_success', 12),
            ('application/warc', 'parse_success', 20),
-           ('application/x-7z-compressed', 'parse_success', 12),
-           ('application/x-archive', 'parse_success', 17),
+           ('application/x-7z-compressed', 'parse_success', 11),
+           ('application/x-archive', 'parse_success', 16),
            ('application/x-bzip2', 'parse_success', 15),
-           ('application/x-cpio', 'parse_success', 17),
+           ('application/x-cpio', 'parse_success', 12),
            ('application/x-dbf', 'parse_success', 12),
            ('application/x-fictionbook+xml', 'parse_success', 12),
-           ('application/envi.hdr', 'parse_success', 4),
            ('application/x-grib', 'parse_success', 4),
            ('application/x-matlab-data', 'parse_success', 8),
            ('application/x-msaccess', 'parse_success', 12),
@@ -1286,6 +1287,7 @@ object SparkEntry {
            ('application/x-netcdf', 'parse_success', 4),
            ('application/x-plist', 'parse_success', 8),
            ('application/x-quattro-pro', 'parse_success', 8),
+           ('application/x-rar-compressed', 'parse_success', 12),
            ('application/x-tar', 'parse_success', 11),
            ('application/x-tmx', 'parse_success', 8),
            ('application/xml', 'parse_success', 160),
@@ -1301,7 +1303,7 @@ object SparkEntry {
            ('image/wmf', 'parse_success', 5),
            ('message/rfc822', 'parse_success', 80),
            ('text/csv', 'parse_success', 120),
-           ('text/html', 'parse_success', 1389),
+           ('text/html', 'parse_success', 1384),
            ('text/html', 'write_limit_reached', 9),
            ('text/plain', 'parse_success', 180),
            ('video/mp4', 'parse_success', 16)

@@ -90,7 +90,7 @@ object Corpus {
   /** Corpus content version — bump when any generator changes so cached
     * bench corpora are regenerated.
     */
-  val Version = 21
+  val Version = 22
 
   /** Oversized (×scale payload) rows to exercise skew salting. */
   def isOversized(index: Long): Boolean = kindOf(index) == "html" && index % 97 == 0
@@ -137,10 +137,11 @@ object Corpus {
             case _ => s"notes/member$i.xml" -> xmlDoc(r).getBytes(StandardCharsets.UTF_8)
           }
         }
-        val bytes = (index % 3) match {
+        val bytes = (index % 4) match {
           case 0 => graft.pkgx.SevenZ.write(entries)
           case 1 => graft.pkgx.ArCpio.writeAr(entries)
-          case _ => graft.pkgx.ArCpio.writeCpio(entries)
+          case 2 => graft.pkgx.ArCpio.writeCpio(entries)
+          case _ => graft.pkgx.RarUtil.write(entries) // v22: stored rar4
         }
         Seq(Span("bytes", b64(bytes), null, 0))
       case "onenote" =>

@@ -179,6 +179,38 @@ object RarUtil {
     sb.result()
   }
 
+  /** Writes a STORED (method 0x30) RAR4 archive — corpus/test producer
+    * for the container walk; CRC fields are filled so readers that
+    * verify them stay happy.
+    */
+  def write(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    out.write(Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x00))
+    w16(0x6152); out.write(0x73); w16(0); w16(13); out.write(new Array[Byte](6))
+    for ((name, data) <- entries) {
+      val nameB = name.getBytes(StandardCharsets.ISO_8859_1)
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      w16(0) // header crc (not verified by the walk)
+      out.write(0x74); w16(0x8000); w16(32 + nameB.length)
+      w32(data.length) // packSize
+      w32(data.length) // unpSize
+      out.write(0) // hostOS
+      w32(crc.getValue) // fileCRC
+      w32(0) // ftime
+      out.write(20) // unpVer
+      out.write(0x30) // method: stored
+      w16(nameB.length)
+      w32(0x20) // attributes
+      out.write(nameB)
+      out.write(data)
+    }
+    w16(0x3dc4); out.write(0x7b); w16(0x4000); w16(7)
+    out.toByteArray
+  }
+
   // --- RAR 5.x --------------------------------------------------------
 
   private def parse5(b: Array[Byte]): Archive = {
