@@ -994,6 +994,38 @@ object SparkEntry {
     // pairs, and the DetectMime distribution are deterministic given
     // the fixed corpus + hash seeds but not DuckDB-replicable); pinned
     // independently by FrozenOraclesSpec
+    // q20/q28: the LSH and IVF-nprobe recall measurements are
+    // deterministic (hash-bucketed candidates; Lloyd iterations proved
+    // parallelism-invariant at local[8] vs local[32]) — frozen like
+    // q17/q18 and pinned by FrozenOraclesSpec
+    "q20_ann_lsh" ->
+      """SELECT * FROM (VALUES
+           (0, 5, 5, 1.0), (1, 5, 5, 1.0), (2, 5, 4, 0.8),
+           (3, 5, 4, 0.8), (4, 5, 3, 0.6), (5, 5, 5, 1.0),
+           (6, 5, 5, 1.0), (7, 5, 5, 1.0), (8, 5, 4, 0.8),
+           (9, 5, 5, 1.0), (10, 5, 5, 1.0), (11, 5, 5, 1.0),
+           (12, 5, 5, 1.0), (13, 5, 5, 1.0), (14, 5, 4, 0.8),
+           (15, 5, 5, 1.0), (16, 5, 5, 1.0), (17, 5, 5, 1.0),
+           (18, 5, 4, 0.8), (19, 5, 5, 1.0)
+         ) AS t(query_id, n_exact, n_hits, recall)""",
+    "q28_ann_ivf_recall" ->
+      """SELECT * FROM (VALUES
+           (0, 5, 5, 1.0), (1, 5, 4, 0.8), (2, 5, 3, 0.6),
+           (3, 5, 4, 0.8), (4, 5, 5, 1.0), (5, 5, 5, 1.0),
+           (6, 5, 4, 0.8), (7, 5, 5, 1.0), (8, 5, 5, 1.0),
+           (9, 5, 5, 1.0), (10, 5, 5, 1.0), (11, 5, 5, 1.0),
+           (12, 5, 5, 1.0), (13, 5, 4, 0.8), (14, 5, 4, 0.8),
+           (15, 5, 5, 1.0), (16, 5, 3, 0.6), (17, 5, 2, 0.4),
+           (18, 5, 3, 0.6), (19, 5, 2, 0.4)
+         ) AS t(query_id, n_exact, n_hits, recall)""",
+    "q31_embedding_neardups_lsh" ->
+      """SELECT * FROM (VALUES
+           (4, 4, 1.0, 2)
+         ) AS t(n_exact, n_found, recall, sample_mod)""",
+    "q33_minhash_quality" ->
+      """SELECT * FROM (VALUES
+           (7, 7, 7, 1.0, 1.0, 2)
+         ) AS t(n_exact, n_lsh, n_both, recall, "precision", sample_mod)""",
     "q17_minhash_lsh" ->
       """SELECT * FROM (VALUES
            (8, 245, 1.0),

@@ -29,6 +29,8 @@ class FrozenOraclesSpec extends AnyFunSuite {
   }
 
   for (q <- Seq("q17_minhash_lsh", "q18_simhash_neardups",
+      "q20_ann_lsh", "q28_ann_ivf_recall",
+      "q31_embedding_neardups_lsh", "q33_minhash_quality",
       "q25_detect_mime_expr", "q21_media_features",
       "x08_media_meta", "x09_span_stats", "x10_embedded_stats",
       "x11_main_content_stats", "x12_unpack_stats",
