@@ -33,7 +33,11 @@ object Extractor {
       stringsFallback: Boolean = false,
       // opt-in like OfficeParserConfig.setExtractMacros (default false
       // in the reference): VBA module sources become embedded docs
-      extractMacros: Boolean = false
+      extractMacros: Boolean = false,
+      // PasswordProvider analog: decryption password for protected
+      // containers (RAR3 -p/-hp today). None = record encrypted status,
+      // exactly the reference's no-provider behavior.
+      password: Option[String] = None
   )
   val DefaultConfig: Config = Config()
 
@@ -420,8 +424,11 @@ object Extractor {
             // entries are recorded unsupported (the RAR compression
             // algorithm is a declared license exclusion — the reference
             // uses junrar here)
-            val ar = graft.pkgx.RarUtil.parse(bytes)
-            if (ar.headersEncrypted) {
+            val ar = graft.pkgx.RarUtil.parse(bytes, cfg.password)
+            if (ar.headersEncrypted && ar.entries.isEmpty) {
+              // no (or wrong) password: the reference throws
+              // EncryptedDocumentException here; with a good password the
+              // decrypted entries recurse below (exceeds the reference)
               sawException = true
               meta.add("parse:exception",
                 s"rar encrypted headers at ${if (idPath.isEmpty) "/" else idPath}")

@@ -39,8 +39,8 @@ object RarUtil {
       b(3) == '!' && b(4) == 0x1a && b(5) == 0x07 && b(6) == 0x01 &&
       b(7) == 0x00
 
-  def parse(b: Array[Byte]): Archive =
-    if (isRar4(b)) parse4(b)
+  def parse(b: Array[Byte], password: Option[String] = None): Archive =
+    if (isRar4(b)) parse4(b, password)
     else if (isRar5(b)) parse5(b)
     else throw new RarMalformed("not a RAR archive")
 
@@ -52,8 +52,9 @@ object RarUtil {
   private val FhdSolid = 0x10
   private val FhdLargeFile = 0x100
   private val FhdUnicode = 0x200
+  private val FhdSalt = 0x400
 
-  private def parse4(b: Array[Byte]): Archive = {
+  private def parse4(b: Array[Byte], password: Option[String]): Archive = {
     var p = 7
     val out = Vector.newBuilder[Entry]
     var count = 0
@@ -67,11 +68,21 @@ object RarUtil {
       var add = 0L
       htype match {
         case 0x73 => // main header
-          if ((flags & MhdPassword) != 0) headersEncrypted = true
+          if ((flags & MhdPassword) != 0) {
+            headersEncrypted = true
+            // -hp mode: everything past the main header is encrypted
+            // (8-byte salt before each header). With a password we walk
+            // the decrypted headers; otherwise entries stay opaque.
+            password.foreach { pwd =>
+              out ++= parse4Encrypted(b, p + size, pwd)
+            }
+            return Archive(out.result(), headersEncrypted)
+          }
         case 0x74 => // file header
           if (p + 32 > b.length) throw new RarMalformed("truncated file header")
           var packSize = le32(b, p + 7)
           var unpSize = le32(b, p + 11)
+          val fileCrc = le32(b, p + 16)
           val method = b(p + 25) & 0xff
           val nameLen = le16(b, p + 26)
           var nameOff = p + 32
@@ -103,8 +114,17 @@ object RarUtil {
               catch {
                 case _: Rar29.Unsupported | _: Rar29.Malformed => None
               }
+            else if (enc && password.isDefined && (flags & FhdSplitBefore) == 0 &&
+                dataOff + packSize <= b.length && packSize <= Int.MaxValue)
+              // -p mode: plain headers, AES data; per-file salt after name
+              decryptAndDecode(b, dataOff, packSize.toInt, unpSize, method,
+                unpVer, solid, fileCrc, password.get,
+                if ((flags & FhdSalt) != 0 && nameOff + nameLen + 8 <= b.length)
+                  java.util.Arrays.copyOfRange(b, nameOff + nameLen,
+                    nameOff + nameLen + 8)
+                else new Array[Byte](8))
             else None
-          out += Entry(name, unpSize, stored, enc)
+          out += Entry(name, unpSize, stored, enc && stored.isEmpty)
           add = packSize
         case 0x7b => // end of archive
           p = b.length
@@ -118,6 +138,124 @@ object RarUtil {
       }
     }
     Archive(out.result(), headersEncrypted)
+  }
+
+  /** Walk the encrypted-header (-hp) area: each block is preceded by
+    * its own 8-byte salt and AES-CBC-encrypted in 16-byte units. A
+    * header whose CRC16 fails (wrong password / corruption) ends the
+    * walk with whatever decoded so far.
+    */
+  private def parse4Encrypted(b: Array[Byte], start: Int,
+      password: String): Vector[Entry] = {
+    val out = Vector.newBuilder[Entry]
+    var p = start
+    var count = 0
+    var ok = true
+    while (ok && p + 8 + 16 <= b.length && count < 100000) {
+      count += 1
+      val salt = java.util.Arrays.copyOfRange(b, p, p + 8)
+      val (key, iv) = RarCrypto.deriveKeyIv(password, salt)
+      val head16 = RarCrypto.decrypt(key, iv, b, p + 8, 16)
+      val size = le16(head16, 5)
+      if (size < 7 || size > 0x4000 || p + 8 + roundUp16(size) > b.length) {
+        ok = false
+      } else {
+        val full = roundUp16(size)
+        val hdr = RarCrypto.decrypt(key, iv, b, p + 8, full)
+        // header CRC16 = low word of CRC32 over bytes [2, size)
+        val crc = new java.util.zip.CRC32
+        crc.update(hdr, 2, size - 2)
+        if ((crc.getValue & 0xffff) != le16(hdr, 0)) {
+          ok = false // wrong password or corrupt block
+        } else {
+          val htype = hdr(2) & 0xff
+          val flags = le16(hdr, 3)
+          var add = 0L
+          htype match {
+            case 0x74 =>
+              var packSize = le32(hdr, 7)
+              var unpSize = le32(hdr, 11)
+              val fileCrc = le32(hdr, 16)
+              val unpVer = hdr(24) & 0xff
+              val method = hdr(25) & 0xff
+              val nameLen = le16(hdr, 26)
+              var nameOff = 32
+              if ((flags & FhdLargeFile) != 0) {
+                packSize |= le32(hdr, 32) << 32
+                unpSize |= le32(hdr, 36) << 32
+                nameOff += 8
+              }
+              if (nameOff + nameLen > hdr.length) { ok = false }
+              else if ((flags & 0xe0) == 0xe0) {
+                // directory entry: listed by junrar but carries no data
+                add = packSize
+              } else {
+                val name = decodeName4(java.util.Arrays.copyOfRange(hdr,
+                  nameOff, nameOff + nameLen), (flags & FhdUnicode) != 0)
+                val solid = (flags & FhdSolid) != 0
+                val dataOff = p + 8 + full
+                val dataSalt =
+                  if ((flags & FhdSalt) != 0 && nameOff + nameLen + 8 <= hdr.length)
+                    java.util.Arrays.copyOfRange(hdr, nameOff + nameLen,
+                      nameOff + nameLen + 8)
+                  else new Array[Byte](8)
+                val stored =
+                  if ((flags & FhdSplitBefore) == 0 &&
+                      dataOff + packSize <= b.length && packSize <= Int.MaxValue)
+                    decryptAndDecode(b, dataOff, packSize.toInt, unpSize,
+                      method, unpVer, solid, fileCrc, password, dataSalt)
+                  else None
+                out += Entry(name, unpSize, stored, stored.isEmpty)
+                add = packSize
+              }
+            case 0x7b => ok = false // end of archive
+            case _ =>
+              if ((flags & 0x8000) != 0 && hdr.length >= 11)
+                add = le32(hdr, 7)
+          }
+          if (ok) {
+            val next = p.toLong + 8 + full + add
+            if (next <= p || next > Int.MaxValue) ok = false
+            else p = next.toInt
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def roundUp16(n: Int): Int = (n + 15) & ~15
+
+  /** AES-decrypt one entry's data area and decode it (stored or v29 LZ),
+    * accepting the result only when it matches the header's CRC32 — a
+    * wrong password yields garbage that must not surface as content.
+    */
+  private def decryptAndDecode(b: Array[Byte], off: Int, packSize: Int,
+      unpSize: Long, method: Int, unpVer: Int, solid: Boolean,
+      fileCrc: Long, password: String, salt: Array[Byte]): Option[Array[Byte]] = {
+    if (unpSize < 0 || unpSize > Rar29.MaxOutput) return None
+    val encLen = packSize & ~15
+    if (encLen <= 0) {
+      return if (unpSize == 0) Some(Array.emptyByteArray) else None
+    }
+    val (key, iv) = RarCrypto.deriveKeyIv(password, salt)
+    val dec =
+      try RarCrypto.decrypt(key, iv, b, off, encLen)
+      catch { case _: java.security.GeneralSecurityException => return None }
+    val decoded =
+      if (method == 0x30) {
+        if (dec.length >= unpSize) Some(java.util.Arrays.copyOfRange(dec, 0,
+          unpSize.toInt))
+        else None
+      } else if (unpVer == 29 && !solid) {
+        try Some(Rar29.unpack(dec, 0, dec.length, unpSize))
+        catch { case _: Rar29.Unsupported | _: Rar29.Malformed => None }
+      } else None
+    decoded.filter { d =>
+      val crc = new java.util.zip.CRC32
+      crc.update(d)
+      crc.getValue == fileCrc
+    }
   }
 
   /** RAR4 names: either plain (OEM/cp437-ish, read as latin-1) or the

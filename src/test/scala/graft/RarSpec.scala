@@ -95,6 +95,40 @@ class RarSpec extends AnyFunSuite {
       d.meta.contains("parse:exception"))
   }
 
+  test("encrypted rar decrypts with the password (exceeds the reference)") {
+    // RarParserTest.testEncryptedRar supplies password "ApacheTika" via
+    // PasswordProvider and documents that the reference can only throw
+    // EncryptedDocumentException; our RAR3 KDF + AES-CBC path decrypts
+    // the same fixture, every accepted entry CRC32-validated in RarUtil
+    val p = docs.resolve("test-documents-enc.rar")
+    org.scalatest.Assertions.assume(Files.isRegularFile(p))
+    val bytes = Files.readAllBytes(p)
+    val ar = graft.pkgx.RarUtil.parse(bytes, Some("ApacheTika"))
+    assert(ar.headersEncrypted)
+    assert(ar.entries.nonEmpty, "decrypted header walk found no entries")
+    val byName = ar.entries.map(e => e.name -> e).toMap
+    assert(byName.keySet.exists(_.contains("testTXT.txt")),
+      s"names: ${ar.entries.map(_.name)}")
+    // all nine files decrypt AND decode (v29 LZ after AES), each CRC32
+    // verified inside RarUtil; the lone directory entry is skipped
+    assert(ar.entries.size == 9, ar.entries.map(_.name))
+    assert(ar.entries.forall(_.stored.isDefined),
+      ar.entries.filter(_.stored.isEmpty).map(_.name))
+    for (n <- Seq("testEXCEL.xls", "testHTML.html", "testOpenOffice2.odt",
+        "testPDF.pdf", "testPPT.ppt", "testRTF.rtf", "testTXT.txt",
+        "testWORD.doc", "testXML.xml"))
+      assert(ar.entries.exists(_.name.contains(n)), n)
+    // wrong password: walk bails at the first CRC16 mismatch, no entries
+    val bad = graft.pkgx.RarUtil.parse(bytes, Some("WrongPassword"))
+    assert(bad.entries.isEmpty)
+    // end-to-end through the extraction pipeline with the password config
+    val d = Extractor.extract(
+      DocRow("enc.rar", Seq(Span("bytes", Corpus.b64(bytes), null, 0))),
+      Extractor.DefaultConfig.copy(password = Some("ApacheTika")))
+    val t = text(d)
+    assert(t.contains("Test d'indexation de Txt"), "decrypted txt content")
+  }
+
   private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
   private def le32(v: Int) =
     Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
