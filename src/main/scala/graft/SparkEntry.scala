@@ -1237,7 +1237,7 @@ object SparkEntry {
                 n_status_match, total_char_delta, span_equality_rate)""",
     "x13_rmeta_stats" ->
       """SELECT * FROM (VALUES
-           (500, 893588, 1979844339100031577)
+           (500, 893988, 397659309587494656)
          ) AS t(n_docs, n_chars, rmeta_hash)""",
     "x14_extract_stats" ->
       """SELECT * FROM (VALUES

@@ -810,6 +810,12 @@ object Extractor {
             var handled = false
             while (!handled && cur.isDefined) {
               cur.get match {
+                case MediaTypes.Eml =>
+                  // multipart/related (MHTML) sub-classes message/rfc822
+                  // (tika-mimetypes.xml:7511) and rides the mail parser
+                  graft.mail.EmlExtractor.extract(bytes, sink, meta,
+                    (name, data) => inlineChild(idPath, depth)(name, data))
+                  handled = true
                 case MediaTypes.TextPlain =>
                   sink.chars(EncodingDetector.decode(bytes))
                   sink.newline()

@@ -159,6 +159,8 @@ object MimeDb {
   val Basic = "text/x-basic"
   val Word2006Ml = "application/vnd.ms-word2006ml"
   val Opf = "application/oebps-package+xml"
+  // MHTML web archive (RFC 2557; tika-mimetypes.xml:7495-7512)
+  val MhtRelated = "multipart/related"
   val ActiveMime = "application/x-activemime"
   // single-XML OpenDocument family (tika-mimetypes.xml:2571-2592)
   val FlatOd = "application/vnd.oasis.opendocument.tika.flat.document"
@@ -229,6 +231,14 @@ object MimeDb {
   val Pack200 = "application/x-java-pack200"
 
   val magics: Vector[Magic] = Vector(
+    // MHTML (higher priority than message/rfc822's MIME-Version magic;
+    // tika-mimetypes.xml:7502-7508)
+    Magic(MhtRelated, 60, OrClause(Seq(
+      AndClause(Seq(string(0, "MIME-Version: 1.0"),
+        stringRange(16, 512, "\nContent-Type: multipart/related"))),
+      istring(0, "From: <Saved by Windows Internet Explorer 8>"),
+      istring(0, "From: \"Saved by Internet Explorer 11\"")
+    ))),
     // ---- archives & compressors
     Magic(Tar, 40, BytesClause(257, 257, ascii("ustar") :+ 0.toByte)),
     Magic(Gtar, 50, BytesClause(257, 257, ascii("ustar  ") :+ 0.toByte)),
@@ -574,6 +584,7 @@ object MimeDb {
     Gtar -> Tar,
     Deb -> Ar,
     Wacz -> DataPackageZip, DataPackageZip -> MediaTypes.Zip,
+    MhtRelated -> MediaTypes.Eml,
     VBasic -> MediaTypes.TextPlain, Basic -> MediaTypes.TextPlain,
     FlatOd -> MediaTypes.Xml, FlatOdt -> FlatOd, FlatOds -> FlatOd,
     FlatOdp -> FlatOd, Word2006Ml -> MediaTypes.Xml, Opf -> MediaTypes.Xml,

@@ -84,6 +84,9 @@ object MimeRegistry {
       istringRange(0, 64, "<title"),
       istringRange(0, 64, "<html")
     ))),
+    // wide low-priority match (tika-mimetypes.xml:7781-7788) — MIME
+    // mail archives whose first part is HTML (.mht) stay
+    // multipart/related because that magic carries priority 60
     Magic(Html, 20, stringRange(128, 8192, "<html")),
     // application/xml — tika-mimetypes.xml:5681-5709
     Magic(Xml, 50, OrClause(Seq(

@@ -26,6 +26,13 @@ object OdtExtractor {
     val content = parts.getOrElse("content.xml",
       throw new IllegalArgumentException("no content.xml"))
     DocxExtractor.saxParse(content, new ContentHandlerImpl(sink))
+    // styles.xml rides the same content handler (OpenDocumentParser.java
+    // :299-305): master-page text — ODP master footers, ODT headers and
+    // footers — is body text (ODFParserTest.testODPMasterFooter)
+    parts.get("styles.xml").foreach { st =>
+      try DocxExtractor.saxParse(st, new ContentHandlerImpl(sink))
+      catch { case _: Exception => () }
+    }
     // StarBasic macro modules under Basic/ (OpenDocumentParser.java:
     // 345-399 — every Basic/ part except the script-lb.xml library
     // index holds script:module/source-code), opt-in like the reference
@@ -135,7 +142,8 @@ object OdtExtractor {
 
     override def startElement(u: String, l: String, q: String, a: Attributes): Unit =
       q match {
-        case "office:text" | "office:spreadsheet" | "office:presentation" =>
+        case "office:text" | "office:spreadsheet" | "office:presentation"
+           | "office:master-styles" => // master pages carry header/footer text
           textDepth += 1
         case "text:tab" => if (textDepth > 0) sink.tab()
         case "text:line-break" => if (textDepth > 0) sink.newline()
@@ -154,7 +162,8 @@ object OdtExtractor {
 
     override def endElement(u: String, l: String, q: String): Unit =
       q match {
-        case "office:text" | "office:spreadsheet" | "office:presentation" =>
+        case "office:text" | "office:spreadsheet" | "office:presentation"
+           | "office:master-styles" =>
           textDepth -= 1
         case "text:p" | "text:h" => if (textDepth > 0) sink.newline()
         case "table:table-row" => if (textDepth > 0) sink.newline()

@@ -113,28 +113,41 @@ object DocExtractor {
   }
 
   /** Word control characters → span framing: 0x0D paragraph mark,
-    * 0x07 cell mark (tab), 0x0B line break, 0x13/0x14/0x15 field chars
-    * (instruction text between 0x13 and 0x14 is dropped, the field
-    * RESULT between 0x14 and 0x15 is kept — WordExtractor behavior).
+    * 0x07 cell mark (tab), 0x0B line break, 0x13/0x14/0x15 field chars.
+    * Field semantics follow WordExtractor.handleSpecialCharacterRuns
+    * (:482-560): `0x13 instr 0x14 result 0x15` keeps the RESULT and
+    * drops the instruction; a field with NO 0x14 separator (e.g. the EQ
+    * phonetic-guide fields of testWORD_phonetic.doc) emits its
+    * INSTRUCTION text (`texts = controls` when !has14). Fields nest.
     */
   private[ole2] def emitWordText(text: String, sink: SpanSink): Unit = {
     val para = new StringBuilder
-    var inFieldInstr = false
+    // open fields, innermost last: (sawSeparator, instruction buffer)
+    val fields = scala.collection.mutable.Stack[(Boolean, StringBuilder)]()
+    def inInstr: Boolean = fields.nonEmpty && !fields.top._1
+    def out(c: Char): Unit =
+      if (inInstr) fields.top._2.append(c) else para.append(c)
     def flushPara(): Unit = {
       sink.chars(para.toString)
       sink.newline()
       para.setLength(0)
     }
     text.foreach {
-      case 0x13 => inFieldInstr = true
-      case 0x14 => inFieldInstr = false
-      case 0x15 => // field end
-      case _ if inFieldInstr => // skip instruction text
-      case 0x0D => flushPara()
-      case 0x07 => para.append('\t') // cell/row mark
-      case 0x0B => para.append('\n')
-      case 0x0C => flushPara() // page break
-      case c if c >= 0x20 || c == '\t' => para.append(c)
+      case 0x13 => fields.push((false, new StringBuilder))
+      case 0x14 => if (fields.nonEmpty) {
+        val (_, buf) = fields.pop(); fields.push((true, buf))
+      }
+      case 0x15 => if (fields.nonEmpty) {
+        val (sawSep, buf) = fields.pop()
+        // no separator → the instruction is the visible text
+        if (!sawSep) buf.foreach(out)
+      }
+      case 0x0D if !inInstr => flushPara()
+      case 0x07 => out('\t') // cell/row mark
+      case 0x0B => out('\n')
+      case 0x0C if !inInstr => flushPara() // page break
+      case c if c >= 0x20 || c == '\t' => out(c)
+      case c if inInstr && (c == 0x0D || c == 0x0C) => out('\n')
       case _ => // other control chars dropped (SafeContentHandler analog)
     }
     if (para.nonEmpty) flushPara()

@@ -64,6 +64,32 @@ object DocxExtractor {
     rels.toMap
   }
 
+  /** altChunk targets (`<w:altChunk r:id>` → relationship Type
+    * `.../aFChunk`): imported HTML/MHT sub-documents. The reference
+    * parses each as an embedded document
+    * (OOXMLDocxSAXPackageTest.testAltFileHTMLChunk expects the chunk's
+    * table text in metadataList[1]). Returns zip part names.
+    */
+  private def altChunkParts(relsBytes: Option[Array[Byte]]): Seq[String] = {
+    val targets = scala.collection.mutable.ArrayBuffer[String]()
+    relsBytes.foreach { bytes =>
+      val handler = new DefaultHandler {
+        override def startElement(uri: String, local: String, qName: String,
+            atts: Attributes): Unit = {
+          val name = if (local != null && local.nonEmpty) local else qName
+          if (name == "Relationship" &&
+              Option(atts.getValue("Type")).exists(_.endsWith("/aFChunk"))) {
+            Option(atts.getValue("Target")).foreach { t =>
+              targets += (if (t.startsWith("/")) t.substring(1) else "word/" + t)
+            }
+          }
+        }
+      }
+      try saxParse(bytes, handler) catch { case _: Exception => () }
+    }
+    targets.toSeq
+  }
+
   def extract(zipBytes: Array[Byte], sink: SpanSink, meta: MetaSink,
       child: (String, Array[Byte]) => Unit = (_, _) => ()): Unit = {
     // one pass over the archive (xml/rels parts + embedded-object
@@ -100,6 +126,16 @@ object DocxExtractor {
     Seq("footnotes.xml", "endnotes.xml", "comments.xml")
       .map("word/" + _).foreach(parsePart)
     named("footer").foreach(parsePart)
+    // altChunk imported sub-documents (HTML/MHT) recurse as children;
+    // their parts are not XmlParts, so fetch them in a second targeted
+    // read of only those entries
+    val altNames = altChunkParts(parts.get("word/_rels/document.xml.rels"))
+      .filterNot(parts.contains).toSet
+    if (altNames.nonEmpty)
+      ZipUtil.entriesMap(zipBytes, altNames.contains)
+        .toSeq.sortBy(_._1)
+        .foreach { case (n, d) =>
+          if (d.nonEmpty) child(n.substring(n.lastIndexOf('/') + 1), d) }
   }
 
   /** docProps/core.xml → title/creator (reference maps OPC core props to

@@ -22,12 +22,24 @@ import graft.engine.{MetaSink, SpanSink}
 object RtfExtractor {
 
   // `pict`/`objdata` are captured (not skipped) and `object` groups emit
-  // their `\result` text, matching TextExtractor.java:1283-1296
+  // their `\result` text, matching TextExtractor.java:1283-1296.
+  // NOT skipped: `header`/`footer` destinations — the reference emits
+  // their text inline (RTFParserTest.testBoldPlain expects the
+  // {\header} content), and `info`, which becomes metadata below.
   private val SkipDestinations = Set(
-    "fonttbl", "colortbl", "stylesheet", "info", "header", "footer",
+    "fonttbl", "colortbl", "stylesheet",
     "datastore", "themedata", "colorschememapping",
     "latentstyles", "listtable", "listoverridetable", "rsidtbl",
     "generator", "xmlnstbl", "wgrffmtfilter")
+
+  // {\info{\author X}{\title Y}...} fields → metadata, never body text
+  // (TextExtractor.java:1142-1163 nextMetaData mapping)
+  private val InfoMeta = Map(
+    "author" -> "dc:creator", "title" -> "dc:title",
+    "subject" -> "dc:subject", "keywords" -> "keywords",
+    "category" -> "category", "comment" -> "comments",
+    "doccomm" -> "comments", "company" -> "company",
+    "manager" -> "manager", "operator" -> "last_author")
 
   private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
 
@@ -40,6 +52,11 @@ object RtfExtractor {
     var depth = 0
     var uc = 1               // \ucN: bytes to skip after \u
     var pendingSkip = 0
+    var atGroupStart = false // true immediately after `{` (for \*)
+    var infoDepth = -1       // depth of the enclosing {\info}
+    var metaKey: String = null          // active info field
+    var metaDepth = 0                   // group depth the field opened at
+    var metaBuf: StringBuilder = null
 
     // --- embedded-object capture (objdata / pict) ---------------------
     var capKind: String = null          // "objdata" | "pict"
@@ -88,17 +105,31 @@ object RtfExtractor {
 
     def emit(c: Char): Unit = {
       if (pendingSkip > 0) pendingSkip -= 1
-      else if (skipDepth == 0) sink.chars(c.toString)
+      else if (skipDepth == 0) {
+        if (metaKey != null) metaBuf.append(c)
+        else if (infoDepth < 0) sink.chars(c.toString)
+        // inside {\info} but outside a known field: dropped (the
+        // reference never emits info content as body text)
+      }
     }
 
     while (i < n) {
       val c = s.charAt(i)
+      val wasGroupStart = atGroupStart
+      atGroupStart = false
       c match {
-        case '{' => depth += 1; if (skipDepth > 0) skipDepth += 1; i += 1
+        case '{' => depth += 1; if (skipDepth > 0) skipDepth += 1
+          atGroupStart = true; i += 1
         case '}' =>
           depth -= 1
           if (capKind != null && depth < capDepth) finishCapture()
           if (objectDepth >= 0 && depth < objectDepth) objectDepth = -1
+          if (metaKey != null && depth < metaDepth) {
+            val v = metaBuf.toString.trim
+            if (v.nonEmpty) meta.add(metaKey, v)
+            metaKey = null; metaBuf = null
+          }
+          if (infoDepth >= 0 && depth < infoDepth) infoDepth = -1
           if (skipDepth > 0) skipDepth -= 1
           i += 1
         case '\\' =>
@@ -117,10 +148,13 @@ object RtfExtractor {
             } else if (c1 == '\\' || c1 == '{' || c1 == '}') { emit(c1); i += 2 }
             else if (c1 == '~') { emit(' '); i += 2 } // non-breaking space
             else if (c1 == '*') {
-              // \* marks an optional destination: skip the whole group
-              // (unless the destination is one we capture, decided when
-              // its control word arrives)
-              if (skipDepth == 0) skipDepth = 1
+              // \* marks an optional destination ONLY as the first token
+              // of a group ({\* ...}, TextExtractor.processGroupStart
+              // :1464-1476); mid-group \* is a no-op control symbol
+              // (processControlSymbol:808-812 — testRTFIgnoredControlWord).
+              // The skip is lifted when the destination turns out to be
+              // one we capture (objdata/pict).
+              if (wasGroupStart && skipDepth == 0) skipDepth = 1
               i += 2
             } else if (Character.isLetter(c1)) {
               // control word
@@ -145,19 +179,31 @@ object RtfExtractor {
                   val end = math.min(n, j + len)
                   capBuf.write(s.substring(j, end).getBytes(Cp1252))
                   j = end
-                case "par" | "line" => if (skipDepth == 0) sink.newline()
-                case "tab" => if (skipDepth == 0) sink.tab()
-                case "cell" => if (skipDepth == 0) sink.tab()
-                case "row" => if (skipDepth == 0) sink.newline()
+                case "par" | "line" | "row" =>
+                  if (skipDepth == 0) {
+                    if (metaKey != null) metaBuf.append(' ')
+                    else if (infoDepth < 0) sink.newline()
+                  }
+                case "tab" | "cell" =>
+                  if (skipDepth == 0) {
+                    if (metaKey != null) metaBuf.append(' ')
+                    else if (infoDepth < 0) sink.tab()
+                  }
                 case "uc" => uc = param.toIntOption.getOrElse(1)
                 case "u" =>
                   if (skipDepth == 0) {
                     param.toIntOption.foreach { code =>
                       val ch = if (code < 0) (code + 65536).toChar else code.toChar
-                      sink.chars(ch.toString)
+                      if (metaKey != null) metaBuf.append(ch)
+                      else if (infoDepth < 0) sink.chars(ch.toString)
                     }
                     pendingSkip = uc
                   }
+                case "info" => if (skipDepth == 0 && infoDepth < 0) infoDepth = depth
+                case w if infoDepth >= 0 && skipDepth == 0 &&
+                    metaKey == null && InfoMeta.contains(w) =>
+                  metaKey = InfoMeta(w); metaDepth = depth
+                  metaBuf = new StringBuilder
                 case "emdash" => emit('—')
                 case "endash" => emit('–')
                 case "lquote" => emit('‘')

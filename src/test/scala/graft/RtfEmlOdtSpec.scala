@@ -44,6 +44,35 @@ class RtfSpec extends AnyFunSuite {
     assert(t.contains("after"))
   }
 
+  test("\\* mid-group is a no-op, not a destination skip (TIKA testRTFIgnoredControlWord)") {
+    // reference TextExtractor only treats \* as ignorable when it is the
+    // FIRST token of a group (processGroupStart:1464-1476)
+    val t = extract("""{\rtf1 {\f2\b0\*\cs7\cf0 The quick brown fox}\par}""")
+    assert(t.contains("The quick brown fox"), t)
+  }
+
+  test("header/footer destination text is emitted (TIKA-2410 testBoldPlain)") {
+    val t = extract("""{\rtf1{\header\qc\b Animal Hospital\par}body\par}""")
+    assert(t.contains("Animal Hospital"), t)
+    assert(t.contains("body"))
+  }
+
+  test("info fields become metadata, never body text") {
+    val sink = new SpanSink()
+    val meta = new MetaSink
+    RtfExtractor.extract(
+      """{\rtf1{\info{\title My T\'e9tle}{\author Ann B}{\company ACME}}body\par}"""
+        .getBytes(ISO_8859_1), sink, meta)
+    val text = sink.result().filter(_.kind == "text").map(_.text).mkString
+    assert(!text.contains("My T"))
+    assert(!text.contains("Ann B"))
+    assert(text.contains("body"))
+    val m = meta.result()
+    assert(m("dc:title") == Seq("My Tétle"), m)
+    assert(m("dc:creator") == Seq("Ann B"))
+    assert(m("company") == Seq("ACME"))
+  }
+
   test("engine: corpus rtf detected and parsed") {
     val out = Extractor.extract(DocRow("r1",
       Seq(Span("bytes", Corpus.b64(Corpus.rtfDoc(Corpus.rng(5))), null, 0))))
