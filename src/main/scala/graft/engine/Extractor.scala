@@ -231,7 +231,20 @@ object Extractor {
         else if (mime0 == MediaTypes.TikaMsOffice)
           try graft.ole2.Ole2Detector.specialize(bytes)
           catch { case _: Exception => mime0 }
-        else mime0
+        else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0xd0 &&
+            (bytes(1) & 0xff) == 0xcf && (bytes(2) & 0xff) == 0x11 &&
+            (bytes(3) & 0xff) == 0xe0) {
+          // a name hint (.doc/.xls/...) specialized the generic CFB type,
+          // but POIFSContainerDetector's checkEncrypted runs on EVERY
+          // OLE2 container and outranks it (TIKA-3666: DRM dataspaces
+          // inside a shell that still carries a WordDocument stream)
+          val byDir =
+            try graft.ole2.Ole2Detector.specialize(bytes)
+            catch { case _: Exception => mime0 }
+          if (byDir == graft.ole2.Ole2Detector.OoxmlProtected ||
+              byDir == graft.ole2.Ole2Detector.DrmEncrypted) byDir
+          else mime0
+        } else mime0
       if (idPath.isEmpty) noteMime(mime)
       else meta.add("embedded:" + idPath, mime)
 

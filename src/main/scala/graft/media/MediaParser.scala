@@ -52,6 +52,7 @@ object MediaParser {
         parseMp4(bytes)
       else if (matches(bytes, 0, 'O', 'g', 'g', 'S')) parseOgg(bytes)
       else if (matches(bytes, 0, 0x30, 0x26, 0xb2, 0x75)) parseAsf(bytes)
+      else if (matches(bytes, 0, 'i', 'c', 'n', 's')) parseIcns(bytes)
       else if (matches(bytes, 0, 0xff, 0x0a)) parseJxlCodestream(bytes, 2)
       else if (matches(bytes, 4, 'J', 'X', 'L', ' ') &&
                matches(bytes, 8, 0x0d, 0x0a, 0x87, 0x0a)) parseJxlContainer(bytes)
@@ -297,6 +298,75 @@ object MediaParser {
     * sample rate → duration (the javax.sound surface the reference's
     * AudioParser exposes for aiff).
     */
+  /** Apple ICNS icon family: (width, height, bpp, isMask, retina) per
+    * OSType, the public Apple icon-type registry the reference's
+    * ICNSType.java also encodes. bpp 0 = JPEG 2000/PNG payload.
+    */
+  private val IcnsTypes: Map[String, (Int, Int, Int, Boolean, Boolean)] = Map(
+    "ICON" -> (32, 32, 1, false, false), "icm#" -> (16, 12, 1, true, false),
+    "icm4" -> (16, 12, 4, false, false), "icm8" -> (16, 12, 8, false, false),
+    "s8mk" -> (16, 16, 8, true, false), "ics#" -> (16, 16, 1, true, false),
+    "ics4" -> (16, 16, 4, false, false), "ics8" -> (16, 16, 8, false, false),
+    "is32" -> (16, 16, 24, false, false), "l8mk" -> (32, 32, 8, true, false),
+    "ICN#" -> (32, 32, 1, true, false), "icl4" -> (32, 32, 4, false, false),
+    "icl8" -> (32, 32, 8, false, false), "il32" -> (32, 32, 24, false, false),
+    "h8mk" -> (48, 48, 8, true, false), "ich#" -> (48, 48, 1, true, false),
+    "ich4" -> (48, 48, 4, false, false), "ich8" -> (48, 48, 8, false, false),
+    "ih32" -> (48, 48, 24, false, false), "t8mk" -> (128, 128, 8, true, false),
+    "it32" -> (128, 128, 24, false, false), "icp4" -> (16, 16, 0, false, false),
+    "icp5" -> (32, 32, 0, false, false), "icp6" -> (64, 64, 0, false, false),
+    "icp7" -> (128, 128, 0, false, false), "ic08" -> (256, 256, 0, false, false),
+    "ic09" -> (512, 512, 0, false, false), "ic10" -> (1024, 1024, 0, false, true),
+    "ic11" -> (16, 16, 0, false, true), "ic12" -> (32, 32, 0, false, true),
+    "ic13" -> (128, 128, 0, false, true), "ic14" -> (256, 256, 0, false, true))
+
+  /** ICNS TOC walk → "Icon count"/"Icon details" (+ masked variants)
+    * tags, the reference ICNSParser's exact metadata surface; the first
+    * icon's dimensions double as width/height. Unknown OSTypes stop the
+    * walk (ICNSParser.java:86-91).
+    */
+  private def parseIcns(b: Array[Byte]): Option[Meta] = {
+    val icons = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Boolean)]()
+    val masks = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Boolean)]()
+    var p = 8
+    var done = false
+    while (!done && p + 8 <= b.length) {
+      val os = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      IcnsTypes.get(os) match {
+        case None => done = true
+        case Some((w, h, bpp, isMask, retina)) =>
+          val len = be32(b, p + 4).toInt
+          if (len <= 0 || len > b.length) done = true
+          else {
+            if (isMask) masks += ((w, h, bpp, retina))
+            else icons += ((w, h, bpp, retina))
+            p += len
+          }
+      }
+    }
+    if (icons.isEmpty && masks.isEmpty) return None
+    def detail(e: (Int, Int, Int, Boolean), maskFmt: Boolean): String = {
+      val (w, h, bpp, retina) = e
+      val dims = if (retina && !maskFmt) s"${h}x$w@2X" else s"${h}x$w"
+      val fmt =
+        if (maskFmt || bpp != 0) s"$bpp bpp" else "JPEG 2000 or PNG format"
+      s"$dims ($fmt)"
+    }
+    val tags = scala.collection.mutable.LinkedHashMap[String, String]()
+    if (icons.nonEmpty) {
+      tags("Icon count") = icons.size.toString
+      tags("Icon details") = icons.map(detail(_, maskFmt = false)).mkString(", ")
+    }
+    if (masks.nonEmpty) {
+      tags("Masked icon count") = masks.size.toString
+      tags("Masked icon details") = masks.map(detail(_, maskFmt = true)).mkString(", ")
+    }
+    val (w0, h0) = icons.headOption.map(e => (e._1, e._2))
+      .orElse(masks.headOption.map(e => (e._1, e._2))).getOrElse((0, 0))
+    Some(Meta("image/icns", "image", width = w0, height = h0,
+      tags = tags.toMap))
+  }
+
   private def parseAiff(b: Array[Byte]): Option[Meta] = {
     if (b.length < 12 || !matches(b, 8, 'A', 'I', 'F')) return None
     var p = 12

@@ -72,6 +72,11 @@ object DocExtractor {
     }
     require(wIdent == 0xA5EC, "bad FIB wIdent")
     val flags = buf.getShort(0x0A).toInt
+    // FIB base fEncrypted (RC4/CryptoAPI or XOR obfuscation, and DRM-
+    // wrapped documents set it too): the reference throws
+    // EncryptedDocumentException (WordParserTest testWORD_protected_*,
+    // testWORD_protected_drm)
+    require((flags & 0x0100) == 0, "encrypted word document")
     val whichTbl = (flags & 0x0200) != 0
     val tableName = if (whichTbl) "1Table" else "0Table"
     val table = cfb.stream(tableName)
@@ -343,6 +348,15 @@ object PptExtractor {
       child: (String, Array[Byte]) => Unit = (_, _) => ()): Unit = {
     val cfb = Cfb.parse(bytes)
     OleProps.fromCfb(cfb, meta)
+    // CurrentUserAtom headerToken 0xF3D1C4DF marks an encrypted deck
+    // (MS-PPT §2.3.2; HSLF throws EncryptedPowerPointFileException —
+    // PowerPointParserTest.testEncrypted)
+    cfb.stream("Current User").foreach { cu =>
+      if (cu.length >= 16) {
+        val tok = ByteBuffer.wrap(cu).order(ByteOrder.LITTLE_ENDIAN).getInt(12)
+        require(tok != 0xF3D1C4DF, "encrypted powerpoint document")
+      }
+    }
     val ppt = cfb.stream("PowerPoint Document")
       .getOrElse(throw new IllegalArgumentException("no PowerPoint Document stream"))
     walk(ppt, 0, ppt.length, sink, 0)

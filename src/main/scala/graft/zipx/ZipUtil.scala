@@ -200,7 +200,7 @@ object ZipUtil {
           val lExtraLen = le16(b, lo + 28)
           val dataOff = lo + 30 + lNameLen + lExtraLen
           if (dataOff + compSize <= b.length) {
-            val data: Array[Byte] = method match {
+            var data: Array[Byte] = method match {
               case 0 =>
                 java.util.Arrays.copyOfRange(b, dataOff, (dataOff + compSize).toInt)
               case 8 =>
@@ -216,7 +216,23 @@ object ZipUtil {
                   }
                   outB
                 } finally inf.end()
+              // legacy PKZIP methods (reference: commons-compress
+              // Unshrinking/ExplodingInputStream; ZipParserTest moby.zip)
+              case 1 =>
+                try graft.pkgx.ZipLegacy.unshrink(b, dataOff, compSize.toInt,
+                  uncompSize.toInt)
+                catch { case _: Exception => null }
+              case 6 =>
+                try graft.pkgx.ZipLegacy.explode(b, dataOff, compSize.toInt,
+                  uncompSize.toInt, flags)
+                catch { case _: Exception => null }
               case _ => null // unsupported method (e.g. 99 = AES-encrypted)
+            }
+            // the legacy decoders are CRC-gated against the CEN record
+            if (data != null && (method == 1 || method == 6)) {
+              val crc = new java.util.zip.CRC32()
+              crc.update(data)
+              if (crc.getValue != le32(b, p + 16)) data = null
             }
             if (data != null) out += Entry(name, data, compSize)
           }

@@ -29,6 +29,22 @@ class MediaExtraSpec extends AnyFunSuite {
     assert(m.tags.get("tiff:BitsPerSample").contains("8"))
   }
 
+  test("testICNS.icns: icon + mask inventories (ICNSParserTest)") {
+    val m = parse(img, "testICNS.icns")
+    assert(m.mime == "image/icns")
+    assert(m.tags.get("Icon count").contains("2"))
+    assert(m.tags.get("Icon details").contains("16x16 (24 bpp), 32x32 (24 bpp)"))
+    assert(m.tags.get("Masked icon count").contains("2"))
+    assert(m.tags.get("Masked icon details").contains("16x16 (8 bpp), 32x32 (8 bpp)"))
+  }
+
+  test("testICNS_basic.icns: single 512x512 JPEG2000/PNG icon") {
+    val m = parse(img, "testICNS_basic.icns")
+    assert(m.tags.get("Icon count").contains("1"))
+    assert(m.tags.get("Icon details").contains("512x512 (JPEG 2000 or PNG format)"))
+    assert(m.width == 512 && m.height == 512)
+  }
+
   test("webp variants: lossy, lossless, extended all carry dimensions") {
     for (n <- Seq("testWEBP.webp", "testWebp_Alpha_Lossless.webp",
         "testWebp_Alpha_Lossy.webp")) {
