@@ -634,6 +634,35 @@ object SparkEntry {
           .as("first_standard"))
     }),
 
+    "q40_pii_scrub" -> ((s, dir) => {
+      // PII redaction over the documents table. The synthetic corpus
+      // carries no digits at all, so the query plants one deterministic
+      // email/card/IP/phone per document (pure cross-engine string
+      // concat) and the operator must find and redact exactly those —
+      // the oracle replays the same augment + scrub in DuckDB/RE2.
+      val t = tbl(s, dir, "documents")
+      val aug = t.select(col("doc_id"),
+        concat(col("text"),
+          lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.org or +1 555-0"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.1 card 4111 1111 1111 1111.")).as("text"))
+      graft.ops.PiiScrub.profile(aug)
+    }),
+    "q41_normalize" -> ((s, dir) => {
+      // Unicode normalization profile: the augment appends decomposed
+      // sequences (e+U+0301, A+U+030A), a control char, and a tab so
+      // NFC composition, ctrl-strip, and whitespace collapse all do
+      // real work on every row; DuckDB's nfc_normalize (utf8proc)
+      // implements the same Unicode algorithm as java.text.Normalizer.
+      val t = tbl(s, dir, "documents")
+      val aug = t.select(col("doc_id"),
+        concat(col("text"),
+          lit(" cafe\u0301 A\u030A \u00E9 x\u0007y\tz")).as("text"))
+      graft.ops.TextNorm.profile(aug)
+    }),
+
     "q25_detect_mime_expr" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.DetectMime
@@ -886,13 +915,47 @@ object SparkEntry {
          WHERE rank <= 5""",
     "q34_regex_projections" ->
       ("""SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '""" + """(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)""" + """', 1)) AS INTEGER) AS n_urls,
-           coalesce(regexp_extract_all(text, '""" + """(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)""" + """', 1)[1], '') AS first_url,
-           CAST(len(regexp_extract_all(text, '""" + """\\+?\\d{1,3}[ .-]\\d{3}[ .-]\\d{3,4}(?:[ .-]\\d{3,4})?""" + """', 0)) AS INTEGER) AS n_phones,
-           coalesce(regexp_extract_all(text, '""" + """\\+?\\d{1,3}[ .-]\\d{3}[ .-]\\d{3,4}(?:[ .-]\\d{3,4})?""" + """', 0)[1], '') AS first_phone,
-           CAST(len(regexp_extract_all(text, '""" + """((?:ISO|IEC|RFC|IEEE|ANSI|NIST)[ -]?\\d{2,6})""" + """', 1)) AS INTEGER) AS n_standards,
-           coalesce(regexp_extract_all(text, '""" + """((?:ISO|IEC|RFC|IEEE|ANSI|NIST)[ -]?\\d{2,6})""" + """', 1)[1], '') AS first_standard
+           CAST(len(regexp_extract_all(text, '""" + """(https?://[\w.-]*\w(?:/[\w./%#?&=-]*[\w/%#?&=-])?)""" + """', 1)) AS INTEGER) AS n_urls,
+           coalesce(regexp_extract_all(text, '""" + """(https?://[\w.-]*\w(?:/[\w./%#?&=-]*[\w/%#?&=-])?)""" + """', 1)[1], '') AS first_url,
+           CAST(len(regexp_extract_all(text, '""" + """\+?\d{1,3}[ .-]\d{3}[ .-]\d{3,4}(?:[ .-]\d{3,4})?""" + """', 0)) AS INTEGER) AS n_phones,
+           coalesce(regexp_extract_all(text, '""" + """\+?\d{1,3}[ .-]\d{3}[ .-]\d{3,4}(?:[ .-]\d{3,4})?""" + """', 0)[1], '') AS first_phone,
+           CAST(len(regexp_extract_all(text, '""" + """((?:ISO|IEC|RFC|IEEE|ANSI|NIST)[ -]?\d{2,6})""" + """', 1)) AS INTEGER) AS n_standards,
+           coalesce(regexp_extract_all(text, '""" + """((?:ISO|IEC|RFC|IEEE|ANSI|NIST)[ -]?\d{2,6})""" + """', 1)[1], '') AS first_standard
          FROM documents"""),
+    "q40_pii_scrub" ->
+      """WITH a AS (SELECT doc_id,
+           concat(text, ' Contact user', CAST(doc_id AS VARCHAR),
+                  '@example.org or +1 555-0',
+                  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                  ' from 10.', CAST(doc_id % 256 AS VARCHAR),
+                  '.0.1 card 4111 1111 1111 1111.') AS aug
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b')) AS INTEGER) AS n_cards,
+           CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(aug, '\+?\d{1,3}[ .-]\d{3}[ .-]\d{3,4}(?:[ .-]\d{3,4})?')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '<CARD>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d{1,3}[ .-]\d{3}[ .-]\d{3,4}(?:[ .-]\d{3,4})?', '<PHONE>', 'g')) AS scrub_sig
+         FROM a""",
+    "q41_normalize" ->
+      """WITH a AS (SELECT doc_id,
+           concat(text, ' cafe', chr(769), ' A', chr(778), ' ', chr(233),
+                  ' x', chr(7), 'y', chr(9), 'z') AS aug
+           FROM documents),
+         n AS (SELECT doc_id, length(aug) AS n_before,
+           nfc_normalize(aug) AS nfc FROM a),
+         c AS (SELECT doc_id, n_before,
+           trim(regexp_replace(regexp_replace(nfc,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             '[ \t]+', ' ', 'g')) AS cleaned FROM n)
+         SELECT doc_id, CAST(n_before AS INTEGER) AS n_before,
+           CAST(length(cleaned) AS INTEGER) AS n_after,
+           md5(cleaned) AS norm_sig
+         FROM c""",
     "q35_dup_clusters" ->
       """WITH RECURSIVE
            t AS (SELECT doc_id,
@@ -954,7 +1017,7 @@ object SparkEntry {
     "q36_domain_stats" ->
       """SELECT source AS domain, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           CAST(sum(len(regexp_extract_all(text, '(https?://[\\w.-]*\\w(?:/[\\w./%#?&=-]*[\\w/%#?&=-])?)', 1))) AS BIGINT) AS n_urls
+           CAST(sum(len(regexp_extract_all(text, '(https?://[\w.-]*\w(?:/[\w./%#?&=-]*[\w/%#?&=-])?)', 1))) AS BIGINT) AS n_urls
          FROM documents GROUP BY source""",
     "q21_media_features" ->
       """SELECT * FROM (VALUES
