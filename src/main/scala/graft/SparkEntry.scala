@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.corpus.Corpus
@@ -650,6 +650,29 @@ object SparkEntry {
           lit(".0.1 card 4111 1111 1111 1111.")).as("text"))
       graft.ops.PiiScrub.profile(aug)
     }),
+    "q42_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: docs sharing an 8-gram with the
+      // benchmark side (doc_id%97==0) are flagged. The synthetic corpus
+      // has no natural cross-doc 8-gram overlap (measured), so overlap
+      // is planted in-plan: benchmark doc b appends canary variant
+      // floor(b/97)%7 and training docs d%31==3 append variant d%7 —
+      // variants 0..5 exist on the benchmark side, so planted docs with
+      // d%7==6 stay clean (selectivity is real). Oracle replays the
+      // same augment + shingle + md5-join in DuckDB.
+      val t = tbl(s, dir, "documents")
+      val snippet = (v: Column) => concat(
+        lit(" eval canary alpha beta gamma "), v.cast("string"),
+        lit(" delta epsilon zeta eta"))
+      val aug = t.select(col("doc_id"),
+        when(col("doc_id") % 97 === 0,
+          concat(col("text"), snippet(floor(col("doc_id") / 97) % 7)))
+          .when(col("doc_id") % 31 === 3,
+            concat(col("text"), snippet(col("doc_id") % 7)))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Decontam.contamination(aug)
+    }),
+    "q43_holdout_sample" -> ((s, dir) =>
+      graft.ops.Holdout.stratifiedAudit(tbl(s, dir, "documents"))),
     "q41_normalize" -> ((s, dir) => {
       // Unicode normalization profile: the augment appends decomposed
       // sequences (e+U+0301, A+U+030A), a control char, and a tab so
@@ -956,6 +979,42 @@ object SparkEntry {
            CAST(length(cleaned) AS INTEGER) AS n_after,
            md5(cleaned) AS norm_sig
          FROM c""",
+    "q42_decontaminate" ->
+      """WITH a AS (SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN concat(text,
+                  ' eval canary alpha beta gamma ',
+                  CAST((doc_id // 97) % 7 AS VARCHAR),
+                  ' delta epsilon zeta eta')
+                WHEN doc_id % 31 = 3 THEN concat(text,
+                  ' eval canary alpha beta gamma ',
+                  CAST(doc_id % 7 AS VARCHAR),
+                  ' delta epsilon zeta eta')
+                ELSE text END AS text
+           FROM documents),
+         tok AS (SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM a),
+         g AS (SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS sig
+           FROM tok, LATERAL (SELECT unnest(range(1, len(toks)-6)) AS i) s
+           WHERE len(toks) >= 8),
+         dg AS (SELECT DISTINCT doc_id, sig FROM g),
+         bench AS (SELECT DISTINCT sig FROM dg WHERE doc_id % 97 = 0),
+         corpus AS (SELECT * FROM dg WHERE doc_id % 97 <> 0)
+         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+           CAST(sum(CASE WHEN b.sig IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_hits
+         FROM corpus c LEFT JOIN bench b USING (sig)
+         GROUP BY doc_id
+         HAVING sum(CASE WHEN b.sig IS NOT NULL THEN 1 ELSE 0 END) > 0""",
+    "q43_holdout_sample" ->
+      """WITH b AS (SELECT source AS stratum,
+           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*16
+           + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1 AS bucket
+           FROM documents)
+         SELECT stratum, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN bucket < 32 + (length(stratum) % 4) * 32
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(32 + (length(stratum) % 4) * 32 AS INTEGER) AS threshold
+         FROM b GROUP BY stratum""",
     "q35_dup_clusters" ->
       """WITH RECURSIVE
            t AS (SELECT doc_id,
