@@ -125,6 +125,16 @@ object DocxExtractor {
       relsFor(parts, "word/document.xml"), numbering))
     Seq("footnotes.xml", "endnotes.xml", "comments.xml")
       .map("word/" + _).foreach(parsePart)
+    // end-of-document dump of diagram-data and chart parts (reference
+    // SXWPFWordExtractorDecorator:300-306 walks DIAGRAM_DATA, CHART,
+    // FOOTER rels after the main story)
+    val docRels = XlsxDrawings.relsOf(parts, "word/_rels/document.xml.rels")
+    for (rel <- docRels if rel.tpe.endsWith("/diagramData"))
+      XlsxDrawings.scrapeRunText(parts,
+        XlsxDrawings.resolve("word/document.xml", rel.target), sink)
+    for (rel <- docRels if rel.tpe.endsWith("/chart"))
+      XlsxDrawings.scrapeRunText(parts,
+        XlsxDrawings.resolve("word/document.xml", rel.target), sink)
     named("footer").foreach(parsePart)
     // altChunk imported sub-documents (HTML/MHT) recurse as children;
     // their parts are not XmlParts, so fetch them in a second targeted

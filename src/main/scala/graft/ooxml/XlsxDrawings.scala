@@ -37,7 +37,7 @@ object XlsxDrawings {
     }.getOrElse(Vector.empty)
   }
 
-  private def relsPathFor(partPath: String): String = {
+  private[ooxml] def relsPathFor(partPath: String): String = {
     val slash = partPath.lastIndexOf('/')
     partPath.substring(0, slash + 1) + "_rels/" +
       partPath.substring(slash + 1) + ".rels"
@@ -47,7 +47,7 @@ object XlsxDrawings {
     * `fromPart` — "xl/worksheets/sheet1.bin" + "../drawings/drawing1.xml"
     * → "xl/drawings/drawing1.xml".
     */
-  private def resolve(fromPart: String, target: String): String = {
+  private[ooxml] def resolve(fromPart: String, target: String): String = {
     if (target.startsWith("/")) return target.substring(1)
     val dir = fromPart.substring(0, fromPart.lastIndexOf('/'))
       .split('/').toVector
@@ -59,6 +59,20 @@ object XlsxDrawings {
     }
     out.mkString("/")
   }
+
+  /** SAX the part at `target` (resolved against `fromPart`) through the
+    * chart/diagram run-text scraper — shared by XLSX drawings, PPTX
+    * slides, and DOCX's end-of-document chart/diagram dump (reference:
+    * SXWPFWordExtractorDecorator:300-306 and
+    * SXSLFPowerPointExtractorDecorator:258-265 route these parts through
+    * OOXMLWordAndPowerPointTextHandler's chart mode).
+    */
+  private[ooxml] def scrapeRunText(parts: Map[String, Array[Byte]],
+      partPath: String, sink: SpanSink): Unit =
+    parts.get(partPath).foreach { xml =>
+      try DocxExtractor.saxParse(xml, new RunTextHandler(sink))
+      catch { case _: Exception => () } // aux-part text is best-effort
+    }
 
   /** Process every drawing rel of `sheetPath`: shape text + links, then
     * the drawing's diagram-data and chart children.

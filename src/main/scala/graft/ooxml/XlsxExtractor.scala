@@ -162,7 +162,12 @@ object XlsxExtractor {
   * Reference: tika-parsers .../ooxml/SXSLFPowerPointExtractorDecorator —
   * slides in presentation order (ppt/presentation.xml sldIdLst →
   * relationship targets), DrawingML `a:t` runs, paragraph (`a:p`) end →
-  * newline; slide end → newline.
+  * newline; slide end → newline. Per slide the reference then walks
+  * (buildXHTML/handleSlidePart order): slideLayout (placeholder-skipped,
+  * OfficeParserConfig.includeSlideMasterContent defaults true), notes,
+  * notesMaster, comments (author names via commentAuthors.xml,
+  * XSLFCommentsHandler), diagram-data, chart; after all slides the
+  * slideMaster parts (placeholder-skipped) and handoutMaster.
   */
 object PptxExtractor {
 
@@ -172,26 +177,115 @@ object PptxExtractor {
       n => ZipUtil.XmlParts(n) || n.contains("/embeddings/"))
     DocxExtractor.embeddedParts(parts, child)
     DocxExtractor.corePropsFrom(parts, meta)
+    val presRels = XlsxDrawings.relsOf(parts, "ppt/_rels/presentation.xml.rels")
+    val authors = commentAuthorsFrom(parts, presRels)
     slideTargetsFrom(parts).foreach { target =>
-      val path = if (target.startsWith("/")) target.substring(1) else "ppt/" + target
+      val path = XlsxDrawings.resolve("ppt/presentation.xml", target)
       parts.get(path).foreach { bytes =>
         DocxExtractor.saxParse(bytes, new SlideHandler(sink))
-        // speaker notes follow their slide (OfficeParserConfig
-        // includeSlideNotes defaults true in the reference)
-        val slash = path.lastIndexOf('/')
-        val relsPath = path.substring(0, slash + 1) + "_rels/" +
-          path.substring(slash + 1) + ".rels"
-        for (rel <- XlsxDrawings.relsOf(parts, relsPath)
-            if rel.tpe.endsWith("/notesSlide")) {
-          val nPath =
-            if (rel.target.startsWith("/")) rel.target.substring(1)
-            else "ppt/" + rel.target.stripPrefix("../")
-          parts.get(nPath).foreach { nb =>
-            DocxExtractor.saxParse(nb, new SlideHandler(sink))
-          }
-        }
+        val rels = XlsxDrawings.relsOf(parts, XlsxDrawings.relsPathFor(path))
+        def each(suffix: String)(f: String => Unit): Unit =
+          for (rel <- rels if rel.tpe.endsWith(suffix))
+            f(XlsxDrawings.resolve(path, rel.target))
+        // layout text right after the slide's own (placeholder shapes
+        // suppressed — "Click to edit…" boilerplate lives in <p:ph> shapes)
+        each("/slideLayout")(p => parts.get(p).foreach(b =>
+          DocxExtractor.saxParse(b,
+            new PlaceholderSkipHandler(new SlideHandler(sink)))))
+        // speaker notes follow (includeSlideNotes defaults true), then
+        // the notes master when the slide links one directly
+        each("/notesSlide")(p => parts.get(p).foreach(b =>
+          DocxExtractor.saxParse(b, new SlideHandler(sink))))
+        each("/notesMaster")(p => parts.get(p).foreach(b =>
+          DocxExtractor.saxParse(b,
+            new PlaceholderSkipHandler(new SlideHandler(sink)))))
+        each("/comments")(p => parts.get(p).foreach(b =>
+          DocxExtractor.saxParse(b, new CommentsHandler(sink, authors))))
+        each("/diagramData")(p => XlsxDrawings.scrapeRunText(parts, p, sink))
+        each("/chart")(p => XlsxDrawings.scrapeRunText(parts, p, sink))
         sink.newline() // slide end
       }
+    }
+    // master text after all slides (reference buildXHTML:139-151);
+    // handout master is NOT placeholder-skipped there
+    for (rel <- presRels if rel.tpe.endsWith("/slideMaster"))
+      parts.get(XlsxDrawings.resolve("ppt/presentation.xml", rel.target))
+        .foreach(b => DocxExtractor.saxParse(b,
+          new PlaceholderSkipHandler(new SlideHandler(sink))))
+    for (rel <- presRels if rel.tpe.endsWith("/handoutMaster"))
+      parts.get(XlsxDrawings.resolve("ppt/presentation.xml", rel.target))
+        .foreach(b => DocxExtractor.saxParse(b, new SlideHandler(sink)))
+  }
+
+  /** authorId → (name, initials) from ppt/commentAuthors.xml. */
+  private def commentAuthorsFrom(parts: Map[String, Array[Byte]],
+      presRels: Vector[XlsxDrawings.Rel]): Map[String, (String, String)] = {
+    val out = Map.newBuilder[String, (String, String)]
+    for (rel <- presRels if rel.tpe.endsWith("/commentAuthors");
+         bytes <- parts.get(
+           XlsxDrawings.resolve("ppt/presentation.xml", rel.target)))
+      DocxExtractor.saxParse(bytes, new DefaultHandler {
+        override def startElement(u: String, l: String, q: String,
+            a: Attributes): Unit =
+          if (q.endsWith(":cmAuthor")) {
+            val id = Option(a.getValue("id")).getOrElse("")
+            if (id.nonEmpty) out += id ->
+              (Option(a.getValue("name")).getOrElse(""),
+                Option(a.getValue("initials")).getOrElse(""))
+          }
+      })
+    out.result()
+  }
+
+  /** Slide comments: "<author> (<initials>)" then the comment text, one
+    * line per `p:cm` (reference XSLFCommentsHandler's slide-comment
+    * paragraph, flattened to the text face).
+    */
+  private final class CommentsHandler(sink: SpanSink,
+      authors: Map[String, (String, String)]) extends DefaultHandler {
+    private var inCm = false
+    private var authorId = ""
+    private val buf = new StringBuilder
+    override def startElement(u: String, l: String, q: String,
+        a: Attributes): Unit =
+      if (q.endsWith(":cm")) {
+        inCm = true
+        authorId = Option(a.getValue("authorId")).getOrElse("")
+        buf.setLength(0)
+      }
+    override def characters(ch: Array[Char], s: Int, n: Int): Unit =
+      if (inCm) buf.appendAll(ch, s, n)
+    override def endElement(u: String, l: String, q: String): Unit =
+      if (q.endsWith(":cm") && inCm) {
+        inCm = false
+        authors.get(authorId).foreach { case (name, initials) =>
+          val who =
+            if (name.nonEmpty && initials.nonEmpty) s"$name ($initials)"
+            else if (name.nonEmpty) name else initials
+          if (who.nonEmpty) sink.chars(who)
+        }
+        sink.chars(buf.toString)
+        sink.newline()
+      }
+  }
+
+  /** Suppress text inside placeholder (`p:ph`) shapes of master/layout
+    * parts — the reference's PlaceHolderSkipper: skip from `<p:ph>` until
+    * the enclosing `p:sp` closes.
+    */
+  private final class PlaceholderSkipHandler(inner: DefaultHandler)
+      extends DefaultHandler {
+    private var inPh = false
+    override def startElement(u: String, l: String, q: String,
+        a: Attributes): Unit = {
+      if (q.endsWith(":ph") || q == "ph") inPh = true
+      if (!inPh) inner.startElement(u, l, q, a)
+    }
+    override def characters(ch: Array[Char], s: Int, n: Int): Unit =
+      if (!inPh) inner.characters(ch, s, n)
+    override def endElement(u: String, l: String, q: String): Unit = {
+      if (!inPh) inner.endElement(u, l, q)
+      if (q.endsWith(":sp") || q == "sp") inPh = false
     }
   }
 
