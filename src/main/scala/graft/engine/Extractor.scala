@@ -654,6 +654,10 @@ object Extractor {
               // descriptive tags (ID3 title/artist/album, xmp:*) ride
               // under the same media:<ref> namespace
               mm.tags.foreach { case (k, v) => meta.add(s"media:$ref:$k", v) }
+              // attached pictures (ID3 APIC cover art) recurse as inline
+              // embedded documents, like the reference's Mp3Parser
+              mm.attachments.foreach { case (name, data) =>
+                inlineChild(idPath, depth)(Some(name), data) }
             }
             sink.media(ref)
           case m if m == graft.mime.MimeDb.Netcdf =>

@@ -22,7 +22,8 @@ object MediaParser {
       sampleRate: Int = 0,
       channels: Int = 0,
       orientation: Int = 0,   // EXIF orientation 1-8, 0 = absent
-      tags: Map[String, String] = Map.empty) // id3:*/xmp:* descriptive tags
+      tags: Map[String, String] = Map.empty, // id3:*/xmp:* descriptive tags
+      attachments: Seq[(String, Array[Byte])] = Nil) // APIC cover art etc.
 
   def parse(bytes: Array[Byte]): Option[Meta] = {
     if (bytes.length < 12) return None
@@ -540,10 +541,12 @@ object MediaParser {
   private def parseMp3(b: Array[Byte]): Option[Meta] = {
     var p = 0
     var tags = Map.empty[String, String]
+    var covers: Seq[(String, Array[Byte])] = Nil
     if (matches(b, 0, 'I', 'D', '3') && b.length >= 10) {
       val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
         ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
       tags = id3v2Tags(b, b(3) & 0xff, 10, math.min(10 + size, b.length))
+      covers = id3v2Pictures(b, b(3) & 0xff, 10, math.min(10 + size, b.length))
       p = 10 + size
     }
     // ID3v1 trailer fills fields v2 didn't provide
@@ -560,7 +563,80 @@ object MediaParser {
     val dur = (b.length - p).toLong * 8 / kbps // bytes*8 / (kbps) = ms
     Some(Meta("audio/mpeg", "audio", durationMs = dur, sampleRate = rate,
       channels = if (((b(p + 3) & 0xc0) >> 6) == 3) 1 else 2,
-      tags = tags))
+      tags = tags, attachments = covers))
+  }
+
+  /** APIC picture-type names (ID3v2.3 §4.15), used when the frame's own
+    * description is empty — the reference's Mp3Parser emits each APIC
+    * frame as an inline embedded document titled by its description.
+    */
+  private val ApicTypes = Map(0 -> "Other", 1 -> "File icon",
+    2 -> "Other file icon", 3 -> "Cover (front)", 4 -> "Cover (back)",
+    5 -> "Leaflet page", 6 -> "Media", 8 -> "Artist")
+
+  /** APIC (v2.3/2.4) and PIC (v2.2) attached pictures: enc byte, MIME
+    * (v2.2: 3-char image format), picture type, description
+    * (encoding-dependent terminator), image payload.
+    */
+  private def id3v2Pictures(b: Array[Byte], ver: Int, start: Int,
+      end: Int): Seq[(String, Array[Byte])] = {
+    val v22 = ver == 2
+    val idLen = if (v22) 3 else 4
+    val hdrLen = if (v22) 6 else 10
+    val want = if (v22) "PIC" else "APIC"
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    var p = start
+    var n = 0
+    while (p + hdrLen <= end && n < 16) {
+      val id = new String(b, p, idLen, java.nio.charset.StandardCharsets.US_ASCII)
+      if (!id.forall(_.isLetterOrDigit)) return out.result() // padding
+      val size =
+        if (v22) ((b(p + 3) & 0xff) << 16) | ((b(p + 4) & 0xff) << 8) | (b(p + 5) & 0xff)
+        else if (ver >= 4) ((b(p + 4) & 0x7f) << 21) | ((b(p + 5) & 0x7f) << 14) |
+          ((b(p + 6) & 0x7f) << 7) | (b(p + 7) & 0x7f)
+        else ((b(p + 4) & 0xff) << 24) | ((b(p + 5) & 0xff) << 16) |
+          ((b(p + 6) & 0xff) << 8) | (b(p + 7) & 0xff)
+      if (size <= 0 || p + hdrLen + size > end) return out.result()
+      if (id == want) {
+        var q = p + hdrLen
+        val frameEnd = p + hdrLen + size
+        val enc = b(q) & 0xff; q += 1
+        if (v22) q += 3 // image format, e.g. "PNG"
+        else { while (q < frameEnd && b(q) != 0) q += 1; q += 1 } // MIME
+        val picType = if (q < frameEnd) b(q) & 0xff else 0
+        q += 1
+        val descStart = q
+        // description terminator: 1 NUL (latin-1/utf-8) or 2 (utf-16)
+        val wide = enc == 1 || enc == 2
+        if (wide) {
+          while (q + 1 < frameEnd && !(b(q) == 0 && b(q + 1) == 0)) q += 2
+          val cs = if (enc == 1) java.nio.charset.StandardCharsets.UTF_16
+            else java.nio.charset.StandardCharsets.UTF_16BE
+          val desc = new String(b, descStart, q - descStart, cs).trim
+          q += 2
+          if (q < frameEnd) {
+            n += 1
+            out += (if (desc.nonEmpty) desc
+              else ApicTypes.getOrElse(picType, "Attached picture")) ->
+              java.util.Arrays.copyOfRange(b, q, frameEnd)
+          }
+        } else {
+          while (q < frameEnd && b(q) != 0) q += 1
+          val desc = new String(b, descStart, q - descStart,
+            if (enc == 0) java.nio.charset.StandardCharsets.ISO_8859_1
+            else java.nio.charset.StandardCharsets.UTF_8).trim
+          q += 1
+          if (q < frameEnd) {
+            n += 1
+            out += (if (desc.nonEmpty) desc
+              else ApicTypes.getOrElse(picType, "Attached picture")) ->
+              java.util.Arrays.copyOfRange(b, q, frameEnd)
+          }
+        }
+      }
+      p += hdrLen + size
+    }
+    out.result()
   }
 
   /** ID3v2.2/2.3/2.4 text frames → descriptive tags (the reference's

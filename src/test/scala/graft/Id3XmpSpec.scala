@@ -65,4 +65,27 @@ class Id3XmpSpec extends AnyFunSuite {
       Seq(graft.core.Span("bytes", graft.corpus.Corpus.b64(Files.readAllBytes(pdf)), null, 0))))
     assert(d.meta.keys.exists(_.startsWith("xmp:")), d.meta.keys.toSeq.sorted.take(20))
   }
+
+  test("APIC cover art recurses as named embedded children " +
+      "(Mp3ParserTest.assertTwoCovers)") {
+    for (name <- Seq("testMP3_twoCovers.mp3", "testMP3v23_twoCovers.mp3")) {
+      org.scalatest.Assertions.assume(Files.isRegularFile(av.resolve(name)))
+      val d = graft.engine.Extractor.extract(graft.core.DocRow(name,
+        Seq(graft.core.Span("bytes",
+          graft.corpus.Corpus.b64(Files.readAllBytes(av.resolve(name))), null, 0))))
+      val path = d.meta.getOrElse("embedded:path", Nil).mkString("|")
+      assert(path.contains("Front Cover") && path.contains("Back Cover"), path)
+      // 64x40 front, 30x30 back — the reference test's pixel dims
+      val dims = d.meta.collect {
+        case (k, v) if k.endsWith(":width") || k.endsWith(":height") =>
+          v.mkString }
+      assert(dims.toSet == Set("64", "40", "30"), d.meta)
+    }
+  }
+
+  test("v2.2 PIC frames parse (no covers lost on old tags)") {
+    // v2.2 fixture has no pictures; the walk must still terminate clean
+    val t = tagsOf("testMP3id3v2.mp3")
+    assert(t.nonEmpty)
+  }
 }
