@@ -115,49 +115,225 @@ object MediaParser {
     out.toMap
   }
 
-  /** Ogg: the first logical packet's codec identification header carries
-    * channels + sample rate (Vorbis I spec §4.2.2; OggOpus RFC 7845 §5.1).
+  /** Reassemble the first `maxPackets` logical packets of the primary
+    * (first-seen serial) Ogg stream — packets span pages; a 255 lacing
+    * value continues the packet into the next segment/page.
     */
+  private def oggPackets(b: Array[Byte], maxPackets: Int): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    val cur = new java.io.ByteArrayOutputStream()
+    var count = 0
+    var off = 0
+    var serial = 0L
+    var haveSerial = false
+    while (off + 27 <= b.length && count < maxPackets &&
+        cur.size < 16 * 1024 * 1024) {
+      if (!matches(b, off, 'O', 'g', 'g', 'S')) return out.result()
+      val nseg = b(off + 26) & 0xff
+      if (off + 27 + nseg > b.length) return out.result()
+      val ser = le32(b, off + 14)
+      if (!haveSerial) { serial = ser; haveSerial = true }
+      var p = off + 27 + nseg
+      var i = 0
+      while (i < nseg) {
+        val l = b(off + 27 + i) & 0xff
+        if (p + l > b.length) return out.result()
+        if (ser == serial && count < maxPackets) {
+          cur.write(b, p, l)
+          if (l < 255) { out += cur.toByteArray; cur.reset(); count += 1 }
+        }
+        p += l
+        i += 1
+      }
+      off = p
+    }
+    out.result()
+  }
+
+  /** Vorbis-comment block at `off` in `p`: vendor, then N `KEY=value`
+    * fields (all lengths LE32). Returns descriptive tags plus cover-art
+    * attachments decoded from METADATA_BLOCK_PICTURE (base64 FLAC §8.8
+    * picture blocks) — the reference's VorbisParser/OpusParser surface.
+    */
+  private def vorbisComments(p: Array[Byte],
+      off: Int): (Map[String, String], Seq[(String, Array[Byte])]) = {
+    val tags = scala.collection.mutable.LinkedHashMap[String, String]()
+    val att = Vector.newBuilder[(String, Array[Byte])]
+    val keyNames = Map("title" -> "title", "artist" -> "artist",
+      "album" -> "album", "date" -> "year", "genre" -> "genre",
+      "tracknumber" -> "track", "composer" -> "composer")
+    var q = off
+    if (q + 4 > p.length) return (tags.toMap, Nil)
+    val vlen = le32(p, q).toInt; q += 4
+    if (vlen < 0 || q + vlen + 4 > p.length) return (tags.toMap, Nil)
+    q += vlen
+    var n = le32(p, q).toInt; q += 4
+    while (n > 0 && q + 4 <= p.length) {
+      val clen = le32(p, q).toInt; q += 4
+      if (clen < 0 || q + clen > p.length) n = 0
+      else {
+        val c = new String(p, q, clen, java.nio.charset.StandardCharsets.UTF_8)
+        q += clen
+        val eq = c.indexOf('=')
+        if (eq > 0) {
+          val key = c.substring(0, eq).toLowerCase
+          val value = c.substring(eq + 1)
+          if (key == "metadata_block_picture" && value.nonEmpty)
+            try flacPicture(java.util.Base64.getMimeDecoder.decode(value))
+              .foreach(att += _)
+            catch { case _: IllegalArgumentException => () }
+          else if (value.nonEmpty)
+            keyNames.get(key).foreach(k =>
+              if (!tags.contains(k)) tags(k) = value)
+        }
+        n -= 1
+      }
+    }
+    (tags.toMap, att.result())
+  }
+
+  /** FLAC §8.8 PICTURE block → (name, payload); name is the description
+    * when present, else the picture-type name ("Cover (front)" etc.).
+    */
+  private def flacPicture(d: Array[Byte]): Option[(String, Array[Byte])] = {
+    if (d.length < 32) return None
+    var q = 0
+    def u32(): Int = { val v = be32(d, q).toInt; q += 4; v }
+    val picType = u32()
+    val mimeLen = u32()
+    if (mimeLen < 0 || q + mimeLen + 4 > d.length) return None
+    q += mimeLen
+    val descLen = u32()
+    if (descLen < 0 || q + descLen + 20 > d.length) return None
+    val desc = new String(d, q, descLen, java.nio.charset.StandardCharsets.UTF_8).trim
+    q += descLen + 16 // width/height/depth/colors
+    val dataLen = u32()
+    if (dataLen <= 0 || q + dataLen > d.length) return None
+    val name = if (desc.nonEmpty) desc
+      else ApicTypes.getOrElse(picType, "Attached picture")
+    Some(name -> java.util.Arrays.copyOfRange(d, q, q + dataLen))
+  }
+
   private def parseOgg(b: Array[Byte]): Option[Meta] = {
     if (b.length < 48) return None
-    if (matches(b, 28, 0x01) && matches(b, 29, 'v', 'o', 'r', 'b', 'i', 's')) {
-      // id header: version(4) channels(1) rate(4 LE) at packet offset 7
-      val ch = b(28 + 11) & 0xff
-      val rate = le32(b, 28 + 12).toInt
-      Some(Meta("audio/vorbis", "audio", sampleRate = rate, channels = ch))
-    } else if (matches(b, 28, 'O', 'p', 'u', 's', 'H', 'e', 'a', 'd')) {
+    val pkts = oggPackets(b, 2)
+    if (pkts.isEmpty) return None
+    val id = pkts(0)
+    if (id.length >= 28 && (id(0) & 0xff) == 0x01 &&
+        matches(id, 1, 'v', 'o', 'r', 'b', 'i', 's')) {
+      // id header: version(4) channels(1) rate(4 LE) from packet offset 7,
+      // then bitrate_maximum/nominal/minimum (LE32 each)
+      val ch = id(11) & 0xff
+      val rate = le32(id, 12).toInt
+      val brMax = le32(id, 16).toInt
+      val brNom = le32(id, 20).toInt
+      val brMin = le32(id, 24).toInt
+      var tags = Map.empty[String, String]
+      var att: Seq[(String, Array[Byte])] = Nil
+      if (brNom > 0 || brMax > 0) {
+        tags += "bitrate" -> (if (brNom > 0) brNom else brMax).toString
+        // fixed only when the bracket has zero width (reference
+        // VorbisParserTest: nominal-only and open brackets are variable)
+        tags += "variable_bitrate" -> (!(brMax != 0 && brMax == brMin)).toString
+      }
+      if (pkts.length > 1 && pkts(1).length > 7 && (pkts(1)(0) & 0xff) == 3 &&
+          matches(pkts(1), 1, 'v', 'o', 'r', 'b', 'i', 's')) {
+        val (t, a) = vorbisComments(pkts(1), 7)
+        tags = tags ++ t; att = a
+      }
+      Some(Meta("audio/vorbis", "audio", sampleRate = rate, channels = ch,
+        tags = tags, attachments = att))
+    } else if (id.length >= 19 &&
+        matches(id, 0, 'O', 'p', 'u', 's', 'H', 'e', 'a', 'd')) {
       // OpusHead: ver(1) ch(1) preskip(2) inputRate(4 LE)
-      val ch = b(28 + 9) & 0xff
-      val rate = le32(b, 28 + 12).toInt
-      Some(Meta("audio/opus", "audio", sampleRate = rate, channels = ch))
+      val ch = id(9) & 0xff
+      val rate = le32(id, 12).toInt
+      var tags = Map.empty[String, String]
+      var att: Seq[(String, Array[Byte])] = Nil
+      if (pkts.length > 1 && pkts(1).length > 8 &&
+          matches(pkts(1), 0, 'O', 'p', 'u', 's', 'T', 'a', 'g', 's')) {
+        val (t, a) = vorbisComments(pkts(1), 8)
+        tags = t; att = a
+      }
+      Some(Meta("audio/opus", "audio", sampleRate = rate, channels = ch,
+        tags = tags, attachments = att))
     } else None
   }
 
   /** ASF: the File Properties object carries the play duration in 100 ns
     * units (public ASF spec §3.2); objects are GUID + LE64 size framed.
+    * The Content Description object (§3.10: title/author/copyright/
+    * description UTF-16LE fields) and Extended Content Description
+    * (§3.11: WM/AlbumTitle etc. name-value records) feed descriptive
+    * tags, matching the reference's ASFParser surface.
     */
   private def parseAsf(b: Array[Byte]): Option[Meta] = {
-    // file properties object GUID 8CABDCA1-A947-11CF-8EE4-00C00C205365 (LE)
+    // object GUIDs, little-endian byte order
     val fp = Array(0xa1, 0xdc, 0xab, 0x8c, 0x47, 0xa9, 0xcf, 0x11,
-      0x8e, 0xe4, 0x00, 0xc0, 0x0c, 0x20, 0x53, 0x65)
+      0x8e, 0xe4, 0x00, 0xc0, 0x0c, 0x20, 0x53, 0x65) // file properties
+    val cd = Array(0x33, 0x26, 0xb2, 0x75, 0x8e, 0x66, 0xcf, 0x11,
+      0xa6, 0xd9, 0x00, 0xaa, 0x00, 0x62, 0xce, 0x6c) // content description
+    val ecd = Array(0x40, 0xa4, 0xd0, 0xd2, 0x07, 0xe3, 0xd2, 0x11,
+      0x97, 0xf0, 0x00, 0xa0, 0xc9, 0x5e, 0xa8, 0x50) // extended content desc
+    def isGuid(o: Int, g: Array[Int]): Boolean =
+      g.indices.forall(i => (b(o + i) & 0xff) == g(i))
+    def utf16(o: Int, len: Int): String =
+      if (len <= 0 || o + len > b.length) ""
+      else new String(b, o, len, java.nio.charset.StandardCharsets.UTF_16LE)
+        .takeWhile(_ != '\u0000').trim
+    var durMs = 0L
+    val tags = scala.collection.mutable.LinkedHashMap[String, String]()
+    var found = false
     var off = 30L // past the header object preamble
     var hops = 0
     while (off + 24 < b.length && hops < 64) {
       hops += 1
       val o = off.toInt
       val size = le32(b, o + 16) | (le32(b, o + 20) << 32)
-      if (size < 24) return None
-      if (fp.indices.forall(i => (b(o + i) & 0xff) == fp(i))) {
-        if (o + 72 > b.length) return None
-        // play duration LE64 at object offset 64
+      if (size < 24) return if (found) Some(asfMeta(durMs, tags.toMap)) else None
+      if (isGuid(o, fp) && o + 72 <= b.length) {
         val dur100ns = le32(b, o + 64) | (le32(b, o + 68) << 32)
-        return Some(Meta("video/x-ms-asf", "video",
-          durationMs = dur100ns / 10000L))
+        durMs = dur100ns / 10000L
+        found = true
+      } else if (isGuid(o, cd) && o + 34 <= b.length) {
+        val tLen = le16(b, o + 24); val aLen = le16(b, o + 26)
+        var q = o + 34
+        val title = utf16(q, tLen); q += tLen
+        val author = utf16(q, aLen)
+        if (title.nonEmpty) tags("title") = title
+        if (author.nonEmpty) tags("artist") = author
+      } else if (isGuid(o, ecd) && o + 26 <= b.length) {
+        val names = Map("wm/albumtitle" -> "album", "wm/genre" -> "genre",
+          "wm/year" -> "year", "wm/tracknumber" -> "track",
+          "wm/albumartist" -> "album_artist", "wm/composer" -> "composer")
+        var n = le16(b, o + 24)
+        var q = o + 26
+        while (n > 0 && q + 2 <= b.length) {
+          val nameLen = le16(b, q); q += 2
+          if (q + nameLen + 4 > b.length) n = 0
+          else {
+            val name = utf16(q, nameLen).toLowerCase; q += nameLen
+            val vType = le16(b, q); val vLen = le16(b, q + 2); q += 4
+            if (q + vLen > b.length) n = 0
+            else {
+              if (vType == 0)
+                names.get(name).foreach { k =>
+                  val v = utf16(q, vLen)
+                  if (v.nonEmpty && !tags.contains(k)) tags(k) = v
+                }
+              q += vLen
+              n -= 1
+            }
+          }
+        }
       }
       off += size
     }
-    None
+    if (found || tags.nonEmpty) Some(asfMeta(durMs, tags.toMap)) else None
   }
+
+  private def asfMeta(durMs: Long, tags: Map[String, String]): Meta =
+    Meta("video/x-ms-asf", "video", durationMs = durMs, tags = tags)
 
   private def matches(b: Array[Byte], off: Int, vals: Int*): Boolean =
     off + vals.length <= b.length &&
@@ -809,6 +985,50 @@ object MediaParser {
   private def parseMp4(b: Array[Byte]): Option[Meta] = {
     var durMs = 0L
     var w, h = 0
+    var created = ""
+    val tags = scala.collection.mutable.LinkedHashMap[String, String]()
+    val att = Vector.newBuilder[(String, Array[Byte])]
+    // iTunes-style metadata items (moov/udta/meta/ilst): each item box
+    // holds a 'data' fullbox whose type flag selects the payload form —
+    // the reference MP4Parser's title/artist/album/genre surface
+    val ilstNames = Map("©nam" -> "title", "©ART" -> "artist",
+      "©alb" -> "album", "©day" -> "year", "©gen" -> "genre",
+      "©cmt" -> "comment", "©wrt" -> "composer",
+      "aART" -> "album_artist")
+    def parseIlst(from: Long, to: Long): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val size = be32(b, p.toInt)
+        if (size < 8 || size > to - p) return
+        val item = new String(b, p.toInt + 4, 4,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        // first child: data box (size, 'data', typeFlags, locale, payload)
+        val q = p + 8
+        if (q + 16 <= p + size &&
+            new String(b, q.toInt + 4, 4,
+              java.nio.charset.StandardCharsets.US_ASCII) == "data") {
+          val dSize = be32(b, q.toInt)
+          if (dSize >= 16 && dSize <= size - 8) {
+            val dType = (be32(b, q.toInt + 8) & 0xffffff).toInt
+            val payOff = q.toInt + 16
+            val payLen = dSize.toInt - 16
+            if (dType == 1 && payLen > 0) { // UTF-8 text
+              val v = new String(b, payOff, payLen,
+                java.nio.charset.StandardCharsets.UTF_8).trim
+              ilstNames.get(item).foreach(k =>
+                if (v.nonEmpty && !tags.contains(k)) tags(k) = v)
+            } else if (item == "trkn" && payLen >= 4) {
+              val t = be16(b, payOff + 2)
+              if (t > 0 && !tags.contains("track")) tags("track") = t.toString
+            } else if (item == "covr" && payLen > 0) {
+              att += "Cover art" ->
+                java.util.Arrays.copyOfRange(b, payOff, payOff + payLen)
+            }
+          }
+        }
+        p += size
+      }
+    }
     def walk(from: Long, to: Long, depth: Int): Unit = {
       if (depth > 8) return
       var p = from
@@ -827,7 +1047,9 @@ object MediaParser {
         // crafted largesize near Long.MaxValue and would pass the check
         if (size < headerLen || size > to - p) return
         typ match {
-          case "moov" | "trak" => walk(p + headerLen, p + size, depth + 1)
+          case "moov" | "trak" | "udta" =>
+            walk(p + headerLen, p + size, depth + 1)
+          case "ilst" => parseIlst(p + headerLen, p + size)
           case "meta" => // HEIF/AVIF: fullbox container (4-byte ver/flags)
             if (p + headerLen + 4 <= to)
               walk(p + headerLen + 4, p + size, depth + 1)
@@ -841,13 +1063,19 @@ object MediaParser {
             }
           case "mvhd" =>
             val v = b(p.toInt + 8) & 0xff
+            // creation time counts seconds from 1904-01-01 (QT epoch)
+            def stamp(ct: Long): Unit =
+              if (ct > 2082844800L) created =
+                java.time.Instant.ofEpochSecond(ct - 2082844800L).toString
             if (v == 0 && p + 28 <= to) {
+              stamp(be32(b, p.toInt + 12))
               val timescale = be32(b, p.toInt + 20)
               val duration = be32(b, p.toInt + 24)
               if (timescale > 0) durMs = duration * 1000 / timescale
             } else if (v == 1 && p + 40 <= to) {
               // version 1: 64-bit ctime/mtime, 32-bit timescale @ +28,
               // 64-bit duration @ +32
+              stamp(be64(b, p.toInt + 12))
               val timescale = be32(b, p.toInt + 28)
               val duration = be64(b, p.toInt + 32)
               if (timescale > 0) durMs = duration * 1000 / timescale
@@ -872,6 +1100,8 @@ object MediaParser {
       case "avif" | "avis" => ("image/avif", "image")
       case _ => ("video/mp4", if (w > 0) "video" else "audio")
     }
-    Some(Meta(mime, kind, width = w, height = h, durationMs = durMs))
+    if (created.nonEmpty) tags("created") = created
+    Some(Meta(mime, kind, width = w, height = h, durationMs = durMs,
+      tags = tags.toMap, attachments = att.result()))
   }
 }

@@ -88,4 +88,44 @@ class Id3XmpSpec extends AnyFunSuite {
     val t = tagsOf("testMP3id3v2.mp3")
     assert(t.nonEmpty)
   }
+
+  test("vorbis comments: tags, bitrate bracket, cover art " +
+      "(VorbisParserTest)") {
+    val t = tagsOf("testVORBIS.ogg")
+    assert(t.get("title").contains("Test Title"), t)
+    assert(t.get("artist").contains("Test Artist"), t)
+    // quality-mode encoding: nominal 80000, open bracket -> variable
+    assert(t.get("bitrate").contains("80000"), t)
+    assert(t.get("variable_bitrate").contains("true"), t)
+    val d = graft.engine.Extractor.extract(graft.core.DocRow("c.ogg",
+      Seq(graft.core.Span("bytes", graft.corpus.Corpus.b64(
+        Files.readAllBytes(av.resolve("testVORBIS_twoCovers.ogg"))), null, 0))))
+    val path = d.meta.getOrElse("embedded:path", Nil).mkString("|")
+    assert(path.contains("Front Cover") && path.contains("Back Cover"), path)
+  }
+
+  test("opus tags (OpusParser surface)") {
+    val t = tagsOf("testOPUS.opus")
+    assert(t.get("title").contains("Test Title"), t)
+    assert(t.get("artist").contains("Test Artist"), t)
+  }
+
+  test("asf content-description: author + WM/Year (ASFParser surface)") {
+    val t = tagsOf("testWMA.wma")
+    assert(t.get("artist").contains("administrator"), t)
+    assert(t.get("year").exists(_.startsWith("2005")), t)
+  }
+
+  test("mp4 ilst: title/artist/created/cover (MP4ParserTest)") {
+    val t = tagsOf("testMP4.m4a")
+    assert(t.get("title").contains("Test Title"), t)
+    assert(t.get("artist").contains("Test Artist"), t)
+    assert(t.get("album").contains("Test Album"), t)
+    assert(t.get("created").contains("2012-01-28T18:39:18Z"), t)
+    val d = graft.engine.Extractor.extract(graft.core.DocRow("c.m4a",
+      Seq(graft.core.Span("bytes", graft.corpus.Corpus.b64(
+        Files.readAllBytes(av.resolve("testMP4_coverArt.m4a"))), null, 0))))
+    assert(d.meta.getOrElse("embedded:path", Nil).mkString.contains("Cover art"),
+      d.meta)
+  }
 }
