@@ -52,6 +52,8 @@ object MediaParser {
       else if (bytes.length > 11 && matches(bytes, 4, 'f', 't', 'y', 'p'))
         parseMp4(bytes)
       else if (matches(bytes, 0, 'O', 'g', 'g', 'S')) parseOgg(bytes)
+      else if (matches(bytes, 0, 0x42, 0x50, 0x47, 0xfb)) parseBpg(bytes)
+      else if (matches(bytes, 0, 'F', 'L', 'V', 0x01)) parseFlv(bytes)
       else if (matches(bytes, 0, 0x30, 0x26, 0xb2, 0x75)) parseAsf(bytes)
       else if (matches(bytes, 0, 'i', 'c', 'n', 's')) parseIcns(bytes)
       else if (matches(bytes, 0, 0xff, 0x0a)) parseJxlCodestream(bytes, 2)
@@ -243,6 +245,33 @@ object MediaParser {
       }
       Some(Meta("audio/vorbis", "audio", sampleRate = rate, channels = ch,
         tags = tags, attachments = att))
+    } else if (id.length >= 51 && (id(0) & 0xff) == 0x7f &&
+        matches(id, 1, 'F', 'L', 'A', 'C')) {
+      // Ogg-FLAC mapping: 0x7F FLAC major minor nHeaders(2BE), then a
+      // verbatim native-FLAC "fLaC" + STREAMINFO; later packets are raw
+      // FLAC metadata blocks (VORBIS_COMMENT, PICTURE)
+      val body = 17 // 9-byte mapping header + "fLaC" + 4-byte block header
+      val rate = (((id(body + 10) & 0xff) << 12) |
+        ((id(body + 11) & 0xff) << 4) | ((id(body + 12) & 0xff) >> 4))
+      val ch = ((id(body + 12) >> 1) & 0x7) + 1
+      val totalSamples = ((id(body + 13).toLong & 0x0f) << 32) |
+        (be32(id, body + 14) & 0xffffffffL)
+      var tags = Map.empty[String, String]
+      var att = Vector.empty[(String, Array[Byte])]
+      oggPackets(b, 8).drop(1).foreach { pkt =>
+        if (pkt.length > 4) (pkt(0) & 0x7f) match {
+          case 4 =>
+            val (t, a) = vorbisComments(pkt, 4)
+            tags = tags ++ t; att = att ++ a
+          case 6 =>
+            flacPicture(java.util.Arrays.copyOfRange(pkt, 4, pkt.length))
+              .foreach(att :+= _)
+          case _ => ()
+        }
+      }
+      Some(Meta("audio/x-oggflac", "audio", sampleRate = rate, channels = ch,
+        durationMs = if (rate > 0) totalSamples * 1000 / rate else 0L,
+        tags = tags, attachments = att))
     } else if (id.length >= 19 &&
         matches(id, 0, 'O', 'p', 'u', 's', 'H', 'e', 'a', 'd')) {
       // OpusHead: ver(1) ch(1) preskip(2) inputRate(4 LE)
@@ -334,6 +363,98 @@ object MediaParser {
 
   private def asfMeta(durMs: Long, tags: Map[String, String]): Meta =
     Meta("video/x-ms-asf", "video", durationMs = durMs, tags = tags)
+
+  /** BPG (public spec, bellard.org/bpg): after the magic, pixel format /
+    * alpha / bit-depth and color-space bytes, then picture width and
+    * height as ue7 (7-bits-per-byte, MSB = continue) — the dimensions
+    * the reference's in-tree BPGParser surfaces.
+    */
+  private def parseBpg(b: Array[Byte]): Option[Meta] = {
+    var p = 6 // magic(4) + format/alpha/depth(1) + colorspace/flags(1)
+    def ue7(): Int = {
+      var v = 0
+      var i = 0
+      while (i < 5 && p < b.length) {
+        val x = b(p) & 0xff; p += 1
+        v = (v << 7) | (x & 0x7f)
+        if ((x & 0x80) == 0) return v
+        i += 1
+      }
+      v
+    }
+    val w = ue7(); val h = ue7()
+    if (w <= 0 || h <= 0) None
+    else Some(Meta("image/x-bpg", "image", width = w, height = h))
+  }
+
+  /** FLV: header type flags say whether audio/video streams exist; the
+    * first script tag's AMF0 onMetaData ECMA array carries duration /
+    * width / height / framerate etc. (Adobe FLV spec §E; the reference's
+    * FLVParser surfaces each property as flv:<name>).
+    */
+  private def parseFlv(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 20) return None
+    val flags = b(4) & 0xff
+    val tags = scala.collection.mutable.LinkedHashMap[String, String]()
+    tags("hasAudio") = ((flags & 4) != 0).toString
+    tags("hasVideo") = ((flags & 1) != 0).toString
+    var w, h = 0
+    var durMs = 0L
+    var p = be32(b, 5).toInt + 4 // dataOffset + first prevTagSize
+    var hops = 0
+    var done = false
+    while (!done && hops < 8 && p + 11 <= b.length) {
+      hops += 1
+      val tagType = b(p) & 0xff
+      val dataSize = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) |
+        (b(p + 3) & 0xff)
+      val dataStart = p + 11
+      if (dataStart + dataSize > b.length) done = true
+      else if (tagType == 18) { // script data: AMF0 name + ECMA array
+        var q = dataStart
+        val end = dataStart + dataSize
+        def amfString(): String = {
+          if (q + 2 > end) return ""
+          val n = be16(b, q); q += 2
+          if (q + n > end) return ""
+          val s = new String(b, q, n, java.nio.charset.StandardCharsets.UTF_8)
+          q += n; s
+        }
+        if (q < end && (b(q) & 0xff) == 2) { q += 1; amfString() }
+        if (q < end && ((b(q) & 0xff) == 8 || (b(q) & 0xff) == 3)) {
+          if ((b(q) & 0xff) == 8) q += 5 else q += 1 // array count
+          var guard = 0
+          while (q + 3 <= end && guard < 64) {
+            guard += 1
+            val name = amfString()
+            if (name.isEmpty) { q = end }
+            else {
+              val t = b(q) & 0xff; q += 1
+              t match {
+                case 0 => // number (double)
+                  val v = java.lang.Double.longBitsToDouble(be64(b, q)); q += 8
+                  // width/height/duration land structurally, not as tags
+                  // (the media:<ref> namespace would double them)
+                  name match {
+                    case "width" => w = v.toInt
+                    case "height" => h = v.toInt
+                    case "duration" => durMs = (v * 1000).toLong
+                    case _ => tags(name) = v.toString
+                  }
+                case 1 => tags(name) = ((b(q) & 0xff) != 0).toString; q += 1
+                case 2 => tags(name) = amfString()
+                case _ => q = end // nested/unsupported: stop cleanly
+              }
+            }
+          }
+        }
+        done = true
+      }
+      p = dataStart + dataSize + 4 // skip prevTagSize
+    }
+    Some(Meta("video/x-flv", "video", width = w, height = h,
+      durationMs = durMs, tags = tags.toMap))
+  }
 
   private def matches(b: Array[Byte], off: Int, vals: Int*): Boolean =
     off + vals.length <= b.length &&

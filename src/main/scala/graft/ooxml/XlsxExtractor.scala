@@ -182,8 +182,9 @@ object PptxExtractor {
     slideTargetsFrom(parts).foreach { target =>
       val path = XlsxDrawings.resolve("ppt/presentation.xml", target)
       parts.get(path).foreach { bytes =>
-        DocxExtractor.saxParse(bytes, new SlideHandler(sink))
         val rels = XlsxDrawings.relsOf(parts, XlsxDrawings.relsPathFor(path))
+        DocxExtractor.saxParse(bytes, new SlideHandler(sink,
+          rels.map(r => r.id -> r.target).toMap))
         def each(suffix: String)(f: String => Unit): Unit =
           for (rel <- rels if rel.tpe.endsWith(suffix))
             f(XlsxDrawings.resolve(path, rel.target))
@@ -312,10 +313,27 @@ object PptxExtractor {
     }.getOrElse(Vector.empty)
   }
 
-  private final class SlideHandler(sink: SpanSink) extends DefaultHandler {
+  private final class SlideHandler(sink: SpanSink,
+      rels: Map[String, String] = Map.empty) extends DefaultHandler {
     private var inT = false
+    private def mediaRef(a: Attributes, attr: String): Unit = {
+      var rid: String = null
+      var i = 0
+      while (i < a.getLength && rid == null) {
+        val q = a.getQName(i)
+        if (q == s"r:$attr" || q.endsWith(s":$attr")) rid = a.getValue(i)
+        i += 1
+      }
+      Option(rid).flatMap(rels.get).foreach(t =>
+        sink.media("embedded:" + t.stripPrefix("../")))
+    }
     override def startElement(u: String, l: String, q: String, a: Attributes): Unit =
       if (q == "a:t") inT = true
+      // pictures (a:blip r:embed) and linked audio/video (p:audioFile /
+      // p:videoFile r:link) surface as media spans, same shape as DOCX
+      else if (q.endsWith(":blip")) mediaRef(a, "embed")
+      else if (q.endsWith(":audioFile") || q.endsWith(":videoFile"))
+        mediaRef(a, "link")
     override def characters(ch: Array[Char], s: Int, n: Int): Unit =
       if (inT) sink.chars(new String(ch, s, n))
     override def endElement(u: String, l: String, q: String): Unit = {
