@@ -104,10 +104,12 @@ object SparkEntry {
         .select(col("doc_id"), col("mime"), explode(col("meta")).as(Seq("k", "vs")))
         .filter(col("k").startsWith("media:"))
         .withColumn("field", element_at(split(col("k"), ":"), -1))
+        // try_cast: v23 tags include text values (ID3 title/artist) whose
+        // numeric min/max is NULL — presence + count still pin them
         .groupBy("mime", "field")
         .agg(count(lit(1)).as("n"),
-          min(element_at(col("vs"), 1).cast("long")).as("min_v"),
-          max(element_at(col("vs"), 1).cast("long")).as("max_v"))
+          min(expr("try_cast(element_at(vs, 1) AS BIGINT)")).as("min_v"),
+          max(expr("try_cast(element_at(vs, 1) AS BIGINT)")).as("max_v"))
     }),
     "x06_unpack" -> ((s, dir) => {
       graft.engine.Unpack.unpack(Corpus.docRows(s, 1000)).select(
@@ -1085,30 +1087,30 @@ object SparkEntry {
            ('blob://e54f5b3c', 'image', 'image/gif', 53, 181, 1, 0, 0, 8, 807566395),
            ('corpus://doc-000000000021', 'audio', 'audio/vnd.wave', 0, 0, 0, 487, 8000, 8, 1023824477),
            ('corpus://doc-000000000050', 'image', 'image/jpeg', 1518, 893, 1, 0, 0, 8, -1646980993),
-           ('corpus://doc-000000000079', 'video', 'video/mp4', 1891, 342, 1696, 56538, 0, 8, -255478392),
+           ('corpus://doc-000000000079', 'video', 'video/mp4', 1891, 342, 1696, 56538, 0, 8, -379922857),
            ('corpus://doc-000000000108', 'image', 'image/bmp', 144, 51, 1, 0, 0, 8, -1035540380),
            ('corpus://doc-000000000145', 'image', 'image/png', 106, 115, 1, 0, 0, 8, -63429157),
-           ('corpus://doc-000000000174', 'audio', 'audio/mpeg', 0, 0, 0, 390, 44100, 8, 762489267),
+           ('corpus://doc-000000000174', 'audio', 'audio/mpeg', 0, 0, 0, 417, 44100, 8, 617674026),
            ('corpus://doc-000000000203', 'image', 'image/gif', 578, 132, 1, 0, 0, 8, -907387105),
            ('corpus://doc-000000000269', 'audio', 'audio/vnd.wave', 0, 0, 0, 1141, 8000, 8, 376534602),
            ('corpus://doc-000000000298', 'image', 'image/jpeg', 1512, 1129, 1, 0, 0, 8, -1688089017),
-           ('corpus://doc-000000000327', 'video', 'video/mp4', 721, 584, 887, 29593, 0, 8, -151033621),
+           ('corpus://doc-000000000327', 'video', 'video/mp4', 721, 584, 887, 29593, 0, 8, -640044556),
            ('corpus://doc-000000000364', 'image', 'image/bmp', 112, 43, 1, 0, 0, 8, 1334638948),
            ('corpus://doc-000000000393', 'image', 'image/png', 66, 31, 1, 0, 0, 8, 851365135),
-           ('corpus://doc-000000000422', 'audio', 'audio/mpeg', 0, 0, 0, 312, 44100, 8, -1956395332),
+           ('corpus://doc-000000000422', 'audio', 'audio/mpeg', 0, 0, 0, 364, 44100, 8, 2063536929),
            ('corpus://doc-000000000517', 'audio', 'audio/vnd.wave', 0, 0, 0, 554, 8000, 8, -299378728),
            ('corpus://doc-000000000546', 'image', 'image/jpeg', 870, 356, 1, 0, 0, 8, -410031947),
-           ('corpus://doc-000000000583', 'video', 'video/mp4', 1586, 1009, 654, 21819, 0, 8, -702052532),
+           ('corpus://doc-000000000583', 'video', 'video/mp4', 1586, 1009, 654, 21819, 0, 8, -863712679),
            ('corpus://doc-000000000612', 'image', 'image/bmp', 136, 65, 1, 0, 0, 8, 514423075),
            ('corpus://doc-000000000641', 'image', 'image/png', 66, 30, 1, 0, 0, 8, -907109903),
-           ('corpus://doc-000000000670', 'audio', 'audio/mpeg', 0, 0, 0, 547, 44100, 8, 278661872),
+           ('corpus://doc-000000000670', 'audio', 'audio/mpeg', 0, 0, 0, 443, 44100, 8, 1715600310),
            ('corpus://doc-000000000707', 'image', 'image/gif', 408, 56, 1, 0, 0, 8, 1859016348),
            ('corpus://doc-000000000765', 'audio', 'audio/vnd.wave', 0, 0, 0, 1203, 8000, 8, 1519892671),
            ('corpus://doc-000000000802', 'image', 'image/jpeg', 1554, 529, 1, 0, 0, 8, -1743464437),
-           ('corpus://doc-000000000831', 'video', 'video/mp4', 1198, 836, 218, 7271, 0, 8, -95937241),
+           ('corpus://doc-000000000831', 'video', 'video/mp4', 1198, 836, 218, 7271, 0, 8, -1590253819),
            ('corpus://doc-000000000860', 'image', 'image/bmp', 203, 64, 1, 0, 0, 8, -1938601618),
            ('corpus://doc-000000000889', 'image', 'image/png', 77, 25, 1, 0, 0, 8, -1612952147),
-           ('corpus://doc-000000000926', 'audio', 'audio/mpeg', 0, 0, 0, 338, 44100, 8, 1251713945),
+           ('corpus://doc-000000000926', 'audio', 'audio/mpeg', 0, 0, 0, 338, 44100, 8, 2034985482),
            ('corpus://doc-000000000955', 'image', 'image/gif', 402, 131, 1, 0, 0, 8, -1014683192)
          ) AS t("media_ref", "media_type", "mime", "width", "height", "n_frames", "duration_ms", "sample_rate", "feature_dim", "feature_fingerprint")""",
     // q21/q17/q18/q25 oracles are FROZEN expected tables for the sf0.01
@@ -1332,8 +1334,14 @@ object SparkEntry {
       """SELECT * FROM (VALUES
            ('application/rtf', 'height', 5, 18, 97),
            ('application/rtf', 'width', 5, 18, 73),
-           ('audio/mpeg', 'duration_ms', 4, 312, 547),
+           ('audio/mpeg', 'album', 4, NULL, NULL),
+           ('audio/mpeg', 'artist', 4, NULL, NULL),
+           ('audio/mpeg', 'duration_ms', 4, 338, 443),
+           ('audio/mpeg', 'height', 4, 22, 92),
            ('audio/mpeg', 'sample_rate', 4, 44100, 44100),
+           ('audio/mpeg', 'title', 4, NULL, NULL),
+           ('audio/mpeg', 'width', 4, 41, 104),
+           ('audio/mpeg', 'year', 4, 2000, 2020),
            ('audio/vnd.wave', 'duration_ms', 4, 487, 1203),
            ('audio/vnd.wave', 'sample_rate', 4, 8000, 8000),
            ('image/bmp', 'height', 4, 43, 65),
@@ -1345,8 +1353,10 @@ object SparkEntry {
            ('image/jpeg', 'width', 4, 870, 1554),
            ('image/png', 'height', 4, 25, 115),
            ('image/png', 'width', 4, 66, 106),
+           ('video/mp4', 'artist', 4, NULL, NULL),
            ('video/mp4', 'duration_ms', 4, 7271, 56538),
            ('video/mp4', 'height', 4, 342, 1009),
+           ('video/mp4', 'title', 4, NULL, NULL),
            ('video/mp4', 'width', 4, 721, 1891)
          ) AS t(mime, field, n, min_v, max_v)""",
     // q23: two independent extractions of the same 500 docs must agree
@@ -1359,11 +1369,11 @@ object SparkEntry {
                 n_status_match, total_char_delta, span_equality_rate)""",
     "x13_rmeta_stats" ->
       """SELECT * FROM (VALUES
-           (500, 893988, 397659309587494656)
+           (500, 895062, -1747255336960445944)
          ) AS t(n_docs, n_chars, rmeta_hash)""",
     "x14_extract_stats" ->
       """SELECT * FROM (VALUES
-           ('parse_success', 3942, 44326, 3156739, 3825201550305969730),
+           ('parse_success', 3942, 44374, 3156739, -1081380718495008054),
            ('unsupported_type', 40, 0, 0, 7229079304241689592),
            ('write_limit_reached', 18, 4252, 1800000, 934677292960717726)
          ) AS t(status, n, n_spans, n_chars, row_hash)""",
@@ -1381,21 +1391,21 @@ object SparkEntry {
          ) AS t(mime, n, n_bytes, n_docs, tree_hash)""",
     "x09_span_stats" ->
       """SELECT * FROM (VALUES
-           ('embedded-close', 165, 0, 64),
-           ('embedded-open', 165, 0, 64),
-           ('media', 204, 0, 187),
+           ('embedded-close', 167, 0, 66),
+           ('embedded-open', 167, 0, 66),
+           ('media', 206, 0, 187),
            ('text', 6165, 640177, 481)
          ) AS t(kind, n, n_chars, n_docs)""",
     "x10_embedded_stats" ->
       """SELECT * FROM (VALUES
-           ('embedded-open', 'none', 318),
+           ('embedded-open', 'none', 322),
            ('media', 'bmp', 4),
            ('media', 'gif', 3),
            ('media', 'jpg', 4),
            ('media', 'mp3', 4),
            ('media', 'mp4', 4),
            ('media', 'none', 38),
-           ('media', 'png', 352),
+           ('media', 'png', 356),
            ('media', 'wav', 4)
          ) AS t(kind, ext, n)""",
     // x03's oracle is the FROZEN expected detection distribution for the

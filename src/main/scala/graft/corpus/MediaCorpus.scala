@@ -111,11 +111,36 @@ object MediaCorpus {
   }
 
   /** MP3: ID3v2.3 header + CBR 128 kbps 44.1 kHz frame headers. */
+  private val Titles = Array("Morning Run", "Night Drive", "Harbor Lights",
+    "Cedar Waltz", "Paper Lanterns")
+  private val Artists = Array("The Meridian Set", "Ada Quartet",
+    "Low Tide Ensemble")
+
+  /** v23: real ID3v2.3 text frames (TIT2/TPE1/TALB/TYER) plus an APIC
+    * PNG front cover, so the tag walk, frame decode, and cover-art
+    * child recursion are corpus-pinned through the frozen oracles.
+    */
   def mp3(r: Random): Array[Byte] = {
-    val tag = new Array[Byte](32) // empty padding tag
+    val title = Titles(r.nextInt(Titles.length))
+    val artist = Artists(r.nextInt(Artists.length))
+    val year = (1998 + r.nextInt(25)).toString
+    def id3Frame(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes(StandardCharsets.US_ASCII) ++ be32(body.length) ++
+        Array[Byte](0, 0) ++ body
+    def text(id: String, v: String): Array[Byte] =
+      id3Frame(id, Array[Byte](0) ++ v.getBytes(StandardCharsets.ISO_8859_1))
+    val cover = png(r)
+    val apic = id3Frame("APIC", Array[Byte](0) ++
+      "image/png".getBytes(StandardCharsets.US_ASCII) ++ Array[Byte](0, 3) ++
+      "Front Cover".getBytes(StandardCharsets.US_ASCII) ++ Array[Byte](0) ++
+      cover)
+    val frames = text("TIT2", title) ++ text("TPE1", artist) ++
+      text("TALB", title + " LP") ++ text("TYER", year) ++ apic
+    val sz = frames.length
     val id3 = "ID3".getBytes(StandardCharsets.US_ASCII) ++
       Array[Byte](3, 0, 0) ++
-      Array[Byte](0, 0, 0, tag.length.toByte) ++ tag
+      Array(((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+        ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte) ++ frames
     val nFrames = 4 + r.nextInt(20)
     val frame = new Array[Byte](417) // 128kbps @44.1kHz frame size
     frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte
@@ -131,14 +156,19 @@ object MediaCorpus {
     out.toByteArray
   }
 
-  /** MP4: ftyp + moov(mvhd duration, trak/tkhd dims) + tiny mdat. */
+  /** MP4: ftyp + moov(mvhd duration, trak/tkhd dims, udta/meta/ilst
+    * iTunes title+artist items — v23) + tiny mdat.
+    */
   def mp4(r: Random): Array[Byte] = {
     val w = 320 + r.nextInt(1600)
     val h = 240 + r.nextInt(840)
     val timescale = 1000L
     val duration = 2000L + r.nextInt(60000)
+    val title = Titles(r.nextInt(Titles.length))
+    val artist = Artists(r.nextInt(Artists.length))
     def box(typ: String, payload: Array[Byte]): Array[Byte] =
-      be32(payload.length + 8) ++ typ.getBytes(StandardCharsets.US_ASCII) ++ payload
+      be32(payload.length + 8) ++
+        typ.getBytes(StandardCharsets.ISO_8859_1) ++ payload
     val ftyp = box("ftyp", "isom".getBytes(StandardCharsets.US_ASCII) ++
       be32(512) ++ "isomiso2".getBytes(StandardCharsets.US_ASCII))
     val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
@@ -149,7 +179,15 @@ object MediaCorpus {
       new Array[Byte](36) ++
       be16(w) ++ be16(0) ++ be16(h) ++ be16(0))
     val trak = box("trak", tkhd)
-    val moov = box("moov", mvhd ++ trak)
+    def item(name: String, v: String): Array[Byte] =
+      box(name, box("data", be32(1) ++ be32(0) ++
+        v.getBytes(StandardCharsets.UTF_8)))
+    val ilst = box("ilst", item("©nam", title) ++ item("©ART", artist))
+    val hdlr = box("hdlr", new Array[Byte](8) ++
+      "mdir".getBytes(StandardCharsets.US_ASCII) ++
+      "appl".getBytes(StandardCharsets.US_ASCII) ++ new Array[Byte](9))
+    val udta = box("udta", box("meta", Array[Byte](0, 0, 0, 0) ++ hdlr ++ ilst))
+    val moov = box("moov", mvhd ++ trak ++ udta)
     val payload = new Array[Byte](32 + r.nextInt(64))
     r.nextBytes(payload)
     ftyp ++ moov ++ box("mdat", payload)

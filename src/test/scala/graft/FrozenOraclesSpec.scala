@@ -15,7 +15,10 @@ class FrozenOraclesSpec extends AnyFunSuite {
     val sql = SparkEntry.oracleSql(name)
     val body = sql.substring(sql.indexOf("VALUES") + 6, sql.lastIndexOf(") AS t("))
     Row.findAllMatchIn(body)
-      .map(_.group(1).split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toVector)
+      .map(_.group(1).split(",").map { f =>
+        val v = f.trim.stripPrefix("'").stripSuffix("'")
+        if (v == "NULL") "null" else v // SQL NULL ≡ Spark null cell
+      }.toVector)
       .toSet
   }
 

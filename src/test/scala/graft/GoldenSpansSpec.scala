@@ -36,8 +36,10 @@ class GoldenSpansSpec extends AnyFunSuite {
     // v18's fixed rotation xps/emf/wmf) so every format family is frozen
     // v20 msbin rotation: 88 xlsb / 621 pub / 402 vsd / 183 access
     // v22: 635 = the archive kind's stored-rar4 rotation slot
+    // v23: 174 mp3 (ID3 + APIC cover child) and 79 mp4 (ilst tags)
     val docs = ((0L until 60L) ++ Seq(73L, 102L, 168L, 197L, 635L,
-      116L, 240L, 1459L, 153L, 715L, 2153L, 88L, 621L, 402L, 183L)).map { i =>
+      116L, 240L, 1459L, 153L, 715L, 2153L, 88L, 621L, 402L, 183L,
+      174L, 79L)).map { i =>
       val d = Extractor.extract(Corpus.row(i))
       val spans = d.spans.map(s =>
         s"""{"kind":${esc(s.kind)},"text":${esc(s.text)},""" +
