@@ -156,6 +156,19 @@ object SparkEntry {
           expr("bit_xor(xxhash64(doc_id, mime, status, n_spans, n_chars))")
             .as("row_hash"))
     }),
+    "x15_projection_stats" -> ((s, dir) => {
+      // frozen-oracle aggregate pin for the q24 text-projection face
+      // (Projections.projectAll stays row-level there): per mime+status,
+      // doc/char volumes and an XOR over every projected row — pins the
+      // projection operator itself through the extraction pipeline.
+      import graft.ops.Projections
+      Projections.projectAll(Pipeline.extract(Corpus.docRows(s, 500)).toDF())
+        .groupBy("mime", "status")
+        .agg(count(lit(1)).as("n"),
+          sum(length(coalesce(col("text"), lit("")))).as("n_chars"),
+          expr("bit_xor(xxhash64(doc_id, mime, status, coalesce(text, '')))")
+            .as("row_hash"))
+    }),
     "x11_main_content_stats" -> ((s, dir) => {
       // frozen-oracle aggregate face for the boilerplate classifier —
       // the north rule's "HTML boilerplate strip" was rows-only via
@@ -1371,6 +1384,57 @@ object SparkEntry {
       """SELECT * FROM (VALUES
            (500, 895062, -1747255336960445944)
          ) AS t(n_docs, n_chars, rmeta_hash)""",
+    "x15_projection_stats" ->
+      """SELECT * FROM (VALUES
+           ('application/dif+xml', 'parse_success', 1, 201, -4790982675531085193),
+           ('application/gzip', 'parse_success', 5, 2010, 1166736372738887427),
+           ('application/msword', 'parse_success', 11, 4739, 8195479243096113113),
+           ('application/octet-stream', 'parse_success', 1, 0, 9208505866185281154),
+           ('application/octet-stream', 'unsupported_type', 5, 0, 456999568017905343),
+           ('application/onenote', 'parse_success', 3, 893, -2198832989521964498),
+           ('application/pdf', 'parse_success', 42, 8836, 7400105374827535983),
+           ('application/rtf', 'parse_success', 11, 5097, -924061421043222409),
+           ('application/vnd.ms-excel', 'parse_success', 10, 551, -6435532191234009962),
+           ('application/vnd.ms-excel.sheet.binary.macroenabled.12', 'parse_success', 2, 109, 2458412032720623082),
+           ('application/vnd.ms-outlook', 'parse_success', 3, 1202, 3723761184420482022),
+           ('application/vnd.ms-outlook-pst', 'parse_success', 3, 2493, 4731423330374368667),
+           ('application/vnd.ms-powerpoint', 'parse_success', 8, 788, 3249867764510911111),
+           ('application/vnd.ms-tnef', 'parse_success', 2, 299, -1744181472132286487),
+           ('application/vnd.ms-xpsdocument', 'parse_success', 2, 413, -6465025517541574499),
+           ('application/vnd.oasis.opendocument.flat.text', 'parse_success', 4, 1724, -4935778795193983310),
+           ('application/vnd.oasis.opendocument.text', 'parse_success', 7, 3064, -5683927502423404777),
+           ('application/vnd.openxmlformats-officedocument.presentationml.presentation', 'parse_success', 13, 2731, -2184894492206853422),
+           ('application/vnd.openxmlformats-officedocument.spreadsheetml.sheet', 'parse_success', 12, 2079, 3130736721523845845),
+           ('application/vnd.openxmlformats-officedocument.wordprocessingml.document', 'parse_success', 46, 37694, -4005000309235705900),
+           ('application/vnd.visio', 'parse_success', 1, 122, -6943596927196239489),
+           ('application/vnd.wordperfect', 'parse_success', 1, 236, 6625617422660658437),
+           ('application/warc', 'parse_success', 2, 607, -995960842731932383),
+           ('application/x-7z-compressed', 'parse_success', 1, 369, -7088606546945488525),
+           ('application/x-archive', 'parse_success', 4, 2178, -8971599335081742387),
+           ('application/x-bzip2', 'parse_success', 3, 1864, -7923519834973413600),
+           ('application/x-cpio', 'parse_success', 1, 318, 1411509085007199419),
+           ('application/x-dbf', 'parse_success', 2, 203, 3319521658262874980),
+           ('application/x-fictionbook+xml', 'parse_success', 1, 892, -5580614149407635566),
+           ('application/x-grib', 'parse_success', 1, 77, -3955492870811131075),
+           ('application/x-matlab-data', 'parse_success', 2, 165, -1573487272796639777),
+           ('application/x-msaccess', 'parse_success', 3, 2258, -8882211173923711783),
+           ('application/x-plist', 'parse_success', 2, 238, 3163916689313164443),
+           ('application/x-quattro-pro', 'parse_success', 1, 182, -6983052993490189549),
+           ('application/xml', 'parse_success', 19, 4647, -4258354615231337438),
+           ('application/zip', 'parse_success', 30, 19415, -1399850684699194778),
+           ('audio/mpeg', 'parse_success', 2, 0, 892715588043589277),
+           ('audio/vnd.wave', 'parse_success', 2, 0, -3444265851767909380),
+           ('image/bmp', 'parse_success', 2, 0, -8292105659030409306),
+           ('image/gif', 'parse_success', 1, 0, -1749671161152486216),
+           ('image/jpeg', 'parse_success', 2, 0, -8044639230570349494),
+           ('image/png', 'parse_success', 2, 0, 5901100665054893751),
+           ('message/rfc822', 'parse_success', 9, 4589, -6853587498567880405),
+           ('text/csv', 'parse_success', 16, 3636, -6058894265791378446),
+           ('text/html', 'parse_success', 171, 211805, -2674129123890926278),
+           ('text/html', 'write_limit_reached', 3, 300000, 8563652289216716648),
+           ('text/plain', 'parse_success', 23, 11453, 3861333013177632811),
+           ('video/mp4', 'parse_success', 2, 0, 5936480124759584977)
+         ) AS t(mime, status, n, n_chars, row_hash)""",
     "x14_extract_stats" ->
       """SELECT * FROM (VALUES
            ('parse_success', 3942, 44374, 3156739, -1081380718495008054),

@@ -37,7 +37,8 @@ class FrozenOraclesSpec extends AnyFunSuite {
       "q25_detect_mime_expr", "q21_media_features",
       "x08_media_meta", "x09_span_stats", "x10_embedded_stats",
       "x11_main_content_stats", "x12_unpack_stats",
-      "q23_extract_compare", "x13_rmeta_stats", "x14_extract_stats")) {
+      "q23_extract_compare", "x13_rmeta_stats", "x14_extract_stats",
+      "x15_projection_stats")) {
     test(s"$q frozen oracle matches a fresh sf0.01 run") {
       val expected = frozenRows(q)
       val got = fresh(q)
