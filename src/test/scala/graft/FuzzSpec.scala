@@ -361,4 +361,53 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Round-4l paths under mutation: the v23 ID3+APIC mp3 and ilst mp4
+    * corpus rows, plus real Ogg (vorbis comments + cover pages), FLV
+    * (AMF0 metadata), and BPG fixtures when present — bit flips,
+    * truncations, and spliced random tails must classify, never throw
+    * or spin (the Ogg packet reassembler, APIC/picture walks, AMF
+    * reader, and ue7 decoder all run on these bytes).
+    */
+  test("property: mutated id3/ogg/flv/bpg payloads never escape the envelope") {
+    val av = java.nio.file.Path.of("/root/reference/tika-parsers/" +
+      "tika-parsers-standard/tika-parsers-standard-modules/" +
+      "tika-parser-audiovideo-module/src/test/resources/test-documents")
+    val img = java.nio.file.Path.of("/root/reference/tika-parsers/" +
+      "tika-parsers-standard/tika-parsers-standard-modules/" +
+      "tika-parser-image-module/src/test/resources/test-documents")
+    def fixture(dir: java.nio.file.Path, n: String): Seq[Array[Byte]] =
+      if (java.nio.file.Files.isRegularFile(dir.resolve(n)))
+        Seq(java.nio.file.Files.readAllBytes(dir.resolve(n)))
+      else Nil
+    val rnd = new scala.util.Random(31)
+    val seeds = Seq(
+      graft.corpus.MediaCorpus.mp3(new scala.util.Random(11)),
+      graft.corpus.MediaCorpus.mp4(new scala.util.Random(12))) ++
+      fixture(av, "testVORBIS_twoCovers.ogg") ++
+      fixture(av, "testFLAC.oga") ++
+      fixture(av, "testFLV.flv") ++
+      fixture(img, "testBPG.bpg")
+    seeds.foreach { valid =>
+      (0 until 60).foreach { i =>
+        val mutated = valid.clone()
+        i % 3 match {
+          case 0 =>
+            val pos = rnd.nextInt(mutated.length)
+            mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+          case 1 =>
+            val n = 1 + rnd.nextInt(mutated.length)
+            val out = Extractor.extract(DocRow("f",
+              Seq(Span("bytes", Corpus.b64(java.util.Arrays.copyOf(mutated, n)), null, 0))))
+            assert(out.status != null && out.mime != null)
+          case _ =>
+            val pos = rnd.nextInt(mutated.length)
+            (pos until mutated.length).foreach(j => mutated(j) = rnd.nextInt(256).toByte)
+        }
+        val out = Extractor.extract(DocRow("f",
+          Seq(Span("bytes", Corpus.b64(mutated), null, 0))))
+        assert(out.status != null && out.mime != null)
+      }
+    }
+  }
+
 }
