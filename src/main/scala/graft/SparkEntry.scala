@@ -688,6 +688,21 @@ object SparkEntry {
     }),
     "q43_holdout_sample" -> ((s, dir) =>
       graft.ops.Holdout.stratifiedAudit(tbl(s, dir, "documents"))),
+    "q44_quality_gate" -> ((s, dir) =>
+      TextOps.qualityGate(tbl(s, dir, "documents"))),
+    "q45_snapshot_dedup" -> ((s, dir) => {
+      // incremental ingest: docs %3==0 are the already-ingested prior
+      // corpus; the incoming snapshot is the rest PLUS re-crawls of
+      // every prior doc with doc_id %5==0 (planted in-plan under +2M
+      // ids, q15's pattern — the corpus has no natural cross-id exact
+      // dups at the correctness SFs). Planted rows must flag is_dup=1.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val prior = docs.filter(col("doc_id") % 3 === 0)
+      val incoming = docs.filter(col("doc_id") % 3 =!= 0).unionByName(
+        prior.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+      graft.ops.Dedup.snapshotDedup(incoming, prior)
+    }),
     "q41_normalize" -> ((s, dir) => {
       // Unicode normalization profile: the augment appends decomposed
       // sequences (e+U+0301, A+U+030A), a control char, and a tab so
@@ -994,6 +1009,43 @@ object SparkEntry {
            CAST(length(cleaned) AS INTEGER) AS n_after,
            md5(cleaned) AS norm_sig
          FROM c""",
+    "q44_quality_gate" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+           list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+           FROM documents),
+         s AS (SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           round(CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for','on','with','as','was','at','by'], x))) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS stop_ratio,
+           round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 4) AS punct_ratio,
+           round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+             / greatest(len(lines), 1), 4) AS dup_line_frac
+           FROM t),
+         g AS (SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN stop_ratio < 0.03 THEN 'low_stopwords'
+                WHEN punct_ratio > 0.2 THEN 'high_punct'
+                WHEN dup_line_frac > 0.3 THEN 'repetitive'
+                ELSE 'keep' END AS reason
+           FROM s)
+         SELECT doc_id, n_tokens,
+           CAST(reason = 'keep' AS INTEGER) AS keep, reason
+         FROM g""",
+    "q45_snapshot_dedup" ->
+      """WITH prior AS (
+           SELECT DISTINCT md5(text) AS sig FROM documents
+           WHERE doc_id % 3 = 0),
+         incoming AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)
+         SELECT i.doc_id,
+           CAST(CASE WHEN p.sig IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS is_dup
+         FROM incoming i LEFT JOIN prior p ON md5(i.text) = p.sig""",
     "q42_decontaminate" ->
       """WITH a AS (SELECT doc_id,
            CASE WHEN doc_id % 97 = 0 THEN concat(text,

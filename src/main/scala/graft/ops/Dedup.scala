@@ -28,6 +28,22 @@ object Dedup {
       .filter(col("n_dups") > 1)
   }
 
+  /** Incremental snapshot dedup: flag each incoming document whose exact
+    * content hash already exists in the prior corpus — the anti-join a
+    * continuously-crawled pipeline runs per snapshot so re-crawled pages
+    * are ingested once. Only 16-byte hashes move: the prior side reduces
+    * to distinct signatures (at production scale a bucketed/Bloom side
+    * table; here a hash join Spark sizes itself), the incoming side joins
+    * without ever shuffling document text.
+    */
+  def snapshotDedup(incoming: DataFrame, prior: DataFrame): DataFrame = {
+    val priorSigs = prior.select(md5(col("text")).as("sig")).distinct()
+      .withColumn("seen", lit(1))
+    incoming.select(col("doc_id"), md5(col("text")).as("sig"))
+      .join(priorSigs, Seq("sig"), "left")
+      .select(col("doc_id"), coalesce(col("seen"), lit(0)).as("is_dup"))
+  }
+
   /** Word n-gram shingles, distinct per doc. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = TextOps.tokens(col("text"))

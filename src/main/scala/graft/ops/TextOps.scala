@@ -116,6 +116,39 @@ object TextOps {
         (col("punct_ratio") <= 0.2))
   }
 
+  /** Gopher-style composite quality gate: per document, a keep flag and
+    * the FIRST failing rule's name (fixed rule order makes the reason
+    * deterministic) — the accept/reject decision a training pipeline
+    * applies before dedup/tokenization (Rae et al. 2021 "Gopher" §A1.1
+    * quality heuristics, re-thresholded for this corpus). One codegen'd
+    * projection over the scan: the decision never leaves the scan stage
+    * at 100 TB, same shape as q13/q37.
+    */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val lines = filter(split(col("text"), "\n"), l => l =!= "")
+    val nTokens = size(toks)
+    val stopRatio = round(stopCount(toks, StopwordsEn)
+      .cast("double") / greatest(nTokens, lit(1)), 4)
+    val punct = length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?]", ""))
+    val punctRatio = round(punct.cast("double") /
+      greatest(length(col("text")), lit(1)), 4)
+    val dupLineFrac = round(lit(1.0) - size(array_distinct(lines))
+      .cast("double") / greatest(size(lines), lit(1)), 4)
+    docs.select(col("doc_id"), nTokens.as("n_tokens"),
+        stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"),
+        dupLineFrac.as("dup_line_frac"))
+      .withColumn("reason",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("stop_ratio") < 0.03, "low_stopwords")
+          .when(col("punct_ratio") > 0.2, "high_punct")
+          .when(col("dup_line_frac") > 0.3, "repetitive")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("reason") === "keep").cast("int").as("keep"), col("reason"))
+  }
+
   /** CommonTokens OOV rate (tika-eval CommonTokens: % of tokens NOT in
     * the language's common-words list), evaluated against the PREDICTED
     * language's top-200 common-word list (32 languages,
