@@ -9,9 +9,19 @@ import graft.media.MediaParser
   */
 class Id3XmpSpec extends AnyFunSuite {
 
-  private val av = Path.of("/root/reference/tika-parsers/" +
-    "tika-parsers-standard/tika-parsers-standard-modules/" +
-    "tika-parser-audiovideo-module/src/test/resources/test-documents")
+  private val avDirs = Seq(
+    Path.of("/root/reference/tika-parsers/" +
+      "tika-parsers-standard/tika-parsers-standard-modules/" +
+      "tika-parser-audiovideo-module/src/test/resources/test-documents"),
+    Path.of("/root/reference/tika-parsers/" +
+      "tika-parsers-standard/tika-parsers-standard-integration-tests/" +
+      "src/test/resources/test-documents"))
+
+  private val av = new {
+    def resolve(name: String): Path =
+      avDirs.map(_.resolve(name)).find(Files.isRegularFile(_))
+        .getOrElse(avDirs.head.resolve(name))
+  }
 
   private def tagsOf(name: String): Map[String, String] = {
     org.scalatest.Assertions.assume(Files.isRegularFile(av.resolve(name)),
