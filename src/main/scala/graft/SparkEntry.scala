@@ -982,18 +982,20 @@ object SparkEntry {
                   lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
                   ' from 10.', CAST(doc_id % 256 AS VARCHAR),
                   '.0.1 card 4111 1111 1111 1111.') AS aug
-           FROM documents)
+           FROM documents),
+         s AS (SELECT doc_id, aug,
+           regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+           FROM a),
+         s2 AS (SELECT *, regexp_replace(after_email, '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '<CARD>', 'g') AS after_card FROM s),
+         s3 AS (SELECT *, regexp_replace(after_card, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS after_ip FROM s2)
          SELECT doc_id,
            CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-           CAST(len(regexp_extract_all(aug, '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b')) AS INTEGER) AS n_cards,
-           CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
-           CAST(len(regexp_extract_all(aug, '\+?\d{1,3}[ .-]\d{3}[ .-]\d{3,4}(?:[ .-]\d{3,4})?')) AS INTEGER) AS n_phones,
-           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '<CARD>', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           CAST(len(regexp_extract_all(after_email, '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b')) AS INTEGER) AS n_cards,
+           CAST(len(regexp_extract_all(after_card, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(after_ip, '\+?\d{1,3}[ .-]\d{3}[ .-]\d{3,4}(?:[ .-]\d{3,4})?')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(after_ip,
              '\+?\d{1,3}[ .-]\d{3}[ .-]\d{3,4}(?:[ .-]\d{3,4})?', '<PHONE>', 'g')) AS scrub_sig
-         FROM a""",
+         FROM s3""",
     "q41_normalize" ->
       """WITH a AS (SELECT doc_id,
            concat(text, ' cafe', chr(769), ' A', chr(778), ' ', chr(233),

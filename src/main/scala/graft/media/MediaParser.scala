@@ -634,7 +634,10 @@ object MediaParser {
         case None => done = true
         case Some((w, h, bpp, isMask, retina)) =>
           val len = be32(b, p + 4).toInt
-          if (len <= 0 || len > b.length) done = true
+          // len must cover the 8-byte header AND fit from offset p —
+          // a truncated final entry whose len merely fits the file
+          // size would otherwise be counted with its payload absent.
+          if (len < 8 || p + len > b.length) done = true
           else {
             if (isMask) masks += ((w, h, bpp, retina))
             else icons += ((w, h, bpp, retina))

@@ -136,11 +136,18 @@ object DocxExtractor {
       XlsxDrawings.scrapeRunText(parts,
         XlsxDrawings.resolve("word/document.xml", rel.target), sink)
     named("footer").foreach(parsePart)
-    // altChunk imported sub-documents (HTML/MHT) recurse as children;
-    // their parts are not XmlParts, so fetch them in a second targeted
-    // read of only those entries
-    val altNames = altChunkParts(parts.get("word/_rels/document.xml.rels"))
-      .filterNot(parts.contains).toSet
+    // altChunk imported sub-documents recurse as children. XML/XHTML
+    // chunks are already in the XmlParts map — recurse them from the
+    // in-memory bytes; non-XML chunks (HTML/MHT/RTF) need a second
+    // targeted zip read of only those entries. The reference embeds
+    // EVERY aFChunk regardless of its content type.
+    val allAlt = altChunkParts(parts.get("word/_rels/document.xml.rels"))
+    val (inMem, needFetch) = allAlt.partition(parts.contains)
+    inMem.sorted.foreach { n =>
+      val d = parts(n)
+      if (d.nonEmpty) child(n.substring(n.lastIndexOf('/') + 1), d)
+    }
+    val altNames = needFetch.toSet
     if (altNames.nonEmpty)
       ZipUtil.entriesMap(zipBytes, altNames.contains)
         .toSeq.sortBy(_._1)

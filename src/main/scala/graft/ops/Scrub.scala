@@ -37,19 +37,26 @@ object PiiScrub {
   private def count(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0))).cast("int")
 
-  /** Per-document scrub profile: category counts (measured on the
-    * pre-scrub text) plus an md5 signature of the scrubbed text (the
-    * full text stays out of the contract row on purpose).
+  /** Per-document scrub profile: category counts plus an md5 signature
+    * of the scrubbed text (the full text stays out of the contract row
+    * on purpose). Each category is counted on the progressively-
+    * scrubbed text in the same email→card→ip→phone order `scrub` uses,
+    * so the counts equal the redactions actually performed — counting
+    * on the raw text would double-count overlaps (the interior of a
+    * spaced card number also matches PhoneRe).
     */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterCard  = regexp_replace(afterEmail, CardRe, "<CARD>")
+    val afterIp    = regexp_replace(afterCard, Ipv4Re, "<IP>")
     docs.select(
       col("doc_id"),
       count(t, EmailRe).as("n_emails"),
-      count(t, CardRe).as("n_cards"),
-      count(t, Ipv4Re).as("n_ips"),
-      count(t, PhoneRe).as("n_phones"),
-      md5(scrub(t)).as("scrub_sig"))
+      count(afterEmail, CardRe).as("n_cards"),
+      count(afterCard, Ipv4Re).as("n_ips"),
+      count(afterIp, PhoneRe).as("n_phones"),
+      md5(regexp_replace(afterIp, PhoneRe, "<PHONE>")).as("scrub_sig"))
   }
 }
 
@@ -87,7 +94,10 @@ object TextNorm {
       .as[(String, String)]
       .mapPartitions(_.map { case (id, text) =>
         if (text == null) (id, 0, null: String)
-        else (id, text.length, nfc(text))
+        // code points, not UTF-16 units: n_after is Spark length() and
+        // the DuckDB oracle is length(), both Unicode code points —
+        // n_before must count in the same units for non-BMP text.
+        else (id, text.codePointCount(0, text.length), nfc(text))
       })
       .toDF("doc_id_str", "n_before", "nfc_text")
     val cleaned = trim(regexp_replace(

@@ -124,7 +124,10 @@ object TextOps {
     * projection over the scan: the decision never leaves the scan stage
     * at 100 TB, same shape as q13/q37.
     */
-  def qualityGate(docs: DataFrame): DataFrame = {
+  def qualityGate(docs0: DataFrame): DataFrame = {
+    // NULL text must fail the gate (too_short), not fall through every
+    // NULL WHEN condition to otherwise("keep") — treat null as empty.
+    val docs = docs0.withColumn("text", coalesce(col("text"), lit("")))
     val toks = tokens(col("text"))
     val lines = filter(split(col("text"), "\n"), l => l =!= "")
     val nTokens = size(toks)
