@@ -35,9 +35,14 @@ object Extractor {
       // in the reference): VBA module sources become embedded docs
       extractMacros: Boolean = false,
       // PasswordProvider analog: decryption password for protected
-      // containers (RAR3 -p/-hp today). None = record encrypted status,
-      // exactly the reference's no-provider behavior.
-      password: Option[String] = None
+      // containers (PDF user/owner, OOXML standard/agile, RAR3 -p/-hp).
+      // None = default attempts only (empty PDF password,
+      // VelvetSweatshop for OOXML), exactly the reference's no-provider
+      // behavior.
+      password: Option[String] = None,
+      // PDFParserConfig.setExtractMarkedContent analog (default false):
+      // tagged PDFs extract in structure-tree logical order
+      extractMarkedContent: Boolean = false
   )
   val DefaultConfig: Config = Config()
 
@@ -273,7 +278,8 @@ object Extractor {
             }
           case MediaTypes.Pdf =>
             PdfExtractor.extract(bytes, sink, meta,
-              (name, data) => inlineChild(idPath, depth)(name, data))
+              (name, data) => inlineChild(idPath, depth)(name, data),
+              cfg.password, cfg.extractMarkedContent)
           case MediaTypes.Docx =>
             DocxExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(Some(name), data))
@@ -779,9 +785,30 @@ object Extractor {
           case MediaTypes.MsOutlook =>
             graft.ole2.MsgExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(Some(name), data))
-          case m if m == graft.ole2.Ole2Detector.OoxmlProtected ||
-              m == graft.ole2.Ole2Detector.DrmEncrypted =>
-            // password-protected OOXML (CFB-wrapped EncryptedPackage) or
+          case m if m == graft.ole2.Ole2Detector.OoxmlProtected =>
+            // password-protected OOXML (CFB-wrapped EncryptedPackage):
+            // try MS-OFFCRYPTO decryption with the supplied password, or
+            // the reference's default "VelvetSweatshop" without one
+            // (OfficeParser.java:258-292 — the provider password REPLACES
+            // the default; exactly one attempt, failure throws
+            // EncryptedDocumentException)
+            val pw = cfg.password.getOrElse(
+              graft.crypto.OfficeCrypto.DefaultPassword)
+            graft.crypto.OfficeCrypto.decryptOoxml(
+                graft.ole2.Cfb.parse(bytes), pw) match {
+              case Some(opc) =>
+                meta.set("ooxml:protected", "true")
+                // re-dispatch the decrypted OPC zip: the reported type
+                // becomes the real document type, like the reference's
+                // OOXMLExtractorFactory overwriting Content-Type
+                if (idPath.isEmpty) topMime = null
+                parseNode(opc, idPath, nameHint, depth)
+              case None =>
+                sawException = true
+                meta.add("parse:exception",
+                  s"$m password-protected at ${if (idPath.isEmpty) "/" else idPath}")
+            }
+          case m if m == graft.ole2.Ole2Detector.DrmEncrypted =>
             // OLE2 DRM dataspaces (TIKA-3666): the reference throws
             // EncryptedDocumentException — record a parse failure, not an
             // unknown type

@@ -100,18 +100,54 @@ object PdfCrypto {
     }
   }
 
-  /** Empty-user-password check: recompute /U and compare (first 16 bytes
-    * for R3+).
+  /** Algorithm 6 user-password check: recompute /U from `pwd` and
+    * compare (first 16 bytes for R3+). Empty `pwd` is the reference's
+    * default no-provider attempt.
     */
-  def emptyPasswordWorks(o: Array[Byte], u: Array[Byte], p: Long,
-      id0: Array[Byte], r: Int, keyLen: Int): Boolean = {
-    val key = fileKey(o, p, id0, r, keyLen)
+  def userPasswordWorks(o: Array[Byte], u: Array[Byte], p: Long,
+      id0: Array[Byte], r: Int, keyLen: Int,
+      pwd: Array[Byte] = Array.emptyByteArray): Boolean = {
+    val key = fileKey(o, p, id0, r, keyLen, pwd)
     val mine = computeU(key, id0, r)
     val n = if (r == 2) 32 else 16
     if (u.length < n || mine.length < n) return false
     var i = 0
     while (i < n) { if (mine(i) != u(i)) return false; i += 1 }
     true
+  }
+
+  def emptyPasswordWorks(o: Array[Byte], u: Array[Byte], p: Long,
+      id0: Array[Byte], r: Int, keyLen: Int): Boolean =
+    userPasswordWorks(o, u, p, id0, r, keyLen)
+
+  /** Algorithm 7 (owner-password side): RC4-decrypt /O with the
+    * owner-password-derived key to recover the PADDED user password
+    * bytes. The caller validates the result via Algorithm 6; `padded`
+    * passes a 32-byte input through unchanged so the recovered bytes
+    * feed `fileKey` directly.
+    */
+  def ownerToUser(o: Array[Byte], r: Int, keyLen: Int,
+      ownerPwd: Array[Byte]): Array[Byte] = {
+    var h = md5(padded(ownerPwd))
+    // the 50 rounds hash only the first keyLen bytes — Adobe's
+    // deviation from the written spec, which every real writer follows
+    // (PDFBox computeRC4key does the same "deviates from the spec"
+    // truncation); full-16-byte rounds fail real 40-bit fixtures
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(java.util.Arrays.copyOf(h, keyLen)); i += 1 }
+    }
+    val key = java.util.Arrays.copyOf(h, keyLen)
+    if (r == 2) rc4(key, o)
+    else {
+      var out = o
+      var i = 19
+      while (i >= 0) {
+        out = rc4(key.map(b => (b ^ i).toByte), out)
+        i -= 1
+      }
+      out
+    }
   }
 
   /** Algorithm 1: per-object RC4 key. */
@@ -219,31 +255,65 @@ object PdfCrypto {
     java.util.Arrays.copyOf(k, 32)
   }
 
-  /** R6 empty-user-password check: /U = hash(32) || validation salt(8)
+  /** R6 user-password check: /U = hash(32) || validation salt(8)
     * || key salt(8); valid when hash2B(pwd, vsalt, "") matches. R5 (the
     * deprecated AESV3 revision) uses a single SHA-256 instead.
     */
-  def emptyPasswordWorksR6(u: Array[Byte], r: Int): Boolean = {
+  def userPasswordWorksR6(u: Array[Byte], r: Int,
+      pwd: Array[Byte] = Array.emptyByteArray): Boolean = {
     if (u.length < 48) return false
     val vsalt = java.util.Arrays.copyOfRange(u, 32, 40)
     val mine =
-      if (r == 5) sha("SHA-256", Array.emptyByteArray, vsalt)
-      else hash2B(Array.emptyByteArray, vsalt, Array.emptyByteArray)
+      if (r == 5) sha("SHA-256", pwd, vsalt)
+      else hash2B(pwd, vsalt, Array.emptyByteArray)
     java.util.Arrays.equals(mine,
       java.util.Arrays.copyOfRange(u, 0, 32))
   }
 
-  /** R6 file key from /U + /UE with the empty user password: the
+  def emptyPasswordWorksR6(u: Array[Byte], r: Int): Boolean =
+    userPasswordWorksR6(u, r)
+
+  /** R6 owner-password check: /O = hash(32) || vsalt(8) || ksalt(8),
+    * where the hash additionally absorbs the full 48-byte /U.
+    */
+  def ownerPasswordWorksR6(o: Array[Byte], u: Array[Byte], r: Int,
+      pwd: Array[Byte]): Boolean = {
+    if (o.length < 48 || u.length < 48) return false
+    val u48 = java.util.Arrays.copyOf(u, 48)
+    val vsalt = java.util.Arrays.copyOfRange(o, 32, 40)
+    val mine =
+      if (r == 5) sha("SHA-256", pwd, vsalt, u48)
+      else hash2B(pwd, vsalt, u48)
+    java.util.Arrays.equals(mine,
+      java.util.Arrays.copyOfRange(o, 0, 32))
+  }
+
+  /** R6 file key from /U + /UE for the given user password: the
     * intermediate key (hash over the key salt) AES-CBC-decrypts /UE with
     * a zero IV.
     */
-  def fileKeyR6(u: Array[Byte], ue: Array[Byte], r: Int): Array[Byte] = {
+  def fileKeyR6(u: Array[Byte], ue: Array[Byte], r: Int,
+      pwd: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val ksalt = java.util.Arrays.copyOfRange(u, 40, 48)
     val ik =
-      if (r == 5) sha("SHA-256", Array.emptyByteArray, ksalt)
-      else hash2B(Array.emptyByteArray, ksalt, Array.emptyByteArray)
+      if (r == 5) sha("SHA-256", pwd, ksalt)
+      else hash2B(pwd, ksalt, Array.emptyByteArray)
     aesCbcRaw(encrypt = false, ik, new Array[Byte](16),
       java.util.Arrays.copyOf(ue, 32))
+  }
+
+  /** R6 file key recovered via the OWNER password from /O + /OE: the
+    * intermediate hash absorbs the 48-byte /U alongside /O's key salt.
+    */
+  def fileKeyR6Owner(o: Array[Byte], u: Array[Byte], oe: Array[Byte],
+      r: Int, pwd: Array[Byte]): Array[Byte] = {
+    val u48 = java.util.Arrays.copyOf(u, 48)
+    val ksalt = java.util.Arrays.copyOfRange(o, 40, 48)
+    val ik =
+      if (r == 5) sha("SHA-256", pwd, ksalt, u48)
+      else hash2B(pwd, ksalt, u48)
+    aesCbcRaw(encrypt = false, ik, new Array[Byte](16),
+      java.util.Arrays.copyOf(oe, 32))
   }
 
   /** Fixture writer: (/U, /UE, /O, /OE, /Perms) for an empty user and

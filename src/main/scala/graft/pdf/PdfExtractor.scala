@@ -43,8 +43,10 @@ object PdfExtractor {
   val DropThreshold = 2.5    // vertical pts ~ superscript guard (:114)
 
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
-      onEmbedded: (Option[String], Array[Byte]) => Unit = (_, _) => ()): Unit = {
-    val doc = new PdfDoc(bytes)
+      onEmbedded: (Option[String], Array[Byte]) => Unit = (_, _) => (),
+      password: Option[String] = None,
+      markedContent: Boolean = false): Unit = {
+    val doc = new PdfDoc(bytes, password)
     extractInfo(doc, meta)
     // XMP packet (the spec keeps metadata streams uncompressed precisely
     // so packet scanners find them — tika-parser-xmp-commons surface)
@@ -58,7 +60,20 @@ object PdfExtractor {
       // failure (the reference throws from PDFParser on unusable docs)
       throw new PdfParseException(s"no pages (objects=${doc.objectCount})")
     meta.set("xmpTPg:NPages", pages.length.toString)
-    pages.foreach { page =>
+    // tagged-PDF logical order when requested AND the document carries a
+    // usable structure tree; otherwise classic positional extraction
+    // (reference: PDFParser routes to PDFMarkedContent2XHTML only under
+    // config.isExtractMarkedContent; we additionally fall back on
+    // missing/broken trees instead of failing the doc)
+    val usedMarked = markedContent && MarkedContentExtractor.extract(doc, sink)
+    if (usedMarked) {
+      // Step-6 analog: per-page annotation handling still runs
+      pages.foreach { page =>
+        extractAnnotations(doc, page, sink, meta)
+        sink.chars("\n")
+        sink.newline()
+      }
+    } else pages.foreach { page =>
       val content = doc.pageContent(page)
       val resources = doc.pageResources(page)
       interpretPage(doc, content, resources, sink)
@@ -464,24 +479,66 @@ object PdfExtractor {
           try Some(Integer.parseInt(h, 16).toChar) catch { case _: Exception => None })
         codeUnits.mkString
       }
+      // source codes are at most 4 hex bytes; destinations may be
+      // SEVERAL UTF-16 code units (surrogate pairs like <D835DC36> for
+      // mathematical alphanumerics) — parse as units, never as one int
+      def parseCode(hex: String): Option[Int] =
+        try {
+          val v = java.lang.Long.parseLong(hex, 16)
+          if (v >= 0 && v <= Int.MaxValue) Some(v.toInt) else None
+        } catch { case _: NumberFormatException => None }
       val bfchar = """(?s)beginbfchar(.*?)endbfchar""".r
       val pair = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
       bfchar.findAllMatchIn(s).foreach { blk =>
         pair.findAllMatchIn(blk.group(1)).foreach { m =>
-          out(Integer.parseInt(m.group(1), 16)) = hexToString(m.group(2))
+          parseCode(m.group(1)).foreach(out(_) = hexToString(m.group(2)))
         }
       }
       val bfrange = """(?s)beginbfrange(.*?)endbfrange""".r
       val triple = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
       bfrange.findAllMatchIn(s).foreach { blk =>
         triple.findAllMatchIn(blk.group(1)).foreach { m =>
-          val lo = Integer.parseInt(m.group(1), 16)
-          val hi = Integer.parseInt(m.group(2), 16)
-          val dst = Integer.parseInt(m.group(3), 16)
-          var c = lo
-          while (c <= hi && c - lo < 65536) {
-            out(c) = new String(Character.toChars(dst + (c - lo)))
-            c += 1
+          for {
+            lo <- parseCode(m.group(1))
+            hi <- parseCode(m.group(2))
+          } {
+            val dstHex = m.group(3)
+            var c = lo
+            if (dstHex.length <= 5) {
+              // single code point: increments span planes if needed
+              parseCode(dstHex).foreach { dst =>
+                while (c <= hi && c - lo < 65536) {
+                  out(c) = new String(Character.toChars(dst + (c - lo)))
+                  c += 1
+                }
+              }
+            } else {
+              // multi-code-unit destination (e.g. a surrogate pair):
+              // CMap semantics increment the LAST code unit per step
+              val base = hexToString(dstHex)
+              if (base.nonEmpty) {
+                // a lone high surrogate in the last slot means the hex
+                // was a surrogate PAIR — step the full code point instead
+                val isPair = base.length >= 2 &&
+                  Character.isHighSurrogate(base.charAt(base.length - 2)) &&
+                  Character.isLowSurrogate(base.charAt(base.length - 1))
+                while (c <= hi && c - lo < 65536) {
+                  val d = c - lo
+                  out(c) =
+                    if (isPair) {
+                      val cp = Character.toCodePoint(
+                        base.charAt(base.length - 2),
+                        base.charAt(base.length - 1)) + d
+                      base.substring(0, base.length - 2) +
+                        new String(Character.toChars(cp))
+                    } else {
+                      base.substring(0, base.length - 1) +
+                        (base.last + d).toChar
+                    }
+                  c += 1
+                }
+              }
+            }
           }
         }
       }
@@ -489,9 +546,9 @@ object PdfExtractor {
     }
   }
 
-  private def interpretPage(
+  private[pdf] def interpretPage(
       doc: PdfDoc, content: Array[Byte], resources: PDict, sink: SpanSink,
-      formDepth: Int = 0): Unit = {
+      formDepth: Int = 0, mc: McCollector = null): Unit = {
     val lex = new PdfLexer(content)
     val st = TextState()
     val operands = scala.collection.mutable.ArrayBuffer[PdfObj]()
@@ -523,6 +580,14 @@ object PdfExtractor {
 
     def showString(s: Array[Byte]): Unit = {
       if (s.isEmpty) return
+      if (mc != null) {
+        // marked-content collection pass: raw per-glyph unicode
+        // concatenation grouped by the innermost MCID, no spacing
+        // heuristics — PDFMarkedContent2XHTML.loadTextByMCID appends
+        // TextPosition.getUnicode directly (its spacing TODO is open)
+        mc.append(st.font.decodeAll(s))
+        return
+      }
       // Project onto the text matrix's writing direction so the spacing
       // and line-break heuristics survive rotated text (a 90°-rotated
       // page draws glyph runs that advance in device-Y): u = along-line
@@ -657,16 +722,45 @@ object PdfExtractor {
                         val formRes = xd.get("Resources").flatMap(doc.dict)
                           .getOrElse(resources)
                         try interpretPage(doc, doc.decodeStream(s), formRes,
-                          sink, formDepth + 1)
+                          sink, formDepth + 1, mc)
                         catch { case _: PdfParseException => () }
                       }
                     case Some(PStream(xd, _))
                         if xd.get("Subtype").contains(PName("Image")) =>
-                      sink.media("embedded:" + name)
+                      if (mc == null) sink.media("embedded:" + name)
                     case _ => ()
                   }
                 case _ => ()
               }
+            case "BDC" if mc != null =>
+              // /Tag <<props>> BDC or /Tag /PropsName BDC — the MCID
+              // (when present) keys the text for the structure tree
+              val tag = operands.dropRight(1).lastOption match {
+                case Some(PName(t)) => t
+                case _ => ""
+              }
+              val props: Option[PDict] = operands.lastOption.flatMap {
+                case d: PDict => Some(d)
+                case PName(pn) => for {
+                  propsRes <- resources.get("Properties").flatMap(doc.dict)
+                  d <- doc.dict(propsRes.get(pn).getOrElse(PNull))
+                } yield d
+                case _ => None
+              }
+              val mcid = props.flatMap(p =>
+                doc.resolve(p.get("MCID").getOrElse(PNull)) match {
+                  case PNum(n) => Some(n.toInt)
+                  case _ => None
+                }).getOrElse(-1)
+              mc.begin(tag, mcid)
+            case "BMC" if mc != null =>
+              val tag = operands.lastOption match {
+                case Some(PName(t)) => t
+                case _ => ""
+              }
+              mc.begin(tag, -1)
+            case "EMC" if mc != null =>
+              mc.end()
             case _ => () // path/graphics ops ignored
           }
           operands.clear()

@@ -305,8 +305,12 @@ final class PdfLexer(data: Array[Byte]) {
   }
 }
 
-/** A parsed PDF document: object table + page list. */
-final class PdfDoc(data: Array[Byte]) {
+/** A parsed PDF document: object table + page list. `password` is the
+  * PasswordProvider analog (PDFParser.java:176-198 passes the provider's
+  * password, or "" without one, to PDFBox): tried as the user password
+  * and then as the owner password after the default empty attempt.
+  */
+final class PdfDoc(data: Array[Byte], password: Option[String] = None) {
   private val objects = scala.collection.mutable.Map[Int, PdfObj]()
   private val gens = scala.collection.mutable.Map[Int, Int]()
   private var trailer: PDict = PDict(Map.empty)
@@ -530,15 +534,44 @@ final class PdfDoc(data: Array[Byte]) {
       case _ => Array.emptyByteArray
     }
     val o = str("O"); val u = str("U"); val p = num("P", -1)
+    // password attempt order mirrors PDFBox's StandardSecurityHandler:
+    // supplied-as-user, supplied-as-owner, then the default empty user
+    // password (the reference's no-provider behavior). R≤4 passwords
+    // are PDFDocEncoding — latin-1 bytes cover the printable subset —
+    // R5/R6 take UTF-8 (SASLprep omitted; ASCII passwords unaffected).
+    // A supplied non-empty password that matches neither /U nor /O is a
+    // hard failure even when the empty password would have worked — the
+    // reference throws EncryptedDocumentException for a wrong password
+    // on a default-password PDF (PDFParserTest.testProtectedPDF).
+    val supplied = password.filter(_.nonEmpty)
     val fileKey: Array[Byte] =
-      if (aes256) {
-        if (!PdfCrypto.emptyPasswordWorksR6(u, r))
-          throw new PdfParseException("encrypted with a non-empty password")
-        PdfCrypto.fileKeyR6(u, str("UE"), r)
-      } else {
-        if (!PdfCrypto.emptyPasswordWorks(o, u, p, id0, r, keyLen))
-          throw new PdfParseException("encrypted with a non-empty password")
-        PdfCrypto.fileKey(o, p, id0, r, keyLen)
+      if (aes256) supplied match {
+        case Some(s) =>
+          val pw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (PdfCrypto.userPasswordWorksR6(u, r, pw))
+            PdfCrypto.fileKeyR6(u, str("UE"), r, pw)
+          else if (PdfCrypto.ownerPasswordWorksR6(o, u, r, pw))
+            PdfCrypto.fileKeyR6Owner(o, u, str("OE"), r, pw)
+          else throw new PdfParseException("wrong password")
+        case None =>
+          if (!PdfCrypto.emptyPasswordWorksR6(u, r))
+            throw new PdfParseException("encrypted with a non-empty password")
+          PdfCrypto.fileKeyR6(u, str("UE"), r)
+      } else supplied match {
+        case Some(s) =>
+          val pw = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          if (PdfCrypto.userPasswordWorks(o, u, p, id0, r, keyLen, pw))
+            PdfCrypto.fileKey(o, p, id0, r, keyLen, pw)
+          else {
+            val rec = PdfCrypto.ownerToUser(o, r, keyLen, pw)
+            if (PdfCrypto.userPasswordWorks(o, u, p, id0, r, keyLen, rec))
+              PdfCrypto.fileKey(o, p, id0, r, keyLen, rec)
+            else throw new PdfParseException("wrong password")
+          }
+        case None =>
+          if (!PdfCrypto.emptyPasswordWorks(o, u, p, id0, r, keyLen))
+            throw new PdfParseException("encrypted with a non-empty password")
+          PdfCrypto.fileKey(o, p, id0, r, keyLen)
       }
 
     def decryptBytes(key: Array[Byte], b: Array[Byte]): Array[Byte] =
@@ -602,6 +635,40 @@ final class PdfDoc(data: Array[Byte]) {
       }
     }
     catalog.flatMap(c => dict(c.get("Pages").getOrElse(PNull))).foreach(walk(_, 0))
+    out.toVector
+  }
+
+  /** Page-tree walk that keeps each page's OBJECT NUMBER alongside its
+    * dict — the structure tree's /Pg entries and marked-content MCIDs
+    * are keyed by page object ref (PDFMarkedContent2XHTML's pageRefs).
+    * Pages reached through a non-ref inline dict get number -1.
+    */
+  def pagesWithRefs: Vector[(Int, PDict)] = {
+    val out = new ArrayBuffer[(Int, PDict)]()
+    def walk(ref: Int, node: PDict, depth: Int): Unit = {
+      if (depth > 32) return
+      resolve(node.get("Type").getOrElse(PNull)) match {
+        case PName("Page") => out += ((ref, node))
+        case _ =>
+          node.get("Kids").map(resolve) match {
+            case Some(PArr(kids)) =>
+              kids.foreach {
+                case r @ PRef(n, _) =>
+                  dict(r).foreach(walk(n, _, depth + 1))
+                case other =>
+                  dict(other).foreach(walk(-1, _, depth + 1))
+              }
+            case _ => ()
+          }
+      }
+    }
+    catalog.foreach { c =>
+      c.get("Pages") match {
+        case Some(r @ PRef(n, _)) => dict(r).foreach(walk(n, _, 0))
+        case Some(other) => dict(other).foreach(walk(-1, _, 0))
+        case None => ()
+      }
+    }
     out.toVector
   }
 
