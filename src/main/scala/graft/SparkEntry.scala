@@ -63,10 +63,15 @@ object SparkEntry {
         .select("doc_id", "mime", "status", "n_spans", "n_chars")
     }),
     "x02_spans_flat" -> ((s, dir) => {
+      // row-level span-sequence face, one row per span in order. The
+      // text column travels as md5 so the full 500-doc table freezes
+      // into a row-level oracle (frozen/x02_rows.tsv, r5) — the raw
+      // text remains covered byte-for-byte by the golden span suite.
       import s.implicits._
       Pipeline.extract(Corpus.docRows(s, 500)).toDF()
         .select(col("doc_id"), explode(col("spans")).as("span"))
-        .select(col("doc_id"), col("span.kind"), col("span.text"),
+        .select(col("doc_id"), col("span.kind"),
+          md5(coalesce(col("span.text"), lit(""))).as("text_md5"),
           col("span.media_ref"), col("span.offset"))
     }),
     "x03_detect_mime_stats" -> ((s, dir) => {
@@ -760,7 +765,28 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
+  /** Frozen ROW-LEVEL oracle loaded from a main-classpath resource of
+    * pre-quoted SQL tuples (one `('…', …)` per line, generated by
+    * FreezeRowsDump after an intentional corpus/extractor change). The
+    * oracle SQL stays self-contained — the driver receives the full
+    * VALUES table through oracle_sql.json.
+    */
+  private def frozenRowsOracle(resource: String, cols: String): String = {
+    val in = getClass.getResourceAsStream("/frozen/" + resource)
+    require(in != null, s"missing frozen oracle resource $resource")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val rows =
+      try src.getLines().filter(_.nonEmpty).mkString(",\n") finally src.close()
+    s"SELECT * FROM (VALUES\n$rows\n) AS t($cols)"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // r5: the last row-level extraction faces, frozen row-for-row (the
+    // aggregate pins x09/x10 remain as independent tripwires)
+    "x02_spans_flat" -> frozenRowsOracle("x02_rows.tsv",
+      "doc_id, kind, text_md5, media_ref, \"offset\""),
+    "x05_embedded_tree" -> frozenRowsOracle("x05_rows.tsv",
+      "doc_id, kind, media_ref"),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
          round(sum(l_quantity), 2) AS sum_qty,

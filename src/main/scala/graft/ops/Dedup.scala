@@ -213,21 +213,29 @@ object Dedup {
     * (edge join + min-agg, no vertex data beyond two longs) is already
     * the scale-safe shape. Deterministic: labels are min doc ids.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
-    // symmetric edge list (a<b input); localCheckpoint (NOT cache)
-    // everywhere: it materializes AND truncates lineage, so every
-    // iteration's plan stays flat no matter how many rounds ran before
-    // it (the classic iterative-algorithm requirement — same reason
-    // GraphX checkpoints Pregel state), and it avoids the shared-session
-    // CacheManager lock that repeated cache/unpersist cycles contend on
+  def dupClusters(pairs: DataFrame, maxIters: Int = 15,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // symmetric edge list (a<b input). Lineage must be truncated every
+    // round so the plan stays flat no matter how many rounds ran before
+    // (the classic iterative-algorithm requirement — same reason GraphX
+    // checkpoints Pregel state). Two durability tiers:
+    //  - checkpointDir set → RELIABLE checkpoint()s to that (HDFS/S3)
+    //    path: an executor loss mid-loop recomputes from the stored
+    //    blocks, the contract a 100 TB multi-executor run needs;
+    //  - otherwise localCheckpoint (executor-local blocks, no
+    //    CacheManager lock contention) — fine on a single JVM where no
+    //    executor can vanish, and the cheapest flat-plan mechanism.
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = fwd.unionByName(
-      fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id"))
+    val edges = pin(fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = pin(edges.select(col("src").as("doc_id"))
       .distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+      .withColumn("cluster_id", col("doc_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -246,11 +254,10 @@ object Dedup {
       // so a 15-round cap covers diameter 2^15 — plain propagation
       // alone needs diameter rounds and silently mislabels long chains.
       val jump = prop.select(col("doc_id").as("j_id"), col("cluster_id").as("j_lbl"))
-      val next = prop.join(jump, col("cluster_id") === col("j_id"), "left")
+      val next = pin(prop.join(jump, col("cluster_id") === col("j_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("j_lbl"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
+            .as("cluster_id")))
       val changed = next.as("n")
         .join(labels.as("o"), "doc_id")
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))

@@ -38,7 +38,9 @@ class FrozenOraclesSpec extends AnyFunSuite {
       "x08_media_meta", "x09_span_stats", "x10_embedded_stats",
       "x11_main_content_stats", "x12_unpack_stats",
       "q23_extract_compare", "x13_rmeta_stats", "x14_extract_stats",
-      "x15_projection_stats")) {
+      "x15_projection_stats",
+      // r5: row-level faces frozen row-for-row (resource-backed VALUES)
+      "x02_spans_flat", "x05_embedded_tree")) {
     test(s"$q frozen oracle matches a fresh sf0.01 run") {
       val expected = frozenRows(q)
       val got = fresh(q)
