@@ -769,19 +769,22 @@ object Extractor {
             graft.ole2.VsdExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsWord =>
             graft.ole2.DocExtractor.extract(bytes, sink, meta,
-              (name, data) => inlineChild(idPath, depth)(Some(name), data))
+              (name, data) => inlineChild(idPath, depth)(Some(name), data),
+              cfg.password)
           case MediaTypes.MsExcel | "application/x-tika-msworks-spreadsheet" =>
             // Works 7.0 .xlr is a BIFF8 workbook under a different root
             // entry (OfficeParser POIFSDocumentType.XLR → ExcelExtractor)
             graft.ole2.XlsExtractor.extract(bytes, sink, meta,
-              (name, data) => inlineChild(idPath, depth)(Some(name), data))
+              (name, data) => inlineChild(idPath, depth)(Some(name), data),
+              cfg.password)
           case "application/sldworks" =>
             // SolidWorks parts/assemblies/drawings: summary metadata only
             // (OfficeParser SOLIDWORKS_* cases emit no body text)
             graft.ole2.OleProps.fromCfb(graft.ole2.Cfb.parse(bytes), meta)
           case MediaTypes.MsPowerPoint =>
             graft.ole2.PptExtractor.extract(bytes, sink, meta,
-              (name, data) => inlineChild(idPath, depth)(Some(name), data))
+              (name, data) => inlineChild(idPath, depth)(Some(name), data),
+              cfg.password)
           case MediaTypes.MsOutlook =>
             graft.ole2.MsgExtractor.extract(bytes, sink, meta,
               (name, data) => inlineChild(idPath, depth)(Some(name), data))

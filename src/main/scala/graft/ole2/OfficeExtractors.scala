@@ -48,14 +48,15 @@ object DocExtractor {
     * Mirrors POI WordExtractor's text-piece walk.
     */
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
-      child: (String, Array[Byte]) => Unit = (_, _) => ()): Unit = {
+      child: (String, Array[Byte]) => Unit = (_, _) => (),
+      password: Option[String] = None): Unit = {
     val cfb = Cfb.parse(bytes)
     OleProps.fromCfb(cfb, meta)
     // embedded OLE objects live under the ObjectPool storage
     EmbeddedCfb.recurse(cfb, "ObjectPool/", child)
-    val word = cfb.stream("WordDocument")
+    var word = cfb.stream("WordDocument")
       .getOrElse(throw new IllegalArgumentException("no WordDocument stream"))
-    val buf = ByteBuffer.wrap(word).order(ByteOrder.LITTLE_ENDIAN)
+    var buf = ByteBuffer.wrap(word).order(ByteOrder.LITTLE_ENDIAN)
     val wIdent = buf.getShort(0) & 0xffff
     if (wIdent == 0xA5DC) {
       // Word 6/95: no piece table — the text simply spans [fcMin, fcMac)
@@ -72,16 +73,33 @@ object DocExtractor {
     }
     require(wIdent == 0xA5EC, "bad FIB wIdent")
     val flags = buf.getShort(0x0A).toInt
-    // FIB base fEncrypted (RC4/CryptoAPI or XOR obfuscation, and DRM-
-    // wrapped documents set it too): the reference throws
-    // EncryptedDocumentException (WordParserTest testWORD_protected_*,
-    // testWORD_protected_drm)
-    require((flags & 0x0100) == 0, "encrypted word document")
     val whichTbl = (flags & 0x0200) != 0
     val tableName = if (whichTbl) "1Table" else "0Table"
-    val table = cfb.stream(tableName)
+    var table = cfb.stream(tableName)
       .orElse(cfb.stream(if (whichTbl) "0Table" else "1Table"))
       .getOrElse(throw new IllegalArgumentException("no table stream"))
+    if ((flags & 0x0100) != 0) {
+      // FIB base fEncrypted. With a supplied password, decrypt the
+      // binary-RC4 variant in place (reference: POI Word RC4 through
+      // Biff8EncryptionKey — Tika only sets a key when a
+      // PasswordProvider is present, so no password means the
+      // EncryptedDocumentException path; XOR obfuscation and CryptoAPI
+      // stay failures).
+      val fObfuscation = (flags & 0x8000) != 0
+      val dec =
+        if (fObfuscation) None
+        else password.flatMap(pw =>
+          graft.crypto.OfficeCrypto.decryptDocStreams(word, table, pw))
+      dec match {
+        case Some((w, t)) =>
+          word = w
+          table = t
+          buf = ByteBuffer.wrap(word).order(ByteOrder.LITTLE_ENDIAN)
+          meta.set("msoffice:encrypted", "true")
+        case None =>
+          throw new IllegalArgumentException("encrypted word document")
+      }
+    }
     val fcClx = buf.getInt(0x01A2)
     val lcbClx = buf.getInt(0x01A6)
     require(fcClx >= 0 && lcbClx > 0 && fcClx + lcbClx <= table.length,
@@ -169,7 +187,8 @@ object XlsExtractor {
     * as the XLSX decorator).
     */
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
-      child: (String, Array[Byte]) => Unit = (_, _) => ()): Unit = {
+      child: (String, Array[Byte]) => Unit = (_, _) => (),
+      password: Option[String] = None): Unit = {
     // pre-OLE2 Excel (BIFF2-4) ships the record stream RAW, no CFB
     // wrapper (reference: vnd.ms-excel.sheet.2/3/4 in tika-mimetypes)
     val rawBiff = bytes.length >= 8 && (bytes(0) & 0xff) == 0x09 &&
@@ -182,8 +201,23 @@ object XlsExtractor {
         OleProps.fromCfb(cfb, meta)
         // embedded OLE objects sit in root MBDxxxxxxxx storages
         EmbeddedCfb.recurse(cfb, "", child)
-        cfb.stream("Workbook").orElse(cfb.stream("Book"))
+        val raw = cfb.stream("Workbook").orElse(cfb.stream("Book"))
           .getOrElse(throw new IllegalArgumentException("no Workbook stream"))
+        if (hasFilePass(raw)) {
+          // FILEPASS: decrypt with the supplied password, else Excel's
+          // VelvetSweatshop default (POI Decryptor.DEFAULT_PASSWORD is
+          // what the reference tries without a provider); a failed
+          // verifier is the EncryptedDocumentException path
+          val pw = password.getOrElse(
+            graft.crypto.OfficeCrypto.DefaultPassword)
+          graft.crypto.OfficeCrypto.decryptXlsWorkbook(raw, pw) match {
+            case Some(dec) =>
+              meta.set("msoffice:encrypted", "true")
+              dec
+            case None =>
+              throw new IllegalArgumentException("encrypted excel document")
+          }
+        } else raw
       }
     val buf = ByteBuffer.wrap(wb).order(ByteOrder.LITTLE_ENDIAN)
     var biff8 = true
@@ -320,6 +354,22 @@ object XlsExtractor {
     }
   }
 
+  /** True when the BIFF record walk reaches a FILEPASS (0x002F) record
+    * in the workbook globals (scan stops at the first sheet BOF).
+    */
+  private def hasFilePass(wb: Array[Byte]): Boolean = {
+    var p = 0
+    var bofs = 0
+    while (p + 4 <= wb.length && bofs < 2) {
+      val id = (wb(p) & 0xff) | ((wb(p + 1) & 0xff) << 8)
+      val len = (wb(p + 2) & 0xff) | ((wb(p + 3) & 0xff) << 8)
+      if (id == 0x002f) return true
+      if (id == 0x0809) bofs += 1
+      p += 4 + len
+    }
+    false
+  }
+
   def decodeRk(rk: Int): Double = {
     val x100 = (rk & 0x01) != 0
     val isInt = (rk & 0x02) != 0
@@ -345,20 +395,38 @@ object PptExtractor {
   val TextBytesAtom = 0x0FA8
 
   def extract(bytes: Array[Byte], sink: SpanSink, meta: MetaSink,
-      child: (String, Array[Byte]) => Unit = (_, _) => ()): Unit = {
+      child: (String, Array[Byte]) => Unit = (_, _) => (),
+      password: Option[String] = None): Unit = {
     val cfb = Cfb.parse(bytes)
     OleProps.fromCfb(cfb, meta)
     // CurrentUserAtom headerToken 0xF3D1C4DF marks an encrypted deck
-    // (MS-PPT §2.3.2; HSLF throws EncryptedPowerPointFileException —
-    // PowerPointParserTest.testEncrypted)
+    // (MS-PPT §2.3.2): decrypt the persist objects with the supplied
+    // password or the VelvetSweatshop default (POI HSLFSlideShowEncrypted
+    // behavior); a failed verifier is the reference's
+    // EncryptedPowerPointFileException path
+    var encrypted = false
+    var curEdit = -1
     cfb.stream("Current User").foreach { cu =>
-      if (cu.length >= 16) {
-        val tok = ByteBuffer.wrap(cu).order(ByteOrder.LITTLE_ENDIAN).getInt(12)
-        require(tok != 0xF3D1C4DF, "encrypted powerpoint document")
+      if (cu.length >= 20) {
+        val b = ByteBuffer.wrap(cu).order(ByteOrder.LITTLE_ENDIAN)
+        if (b.getInt(12) == 0xF3D1C4DF) {
+          encrypted = true
+          curEdit = b.getInt(16)
+        }
       }
     }
-    val ppt = cfb.stream("PowerPoint Document")
+    var ppt = cfb.stream("PowerPoint Document")
       .getOrElse(throw new IllegalArgumentException("no PowerPoint Document stream"))
+    if (encrypted) {
+      val pw = password.getOrElse(graft.crypto.OfficeCrypto.DefaultPassword)
+      graft.crypto.OfficeCrypto.decryptPpt(ppt, curEdit, pw) match {
+        case Some(dec) =>
+          ppt = dec
+          meta.set("msoffice:encrypted", "true")
+        case None =>
+          throw new IllegalArgumentException("encrypted powerpoint document")
+      }
+    }
     walk(ppt, 0, ppt.length, sink, 0)
     cfb.stream("Pictures").foreach(pics => pictures(pics, child))
     exOleObjects(ppt, child)
