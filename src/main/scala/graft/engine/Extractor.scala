@@ -603,8 +603,11 @@ object Extractor {
             }
           case m if m == graft.mime.MimeDb.Zlib ||
               m == graft.mime.MimeDb.SnappyFramed ||
-              m == graft.mime.MimeDb.Lzma =>
-            // CompressorParser's zlib / snappy-framed / raw-LZMA routes
+              m == graft.mime.MimeDb.Lzma ||
+              m == graft.mime.MimeDb.Brotli =>
+            // CompressorParser's zlib / snappy-framed / raw-LZMA /
+            // brotli routes (brotli has no magic — name-detected, like
+            // the reference's CompressorStreamFactory BROTLI entry)
             if (depth >= cfg.maxDepth || embeddedCount >= cfg.maxEmbedded)
               sawUnsupported = true
             else {
@@ -612,6 +615,8 @@ object Extractor {
                 if (m == graft.mime.MimeDb.Zlib) inflateZlib(bytes)
                 else if (m == graft.mime.MimeDb.SnappyFramed)
                   graft.pkgx.Snappy.decompressFramed(bytes)
+                else if (m == graft.mime.MimeDb.Brotli)
+                  graft.pkgx.Brotli.decompress(bytes)
                 else decodeLzmaFile(bytes)
               stack.push(NodeFrame(inner, idPath, None, depth + 1,
                 onPop = _ => (), onDrop = () => sawUnsupported = true))
