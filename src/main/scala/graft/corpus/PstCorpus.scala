@@ -100,6 +100,103 @@ object PstCorpus {
   private val PidDisplayName = 0x3001
   private val NidRoot = 0x122L
 
+  /** Deterministic synthetic ANSI (wVer 15, 32-bit) PST with the same
+    * store shape as [[pstFile]]: root + Inbox + three messages, permute
+    * encoding. Exercises every ANSI NDB layout difference: 164-byte-
+    * offset ROOT with 32-bit BREFs, 496-entry-byte BTPAGEs with 12-byte
+    * trailers, 16-byte NBTENTRY / 12-byte BBTENTRY, 12-byte block
+    * trailers (cb,wSig,bid32,dwCRC), bCryptMethod at 0x1CD.
+    */
+  def pstFileAnsi(r: Random): Array[Byte] = {
+    val folderNid = 0x8022L
+    val baseTime = 130000000000000000L + (r.nextInt(1 << 20).toLong * 10000000L)
+    val msgs = (0 until 3).map { i =>
+      val nid = 0x200024L + i * 0x20
+      val subject = Corpus.sentence(r, 4 + r.nextInt(4)).stripSuffix(".")
+      val body = Corpus.paragraph(r, 2 + r.nextInt(3))
+      (nid, Seq(
+        PStr(PidMessageClass, "IPM.Note"),
+        PStr(PidSubject, subject),
+        PStr(PidSenderName, s"sender${r.nextInt(100)}"),
+        PStr(PidDisplayTo, s"rcpt${r.nextInt(100)}@example.com"),
+        PStr(PidBody, body),
+        PTime(PidClientSubmitTime, baseTime + i * 600L * 10000000L)))
+    }
+    val nodes: Seq[(Long, Array[Byte])] =
+      Seq(
+        NidRoot -> pcBlock(Seq(PStr(PidDisplayName, "Top of store"))),
+        folderNid -> pcBlock(Seq(PStr(PidDisplayName, "Inbox"),
+          PInt(0x3602, msgs.size)))) ++
+        msgs.map { case (nid, props) => nid -> pcBlock(props) }
+    val parentOf = Map(NidRoot -> NidRoot, folderNid -> NidRoot) ++
+      msgs.map { case (nid, _) => nid -> folderNid }.toMap
+
+    val bbtIb = 1024L
+    val nbtIb = 1536L
+    var nextIb = 2048L
+    var nextBid = 4L
+    final case class Blk(bid: Long, ib: Long, cb: Int, data: Array[Byte])
+    val blks = nodes.map { case (_, payload) =>
+      val enc = payload.clone()
+      var i = 0
+      while (i < enc.length) { enc(i) = Encode(enc(i) & 0xff); i += 1 }
+      val b = Blk(nextBid, nextIb, payload.length, enc)
+      val total = ((payload.length + 12 + 63) / 64) * 64 // 12-byte trailer
+      nextBid += 4
+      nextIb += total
+      b
+    }
+    val nodeBid = nodes.map(_._1).zip(blks.map(_.bid)).toMap
+
+    def btPage(entries: Seq[Array[Byte]], cbEnt: Int, ptype: Int): Array[Byte] = {
+      require(entries.size * cbEnt <= 496 && entries.nonEmpty)
+      val pg = new java.io.ByteArrayOutputStream
+      entries.foreach(pg.write)
+      pg.write(new Array[Byte](496 - entries.size * cbEnt))
+      pg.write(entries.size) // cEnt
+      pg.write(496 / cbEnt) // cEntMax
+      pg.write(cbEnt)
+      pg.write(0) // cLevel = leaf
+      pg.write(ptype); pg.write(ptype) // PAGETRAILER (ANSI, 12 bytes)
+      pg.write(le16(0)) // wSig
+      pg.write(le32(if (ptype == 0x80) 0x3c0L else 0x3c2L)) // page bid
+      pg.write(le32(0)) // dwCRC
+      pg.toByteArray
+    }
+
+    val bbtEntries = blks.map(b => le32(b.bid) ++ le32(b.ib) ++
+      le16(b.cb) ++ le16(2))
+    val nbtEntries = nodes.map { case (nid, _) =>
+      le32(nid) ++ le32(nodeBid(nid)) ++ le32(0L) ++ le32(parentOf(nid))
+    }
+
+    val fileLen = nextIb
+    val out = new Array[Byte](fileLen.toInt)
+    def put(off: Long, b: Array[Byte]): Unit =
+      System.arraycopy(b, 0, out, off.toInt, b.length)
+
+    put(0, "!BDN".getBytes(StandardCharsets.US_ASCII))
+    put(8, "SM".getBytes(StandardCharsets.US_ASCII))
+    put(10, le16(15)) // wVer: ANSI
+    put(12, le16(19)) // wVerClient
+    val root = 164
+    put(root + 4, le32(fileLen)) // ibFileEof
+    put(root + 20, le32(0x3c2L)); put(root + 24, le32(nbtIb)) // NBT BREF
+    put(root + 28, le32(0x3c0L)); put(root + 32, le32(bbtIb)) // BBT BREF
+    out(0x1cc) = 0x80.toByte // bSentinel
+    out(0x1cd) = 1 // bCryptMethod = permute
+    put(bbtIb, btPage(bbtEntries, 12, 0x80))
+    put(nbtIb, btPage(nbtEntries, 16, 0x81))
+    blks.foreach { b =>
+      put(b.ib, b.data)
+      val total = ((b.cb + 12 + 63) / 64) * 64
+      val t = b.ib + total - 12
+      put(t, le16(b.cb) ++ le16(0) ++ le32(b.bid) ++
+        le32(crc(b.data).toLong & 0xffffffffL))
+    }
+    out
+  }
+
   /** Deterministic synthetic PST with one folder and three messages. */
   def pstFile(r: Random): Array[Byte] = {
     val folderNid = 0x8022L

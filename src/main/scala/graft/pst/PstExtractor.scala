@@ -18,9 +18,10 @@ import graft.engine.{MetaSink, SpanSink}
   * existing email chain (header metadata, body parts, attachment
   * recursion, per-document metadata scoping) applies unchanged.
   *
-  * Structures follow the public MS-PST specification (Unicode format,
-  * wVer 23): HEADER/ROOT (§2.2.2.5-6), NBT/BBT pages (§2.2.2.7),
-  * XBLOCK/SLBLOCK data and subnode trees (§2.2.2.8.3), HN/BTH/PC
+  * Structures follow the public MS-PST specification, BOTH formats —
+  * Unicode (wVer 23, 64-bit) and ANSI (wVer 14/15, 32-bit; r5):
+  * HEADER/ROOT (§2.2.2.5-6), NBT/BBT pages (§2.2.2.7), XBLOCK/SLBLOCK
+  * data and subnode trees (§2.2.2.8.3), HN/BTH/PC
   * (§2.3.1-3). The permutative cipher (bCryptMethod=1, §5.1) is a fixed
   * byte substitution; the decode table below is validated end-to-end
   * against the reference's own PST fixtures in PstSpec (known-plaintext:
@@ -111,22 +112,31 @@ object PstExtractor {
   final case class NodeEntry(nid: Long, bidData: Long, bidSub: Long,
       nidParent: Long)
 
-  /** Node database: header + B-trees + block reads over the raw file. */
+  /** Node database: header + B-trees + block reads over the raw file.
+    *
+    * Handles BOTH on-disk formats of the spec: Unicode (wVer 23,
+    * 64-bit BID/IB, 16-byte page/block trailers) and ANSI (wVer 14/15,
+    * 32-bit BID/IB, 12-byte trailers, narrower BTENTRY/NBTENTRY/
+    * BBTENTRY/XBLOCK/SLBLOCK layouts — MS-PST §2.2.2.5-8 ANSI
+    * variants). Everything above the NDB (heap-on-node, BTH, property
+    * and table contexts) is format-identical and shared.
+    */
   final class Ndb(d: Array[Byte]) {
-    if (d.length < 564 || d(0) != '!' || d(1) != 'B' || d(2) != 'D' ||
+    if (d.length < 512 || d(0) != '!' || d(1) != 'B' || d(2) != 'D' ||
         d(3) != 'N' || d(8) != 'S' || d(9) != 'M')
       throw new PstMalformed("bad PST header")
     val wVer = le16(d, 10)
-    if (wVer < 23)
-      throw new PstMalformed(s"ANSI PST (wVer=$wVer) unsupported")
+    /** ANSI (pre-2003) 32-bit format: wVer 14 or 15. */
+    val ansi: Boolean = wVer < 23
     if (wVer >= 36)
       throw new PstMalformed(s"4K-page OST (wVer=$wVer) unsupported")
-    val crypt = d(0x201) & 0xff
+    if (!ansi && d.length < 564) throw new PstMalformed("truncated header")
+    val crypt = d(if (ansi) 0x1cd else 0x201) & 0xff
     if (crypt != 0 && crypt != 1)
       throw new PstMalformed(s"NDB_CRYPT method $crypt unsupported")
-    private val root = 180
-    private val nbtIb = le64(d, root + 44)
-    private val bbtIb = le64(d, root + 60)
+    private val root = if (ansi) 164 else 180
+    private val nbtIb = if (ansi) le32(d, root + 24) else le64(d, root + 44)
+    private val bbtIb = if (ansi) le32(d, root + 32) else le64(d, root + 60)
 
     val blocks = scala.collection.mutable.LongMap.empty[(Long, Int)] // bid → (ib, cb)
     val nodes = scala.collection.mutable.LongMap.empty[NodeEntry] // nid → entry
@@ -135,26 +145,41 @@ object PstExtractor {
       if (level > 8 || ib <= 0 || ib + 512 > d.length)
         throw new PstMalformed("B-tree page out of range")
       val o = ib.toInt
-      val cEnt = d(o + 488) & 0xff
-      val cbEnt = d(o + 490) & 0xff
-      val cLevel = d(o + 491) & 0xff
-      val ptype = d(o + 496) & 0xff
+      // BTPAGE: ANSI packs 496 entry bytes with meta at 496-499 and a
+      // 12-byte trailer at 500; Unicode packs 488 with meta at 488-491,
+      // 4 pad bytes, and a 16-byte trailer at 496
+      val metaOff = if (ansi) 496 else 488
+      val cEnt = d(o + metaOff) & 0xff
+      val cbEnt = d(o + metaOff + 2) & 0xff
+      val cLevel = d(o + metaOff + 3) & 0xff
+      val ptype = d(o + (if (ansi) 500 else 496)) & 0xff
       if (ptype != (if (isNbt) 0x81 else 0x80))
         throw new PstMalformed(f"wrong page type 0x$ptype%02x")
-      if (cbEnt == 0 || cEnt * cbEnt > 488)
+      if (cbEnt == 0 || cEnt * cbEnt > metaOff)
         throw new PstMalformed("bad B-tree entry sizing")
       var i = 0
       while (i < cEnt) {
         val e = o + i * cbEnt
-        if (cLevel > 0) walkBt(le64(d, e + 16), isNbt, level + 1)
+        if (cLevel > 0)
+          walkBt(if (ansi) le32(d, e + 8) else le64(d, e + 16), isNbt,
+            level + 1)
         else if (isNbt) {
-          val nid = le64(d, e)
-          nodes(nid & 0xffffffffL) =
-            NodeEntry(nid & 0xffffffffL, le64(d, e + 8), le64(d, e + 16),
-              le32(d, e + 24))
+          if (ansi) { // ANSI NBTENTRY: nid4 bidData4 bidSub4 nidParent4
+            val nid = le32(d, e)
+            nodes(nid) = NodeEntry(nid, le32(d, e + 4), le32(d, e + 8),
+              le32(d, e + 12))
+          } else {
+            val nid = le64(d, e)
+            nodes(nid & 0xffffffffL) =
+              NodeEntry(nid & 0xffffffffL, le64(d, e + 8), le64(d, e + 16),
+                le32(d, e + 24))
+          }
         } else {
           if (blocks.size > MaxBlocks) throw new PstMalformed("block bomb")
-          blocks(le64(d, e)) = (le64(d, e + 8), le16(d, e + 16))
+          if (ansi) // ANSI BBTENTRY: bid4 ib4 cb2 cRef2
+            blocks(le32(d, e)) = (le32(d, e + 4), le16(d, e + 8))
+          else
+            blocks(le64(d, e)) = (le64(d, e + 8), le16(d, e + 16))
         }
         i += 1
       }
@@ -166,11 +191,15 @@ object PstExtractor {
     def block(bid: Long): Array[Byte] = {
       val (ib, cb) = blocks.getOrElse(bid,
         throw new PstMalformed(s"unknown bid $bid"))
-      val total = ((cb + 16 + 63) / 64) * 64
+      // BLOCKTRAILER: ANSI cb2 wSig2 bid4 dwCRC4 (12 B);
+      // Unicode cb2 wSig2 dwCRC4 bid8 (16 B)
+      val tlen = if (ansi) 12 else 16
+      val total = ((cb + tlen + 63) / 64) * 64
       if (ib <= 0 || ib + total > d.length)
         throw new PstMalformed("block out of range")
-      val t = (ib + total - 16).toInt
-      if (le16(d, t) != cb || le64(d, t + 8) != bid)
+      val t = (ib + total - tlen).toInt
+      val tbid = if (ansi) le32(d, t + 4) else le64(d, t + 8)
+      if (le16(d, t) != cb || tbid != bid)
         throw new PstMalformed("block trailer mismatch")
       val out = java.util.Arrays.copyOfRange(d, ib.toInt, ib.toInt + cb)
       if ((bid & 2) == 0 && crypt == 1) {
@@ -207,8 +236,10 @@ object PstExtractor {
           throw new PstMalformed("expected XBLOCK")
         val cLevel = b(1) & 0xff
         val cEnt = le16(b, 2)
-        if (8 + 8 * cEnt > b.length) throw new PstMalformed("XBLOCK overrun")
-        val kids = Vector.tabulate(cEnt)(i => le64(b, 8 + 8 * i))
+        val w = if (ansi) 4 else 8 // rgbid entry width
+        if (8 + w * cEnt > b.length) throw new PstMalformed("XBLOCK overrun")
+        val kids = Vector.tabulate(cEnt)(i =>
+          if (ansi) le32(b, 8 + 4 * i) else le64(b, 8 + 8 * i))
         if (cLevel == 1) kids.map { k => val blk = block(k); charge(blk.length); blk }
         else if (cLevel == 2) kids.flatMap(walk(_, level + 1))
         else throw new PstMalformed("bad XBLOCK level")
@@ -232,15 +263,26 @@ object PstExtractor {
         val cEnt = le16(b, 2)
         budget -= cEnt
         if (budget < 0) throw new PstMalformed("subnode tree amplification")
+        // ANSI SL/SIBLOCKs have no dwPadding: entries start at 4
+        val base = if (ansi) 4 else 8
         if (cLevel == 0) {
-          if (8 + 24 * cEnt > b.length) throw new PstMalformed("SLBLOCK overrun")
+          // SLENTRY: ANSI nid4 bidData4 bidSub4; Unicode nid8 bid8 bid8
+          val w = if (ansi) 12 else 24
+          if (base + w * cEnt > b.length)
+            throw new PstMalformed("SLBLOCK overrun")
           (0 until cEnt).map { i =>
-            val e = 8 + 24 * i
-            (le64(b, e) & 0xffffffffL) -> (le64(b, e + 8), le64(b, e + 16))
+            val e = base + w * i
+            if (ansi) le32(b, e) -> (le32(b, e + 4), le32(b, e + 8))
+            else (le64(b, e) & 0xffffffffL) -> (le64(b, e + 8), le64(b, e + 16))
           }.toMap
         } else {
-          if (8 + 16 * cEnt > b.length) throw new PstMalformed("SIBLOCK overrun")
-          (0 until cEnt).flatMap(i => walk(le64(b, 8 + 16 * i + 8),
+          // SIENTRY: ANSI nid4 bid4; Unicode nid8 bid8
+          val w = if (ansi) 8 else 16
+          if (base + w * cEnt > b.length)
+            throw new PstMalformed("SIBLOCK overrun")
+          (0 until cEnt).flatMap(i => walk(
+            if (ansi) le32(b, base + 8 * i + 4)
+            else le64(b, base + 16 * i + 8),
             level + 1)).toMap
         }
       }

@@ -131,7 +131,7 @@ class PstSpec extends AnyFunSuite {
     assert(d.status != null)
   }
 
-  test("truncated and ANSI headers are rejected cleanly") {
+  test("truncated files and structurally-invalid relabels fail cleanly") {
     val p = docs.resolve("testPST.pst")
     org.scalatest.Assertions.assume(Files.isRegularFile(p))
     val b = Files.readAllBytes(p)
@@ -139,7 +139,9 @@ class PstSpec extends AnyFunSuite {
     val trunc = Extractor.extract(DocRow("t.pst",
       Seq(Span("bytes", Corpus.b64(java.util.Arrays.copyOf(b, 600)), null, 0))))
     assert(trunc.status != Status.ParseSuccess)
-    // ANSI version marker
+    // a Unicode file relabeled ANSI: the 32-bit ROOT offsets read
+    // garbage, so it must fail structurally (ANSI itself is supported
+    // since r5 — see PstAnsiSpec)
     val ansi = java.util.Arrays.copyOf(b, 1024)
     ansi(10) = 14; ansi(11) = 0
     val a = Extractor.extract(DocRow("a.pst",
