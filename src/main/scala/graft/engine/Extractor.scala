@@ -310,6 +310,14 @@ object Extractor {
             // reached via the .md name-hint glob (no magic exists);
             // reference analog: tika text-module MarkdownParser
             graft.textparse.MarkdownExtractor.extract(bytes, sink, meta)
+          case "text/x-java-source" | "text/x-groovy" | "text/x-c++src" =>
+            // the reference's SourceCodeParser types (code-module) —
+            // verbatim code lines + LoC/@author metadata + from-scratch
+            // lexer token-class counts; other source types (.c/.py/...)
+            // keep landing on the text parser like the reference's
+            // supertype fallback
+            graft.textparse.SourceCodeExtractor.extract(bytes, sink, meta,
+              mime)
           case m if m == graft.mime.MimeDb.Anpa =>
             // IPTC 7901 / ANPA-1312 newswire (news-module IptcAnpaParser)
             graft.textparse.IptcAnpaExtractor.extract(bytes, sink, meta)
