@@ -57,8 +57,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- extraction engine (rows-only checks; golden tests in scalatest)
+    // ---- extraction engine (row-level frozen oracles since r5 for
+    // x01/x02/x05/x06; x04/x07/q24 carry long text and stay rows-only
+    // behind their aggregate XOR pins x11/x13/x15)
     "x01_extract_all" -> ((s, dir) => {
+      // frozen at the sf0.01 gate size (4000 docs), like the x03/x09
+      // pins — the driver's Verify contract runs at sf0.01
       Pipeline.extract(Corpus.docRows(s, corpusSize(dir))).toDF()
         .select("doc_id", "mime", "status", "n_spans", "n_chars")
     }),
@@ -783,10 +787,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // r5: the last row-level extraction faces, frozen row-for-row (the
     // aggregate pins x09/x10 remain as independent tripwires)
+    "x01_extract_all" -> frozenRowsOracle("x01_rows.tsv",
+      "doc_id, mime, status, n_spans, n_chars"),
     "x02_spans_flat" -> frozenRowsOracle("x02_rows.tsv",
       "doc_id, kind, text_md5, media_ref, \"offset\""),
     "x05_embedded_tree" -> frozenRowsOracle("x05_rows.tsv",
       "doc_id, kind, media_ref"),
+    "x06_unpack" -> frozenRowsOracle("x06_rows.tsv",
+      "doc_id, id_path, \"name\", mime, n_bytes, sha256"),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -1,5 +1,5 @@
 /** Dev tool: regenerate the frozen ROW-LEVEL oracle resources
-  * (src/main/resources/frozen/x02_rows.tsv, x05_rows.tsv) from a fresh
+  * (src/main/resources/frozen/x01/x02/x05/x06_rows.tsv) from a fresh
   * sf0.01 extraction after an INTENTIONAL corpus/extractor change. Each
   * line is one pre-quoted SQL VALUES tuple; SparkEntry.frozenRowsOracle
   * splices them into the oracle SQL. Run:
@@ -18,13 +18,13 @@ object FreezeRowsDump {
     val spark = graft.TestSpark.spark
     val outDir = java.nio.file.Path.of("src/main/resources/frozen")
     java.nio.file.Files.createDirectories(outDir)
-    for (name <- Seq("x02_spans_flat", "x05_embedded_tree")) {
+    for (name <- Seq("x01_extract_all", "x02_spans_flat",
+        "x05_embedded_tree", "x06_unpack")) {
       val rows = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
         .collect()
         .map(r => sqlTuple(r.toSeq))
         .sorted
-      val file = outDir.resolve(
-        (if (name.startsWith("x02")) "x02" else "x05") + "_rows.tsv")
+      val file = outDir.resolve(name.take(3) + "_rows.tsv")
       java.nio.file.Files.writeString(file, rows.mkString("\n") + "\n")
       println(s"wrote ${rows.length} tuples to $file")
     }
