@@ -410,4 +410,43 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("property: mutated brotli / ANSI-PST payloads never escape the envelope") {
+    val rnd = new scala.util.Random(41)
+    def res(n: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/brotli/$n")
+      try in.readAllBytes() finally in.close()
+    }
+    // (bytes, name) — brotli is name-detected (no magic), so the .br
+    // route only fires under its glob, exactly like the reference
+    val seeds = Seq(
+      (res("dicttext.br"), "f.br"), (res("big.br"), "f.br"),
+      (res("rep.br"), "f.br"),
+      (graft.corpus.PstCorpus.pstFileAnsi(new scala.util.Random(9)), "f.pst"))
+    seeds.foreach { case (valid, name) =>
+      (0 until 80).foreach { i =>
+        val mutated = valid.clone()
+        i % 3 match {
+          case 0 =>
+            val pos = rnd.nextInt(mutated.length)
+            mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+          case 1 =>
+            val n = 1 + rnd.nextInt(mutated.length)
+            val out = Extractor.extract(DocRow(name,
+              Seq(Span("bytes", Corpus.b64(java.util.Arrays.copyOf(mutated, n)), null, 0))))
+            assert(out.status != null && out.mime != null)
+          case _ =>
+            val pos = rnd.nextInt(mutated.length)
+            (pos until mutated.length).foreach(j => mutated(j) = rnd.nextInt(256).toByte)
+        }
+        val out = Extractor.extract(DocRow(name,
+          Seq(Span("bytes", Corpus.b64(mutated), null, 0))))
+        assert(out.status != null && out.mime != null)
+        // the decoder itself: bounded output or a clean malformed error
+        if (name == "f.br")
+          try assert(graft.pkgx.Brotli.decompress(mutated).length <= (256 << 20))
+          catch { case _: graft.pkgx.Brotli.BrotliMalformed => () }
+      }
+    }
+  }
+
 }
