@@ -205,6 +205,20 @@ object Brotli {
 
     def readBit(): Int = readBits(1)
 
+    /** Top up from input (no failure at EOF) and return the low n bits;
+      * bits past end-of-stream read as zero — callers must check
+      * `bitCnt` before consuming. */
+    def peekBits(n: Int): Int = {
+      while (bitCnt < n && pos < in.length) {
+        bitBuf |= (in(pos) & 0xffL) << bitCnt
+        pos += 1
+        bitCnt += 8
+      }
+      (bitBuf & ((1L << n) - 1)).toInt
+    }
+
+    def drop(n: Int): Unit = { bitBuf >>>= n; bitCnt -= n }
+
     /** Discard bits to the next byte boundary; pad bits must be zero. */
     def align(): Unit = {
       val drop = bitCnt & 7
@@ -282,8 +296,38 @@ object Brotli {
     }
     val single: Int = if (syms.length == 1) syms(0) else -1
 
+    /** 8-bit LSB-first peek table: entry = (len << 16) | symbol for
+      * codes of length ≤ 8; 0 = fall back to bit-by-bit (longer code).
+      * Codes are canonical MSB-first values reversed into stream order.
+      */
+    private val fast: Array[Int] = {
+      val t = new Array[Int](256)
+      var len = 1
+      while (len <= 8) {
+        var k = 0
+        while (k < count(len)) {
+          val code = firstCode(len) + k
+          val sym = syms(firstIdx(len) + k)
+          // reverse the len-bit code into LSB-first stream order
+          var rev = 0
+          var b = 0
+          while (b < len) { rev |= ((code >>> b) & 1) << (len - 1 - b); b += 1 }
+          var j = rev
+          while (j < 256) { t(j) = (len << 16) | sym; j += 1 << len }
+          k += 1
+        }
+        len += 1
+      }
+      t
+    }
+
     def decode(br: Br): Int = {
       if (single >= 0) return single
+      val e = fast(br.peekBits(8))
+      if (e != 0) {
+        val l = e >>> 16
+        if (l <= br.bitCnt) { br.drop(l); return e & 0xffff }
+      }
       var code = 0
       var len = 0
       while (len < 15) {
