@@ -58,8 +58,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- extraction engine (row-level frozen oracles since r5 for
-    // x01/x02/x05/x06; x04/x07/q24 carry long text and stay rows-only
-    // behind their aggregate XOR pins x11/x13/x15)
+    // ALL faces: x01/x05/x06 row-for-row; x02/x04/x07/q24 carry long
+    // text, which travels as md5 so the table freezes — the raw text
+    // remains covered by the aggregate XOR pins x11/x13/x15 and the
+    // golden span suite)
     "x01_extract_all" -> ((s, dir) => {
       // frozen at the sf0.01 gate size (4000 docs), like the x03/x09
       // pins — the driver's Verify contract runs at sf0.01
@@ -83,12 +85,18 @@ object SparkEntry {
         .groupBy("mime", "status").agg(count(lit(1)).as("n"))
     }),
     "x04_html_main_content" -> ((s, dir) => {
+      // row-level boilerplate-strip face; the extracted main content
+      // travels as md5 + length so the 174-doc table freezes into a
+      // row-level oracle (frozen/x04_rows.tsv, r5) — the raw content
+      // stays pinned byte-for-byte by x11's xxhash64 XOR.
       import s.implicits._
       s.range(0, 500, 1, 8)
         .mapPartitions(_.filter(i => Corpus.kindOf(i) == "html").map { i =>
           val html = Corpus.htmlDoc(Corpus.rng(i), i)
           (Corpus.docId(i), Boilerplate.mainContentText(html))
         }).toDF("doc_id", "main_content")
+        .select(col("doc_id"), md5(col("main_content")).as("content_md5"),
+          length(col("main_content")).as("n_chars"))
     }),
     "x05_embedded_tree" -> ((s, dir) => {
       import s.implicits._
@@ -99,10 +107,16 @@ object SparkEntry {
     }),
 
     "x07_rmeta" -> ((s, dir) => {
+      // row-level /rmeta face; the serialized JSON travels as md5 +
+      // length so the 500-doc table freezes into a row-level oracle
+      // (frozen/x07_rows.tsv, r5) — the raw JSON strings stay pinned
+      // by x13's full-string xxhash64 XOR.
       import s.implicits._
       Pipeline.extract(Corpus.docRows(s, 500))
         .map(d => (d.doc_id, graft.ops.Projections.toRmetaJson(d)))
         .toDF("doc_id", "rmeta")
+        .select(col("doc_id"), md5(col("rmeta")).as("rmeta_md5"),
+          length(col("rmeta")).as("n_chars"))
     }),
     "x08_media_meta" -> ((s, dir) => {
       // media metadata THROUGH the pipeline: width/height/duration/
@@ -634,9 +648,15 @@ object SparkEntry {
       ExtractCompare.profile(ExtractCompare.compare(a, b))
     }),
     "q24_projections" -> ((s, dir) => {
+      // row-level text-projection face; the projected text travels as
+      // md5 + length so the 500-doc table freezes into a row-level
+      // oracle (frozen/q24_rows.tsv, r5) — the raw projection text
+      // stays pinned by x15's per-row xxhash64 XOR.
       import graft.ops.Projections
       Projections.projectAll(Pipeline.extract(Corpus.docRows(s, 500)).toDF())
-        .select("doc_id", "mime", "status", "text")
+        .select(col("doc_id"), col("mime"), col("status"),
+          md5(coalesce(col("text"), lit(""))).as("text_md5"),
+          length(coalesce(col("text"), lit(""))).as("n_chars"))
     }),
     "q34_regex_projections" -> ((s, dir) => {
       // the regex projection operators (LinkContentHandler /
@@ -795,6 +815,12 @@ object SparkEntry {
       "doc_id, kind, media_ref"),
     "x06_unpack" -> frozenRowsOracle("x06_rows.tsv",
       "doc_id, id_path, \"name\", mime, n_bytes, sha256"),
+    "x04_html_main_content" -> frozenRowsOracle("x04_rows.tsv",
+      "doc_id, content_md5, n_chars"),
+    "x07_rmeta" -> frozenRowsOracle("x07_rows.tsv",
+      "doc_id, rmeta_md5, n_chars"),
+    "q24_projections" -> frozenRowsOracle("q24_rows.tsv",
+      "doc_id, mime, status, text_md5, n_chars"),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -19,7 +19,8 @@ object FreezeRowsDump {
     val outDir = java.nio.file.Path.of("src/main/resources/frozen")
     java.nio.file.Files.createDirectories(outDir)
     for (name <- Seq("x01_extract_all", "x02_spans_flat",
-        "x05_embedded_tree", "x06_unpack")) {
+        "x05_embedded_tree", "x06_unpack",
+        "x04_html_main_content", "x07_rmeta", "q24_projections")) {
       val rows = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
         .collect()
         .map(r => sqlTuple(r.toSeq))

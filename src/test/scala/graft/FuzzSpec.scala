@@ -449,4 +449,62 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("property: mutated encrypted / tagged payloads never escape the envelope") {
+    // the r5 crypto + marked-content routes: a flipped bit anywhere in
+    // an EncryptionInfo header, a CryptoAPI RC4 stream, an agile XML
+    // descriptor, a PDF /Encrypt dict, or a /StructTreeRoot must land
+    // on a clean per-document status, never a throw — and the supplied
+    // password must not widen the attack surface (reference behavior:
+    // a corrupted protected file throws EncryptedDocumentException /
+    // IOException inside the parser, which tika catches per document)
+    val base = "/root/reference/tika-parsers/tika-parsers-standard/" +
+      "tika-parsers-standard-modules/"
+    val ms = java.nio.file.Path.of(base +
+      "tika-parser-microsoft-module/src/test/resources/test-documents")
+    val pdfs = java.nio.file.Path.of(base +
+      "tika-parser-pdf-module/src/test/resources/test-documents")
+    org.scalatest.Assertions.assume(
+      java.nio.file.Files.isDirectory(ms) &&
+        java.nio.file.Files.isDirectory(pdfs),
+      "reference fixtures not present")
+    val rnd = new scala.util.Random(43)
+    // (dir, fixture, password, extractMarkedContent)
+    val seeds = Seq(
+      (ms, "testWORD_protected_passtika.docx", Some("tika"), false),
+      (ms, "testEXCEL_protected_passtika.xlsx", Some("tika"), false),
+      (ms, "testPPT_protected_passtika.ppt", Some("tika"), false),
+      (ms, "testEXCEL_protected_passtika.xls", Some("tika"), false),
+      (ms, "testWORD_protected_passtika.doc", Some("tika"), false),
+      (pdfs, "testPDF_no_extract_no_accessibility_owner_user.pdf",
+        Some("user"), false),
+      (pdfs, "testJournalParser.pdf", None, true))
+    seeds.foreach { case (dir, name, password, marked) =>
+      val p = dir.resolve(name)
+      org.scalatest.Assertions.assume(java.nio.file.Files.isRegularFile(p),
+        s"missing fixture $name")
+      val valid = java.nio.file.Files.readAllBytes(p)
+      val cfg = Extractor.DefaultConfig.copy(
+        password = password, extractMarkedContent = marked)
+      (0 until 48).foreach { i =>
+        val mutated = valid.clone()
+        i % 3 match {
+          case 0 => // single bit flip anywhere
+            val pos = rnd.nextInt(mutated.length)
+            mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+          case 1 => // truncation
+            val n = 1 + rnd.nextInt(mutated.length)
+            val out = Extractor.extract(DocRow(name, Seq(Span("bytes",
+              Corpus.b64(java.util.Arrays.copyOf(mutated, n)), null, 0))), cfg)
+            assert(out.status != null && out.mime != null)
+          case _ => // garbage tail from a random point
+            val pos = rnd.nextInt(mutated.length)
+            (pos until mutated.length).foreach(j => mutated(j) = rnd.nextInt(256).toByte)
+        }
+        val out = Extractor.extract(DocRow(name,
+          Seq(Span("bytes", Corpus.b64(mutated), null, 0))), cfg)
+        assert(out.status != null && out.mime != null)
+      }
+    }
+  }
+
 }
