@@ -460,7 +460,7 @@ object OfficeCrypto {
       password: String): Option[Array[Byte]] = {
     def le32i(o: Int) = le32(doc, o)
     def header(off: Int): (Int, Int) =
-      if (off < 0 || off + 8 > doc.length) (-1, -1)
+      if (off < 0 || off > doc.length - 8) (-1, -1)
       else (le16(doc, off + 2), le32i(off + 4))
     // persist-id → offset, newest edit wins
     val persist = scala.collection.mutable.Map[Int, Int]()
@@ -470,12 +470,14 @@ object OfficeCrypto {
     while (ueOff > 0 && guard < 1000) {
       guard += 1
       val (rt, rl) = header(ueOff)
-      if (rt != 0x0FF5 || rl < 28) return None
+      // record lengths are attacker-controlled: a declared length that
+      // overruns the stream is a malformed deck, not an index crash
+      if (rt != 0x0FF5 || rl < 28 || ueOff + 8L + rl > doc.length) return None
       val ue = ueOff + 8
       if (encRef < 0 && rl >= 32) encRef = le32i(ue + 28)
       val pdOff = le32i(ue + 12)
       val (pdt, pdl) = header(pdOff)
-      if (pdt != 0x1772) return None
+      if (pdt != 0x1772 || pdl < 0 || pdOff + 8L + pdl > doc.length) return None
       var q = pdOff + 8
       val pdEnd = q + pdl
       while (q + 4 <= pdEnd) {
@@ -494,11 +496,12 @@ object OfficeCrypto {
     }
     val encOff = persist.getOrElse(encRef, return None)
     val (ct, cl) = header(encOff)
-    if (ct != 0x2F14 || cl < 60) return None
+    if (ct != 0x2F14 || cl < 60 || encOff + 8L + cl > doc.length) return None
     val blob = encOff + 8
     if (le16(doc, blob) < 2 || le16(doc, blob + 2) != 2) return None
     val hdrSize = le32i(blob + 8)
     val hdr = blob + 12
+    if (hdrSize < 20 || hdr + hdrSize.toLong + 60 > doc.length) return None
     val algId = le32i(hdr + 8)
     if (algId != 0x6801) return None // RC4 only (AES CryptoAPI unused here)
     val keyBits0 = le32i(hdr + 16)
@@ -518,7 +521,7 @@ object OfficeCrypto {
       val rc4 = new Rc4(cryptoApiBlockKey(password, salt, pid, keyBits))
       rc4.crypt(out, off, 8) // the record header is encrypted too
       val len = le32(out, off + 4)
-      if (len >= 0 && off + 8 + len <= out.length)
+      if (len >= 0 && off + 8L + len <= out.length)
         rc4.crypt(out, off + 8, len)
     }
     Some(out)

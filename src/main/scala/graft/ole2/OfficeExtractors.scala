@@ -407,11 +407,14 @@ object PptExtractor {
     var encrypted = false
     var curEdit = -1
     cfb.stream("Current User").foreach { cu =>
-      if (cu.length >= 20) {
+      // the token sits at offset 12 — detect it from 16 bytes on, so a
+      // truncated encrypted atom still fails encrypted (not plaintext
+      // garbage); offsetToCurrentEdit needs the full 20 bytes
+      if (cu.length >= 16) {
         val b = ByteBuffer.wrap(cu).order(ByteOrder.LITTLE_ENDIAN)
         if (b.getInt(12) == 0xF3D1C4DF) {
           encrypted = true
-          curEdit = b.getInt(16)
+          curEdit = if (cu.length >= 20) b.getInt(16) else -1
         }
       }
     }

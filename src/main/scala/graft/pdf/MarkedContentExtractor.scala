@@ -140,11 +140,26 @@ object MarkedContentExtractor {
       linkUri = null
     }
 
+    // indirect refs on the CURRENT recursion path: a structure tree is
+    // acyclic, so a ref already on the path is a malformed cycle
+    // (N = [N 0 R]) — skip it instead of recursing to stack overflow.
+    // A plain depth cap can't do this: cutting off at MaxDepth levels
+    // still burns MaxDepth × (several JVM frames) of stack.
+    val onPath = mutable.Set[Int]()
+
     def recurse(node: PdfObj, pageRef0: Int, depth: Int): Unit = {
       if (depth > MaxDepth) return
+      node match {
+        case PRef(num, _) =>
+          if (!onPath.add(num)) return
+          try recurse(doc.resolve(node), pageRef0, depth + 1)
+          finally onPath.remove(num)
+          return
+        case _ => ()
+      }
       var pageRef = pageRef0
       doc.resolve(node) match {
-        case PArr(items) => items.foreach(recurse(_, pageRef, depth))
+        case PArr(items) => items.foreach(recurse(_, pageRef, depth + 1))
         case PNum(n) =>
           val key = (pageRef, n.toInt)
           paragraphs.get(key).foreach { s =>

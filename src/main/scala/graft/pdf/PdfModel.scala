@@ -620,23 +620,7 @@ final class PdfDoc(data: Array[Byte], password: Option[String] = None) {
   def info: Option[PDict] = trailer.get("Info").flatMap(dict)
 
   /** Depth-first page-tree walk (Catalog → /Pages → /Kids → /Page). */
-  def pages: Vector[PDict] = {
-    val out = new ArrayBuffer[PDict]()
-    def walk(node: PDict, depth: Int): Unit = {
-      if (depth > 32) return
-      resolve(node.get("Type").getOrElse(PNull)) match {
-        case PName("Page") => out += node
-        case _ =>
-          node.get("Kids").map(resolve) match {
-            case Some(PArr(kids)) =>
-              kids.foreach(k => dict(k).foreach(walk(_, depth + 1)))
-            case _ => ()
-          }
-      }
-    }
-    catalog.flatMap(c => dict(c.get("Pages").getOrElse(PNull))).foreach(walk(_, 0))
-    out.toVector
-  }
+  def pages: Vector[PDict] = pagesWithRefs.map(_._2)
 
   /** Page-tree walk that keeps each page's OBJECT NUMBER alongside its
     * dict — the structure tree's /Pg entries and marked-content MCIDs

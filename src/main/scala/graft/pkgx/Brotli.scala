@@ -494,20 +494,26 @@ object Brotli {
   // ==== dictionary transforms ==========================================
 
   private def ferment(buf: Array[Byte], off: Int, pos: Int): Int = {
+    // Writes past the word end are dropped: several dictionary words end
+    // mid-UTF-8-sequence, and libbrotli's ToUpperCase XORs those bytes in
+    // ring-buffer scratch that the suffix / later output overwrites before
+    // emission — observable output treats the overshoot as a no-op.
     val b = buf(off + pos) & 0xff
     if (b < 192) {
       if (b >= 97 && b <= 122) buf(off + pos) = (b ^ 32).toByte
       1
     } else if (b < 224) {
-      buf(off + pos + 1) = (buf(off + pos + 1) ^ 32).toByte
+      if (off + pos + 1 < buf.length)
+        buf(off + pos + 1) = (buf(off + pos + 1) ^ 32).toByte
       2
     } else {
-      buf(off + pos + 2) = (buf(off + pos + 2) ^ 5).toByte
+      if (off + pos + 2 < buf.length)
+        buf(off + pos + 2) = (buf(off + pos + 2) ^ 5).toByte
       3
     }
   }
 
-  private def transformWord(word: Array[Byte], tid: Int): Array[Byte] = {
+  private[graft] def transformWord(word: Array[Byte], tid: Int): Array[Byte] = {
     val t = Transforms(tid)
     var w = word
     t.op match {

@@ -82,4 +82,24 @@ class BrotliSpec extends AnyFunSuite {
     // bits LSB-first: 0 (wbits 16), 1 (ISLAST), 1 (ISLASTEMPTY) = 0x06
     assert(Brotli.decompress(Array[Byte](0x06)).isEmpty)
   }
+
+  test("ferment transforms on words ending mid-UTF-8 stay in bounds") {
+    // several static-dictionary words end on a 2/3-byte UTF-8 opener;
+    // libbrotli's ToUpperCase XORs past the word into ring-buffer
+    // scratch that later writes overwrite, so the observable behavior
+    // is a dropped write — never an index crash. tid 44 = uppercase-all
+    // ("", ""), tid 9 = uppercase-first ("", "").
+    val words = Seq(
+      Array[Byte]('a'.toByte, 0xC3.toByte),               // 2-byte opener last
+      Array[Byte]('a'.toByte, 0xE4.toByte),               // 3-byte opener last
+      Array[Byte]('a'.toByte, 0xE4.toByte, 0xB8.toByte),  // 3-byte, one short
+      Array[Byte](0xC3.toByte),                           // opener IS the word
+      Array[Byte](0xE4.toByte))
+    for (w <- words; tid <- Seq(9, 44)) {
+      val out = Brotli.transformWord(w.clone(), tid)
+      assert(out.length == w.length, s"tid=$tid")
+      if ((w(0) & 0xff) < 192) assert(out(0) == 'A'.toByte, s"tid=$tid")
+      else assert(out(0) == w(0), s"tid=$tid") // overshoot dropped
+    }
+  }
 }

@@ -40,8 +40,9 @@ class FrozenOraclesSpec extends AnyFunSuite {
       "q23_extract_compare", "x13_rmeta_stats", "x14_extract_stats",
       "x15_projection_stats",
       // r5: row-level faces frozen row-for-row (resource-backed VALUES)
-      "x02_spans_flat", "x05_embedded_tree",
-      "x04_html_main_content", "x07_rmeta", "q24_projections")) {
+      "x01_extract_all", "x02_spans_flat", "x05_embedded_tree",
+      "x06_unpack", "x04_html_main_content", "x07_rmeta",
+      "q24_projections")) {
     test(s"$q frozen oracle matches a fresh sf0.01 run") {
       val expected = frozenRows(q)
       val got = fresh(q)
