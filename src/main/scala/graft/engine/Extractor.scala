@@ -681,6 +681,10 @@ object Extractor {
             sink.media(ref)
           case m if m == graft.mime.MimeDb.Netcdf =>
             graft.sci.NetcdfExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Hdf =>
+            graft.sci.HdfExtractor.extract(bytes, meta)
+          case m if m == graft.mime.MimeDb.Fits =>
+            graft.sci.FitsExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Grib =>
             graft.sci.GribExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Matlab =>
