@@ -421,10 +421,13 @@ object Extractor {
           case m if m == graft.mime.MimeDb.SevenZ =>
             // SevenZParser.java semantics via PackageParser dispatch: each
             // member is an embedded doc with its header name; encrypted
-            // archives throw inside SevenZ.entries → recorded parse
-            // exception, like the reference's EncryptedDocumentException
+            // archives decrypt with the supplied password (the
+            // PasswordProvider route) or throw inside SevenZ.entries →
+            // recorded parse exception, like the reference's
+            // EncryptedDocumentException
             if (depth >= cfg.maxDepth) sawUnsupported = true
-            else graft.pkgx.SevenZ.entries(bytes).reverseIterator.foreach { e =>
+            else graft.pkgx.SevenZ.entries(bytes, password = cfg.password)
+              .reverseIterator.foreach { e =>
               stack.push(NodeFrame(e.data, idPath, Some(e.name), depth + 1,
                 onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
                 onDrop = () => sawUnsupported = true))

@@ -15,11 +15,13 @@ import java.util.zip.{CRC32, Inflater}
   * directories skipped) without the codec dependency.
   *
   * Coders supported: Copy (0x00), LZMA (0x030101), LZMA2 (0x21), Delta
-  * (0x03), x86 BCJ (0x03030103), Deflate (0x040108), BZip2 (0x040202) —
-  * chained linearly via bind pairs (e.g. BCJ→LZMA). Encrypted archives
-  * (AES coder 0x06F10701) and BCJ2 raise SevenZMalformed → the document
-  * records a parse failure, mirroring the reference's encrypted-7z
-  * behavior.
+  * (0x03), x86 BCJ (0x03030103), Deflate (0x040108), BZip2 (0x040202),
+  * and 7zAES (0x06F10701) when a password is supplied — chained via
+  * bind pairs (e.g. AES→LZMA2), covering both entry-encrypted and
+  * header-encrypted (-mhe) archives. Without a password the AES coder
+  * raises SevenZMalformed → the document records a parse failure,
+  * mirroring the reference's EncryptedDocumentException; BCJ2 stays
+  * unsupported.
   */
 object SevenZ {
 
@@ -300,7 +302,67 @@ object SevenZ {
     } finally inf.end()
   }
 
-  private def runCoder(c: Coder, in: Array[Byte], unpackSize: Long): Array[Byte] = {
+  /** 7zAES (coder 0x06F10701) key schedule + CBC decrypt. Properties:
+    * b0 bits 0-5 = NumCyclesPower, salt size = (b0>>7 & 1) + (b1>>4),
+    * IV size = (b0>>6 & 1) + (b1 & 0xF), then salt ‖ IV. Key = SHA-256
+    * over 2^NumCyclesPower repetitions of salt ‖ UTF-16LE(password) ‖
+    * LE64(counter) (NumCyclesPower 0x3F = plain salt‖password zero-pad).
+    * Public 7z format spec / p7zip 7zAes semantics (NOT code).
+    */
+  private def aesDecode(c: Coder, in: Array[Byte], unpackSize: Long,
+      password: String): Array[Byte] = {
+    val p = c.props
+    if (p.length < 2) throw new SevenZMalformed("bad AES coder props")
+    val b0 = p(0) & 0xff
+    val b1 = p(1) & 0xff
+    val numCycles = b0 & 0x3f
+    val saltSize = ((b0 >> 7) & 1) + (b1 >> 4)
+    val ivSize = ((b0 >> 6) & 1) + (b1 & 0x0f)
+    if (p.length < 2 + saltSize + ivSize)
+      throw new SevenZMalformed("truncated AES coder props")
+    val salt = java.util.Arrays.copyOfRange(p, 2, 2 + saltSize)
+    val iv = new Array[Byte](16)
+    System.arraycopy(p, 2 + saltSize, iv, 0, math.min(ivSize, 16))
+    val pw = password.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    val key: Array[Byte] =
+      if (numCycles == 0x3f) { // no KDF: salt ‖ password, zero-padded
+        val k = new Array[Byte](32)
+        val ns = math.min(salt.length, 32)
+        System.arraycopy(salt, 0, k, 0, ns)
+        System.arraycopy(pw, 0, k, ns, math.min(pw.length, 32 - ns))
+        k
+      } else {
+        // header values are attacker-controlled; 7-Zip's own UI caps at
+        // 24 (16.7M SHA blocks) — beyond that is a decompression bomb
+        if (numCycles > 24)
+          throw new SevenZMalformed(s"AES cycle power $numCycles too large")
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val cnt = new Array[Byte](8)
+        val rounds = 1L << numCycles
+        var i = 0L
+        while (i < rounds) {
+          md.update(salt)
+          md.update(pw)
+          var j = 0
+          while (j < 8) { cnt(j) = ((i >>> (8 * j)) & 0xff).toByte; j += 1 }
+          md.update(cnt)
+          i += 1
+        }
+        md.digest()
+      }
+    val usable = in.length & ~15 // ciphertext is block-padded
+    if (usable <= 0 || unpackSize > usable)
+      throw new SevenZMalformed("AES stream shorter than declared output")
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val dec = cipher.doFinal(in, 0, usable)
+    java.util.Arrays.copyOfRange(dec, 0, unpackSize.toInt)
+  }
+
+  private def runCoder(c: Coder, in: Array[Byte], unpackSize: Long,
+      password: Option[String]): Array[Byte] = {
     if (unpackSize > MaxOutputBytes || unpackSize < 0)
       throw new graft.engine.ZipBombDetected
     c.id match {
@@ -324,7 +386,14 @@ object SevenZ {
       case IdDeflate => inflateRaw(in, unpackSize)
       case IdBzip2 => Bzip2.decompress(in)
       case IdAes =>
-        throw new SevenZMalformed("encrypted 7z (AES coder) unsupported")
+        // with a supplied password the stream decrypts in-chain (the
+        // reference's SevenZParser + PasswordProvider route); without
+        // one the document fails like EncryptedDocumentException
+        password match {
+          case Some(pw) => aesDecode(c, in, unpackSize, pw)
+          case None =>
+            throw new SevenZMalformed("encrypted 7z (AES coder): no password")
+        }
       case IdBcjX86 | 0x04L => // old- and xz-style x86 BCJ ids
         val out = in.clone()
         val ip = if (c.props.length >= 4)
@@ -339,7 +408,8 @@ object SevenZ {
   }
 
   /** Decode one folder given its packed streams (in packedIndices order). */
-  private def decodeFolder(f: Folder, packed: Vector[Array[Byte]]): Array[Byte] = {
+  private def decodeFolder(f: Folder, packed: Vector[Array[Byte]],
+      password: Option[String]): Array[Byte] = {
     // linear-chain execution: every coder 1-in/1-out; general graphs
     // (BCJ2's 4-input merge) are out of scope and rejected
     if (f.coders.exists(c => c.numIn != 1 || c.numOut != 1))
@@ -357,7 +427,7 @@ object SevenZ {
             .getOrElse(throw new SevenZMalformed("unbound coder input"))
           inputs(j) = outOf(pair._2)
         }
-        outputs(j) = runCoder(f.coders(j), inputs(j), f.unpackSizes(j))
+        outputs(j) = runCoder(f.coders(j), inputs(j), f.unpackSizes(j), password)
       }
       outputs(j)
     }
@@ -478,7 +548,8 @@ object SevenZ {
 
   /** Parse a 7z archive into its member entries (directories skipped,
     * empty files kept as zero-length entries, order = header order). */
-  def entries(bytes: Array[Byte], maxEntries: Int = 10000): Vector[Entry] = {
+  def entries(bytes: Array[Byte], maxEntries: Int = 10000,
+      password: Option[String] = None): Vector[Entry] = {
     if (!isSevenZ(bytes)) throw new SevenZMalformed("not a 7z archive")
     def le64(off: Int): Long = {
       var v = 0L
@@ -519,7 +590,7 @@ object SevenZ {
       val si = parseStreamsInfo(r)
       if (si.folders.isEmpty) throw new SevenZMalformed("empty encoded header")
       val packs = packedStreams(si)
-      val decoded = decodeFolder(si.folders(0), packs(0))
+      val decoded = decodeFolder(si.folders(0), packs(0), password)
       r = new Reader(decoded, 0, decoded.length)
       id = r.num()
     }
@@ -556,7 +627,7 @@ object SevenZ {
         val packs = packedStreams(si)
         var total = 0L
         si.folders.indices.toVector.flatMap { i =>
-          val folderOut = decodeFolder(si.folders(i), packs(i))
+          val folderOut = decodeFolder(si.folders(i), packs(i), password)
           total += folderOut.length
           if (total > MaxOutputBytes) throw new graft.engine.ZipBombDetected
           var off = 0L

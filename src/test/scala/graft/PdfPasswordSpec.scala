@@ -65,4 +65,42 @@ class PdfPasswordSpec extends AnyFunSuite {
     assert(d.status == Status.ParseSuccess)
     assert(text(d).contains("RETHINKING THE FINANCIAL NETWORK"))
   }
+
+  // TIKA-2858 server fixtures: R6 (AES-256) with pathological passwords.
+  // TikaResourceTest.testUnicodePasswordProtectedSpaces / ...Unicode
+  // expect "Just some text." via the simple-password-provider.
+  private val serverDocs = java.nio.file.Path.of("/root/reference/" +
+    "tika-server/tika-server-standard/src/test/resources/test-documents")
+
+  private def extractServer(name: String, password: String) = {
+    org.scalatest.Assertions.assume(
+      java.nio.file.Files.isRegularFile(serverDocs.resolve(name)),
+      "reference fixtures not present")
+    val b = java.nio.file.Files.readAllBytes(serverDocs.resolve(name))
+    Extractor.extract(DocRow(name, Seq(Span("pdf", Corpus.b64(b), null, 0))),
+      Extractor.DefaultConfig.copy(password = Some(password)))
+  }
+
+  test("TIKA-2858: four-space password decrypts (R6 SASLprep keeps spaces)") {
+    val d = extractServer("testPassword4Spaces.pdf", "    ")
+    assert(d.status == Status.ParseSuccess, d.status)
+    assert(text(d).contains("Just some text."))
+  }
+
+  test("TIKA-2858: full-unicode password incl. surrogate pairs decrypts") {
+    val pw = "  ! < > \" \\ € œ ¤ 1⁄4 1⁄2 𠜎 𩶘 😀  "
+    val d = extractServer("testUnicodePassword.pdf", pw)
+    assert(d.status == Status.ParseSuccess, d.status)
+    assert(text(d).contains("Just some text."))
+  }
+
+  test("TIKA-2858 fixtures fail cleanly on wrong/absent password") {
+    for (pw <- Seq(None, Some("   "), Some("wrong"))) {
+      val d = Extractor.extract(DocRow("p.pdf", Seq(Span("pdf", Corpus.b64(
+        java.nio.file.Files.readAllBytes(
+          serverDocs.resolve("testPassword4Spaces.pdf"))), null, 0))),
+        Extractor.DefaultConfig.copy(password = pw))
+      assert(d.status == Status.ParseException, s"$pw -> ${d.status}")
+    }
+  }
 }
