@@ -950,8 +950,8 @@ object Extractor {
 
     def recurseZip(bytes: Array[Byte], idPath: String, depth: Int): Unit = {
       if (depth >= cfg.maxDepth) { sawUnsupported = true; return }
-      val entries =
-        try ZipUtil.entries(bytes)
+      val w =
+        try ZipUtil.walk(bytes, cfg.password)
         catch {
           case _: ZipBombDetected => bomb = true; return
           case _: Exception =>
@@ -960,7 +960,16 @@ object Extractor {
               s"zip read at ${if (idPath.isEmpty) "/" else idPath}")
             return
         }
-      entries.reverseIterator.foreach { e =>
+      // entries that stayed encrypted (no/wrong password) surface as
+      // per-stream exceptions, like the reference's embedded
+      // EncryptedDocumentException (ZipParserTest.testZipEncrypted) —
+      // the rest of the archive still extracts below
+      w.encrypted.foreach { n =>
+        sawException = true
+        meta.add("parse:exception",
+          s"EncryptedDocumentException: stream ($n) is encrypted")
+      }
+      w.entries.reverseIterator.foreach { e =>
         stack.push(NodeFrame(e.data, idPath, Some(e.name), depth + 1,
           onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
           onDrop = () => ())) // ZipParser skips past-budget entries silently

@@ -16,6 +16,14 @@ object ZipUtil {
 
   final case class Entry(name: String, data: Array[Byte], compressedSize: Long)
 
+  /** Full walk result: decoded entries plus the names of entries that
+    * stayed encrypted (no/wrong password). The reference surfaces each
+    * such member as an EncryptedDocumentException embedded-stream
+    * exception (ZipParserTest.testZipEncrypted) while the rest of the
+    * archive still extracts.
+    */
+  final case class Walk(entries: Vector[Entry], encrypted: Vector[String])
+
   val MaxEntryBytes: Int = 64 * 1024 * 1024
 
   /** Aggregate decompressed-bytes budget across ALL entries of one
@@ -40,8 +48,42 @@ object ZipUtil {
     try streamingEntries(zipBytes)
     catch {
       case b: graft.engine.ZipBombDetected => throw b
-      case _: Exception => cenEntries(zipBytes)
+      case _: Exception => cenEntries(zipBytes, None).entries
     }
+
+  /** Crypto-aware walk: decrypts traditional-PKWARE (ZipCrypto) and
+    * WinZip-AES (method 99, AE-1/AE-2) entries when `password` is
+    * supplied; entries that stay encrypted are reported by name instead
+    * of silently dropped. Streaming is only safe when nothing is
+    * encrypted (ZipInputStream throws mid-walk otherwise), so any
+    * encryption flag in the central directory routes to the CEN walk.
+    */
+  def walk(zipBytes: Array[Byte], password: Option[String]): Walk = {
+    val hasEncrypted =
+      try cenHasEncrypted(zipBytes)
+      catch { case _: Exception => false }
+    if (!hasEncrypted) Walk(entries(zipBytes), Vector.empty)
+    else cenEntries(zipBytes, password)
+  }
+
+  /** Any central-directory entry with GP bit 0 set? */
+  private def cenHasEncrypted(b: Array[Byte]): Boolean = {
+    val eocd = findEocd(b)
+    if (eocd < 0) return false
+    var p = le32(b, eocd + 16).toInt
+    // same prefix-shift rule as cenEntries
+    val shift = math.max(0L, eocd - (le32(b, eocd + 16) + le32(b, eocd + 12)))
+    p = (p + shift).toInt
+    var n = 0
+    val total = le16(b, eocd + 10)
+    while (n < total && p >= 0 && p + 46 <= b.length &&
+        b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 1 && b(p + 3) == 2) {
+      if ((le16(b, p + 8) & 0x1) != 0) return true
+      p += 46 + le16(b, p + 28) + le16(b, p + 30) + le16(b, p + 32)
+      n += 1
+    }
+    false
+  }
 
   private def streamingEntries(zipBytes: Array[Byte]): Vector[Entry] = {
     val out = new ArrayBuffer[Entry]()
@@ -85,11 +127,171 @@ object ZipUtil {
     -1
   }
 
+  /** Decode one entry's compressed payload by zip method. Returns null
+    * on unsupported method or decode failure (callers drop the entry,
+    * matching the streaming reader's behavior on undecodable data).
+    */
+  private def decodeMethod(src: Array[Byte], off: Int, len: Int, method: Int,
+      uncompSize: Int, flags: Int): Array[Byte] = method match {
+    case 0 => java.util.Arrays.copyOfRange(src, off, off + len)
+    case 8 =>
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(src, off, len)
+        val outB = new Array[Byte](uncompSize)
+        var o = 0
+        while (o < outB.length && !inf.finished()) {
+          val r = inf.inflate(outB, o, outB.length - o)
+          if (r == 0 && inf.needsInput()) o = outB.length // truncated
+          else o += r
+        }
+        outB
+      } catch { case _: Exception => null }
+      finally inf.end()
+    // legacy PKZIP methods (reference: commons-compress
+    // Unshrinking/ExplodingInputStream; ZipParserTest moby.zip)
+    case 1 =>
+      try graft.pkgx.ZipLegacy.unshrink(src, off, len, uncompSize)
+      catch { case _: Exception => null }
+    case 6 =>
+      try graft.pkgx.ZipLegacy.explode(src, off, len, uncompSize, flags)
+      catch { case _: Exception => null }
+    case _ => null // unsupported method
+  }
+
+  /** Traditional PKWARE ("ZipCrypto") decryption — APPNOTE.TXT §6.1:
+    * three rolling keys seeded from the password via CRC-32 steps, a
+    * 12-byte encryption header whose last byte must match the check
+    * byte (CRC high byte, or DOS-time high byte when GP bit 3 means the
+    * CRC was unknown at write time). Returns null on check-byte
+    * mismatch (wrong password).
+    */
+  private def zipCryptoDecrypt(src: Array[Byte], off: Int, len: Int,
+      password: String, crc: Long, dosTime: Int, flags: Int): Array[Byte] = {
+    if (len < 12) return null
+    val crcTab = zcCrcTable
+    var k0 = 0x12345678
+    var k1 = 0x23456789
+    var k2 = 0x34567890
+    @inline def crc32step(k: Int, b: Int): Int =
+      (k >>> 8) ^ crcTab((k ^ b) & 0xff)
+    @inline def update(ch: Int): Unit = {
+      k0 = crc32step(k0, ch)
+      k1 = (k1 + (k0 & 0xff)) * 134775813 + 1
+      k2 = crc32step(k2, k1 >>> 24)
+    }
+    @inline def decByte(): Int = {
+      val tmp = (k2 | 2) & 0xffff
+      ((tmp * (tmp ^ 1)) >> 8) & 0xff
+    }
+    val pw = password.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    var i = 0
+    while (i < pw.length) { update(pw(i) & 0xff); i += 1 }
+    val out = new Array[Byte](len - 12)
+    i = 0
+    var last = 0
+    while (i < len) {
+      val c = (src(off + i) & 0xff) ^ decByte()
+      update(c)
+      if (i >= 12) out(i - 12) = c.toByte else last = c
+      i += 1
+    }
+    // header byte 11 is the check byte (APPNOTE: CRC>>24, or with GP
+    // bit 3 the high byte of the DOS mod-time — Info-ZIP convention)
+    val expect =
+      if ((flags & 0x8) != 0) (dosTime >>> 8) & 0xff else ((crc >>> 24) & 0xff).toInt
+    if (last != expect) null else out
+  }
+
+  private lazy val zcCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var n = 0
+    while (n < 256) {
+      var c = n
+      var k = 0
+      while (k < 8) { c = if ((c & 1) != 0) 0xedb88320 ^ (c >>> 1) else c >>> 1; k += 1 }
+      t(n) = c
+      n += 1
+    }
+    t
+  }
+
+  /** WinZip AES (method 99, extra field 0x9901, AE-1/AE-2): PBKDF2-HMAC-
+    * SHA1 (1000 iterations) over salt‖password → AES key + HMAC-SHA1 key
+    * + 2-byte password verifier; payload = salt ‖ verifier ‖ ciphertext ‖
+    * 10-byte HMAC tag; AES runs in CTR mode with a little-endian counter
+    * starting at 1. Returns (stillCompressedPlaintext, actualMethod) or
+    * null on wrong password / failed authentication. Public WinZip AES
+    * spec (AES Coding Rules for WinZip) — NOT reference code.
+    */
+  private def winzipAesDecrypt(src: Array[Byte], off: Int, len: Int,
+      password: String, extra: Array[Byte]): (Array[Byte], Int) = {
+    // locate the 0x9901 extra block: version(2) vendor(2) strength(1) method(2)
+    var xp = 0
+    var strength = -1
+    var actualMethod = -1
+    while (xp + 4 <= extra.length) {
+      val id = le16(extra, xp); val sz = le16(extra, xp + 2)
+      if (id == 0x9901 && sz >= 7 && xp + 4 + 7 <= extra.length) {
+        strength = extra(xp + 8) & 0xff
+        actualMethod = le16(extra, xp + 9)
+      }
+      xp += 4 + sz
+    }
+    if (strength < 1 || strength > 3) return null
+    val saltLen = 4 + 4 * strength  // 8 / 12 / 16
+    val keyLen = 8 + 8 * strength   // 16 / 24 / 32
+    if (len < saltLen + 2 + 10) return null
+    val salt = java.util.Arrays.copyOfRange(src, off, off + saltLen)
+    val verifier = java.util.Arrays.copyOfRange(src, off + saltLen, off + saltLen + 2)
+    val ctOff = off + saltLen + 2
+    val ctLen = len - saltLen - 2 - 10
+    val auth = java.util.Arrays.copyOfRange(src, off + len - 10, off + len)
+    val skf = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA1")
+    val dk = skf.generateSecret(new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt, 1000, (2 * keyLen + 2) * 8)).getEncoded
+    if (dk(2 * keyLen) != verifier(0) || dk(2 * keyLen + 1) != verifier(1))
+      return null // wrong password
+    val mac = javax.crypto.Mac.getInstance("HmacSHA1")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      java.util.Arrays.copyOfRange(dk, keyLen, 2 * keyLen), "HmacSHA1"))
+    mac.update(src, ctOff, ctLen)
+    val tag = mac.doFinal()
+    var d = 0
+    var i = 0
+    while (i < 10) { d |= (tag(i) ^ auth(i)); i += 1 }
+    if (d != 0) return null // authentication failed (wrong pw edge / tamper)
+    // AES-CTR with little-endian counter starting at 1 (Java's CTR
+    // increments big-endian, so run ECB over hand-built counter blocks)
+    val aes = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    aes.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(
+        java.util.Arrays.copyOfRange(dk, 0, keyLen), "AES"))
+    val out = new Array[Byte](ctLen)
+    val ctr = new Array[Byte](16)
+    var counter = 1L
+    var o = 0
+    while (o < ctLen) {
+      var j = 0
+      while (j < 8) { ctr(j) = ((counter >>> (8 * j)) & 0xff).toByte; j += 1 }
+      val ks = aes.doFinal(ctr)
+      val n = math.min(16, ctLen - o)
+      j = 0
+      while (j < n) { out(o + j) = (src(ctOff + o + j) ^ ks(j)).toByte; j += 1 }
+      counter += 1
+      o += n
+    }
+    (out, actualMethod)
+  }
+
   /** Central-directory walk: entry metadata from CEN records (sizes are
     * authoritative there even with data descriptors), payload at the
-    * local header's data offset, inflated directly.
+    * local header's data offset, inflated directly. Encrypted entries
+    * decrypt when `password` matches (ZipCrypto / WinZip AES); the rest
+    * are reported in `Walk.encrypted`.
     */
-  private def cenEntries(zipBytes: Array[Byte]): Vector[Entry] = {
+  private def cenEntries(zipBytes: Array[Byte],
+      password: Option[String]): Walk = {
     val b = zipBytes
     val eocd = findEocd(b)
     if (eocd < 0) throw new IllegalStateException("no end-of-central-directory")
@@ -112,6 +314,7 @@ object ZipUtil {
     val cdSize = le32(b, eocd + 12)
     val shift = math.max(0L, eocd - (cdOff + cdSize))
     val out = new ArrayBuffer[Entry]()
+    val encNames = new ArrayBuffer[String]()
     var totalOut = 0L
     var p = (cdOff + shift).toInt
     var n = 0
@@ -158,8 +361,10 @@ object ZipUtil {
         xp += 4 + sz
       }
       val encrypted = (flags & 0x1) != 0
-      if (!encrypted && !name.endsWith("/") && uncompSize <= MaxEntryBytes &&
-          compSize <= b.length) {
+      if (encrypted && password.isEmpty && !name.endsWith("/"))
+        encNames += name
+      if ((!encrypted || password.isDefined) && !name.endsWith("/") &&
+          uncompSize <= MaxEntryBytes && compSize <= b.length) {
         // aggregate budget BEFORE allocating: overlapping CEN entries can
         // each claim MaxEntryBytes, so the per-entry cap alone is not
         // enough (advice r3) — charge the claimed size up front
@@ -200,48 +405,59 @@ object ZipUtil {
           val lExtraLen = le16(b, lo + 28)
           val dataOff = lo + 30 + lNameLen + lExtraLen
           if (dataOff + compSize <= b.length) {
-            var data: Array[Byte] = method match {
-              case 0 =>
-                java.util.Arrays.copyOfRange(b, dataOff, (dataOff + compSize).toInt)
-              case 8 =>
-                val inf = new java.util.zip.Inflater(true)
-                try {
-                  inf.setInput(b, dataOff, compSize.toInt)
-                  val outB = new Array[Byte](uncompSize.toInt)
-                  var off = 0
-                  while (off < outB.length && !inf.finished()) {
-                    val r = inf.inflate(outB, off, outB.length - off)
-                    if (r == 0 && inf.needsInput()) off = outB.length // truncated
-                    else off += r
-                  }
-                  outB
-                } finally inf.end()
-              // legacy PKZIP methods (reference: commons-compress
-              // Unshrinking/ExplodingInputStream; ZipParserTest moby.zip)
-              case 1 =>
-                try graft.pkgx.ZipLegacy.unshrink(b, dataOff, compSize.toInt,
-                  uncompSize.toInt)
-                catch { case _: Exception => null }
-              case 6 =>
-                try graft.pkgx.ZipLegacy.explode(b, dataOff, compSize.toInt,
+            val cenCrc = le32(b, p + 16)
+            var crcGate = method == 1 || method == 6
+            var data: Array[Byte] =
+              if (!encrypted)
+                decodeMethod(b, dataOff, compSize.toInt, method,
                   uncompSize.toInt, flags)
-                catch { case _: Exception => null }
-              case _ => null // unsupported method (e.g. 99 = AES-encrypted)
-            }
-            // the legacy decoders are CRC-gated against the CEN record
-            if (data != null && (method == 1 || method == 6)) {
+              else {
+                val pw = password.get
+                val plain: (Array[Byte], Int) =
+                  if (method == 99) {
+                    // AES extra field: prefer the central record, fall
+                    // back to the local header's copy
+                    val cenExtra = java.util.Arrays.copyOfRange(
+                      b, p + 46 + nameLen, p + 46 + nameLen + extraLen)
+                    val locExtra = java.util.Arrays.copyOfRange(
+                      b, lo + 30 + lNameLen, lo + 30 + lNameLen + lExtraLen)
+                    val viaCen =
+                      try winzipAesDecrypt(b, dataOff, compSize.toInt, pw, cenExtra)
+                      catch { case _: Exception => null }
+                    if (viaCen != null) viaCen
+                    else try winzipAesDecrypt(b, dataOff, compSize.toInt, pw, locExtra)
+                    catch { case _: Exception => null }
+                  } else if ((flags & 0x40) == 0) {
+                    // traditional PKWARE stream cipher; GP bit 6 would
+                    // mean PKWARE strong encryption (SES) — unsupported
+                    val dosTime = le16(b, p + 12)
+                    val d = zipCryptoDecrypt(b, dataOff, compSize.toInt, pw,
+                      cenCrc, dosTime, flags)
+                    if (d == null) null else (d, method)
+                  } else null
+                if (plain == null) { encNames += name; null }
+                else {
+                  // decrypted payloads are always CRC-gated when the CEN
+                  // carries a real CRC (AE-2 writes 0 — HMAC covers it)
+                  crcGate = cenCrc != 0
+                  decodeMethod(plain._1, 0, plain._1.length, plain._2,
+                    uncompSize.toInt, flags)
+                }
+              }
+            if (data != null && crcGate) {
               val crc = new java.util.zip.CRC32()
               crc.update(data)
-              if (crc.getValue != le32(b, p + 16)) data = null
+              if (crc.getValue != cenCrc) data = null
             }
             if (data != null) out += Entry(name, data, compSize)
+            else if (encrypted && !encNames.contains(name)) encNames += name
           }
         }
       }
       p += 46 + nameLen + extraLen + commentLen
       n += 1
     }
-    out.toVector
+    Walk(out.toVector, encNames.toVector)
   }
 
   /** Entries decompressed into a name-indexed map in ONE pass —
