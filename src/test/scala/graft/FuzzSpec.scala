@@ -507,4 +507,48 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Round-5 encrypted-zip routes under mutation: ZipCrypto and WinZip
+    * AES archives with bit flips, truncations, and spliced tails must
+    * classify under BOTH the no-password and right-password configs —
+    * a mutated salt/verifier/HMAC region must reject cleanly, never
+    * throw, hang, or emit unauthenticated plaintext as success.
+    */
+  test("property: mutated encrypted-zip payloads never escape the envelope") {
+    val rnd = new scala.util.Random(17)
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/zipcrypto/$name")
+      assert(in != null, s"missing fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val seeds = Seq(
+      (res("enc_deflate.zip"), Some("tika-zc")),
+      (res("ae_mixed.zip"), Some("tika-ae")),
+      (res("mixed.zip"), Some("s3cret!")))
+    seeds.foreach { case (valid, password) =>
+      for (cfgPw <- Seq(None, password)) {
+        val cfg = Extractor.DefaultConfig.copy(password = cfgPw)
+        (0 until 36).foreach { i =>
+          val mutated = valid.clone()
+          i % 3 match {
+            case 0 =>
+              val pos = rnd.nextInt(mutated.length)
+              mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+            case 1 =>
+              val n = 1 + rnd.nextInt(mutated.length)
+              val out = Extractor.extract(DocRow("z.zip", Seq(Span("bytes",
+                Corpus.b64(java.util.Arrays.copyOf(mutated, n)), null, 0))), cfg)
+              assert(out.status != null && out.mime != null)
+            case _ =>
+              val pos = rnd.nextInt(mutated.length)
+              (pos until mutated.length).foreach(j =>
+                mutated(j) = rnd.nextInt(256).toByte)
+          }
+          val out = Extractor.extract(DocRow("z.zip",
+            Seq(Span("bytes", Corpus.b64(mutated), null, 0))), cfg)
+          assert(out.status != null && out.mime != null)
+        }
+      }
+    }
+  }
+
 }

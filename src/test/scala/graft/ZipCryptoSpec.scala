@@ -130,6 +130,35 @@ class ZipCryptoSpec extends AnyFunSuite {
     assert(text.contains("Traditional ZipCrypto member one."))
   }
 
+  test("real third-party ZipCrypto: the RFC822 attachment decrypts with its published password") {
+    // testRFC822_encrypted_zip's body publishes `password is "test"` —
+    // a genuinely external ZipCrypto archive (RFC822ParserTest only
+    // asserts the exception; with the password we extract the payload)
+    val mailDocs = Path.of("/root/reference/tika-parsers/" +
+      "tika-parsers-standard/tika-parsers-standard-modules/" +
+      "tika-parser-mail-module/src/test/resources/test-documents")
+    val p = mailDocs.resolve("testRFC822_encrypted_zip")
+    org.scalatest.Assertions.assume(Files.isRegularFile(p),
+      "reference fixtures not present")
+    val b = Files.readAllBytes(p)
+    // without a password: mail + zip recursion records the encrypted
+    // stream, the message text still extracts (reference semantics)
+    val plain = Extractor.extract(
+      DocRow("m.eml", Seq(Span("bytes", Corpus.b64(b), null, 0))),
+      Extractor.DefaultConfig)
+    assert(plain.status == Status.ParseSuccessWithException, plain.status)
+    assert(plain.meta.getOrElse("parse:exception", Seq.empty)
+      .exists(_.contains("stream (text.txt) is encrypted")))
+    // with the published password the attachment's member extracts
+    val out = Extractor.extract(
+      DocRow("m.eml", Seq(Span("bytes", Corpus.b64(b), null, 0))),
+      Extractor.DefaultConfig.copy(password = Some("test")))
+    assert(out.status == Status.ParseSuccess, out.status)
+    val text = out.spans.filter(_.kind == Span.KindText).map(_.text).mkString
+    assert(text.contains("TEST DATA FOR TIKA."))
+    assert(text.contains("This is the Plain Text part"))
+  }
+
   test("hostile: truncated AES payload and corrupt ciphertext fail cleanly") {
     val good = res("ae_mixed.zip")
     // truncations across the archive
