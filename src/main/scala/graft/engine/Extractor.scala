@@ -66,7 +66,11 @@ object Extractor {
     graft.mime.MimeDb.Ac3, graft.mime.MimeDb.CanonCr2, graft.mime.MimeDb.Pcx,
     graft.mime.MimeDb.Pam, graft.mime.MimeDb.SgiRgb, graft.mime.MimeDb.Bpg,
     graft.mime.MimeDb.Icns, graft.mime.MimeDb.Dpx, graft.mime.MimeDb.Nitf,
-    graft.mime.MimeDb.Aiff, graft.mime.MimeDb.AuBasic, graft.mime.MimeDb.Jxl)
+    graft.mime.MimeDb.Aiff, graft.mime.MimeDb.AuBasic, graft.mime.MimeDb.Jxl,
+    // round-5 detect-only formats gaining native dimension reads
+    graft.mime.MimeDb.Pbm, graft.mime.MimeDb.Pgm, graft.mime.MimeDb.Ppm,
+    graft.mime.MimeDb.Djvu, graft.mime.MimeDb.Pict, graft.mime.MimeDb.Swf,
+    graft.mime.MimeDb.Amr, "audio/x-aac")
 
   private val MediaExt: Map[String, String] = Map(
     MediaTypes.Jpeg -> "jpg", MediaTypes.Tiff -> "tif", MediaTypes.Mp3 -> "mp3",
@@ -321,6 +325,29 @@ object Extractor {
           case m if m == graft.mime.MimeDb.Anpa =>
             // IPTC 7901 / ANPA-1312 newswire (news-module IptcAnpaParser)
             graft.textparse.IptcAnpaExtractor.extract(bytes, sink, meta)
+          // round-5 detect-only formats gaining native readers — the
+          // reference detects each of these without a parser; text /
+          // metadata extraction is beyond-reference, like Cab/Hfs
+          case m if m == graft.mime.MimeDb.Marc =>
+            graft.textparse.MarcExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.MsWrite =>
+            graft.textparse.WriExtractor.extract(bytes, sink, meta)
+          case m if m.startsWith(graft.mime.MimeDb.Lotus123) =>
+            graft.textparse.LotusExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.StataDta =>
+            graft.sci.StataExtractor.extract(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.HprofBin =>
+            graft.textparse.MiscBinExtractor.extractHprof(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.Jks =>
+            graft.textparse.MiscBinExtractor.extractJks(bytes, sink, meta)
+          case "model/x.stl-binary" =>
+            graft.textparse.MiscBinExtractor.extractStl(bytes, sink, meta)
+          case m if m == graft.mime.MimeDb.PostScript =>
+            graft.textparse.MiscBinExtractor.extractPostScript(bytes, sink, meta)
+          case "application/x-x509-ca-cert" =>
+            graft.crypto.DerKeyExtractor.extract(bytes, sink, meta)
+          case m if m.startsWith(graft.mime.MimeDb.BerkeleyDb) =>
+            graft.db.BdbExtractor.extract(bytes, sink, meta)
           case MediaTypes.Mbox =>
             // each member message becomes an embedded rfc822 doc; members
             // past the resource budget are counted in mbox:dropped and
@@ -428,6 +455,29 @@ object Extractor {
             if (depth >= cfg.maxDepth) sawUnsupported = true
             else graft.pkgx.SevenZ.entries(bytes, password = cfg.password)
               .reverseIterator.foreach { e =>
+              stack.push(NodeFrame(e.data, idPath, Some(e.name), depth + 1,
+                onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
+                onDrop = () => sawUnsupported = true))
+            }
+          case m if m == graft.mime.MimeDb.Cab =>
+            // Microsoft Cabinet — beyond reference parity (the reference
+            // only detects this type); members recurse like any archive,
+            // QUANTUM/LZX folders throw inside Cab.entries → recorded
+            // parse exception
+            if (depth >= cfg.maxDepth) sawUnsupported = true
+            else graft.pkgx.Cab.entries(bytes).reverseIterator.foreach { e =>
+              stack.push(NodeFrame(e.data, idPath, Some(e.name), depth + 1,
+                onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
+                onDrop = () => sawUnsupported = true))
+            }
+          case m if m == graft.mime.MimeDb.Dmg =>
+            // raw HFS+/HFSX Apple disk images — beyond reference parity
+            // (the reference only glob-detects .dmg); catalog files
+            // recurse with their full volume paths, UDIF-wrapped images
+            // throw inside Hfs.entries → recorded parse exception
+            if (depth >= cfg.maxDepth) sawUnsupported = true
+            else if (!graft.pkgx.Hfs.isHfs(bytes)) sawUnsupported = true
+            else graft.pkgx.Hfs.entries(bytes).reverseIterator.foreach { e =>
               stack.push(NodeFrame(e.data, idPath, Some(e.name), depth + 1,
                 onPop = p => meta.add("embedded:path", s"$p:${e.name}"),
                 onDrop = () => sawUnsupported = true))

@@ -46,6 +46,10 @@ object MediaParser {
                matches(bytes, 8, 'A', 'I', 'F')) parseAiff(bytes)
       else if (matches(bytes, 0, '.', 's', 'n', 'd')) parseAu(bytes)
       else if (matches(bytes, 0, 'M', 'T', 'h', 'd')) parseMidi(bytes)
+      // ADTS AAC before the MPEG-audio sync test: same 0xFFEx sync,
+      // but AAC's layer bits are 00 (no valid MP3 frame has that)
+      else if (bytes.length > 6 && (bytes(0) & 0xff) == 0xff &&
+               (bytes(1) & 0xf6) == 0xf0) parseAdtsAac(bytes)
       else if (matches(bytes, 0, 'I', 'D', '3') ||
                (bytes.length > 1 && (bytes(0) & 0xff) == 0xff &&
                  (bytes(1) & 0xe0) == 0xe0)) parseMp3(bytes)
@@ -59,6 +63,16 @@ object MediaParser {
       else if (matches(bytes, 0, 0xff, 0x0a)) parseJxlCodestream(bytes, 2)
       else if (matches(bytes, 4, 'J', 'X', 'L', ' ') &&
                matches(bytes, 8, 0x0d, 0x0a, 0x87, 0x0a)) parseJxlContainer(bytes)
+      else if (bytes(0) == 'P' && bytes(1) >= '1' && bytes(1) <= '6' &&
+               (bytes(2) == '\n' || bytes(2) == '\r' || bytes(2) == ' ' ||
+                 bytes(2) == '\t')) parsePnm(bytes)
+      else if ((bytes(0) == 'F' || bytes(0) == 'C' || bytes(0) == 'Z') &&
+               bytes(1) == 'W' && bytes(2) == 'S') parseSwf(bytes)
+      else if (matches(bytes, 0, '#', '!', 'A', 'M') && bytes(4) == 'R')
+        parseAmr(bytes)
+      else if (matches(bytes, 0, 'A', 'T', '&', 'T') &&
+               matches(bytes, 4, 'F', 'O', 'R', 'M')) parseDjvu(bytes)
+      else if (looksLikePict(bytes)) parsePict(bytes)
       else None
       // descriptive tags ride on top of the structural metadata:
       // XMP packets (JPEG APP1 / PNG iTXt / TIFF) found by bounded scan
@@ -67,6 +81,194 @@ object MediaParser {
         if (xmp.isEmpty) m else m.copy(tags = m.tags ++ xmp)
       }
     } catch { case _: Exception => None }
+  }
+
+  /** SWF (FWS plain / CWS zlib / ZWS lzma): version, stage RECT in
+    * twips (nbits-packed), frame rate (8.8 fixed) and frame count.
+    * Public SWF file-format specification.
+    */
+  private def parseSwf(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 9) return None
+    val version = b(3) & 0xff
+    val body: Array[Byte] =
+      if (b(0) == 'F') java.util.Arrays.copyOfRange(b, 8, b.length)
+      else if (b(0) == 'C') {
+        val inf = new java.util.zip.Inflater()
+        try {
+          inf.setInput(b, 8, b.length - 8)
+          val out = new Array[Byte](64)
+          var o = 0
+          while (o < out.length && !inf.finished()) {
+            val r = inf.inflate(out, o, out.length - o)
+            if (r == 0) o = out.length else o += r
+          }
+          out
+        } catch { case _: Exception => return None }
+        finally inf.end()
+      } else return Some(Meta("application/x-shockwave-flash", "video",
+        tags = Map("swf:version" -> version.toString))) // ZWS: header only
+    if (body.length < 10) return None
+    val nbits = (body(0) & 0xff) >>> 3
+    var bitPos = 5
+    def bits(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) {
+        val byteI = bitPos >>> 3
+        if (byteI >= body.length) return 0
+        v = (v << 1) | ((body(byteI) >>> (7 - (bitPos & 7))) & 1)
+        bitPos += 1; i += 1
+      }
+      v
+    }
+    bits(nbits) // xmin
+    val xmax = bits(nbits)
+    bits(nbits) // ymin
+    val ymax = bits(nbits)
+    val rectBytes = (5 + 4 * nbits + 7) / 8
+    if (rectBytes + 4 > body.length) return None
+    val frameRate = ((body(rectBytes + 1) & 0xff) +
+      (body(rectBytes) & 0xff) / 256.0)
+    val frameCount = (body(rectBytes + 2) & 0xff) | ((body(rectBytes + 3) & 0xff) << 8)
+    Some(Meta("application/x-shockwave-flash", "video",
+      width = (xmax / 20).toInt, height = (ymax / 20).toInt,
+      durationMs = if (frameRate > 0) (frameCount * 1000 / frameRate).toLong else 0,
+      tags = Map("swf:version" -> version.toString,
+        "swf:frame-count" -> frameCount.toString,
+        "swf:frame-rate" -> f"$frameRate%.2f")))
+  }
+
+  private val AmrNbSizes = Array(12, 13, 15, 17, 19, 20, 26, 31, 5, 0, 0, 0, 0, 0, 0, 0)
+  private val AmrWbSizes = Array(17, 23, 32, 36, 40, 46, 50, 58, 60, 5, 0, 0, 0, 0, 0, 0)
+
+  /** AMR-NB / AMR-WB (RFC 4867 storage format): "#!AMR\n" or
+    * "#!AMR-WB\n" then 20 ms frames whose size the frame-type nibble
+    * fixes — duration = 20 ms × frames.
+    */
+  private def parseAmr(b: Array[Byte]): Option[Meta] = {
+    val wb = b.length > 9 && b(5) == '-' && b(6) == 'W' && b(7) == 'B' && b(8) == '\n'
+    val nb = !wb && b.length > 6 && b(5) == '\n'
+    if (!wb && !nb) return None
+    val sizes = if (wb) AmrWbSizes else AmrNbSizes
+    var p = if (wb) 9 else 6
+    var frames = 0
+    while (p < b.length && frames < 10000000) {
+      val ft = (b(p) >>> 3) & 0x0f
+      val sz = sizes(ft)
+      if (sz == 0) p = b.length // SID/invalid: stop counting
+      else { p += 1 + sz; frames += 1 }
+    }
+    Some(Meta(if (wb) "audio/amr-wb" else "audio/amr", "audio",
+      durationMs = frames * 20L, sampleRate = if (wb) 16000 else 8000,
+      channels = 1))
+  }
+
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350, 0, 0, 0)
+
+  /** ADTS AAC: fixed+variable headers per frame (ISO/IEC 13818-7) —
+    * sample rate from the frequency index, 1024 samples per frame.
+    */
+  private def parseAdtsAac(b: Array[Byte]): Option[Meta] = {
+    var p = 0
+    var frames = 0
+    var rate = 0
+    var channels = 0
+    while (p + 7 <= b.length && (b(p) & 0xff) == 0xff &&
+        (b(p + 1) & 0xf6) == 0xf0 && frames < 10000000) {
+      if (frames == 0) {
+        rate = AdtsRates((b(p + 2) >>> 2) & 0x0f)
+        channels = ((b(p + 2) & 1) << 2) | ((b(p + 3) & 0xff) >>> 6)
+      }
+      val len = ((b(p + 3) & 0x03) << 11) | ((b(p + 4) & 0xff) << 3) |
+        ((b(p + 5) & 0xff) >>> 5)
+      if (len < 7) return None
+      p += len
+      frames += 1
+    }
+    if (frames == 0 || rate == 0) None
+    else Some(Meta("audio/x-aac", "audio",
+      durationMs = frames * 1024L * 1000 / rate,
+      sampleRate = rate, channels = channels))
+  }
+
+  /** Netpbm P1-P6: ASCII dims after the magic, `#` comments skipped. */
+  private def parsePnm(b: Array[Byte]): Option[Meta] = {
+    var i = 2
+    def nextInt(): Int = {
+      var v = -1
+      while (i < b.length && v < 0) {
+        val c = b(i) & 0xff
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c >= '0' && c <= '9') {
+          v = 0
+          while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+            v = v * 10 + (b(i) - '0'); i += 1
+          }
+        } else i += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt()
+    if (w > 0 && h > 0)
+      Some(Meta("image/x-portable-anymap", "image", width = w, height = h))
+    else None
+  }
+
+  /** DjVu (AT&TFORM IFF85): chunk walk — the first INFO chunk (inside a
+    * DJVU page FORM) carries width/height u16 BE; a DJVM multipage
+    * DIRM directory carries the page count and bundled flag (readable
+    * without the BZZ name decoder).
+    */
+  private def parseDjvu(b: Array[Byte]): Option[Meta] = {
+    def be32(o: Int): Int = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    var w = 0; var h = 0
+    var tags = Map.empty[String, String]
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var o = start
+      while (o + 8 <= end && depth < 8) {
+        val len = be32(o + 4)
+        if (len < 0 || o + 8 + len > b.length) return
+        if (b(o) == 'F' && b(o + 1) == 'O' && b(o + 2) == 'R' && b(o + 3) == 'M')
+          walk(o + 12, math.min(o + 8 + len, end), depth + 1)
+        else if (w == 0 && len >= 4 && b(o) == 'I' && b(o + 1) == 'N' &&
+            b(o + 2) == 'F' && b(o + 3) == 'O') {
+          w = ((b(o + 8) & 0xff) << 8) | (b(o + 9) & 0xff)
+          h = ((b(o + 10) & 0xff) << 8) | (b(o + 11) & 0xff)
+        } else if (len >= 3 && b(o) == 'D' && b(o + 1) == 'I' &&
+            b(o + 2) == 'R' && b(o + 3) == 'M') {
+          val flags = b(o + 8) & 0xff
+          val n = ((b(o + 9) & 0xff) << 8) | (b(o + 10) & 0xff)
+          tags += ("djvu:pages" -> n.toString)
+          tags += ("djvu:bundled" -> ((flags & 0x80) != 0).toString)
+        }
+        o += 8 + len + (len & 1)
+      }
+    }
+    walk(4, math.min(b.length, 4 * 1024 * 1024), 0)
+    if (w > 0 || tags.nonEmpty)
+      Some(Meta("image/vnd.djvu", "image", width = w, height = h, tags = tags))
+    else None
+  }
+
+  /** Apple PICT: 512-byte zero header, picture size u16, then the
+    * frame rect (top/left/bottom/right, u16 BE each). Only reached for
+    * name-hinted image/x-pict payloads (no magic exists at offset 0).
+    */
+  private def looksLikePict(b: Array[Byte]): Boolean = {
+    if (b.length < 532) return false
+    var i = 0
+    while (i < 512) { if (b(i) != 0) return false; i += 1 }
+    true
+  }
+  private def parsePict(b: Array[Byte]): Option[Meta] = {
+    def be16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    val top = be16(514); val left = be16(516)
+    val bottom = be16(518); val right = be16(520)
+    val w = right - left; val h = bottom - top
+    if (w > 0 && h > 0)
+      Some(Meta("image/x-pict", "image", width = w, height = h))
+    else None
   }
 
   /** ISO 15076 / Adobe XMP packet scan: find `<x:xmpmeta>` in the first

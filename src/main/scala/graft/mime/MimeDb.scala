@@ -30,6 +30,9 @@ object MimeDb {
   val Rpm = "application/x-rpm"
   val Iso = "application/x-iso9660-image"
   val Cab = "application/vnd.ms-cab-compressed"
+  val Dmg = "application/x-apple-diskimage"
+  val Marc = "application/marc"
+  val Pict = "image/x-pict"
   val Sh = "application/x-sh"
   val Python = "text/x-python"
   val CSrc = "text/x-csrc"
