@@ -771,6 +771,11 @@ object Extractor {
             graft.textparse.WordPerfectExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Qpw =>
             graft.textparse.QpwExtractor.extract(bytes, sink, meta)
+          case graft.mime.MimeDb.QpwDos14 | graft.mime.MimeDb.QpwDos5 |
+              graft.mime.MimeDb.QpwWin15 | graft.mime.MimeDb.QpwWin6 =>
+            // pre-v9 QuattroPro record streams — the reference throws
+            // UnsupportedFormatException here (beyond-reference, r5)
+            graft.textparse.QpwExtractor.extractLegacy(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.Dbf =>
             graft.textparse.DbfExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.DifXml =>

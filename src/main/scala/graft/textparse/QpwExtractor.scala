@@ -92,4 +92,92 @@ object QpwExtractor {
       p = next
     }
   }
+
+  /** QuattroPro 1-6 (.wq1/.wq2/.wb1/.wb2) — the Lotus-style flat record
+    * stream QPWTextExtractor does NOT handle (the reference throws
+    * UnsupportedFormatException for pre-v9 files; r5 beyond-reference).
+    * Cell layouts by BOF version word:
+    *  - 0x5120 (wq1): wk1 addressing [fmt1 col2 row2], labels are
+    *    prefix + length-byte Pascal strings
+    *  - 0x5121 (wq2): [col2 row2 attr2], labels prefix + length byte
+    *  - 0x1001/0x1002 (wb1/wb2): [col2 row2 attr2], labels optional
+    *    prefix then NUL-terminated
+    * INTEGER 0x0D (i16) / NUMBER 0x0E (f64) / FORMULA 0x10 (f64 value)
+    * share the address shape. Rendered row-major tab-separated like the
+    * Lotus route.
+    */
+  def extractLegacy(bytes: Array[Byte], sink: SpanSink, meta: MetaSink): Unit = {
+    if (bytes.length < 8) return
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def f64(o: Int): Double = {
+      var v = 0L; var i = 0
+      while (i < 8) { v |= (bytes(o + i) & 0xffL) << (8 * i); i += 1 }
+      java.lang.Double.longBitsToDouble(v)
+    }
+    val version = if (u16(0) == 0 && u16(2) == 2) u16(4) else return
+    val wk1Style = version == 0x5120
+    val pascalLabel = version == 0x5120 || version == 0x5121
+    meta.set("qpw:bof-version", f"0x$version%04x")
+    val cp437 =
+      try java.nio.charset.Charset.forName("IBM437")
+      catch { case _: Exception => java.nio.charset.StandardCharsets.ISO_8859_1 }
+    val cells = new scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
+    def num(d: Double): String =
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    var off = 0
+    var n = 0
+    while (off + 4 <= bytes.length && n < 2000000) {
+      val typ = u16(off)
+      val len = u16(off + 2)
+      val bo = off + 4
+      if (bo + len > bytes.length) { off = bytes.length }
+      else {
+        // address: wk1-style has a leading format byte
+        val ao = if (wk1Style) bo + 1 else bo
+        def col = u16(ao)
+        def row = u16(ao + 2)
+        val vo = if (wk1Style) bo + 5 else bo + 6 // value offset past attr
+        typ match {
+          case 0x0D if bo + len >= vo + 2 =>
+            cells += ((row, col, num(((u16(vo) << 16) >> 16).toDouble)))
+          case 0x0E | 0x10 if bo + len >= vo + 8 =>
+            cells += ((row, col, num(f64(vo))))
+          case 0x0F if len > (vo - bo) =>
+            var p = vo
+            val end = bo + len
+            if (p < end && "'^\"\\".indexOf((bytes(p) & 0xff).toChar) >= 0) p += 1
+            else if (!pascalLabel && p < end && bytes(p) == 0) p += 1
+            val s =
+              if (pascalLabel) {
+                if (p < end) {
+                  val l = bytes(p) & 0xff
+                  p += 1
+                  new String(bytes, p, math.min(l, end - p), cp437)
+                } else ""
+              } else {
+                var e = p
+                while (e < end && bytes(e) != 0) e += 1
+                new String(bytes, p, e - p, cp437)
+              }
+            if (s.nonEmpty) cells += ((row, col, s))
+          case 0x01 => off = bytes.length // EOF record
+          case _ => ()
+        }
+        if (off < bytes.length) off = bo + len
+        n += 1
+      }
+    }
+    meta.set("qpw:cells", cells.size.toString)
+    val sorted = cells.sortBy(c => (c._1, c._2))
+    var lastRow = -1
+    var first = true
+    for ((row, _, text) <- sorted) {
+      if (!first && row != lastRow) sink.newline()
+      else if (!first) sink.tab()
+      sink.chars(text)
+      lastRow = row; first = false
+    }
+    if (!first) sink.newline()
+  }
 }

@@ -152,13 +152,27 @@ class LegacyFormatsSpec extends AnyFunSuite {
     assert(ps.meta("dc:creator").head == "FreeHand 8.0")
   }
 
+  test("QuattroPro pre-v9 record streams extract cells (reference throws)") {
+    // wq1 holds the same dataset as testLotus123.wk1 — same ground truth
+    val wq1 = text(extract("testQuattro.wq1"))
+    assert(wq1.contains("OBSERV\tDATE"), wq1.take(200))
+    assert(wq1.contains("4001\t35249\t683.38"))
+    val wq2 = text(extract("testQuattro.wq2"))
+    assert(wq2.contains("SATURATED HYDRAULIC CONDUCTIVITY"), wq2.take(200))
+    val wb1 = text(extract("testQuattro.wb1"))
+    assert(wb1.contains("X\tY\tZ"), wb1.take(120))
+    assert(wb1.contains("1\t10"))
+    val wb2 = text(extract("testQuattro.wb2"))
+    assert(wb2.contains("X\tY\tZ"), wb2.take(120))
+  }
+
   test("hostile: mutated legacy payloads never escape the envelope") {
     val rnd = new scala.util.Random(31)
     for (name <- Seq("testMARC.mrc", "testMSWriteFile.wri",
         "testLotus123.wk1", "testLotus123.wk3", "testStataDTA.dta",
         "KeyStore.jks", "testDJVU.djvu", "test3.swf", "testAMR.amr",
         "testAAC.aac", "testRSAKEY.der", "testBDB_btree_4.db",
-        "testAI_PS.ai")) {
+        "testAI_PS.ai", "testQuattro.wq1", "testQuattro.wb1")) {
       val p = find(name)
       org.scalatest.Assertions.assume(p.isDefined)
       val valid = Files.readAllBytes(p.get)
