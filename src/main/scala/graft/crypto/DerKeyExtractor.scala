@@ -102,6 +102,11 @@ object DerKeyExtractor {
       } else if (ver == 0 && kids.size >= 3 && kids(1).constructed &&
           kids(1).tag == 0x10 && kids(2).tag == 0x04) {
         meta.set("crypto:structure", "pkcs8-private-key")
+      } else if (ver == 3 && kids.size >= 2 && kids(1).constructed &&
+          kids(1).tag == 0x10) {
+        // PKCS#12 PFX: version 3 + authSafe ContentInfo (+ optional MacData)
+        meta.set("crypto:structure", "pkcs12-pfx")
+        if (kids.size >= 3) meta.set("crypto:mac-present", "true")
       } else meta.set("crypto:structure", "der-sequence")
     } else meta.set("crypto:structure", "der-sequence")
   }

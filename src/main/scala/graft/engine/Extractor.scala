@@ -70,7 +70,8 @@ object Extractor {
     // round-5 detect-only formats gaining native dimension reads
     graft.mime.MimeDb.Pbm, graft.mime.MimeDb.Pgm, graft.mime.MimeDb.Ppm,
     graft.mime.MimeDb.Djvu, graft.mime.MimeDb.Pict, graft.mime.MimeDb.Swf,
-    graft.mime.MimeDb.Amr, "audio/x-aac")
+    graft.mime.MimeDb.Amr, "audio/x-aac", "image/vnd.zbrush.dcx",
+    "image/x-jbig2")
 
   private val MediaExt: Map[String, String] = Map(
     MediaTypes.Jpeg -> "jpg", MediaTypes.Tiff -> "tif", MediaTypes.Mp3 -> "mp3",
@@ -776,6 +777,34 @@ object Extractor {
             // pre-v9 QuattroPro record streams — the reference throws
             // UnsupportedFormatException here (beyond-reference, r5)
             graft.textparse.QpwExtractor.extractLegacy(bytes, sink, meta)
+          case "application/x-quattro-pro;version=7-8" =>
+            // QPW v7/8: the same legacy record stream, wrapped in a CFB
+            // PerfectOffice_MAIN stream (BOF version 0x1007)
+            val cfb = graft.ole2.Cfb.parse(bytes)
+            graft.ole2.OleProps.fromCfb(cfb, meta)
+            cfb.entries.find(e => e.objType == 2 &&
+                e.name == "PerfectOffice_MAIN").map(cfb.readStream)
+              .foreach(graft.textparse.QpwExtractor.extractLegacy(_, sink, meta))
+          case "model/vnd.dwf" =>
+            // DWF 6+: "(DWF Vxx.yy)" prologue, then a plain zip package —
+            // members (manifest/descriptors/w2d streams) recurse like any
+            // archive; the reference only detects the type
+            meta.set("dwf:version", new String(bytes, 5, math.min(6,
+              bytes.length - 5), java.nio.charset.StandardCharsets.US_ASCII))
+            val zipAt = {
+              var i = 0
+              var found = -1
+              while (found < 0 && i + 4 <= math.min(bytes.length, 64)) {
+                if (bytes(i) == 'P' && bytes(i + 1) == 'K' &&
+                    bytes(i + 2) == 3 && bytes(i + 3) == 4) found = i
+                i += 1
+              }
+              found
+            }
+            if (zipAt >= 0 && depth < cfg.maxDepth)
+              recurseZip(java.util.Arrays.copyOfRange(bytes, zipAt, bytes.length),
+                idPath, depth)
+            else if (zipAt < 0) sawUnsupported = true // pre-6 binary DWF
           case m if m == graft.mime.MimeDb.Dbf =>
             graft.textparse.DbfExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.DifXml =>
@@ -840,6 +869,28 @@ object Extractor {
             graft.ole2.OleProps.fromCfb(graft.ole2.Cfb.parse(bytes), meta)
           case "application/x-mspublisher" =>
             graft.ole2.PubExtractor.extract(bytes, sink, meta)
+          case "application/vnd.ms-works" =>
+            // Works 3/4 MN0 text zone + Works 2000 Quill CONTENTS —
+            // the reference's OfficeParser excludes WORKS entirely (r5)
+            graft.ole2.WpsExtractor.extract(bytes, sink, meta)
+          case m if m.startsWith("application/vnd.stardivision.") =>
+            // StarOffice 5.x binary: the SW5/SC5 body format is out of
+            // scope, but the standard SummaryInformation property set
+            // carries author/title metadata (OleProps) — the reference
+            // has no parser at all for these
+            graft.ole2.OleProps.fromCfb(graft.ole2.Cfb.parse(bytes), meta)
+            meta.set("staroffice:kind",
+              m.stripPrefix("application/vnd.stardivision."))
+          case "model/e57" =>
+            // ASTM E57 header: signature + major.minor version
+            if (bytes.length >= 16) {
+              val major = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+              val minor = (bytes(12) & 0xff) | ((bytes(13) & 0xff) << 8)
+              meta.set("e57:version", s"$major.$minor")
+            }
+          case "application/x-pkcs12" =>
+            // PKCS#12 PFX: structure identification via the DER walk
+            graft.crypto.DerKeyExtractor.extract(bytes, sink, meta)
           case "application/vnd.visio" =>
             graft.ole2.VsdExtractor.extract(bytes, sink, meta)
           case MediaTypes.MsWord =>

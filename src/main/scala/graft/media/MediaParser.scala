@@ -72,6 +72,8 @@ object MediaParser {
         parseAmr(bytes)
       else if (matches(bytes, 0, 'A', 'T', '&', 'T') &&
                matches(bytes, 4, 'F', 'O', 'R', 'M')) parseDjvu(bytes)
+      else if (matches(bytes, 0, 0xb1, 0x68, 0xde, 0x3a)) parseDcx(bytes)
+      else if (matches(bytes, 0, 0x97, 'J', 'B', '2')) parseJbig2(bytes)
       else if (looksLikePict(bytes)) parsePict(bytes)
       else None
       // descriptive tags ride on top of the structural metadata:
@@ -189,6 +191,81 @@ object MediaParser {
     else Some(Meta("audio/x-aac", "audio",
       durationMs = frames * 1024L * 1000 / rate,
       sampleRate = rate, channels = channels))
+  }
+
+  /** DCX (multi-page PCX): 0x3ADE68B1 magic + page-offset table; the
+    * first page's PCX window (xmin/ymin/xmax/ymax) gives the dims.
+    */
+  private def parseDcx(b: Array[Byte]): Option[Meta] = {
+    def le32(o: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < 4) { v |= (b(o + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    var pages = 0
+    var i = 4
+    while (i + 4 <= math.min(b.length, 4 + 1024 * 4) && le32(i) != 0) {
+      pages += 1; i += 4
+    }
+    if (pages == 0) return None
+    val first = le32(4)
+    if (first + 12 > b.length || b(first.toInt) != 0x0a) return None
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    val fo = first.toInt
+    val w = le16(fo + 8) - le16(fo + 4) + 1
+    val h = le16(fo + 10) - le16(fo + 6) + 1
+    if (w <= 0 || h <= 0) None
+    else Some(Meta("image/vnd.zbrush.dcx", "image", width = w, height = h,
+      tags = Map("dcx:pages" -> pages.toString)))
+  }
+
+  /** JBIG2 generic file (ISO/IEC 14492 annex D): 8-byte signature +
+    * flags (+ page count), then segment headers; the first page-info
+    * segment (type 48) carries width/height u32 BE.
+    */
+  private def parseJbig2(b: Array[Byte]): Option[Meta] = {
+    def be32(o: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < 4) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      v
+    }
+    if (b.length < 13) return None
+    val flags = b(8) & 0xff
+    var p = if ((flags & 0x02) == 0) 13 else 9 // bit1 set = page count absent
+    val pages = if ((flags & 0x02) == 0) be32(9) else 0
+    var guard = 0
+    while (p + 11 <= b.length && guard < 1000) {
+      val segFlags = b(p + 4) & 0xff
+      val segType = segFlags & 0x3f
+      // referred-to segments: count in top 3 bits of the next byte
+      var q = p + 5
+      val rts = (b(q) & 0xff) >>> 5
+      val count =
+        if (rts == 7) { val c = (be32(q) & 0x1fffffff).toInt; q += 4 + (c + 8) / 8; c }
+        else { q += 1; rts }
+      // referred-to numbers: 1/2/4 bytes each by this segment's number
+      val segNum = be32(p)
+      val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
+      q += count * refSize
+      // page association: 1 or 4 bytes (segFlags bit 6)
+      val pa = if ((segFlags & 0x40) != 0) 4 else 1
+      q += pa
+      if (q + 4 > b.length) return None
+      val dataLen = be32(q)
+      q += 4
+      if (segType == 48 && q + 8 <= b.length) {
+        val w = be32(q); val h = be32(q + 4)
+        if (w > 0 && h > 0)
+          return Some(Meta("image/x-jbig2", "image", width = w.toInt,
+            height = h.toInt,
+            tags = if (pages > 0) Map("jbig2:pages" -> pages.toString)
+              else Map.empty))
+      }
+      if (dataLen == 0xffffffffL) return None // unknown-length segment
+      p = (q + dataLen).toInt
+      guard += 1
+    }
+    None
   }
 
   /** Netpbm P1-P6: ASCII dims after the magic, `#` comments skipped. */

@@ -166,6 +166,51 @@ class LegacyFormatsSpec extends AnyFunSuite {
     assert(wb2.contains("X\tY\tZ"), wb2.take(120))
   }
 
+  test("MS Works .wps text extracts across both generations (reference excludes)") {
+    // Works 4 (MatOST/MN0 text zone) — ground-truthed byte range
+    val w4 = extract("testWORKSWordProcessor4.0.wps")
+    assert(w4.mime == "application/vnd.ms-works", w4.mime)
+    assert(text(w4).contains(
+      "This is an example document made with Microsoft Works Word Processor 7.0"),
+      text(w4).take(200))
+    // Works 3: same zone, structural name prefix tolerated
+    val w3 = text(extract("testWORKSWordProcessor3.0.wps"))
+    assert(w3.contains("This is an example document"), w3.take(200))
+    // Works 2000 + Works 7: Quill CHNKWKS TEXT bits (UTF-16LE)
+    val w2000 = text(extract("testWORKS2000.wps"))
+    assert(w2000.contains("example"), w2000.take(200))
+    val w7 = text(extract("testWORKS.wps"))
+    assert(w7.contains("example"), w7.take(200))
+  }
+
+  test("StarOffice 5 metadata, DCX/JBIG2 dims, E57 version, PKCS#12 id") {
+    def mv(d: graft.core.ExtractedDoc, suffix: String): String =
+      d.meta.collectFirst { case (k, v) if k.endsWith(suffix) => v.head }.get
+    val sdw = extract("testStarOffice-5.2-writer.sdw")
+    assert(sdw.meta("staroffice:kind").head == "writer")
+    assert(sdw.meta.exists(kv => kv._2.contains("Christiaan Fluit")), sdw.meta)
+    val dcx = extract("testDCX.dcx")
+    assert(mv(dcx, ":width") == "100" && mv(dcx, ":height") == "75", dcx.meta)
+    val jb2 = extract("testJBIG2.jb2")
+    // independent Python segment walk: page-info 328x78, 1 page
+    assert(mv(jb2, ":width") == "328" && mv(jb2, ":height") == "78", jb2.meta)
+    val e57 = extract("testE57_header.e57")
+    assert(e57.meta("e57:version").head == "1.0", e57.meta)
+    val p12 = extract("testRSAKEYandCERT.p12")
+    assert(p12.meta("crypto:structure").head == "pkcs12-pfx", p12.meta)
+  }
+
+  test("QPW v7-8 CFB worksheets and DWF 6 zip packages decode") {
+    val wb3 = extract("testQUATTRO.wb3")
+    assert(wb3.meta.contains("qpw:bof-version"), wb3.meta)
+    val t3 = text(wb3)
+    assert(t3.nonEmpty, "wb3 produced no cells")
+    val dwf = extract("testDWF2010.dwf")
+    assert(dwf.meta("dwf:version").head.startsWith("V06"), dwf.meta)
+    val paths = dwf.meta.getOrElse("embedded:path", Seq.empty)
+    assert(paths.exists(_.contains("manifest.xml")), paths)
+  }
+
   test("hostile: mutated legacy payloads never escape the envelope") {
     val rnd = new scala.util.Random(31)
     for (name <- Seq("testMARC.mrc", "testMSWriteFile.wri",

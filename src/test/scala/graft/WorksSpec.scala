@@ -58,9 +58,14 @@ class WorksSpec extends AnyFunSuite {
     }
   }
 
-  test("testWORKS.wps: detected as ms-works, recorded unsupported") {
+  test("testWORKS.wps: detected as ms-works, Quill text extracts (r5)") {
+    // the round-4 pin asserted UnsupportedType (OfficeParser parity);
+    // round 5 adds the WpsExtractor route — text now extracts via the
+    // CHNKWKS Quill story bits (full coverage in LegacyFormatsSpec)
     val d = extract(intDocs, "testWORKS.wps")
     assert(d.mime == "application/vnd.ms-works", d.mime)
-    assert(d.status == Status.UnsupportedType, d.status)
+    assert(d.status == Status.ParseSuccess, d.status)
+    assert(d.spans.exists(s => s.kind == Span.KindText &&
+      s.text.contains("example")), d.spans.take(3))
   }
 }
