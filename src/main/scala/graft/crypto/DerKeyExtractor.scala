@@ -81,8 +81,14 @@ object DerKeyExtractor {
       // tbsCertificate: [0] version?, serial INT, AlgId, issuer, validity, subject
       val tbs = children(bytes, kids(0))
       val afterVer = if (tbs.nonEmpty && tbs(0).tag == 0x00) tbs.drop(1) else tbs
-      if (afterVer.nonEmpty && isInt(afterVer(0)))
-        meta.set("crypto:serial", intVal(afterVer(0)).toString)
+      if (afterVer.nonEmpty && isInt(afterVer(0))) {
+        // serials are up to 20 octets (CA/Browser-forum random serials):
+        // render as an unsigned BigInt, never a truncated signed long
+        val t = afterVer(0)
+        val serial = new java.math.BigInteger(1,
+          java.util.Arrays.copyOfRange(bytes, t.start, t.end))
+        meta.set("crypto:serial", serial.toString)
+      }
       // printable strings inside issuer/subject surface as text lines
       emitStrings(bytes, kids(0), sink, 0)
       return

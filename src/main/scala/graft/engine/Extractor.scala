@@ -801,10 +801,11 @@ object Extractor {
               }
               found
             }
-            if (zipAt >= 0 && depth < cfg.maxDepth)
+            if (zipAt >= 0)
+              // recurseZip itself records the depth cap (sawUnsupported)
               recurseZip(java.util.Arrays.copyOfRange(bytes, zipAt, bytes.length),
                 idPath, depth)
-            else if (zipAt < 0) sawUnsupported = true // pre-6 binary DWF
+            else sawUnsupported = true // pre-6 binary DWF
           case m if m == graft.mime.MimeDb.Dbf =>
             graft.textparse.DbfExtractor.extract(bytes, sink, meta)
           case m if m == graft.mime.MimeDb.DifXml =>

@@ -122,9 +122,9 @@ object MediaParser {
       }
       v
     }
-    bits(nbits) // xmin
+    val xmin = bits(nbits)
     val xmax = bits(nbits)
-    bits(nbits) // ymin
+    val ymin = bits(nbits)
     val ymax = bits(nbits)
     val rectBytes = (5 + 4 * nbits + 7) / 8
     if (rectBytes + 4 > body.length) return None
@@ -132,7 +132,8 @@ object MediaParser {
       (body(rectBytes) & 0xff) / 256.0)
     val frameCount = (body(rectBytes + 2) & 0xff) | ((body(rectBytes + 3) & 0xff) << 8)
     Some(Meta("application/x-shockwave-flash", "video",
-      width = (xmax / 20).toInt, height = (ymax / 20).toInt,
+      // stage dims are the RECT extent — xmin/ymin need not be 0
+      width = ((xmax - xmin) / 20).toInt, height = ((ymax - ymin) / 20).toInt,
       durationMs = if (frameRate > 0) (frameCount * 1000 / frameRate).toLong else 0,
       tags = Map("swf:version" -> version.toString,
         "swf:frame-count" -> frameCount.toString,
@@ -336,7 +337,10 @@ object MediaParser {
     if (b.length < 532) return false
     var i = 0
     while (i < 512) { if (b(i) != 0) return false; i += 1 }
-    true
+    // require the version opcode right after size+frame: v2 = 0x0011
+    // 0x02FF, v1 = 0x11 0x01 — a zero-padded non-PICT payload fails here
+    (b(522) == 0x00 && b(523) == 0x11 && b(524) == 0x02 &&
+      (b(525) & 0xff) == 0xff) || (b(522) == 0x11 && b(523) == 0x01)
   }
   private def parsePict(b: Array[Byte]): Option[Meta] = {
     def be16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)

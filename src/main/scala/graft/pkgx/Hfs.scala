@@ -56,16 +56,18 @@ object Hfs {
         java.lang.Long.bitCount(blockSize) != 1)
       throw new HfsMalformed(s"bad allocation block size $blockSize")
 
-    /** Assemble a fork's content from its 8 inline extents. */
-    def readFork(forkOff: Int): Array[Byte] = {
-      val logical = be64(bytes, forkOff)
+    /** Assemble a fork's content from its 8 inline extents; the 80-byte
+      * fork descriptor may live in any buffer (volume header or catalog
+      * record), the extents always address the volume. */
+    def readFork(desc: Array[Byte], forkOff: Int): Array[Byte] = {
+      val logical = be64(desc, forkOff)
       if (logical > MaxOutputBytes) throw new graft.engine.ZipBombDetected
       val out = new java.io.ByteArrayOutputStream()
       var i = 0
       var got = 0L
       while (i < 8 && got < logical) {
-        val start = be32(bytes, forkOff + 16 + 8 * i)
-        val count = be32(bytes, forkOff + 16 + 8 * i + 4)
+        val start = be32(desc, forkOff + 16 + 8 * i)
+        val count = be32(desc, forkOff + 16 + 8 * i + 4)
         if (count > 0) {
           val from = start * blockSize
           val len = count * blockSize
@@ -82,7 +84,7 @@ object Hfs {
       out.toByteArray
     }
 
-    val catalog = readFork(vh + 272)
+    val catalog = readFork(bytes, vh + 272)
     if (catalog.length < 48) throw new HfsMalformed("catalog too small")
     // B-tree header node (node 0): descriptor(14) + BTHeaderRec
     val nodeSize = ((catalog(32 + 0) & 0xff) << 8) | (catalog(33) & 0xff)
@@ -162,39 +164,14 @@ object Hfs {
       if (fullPath.exists(_ < ' ') || name == ".journal" ||
           name == ".journal_info_block") None
       else {
-        // catalog forks live inside the volume bytes, so readFork works
-        // unchanged on the in-catalog record only when its extents are
-        // volume-relative — they are (TN1150: all extents in allocation
-        // blocks from the volume start)
-        val forkBytes = new Array[Byte](80)
-        // fork data sits in the CATALOG byte array, not the volume
+        // the fork descriptor sits in the CATALOG byte array; its
+        // extents address the volume (TN1150: allocation blocks are
+        // always counted from the volume start)
         if (forkOff + 80 > catalog.length)
           throw new HfsMalformed("file record out of range")
-        System.arraycopy(catalog, forkOff, forkBytes, 0, 80)
-        // re-read through the volume-level helper
-        val logical = be64(forkBytes, 0)
-        total += logical
+        total += be64(catalog, forkOff)
         if (total > MaxOutputBytes) throw new graft.engine.ZipBombDetected
-        val out = new java.io.ByteArrayOutputStream()
-        var i = 0
-        var got = 0L
-        while (i < 8 && got < logical) {
-          val start = be32(forkBytes, 16 + 8 * i)
-          val count = be32(forkBytes, 16 + 8 * i + 4)
-          if (count > 0) {
-            val from = start * blockSize
-            val len = count * blockSize
-            if (from < 0 || from + len > bytes.length)
-              throw new HfsMalformed("extent beyond volume")
-            val take = math.min(len, logical - got).toInt
-            out.write(bytes, from.toInt, take)
-            got += take
-          }
-          i += 1
-        }
-        if (got < logical)
-          throw new HfsMalformed("file needs extents-overflow records")
-        Some(Entry(fullPath, out.toByteArray))
+        Some(Entry(fullPath, readFork(catalog, forkOff)))
       }
     }.toVector
   }

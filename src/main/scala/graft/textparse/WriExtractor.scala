@@ -40,7 +40,7 @@ object WriExtractor {
       else if (c == 0x0c) { // page break
         sink.chars(sb.toString); sb.clear()
         sink.newline()
-      } else if (c >= ' ' || c >= 0x80) sb.append(c)
+      } else if (c >= ' ') sb.append(c) // Char is unsigned: covers 0x80+
       // control chars 0x01-0x08 are picture/OLE anchors: dropped
       i += 1
     }

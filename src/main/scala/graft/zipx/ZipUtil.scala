@@ -66,16 +66,34 @@ object ZipUtil {
     else cenEntries(zipBytes, password)
   }
 
-  /** Any central-directory entry with GP bit 0 set? */
+  /** Any central-directory entry with GP bit 0 set? Resolves the zip64
+    * EOCD indirection like cenEntries so encrypted zip64 archives do
+    * not bypass the crypto-aware walk.
+    */
   private def cenHasEncrypted(b: Array[Byte]): Boolean = {
     val eocd = findEocd(b)
     if (eocd < 0) return false
-    var p = le32(b, eocd + 16).toInt
+    var cdOff = le32(b, eocd + 16)
+    var total = le16(b, eocd + 10)
+    var cdSize = le32(b, eocd + 12)
+    var cdEndAnchor = eocd.toLong
+    if ((cdOff == 0xffffffffL || total == 0xffff) && eocd >= 20 &&
+        b(eocd - 20) == 'P' && b(eocd - 19) == 'K' &&
+        b(eocd - 18) == 6 && b(eocd - 17) == 7) {
+      val eocd64 = le32(b, eocd - 12).toInt
+      if (eocd64 >= 0 && eocd64 + 56 <= b.length &&
+          b(eocd64) == 'P' && b(eocd64 + 1) == 'K' &&
+          b(eocd64 + 2) == 6 && b(eocd64 + 3) == 6) {
+        total = le32(b, eocd64 + 32).toInt
+        cdSize = le32(b, eocd64 + 40)
+        cdOff = le32(b, eocd64 + 48)
+        cdEndAnchor = eocd64.toLong // the CD ends at the zip64 EOCD
+      }
+    }
     // same prefix-shift rule as cenEntries
-    val shift = math.max(0L, eocd - (le32(b, eocd + 16) + le32(b, eocd + 12)))
-    p = (p + shift).toInt
+    val shift = math.max(0L, cdEndAnchor - (cdOff + cdSize))
+    var p = (cdOff + shift).toInt
     var n = 0
-    val total = le16(b, eocd + 10)
     while (n < total && p >= 0 && p + 46 <= b.length &&
         b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 1 && b(p + 3) == 2) {
       if ((le16(b, p + 8) & 0x1) != 0) return true
@@ -135,6 +153,10 @@ object ZipUtil {
       uncompSize: Int, flags: Int): Array[Byte] = method match {
     case 0 => java.util.Arrays.copyOfRange(src, off, off + len)
     case 8 =>
+      // inflate errors PROPAGATE (like the pre-crypto walk): a corrupt
+      // deflate stream in a plain archive must surface as a recorded
+      // zip-read exception, not a silently missing entry; the decrypted
+      // call site catches and reports the member as encrypted instead
       val inf = new java.util.zip.Inflater(true)
       try {
         inf.setInput(src, off, len)
@@ -146,8 +168,7 @@ object ZipUtil {
           else o += r
         }
         outB
-      } catch { case _: Exception => null }
-      finally inf.end()
+      } finally inf.end()
     // legacy PKZIP methods (reference: commons-compress
     // Unshrinking/ExplodingInputStream; ZipParserTest moby.zip)
     case 1 =>
@@ -298,6 +319,8 @@ object ZipUtil {
     var cdOff = le32(b, eocd + 16)
     var total = le16(b, eocd + 10)
     // zip64: locator (PK\6\7) directly precedes the EOCD
+    var cdSize = le32(b, eocd + 12)
+    var cdEndAnchor = eocd.toLong // where the central directory must end
     if ((cdOff == 0xffffffffL || total == 0xffff) && eocd >= 20 &&
         b(eocd - 20) == 'P' && b(eocd - 19) == 'K' &&
         b(eocd - 18) == 6 && b(eocd - 17) == 7) {
@@ -306,13 +329,16 @@ object ZipUtil {
           b(eocd64) == 'P' && b(eocd64 + 1) == 'K' &&
           b(eocd64 + 2) == 6 && b(eocd64 + 3) == 6) {
         total = le32(b, eocd64 + 32).toInt
+        cdSize = le32(b, eocd64 + 40)
         cdOff = le32(b, eocd64 + 48)
+        // with zip64 the CD is followed by the zip64 EOCD, not the
+        // classic one — anchor the prefix-shift heuristic there
+        cdEndAnchor = eocd64.toLong
       }
     }
     // archives with prepended bytes (SFX stubs, crafted offsets) shift
-    // every stored offset by the prefix length: eocdPos − (cdOff+cdSize)
-    val cdSize = le32(b, eocd + 12)
-    val shift = math.max(0L, eocd - (cdOff + cdSize))
+    // every stored offset by the prefix length: anchor − (cdOff+cdSize)
+    val shift = math.max(0L, cdEndAnchor - (cdOff + cdSize))
     val out = new ArrayBuffer[Entry]()
     val encNames = new ArrayBuffer[String]()
     var totalOut = 0L
@@ -361,8 +387,7 @@ object ZipUtil {
         xp += 4 + sz
       }
       val encrypted = (flags & 0x1) != 0
-      if (encrypted && password.isEmpty && !name.endsWith("/"))
-        encNames += name
+      var entryAdded = false
       if ((!encrypted || password.isDefined) && !name.endsWith("/") &&
           uncompSize <= MaxEntryBytes && compSize <= b.length) {
         // aggregate budget BEFORE allocating: overlapping CEN entries can
@@ -438,10 +463,13 @@ object ZipUtil {
                 if (plain == null) { encNames += name; null }
                 else {
                   // decrypted payloads are always CRC-gated when the CEN
-                  // carries a real CRC (AE-2 writes 0 — HMAC covers it)
+                  // carries a real CRC (AE-2 writes 0 — HMAC covers it);
+                  // a decode failure here means wrong-password garbage,
+                  // reported as a still-encrypted member, not an abort
                   crcGate = cenCrc != 0
-                  decodeMethod(plain._1, 0, plain._1.length, plain._2,
+                  try decodeMethod(plain._1, 0, plain._1.length, plain._2,
                     uncompSize.toInt, flags)
+                  catch { case _: Exception => null }
                 }
               }
             if (data != null && crcGate) {
@@ -449,11 +477,15 @@ object ZipUtil {
               crc.update(data)
               if (crc.getValue != cenCrc) data = null
             }
-            if (data != null) out += Entry(name, data, compSize)
-            else if (encrypted && !encNames.contains(name)) encNames += name
+            if (data != null) { out += Entry(name, data, compSize); entryAdded = true }
           }
         }
       }
+      // an encrypted member that produced nothing — wrong password, bad
+      // offsets, oversized claims, unresolvable local header — is always
+      // reported, so no password value can silently lose members
+      if (encrypted && !entryAdded && !name.endsWith("/") &&
+          !encNames.contains(name)) encNames += name
       p += 46 + nameLen + extraLen + commentLen
       n += 1
     }

@@ -159,6 +159,68 @@ class ZipCryptoSpec extends AnyFunSuite {
     assert(text.contains("This is the Plain Text part"))
   }
 
+  test("zip64 EOCD indirection still reaches the crypto walk (review fix)") {
+    // rewrite enc_stored.zip's EOCD into the zip64 shape: real offsets
+    // move into a zip64 EOCD record, the classic EOCD masks cdOff with
+    // 0xFFFFFFFF — encrypted members must still decrypt / report
+    val plain = res("enc_stored.zip")
+    def le32(b: Array[Byte], o: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < 4) { v |= (b(o + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    var eocd = plain.length - 22
+    while (!(plain(eocd) == 'P' && plain(eocd + 1) == 'K' &&
+      plain(eocd + 2) == 5 && plain(eocd + 3) == 6)) eocd -= 1
+    val cdOff = le32(plain, eocd + 16)
+    val cdSize = le32(plain, eocd + 12)
+    val total = (plain(eocd + 10) & 0xff) | ((plain(eocd + 11) & 0xff) << 8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(plain, 0, eocd)
+    val z64 = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    z64.putInt(0x06064b50).putLong(44).putShort(45).putShort(45)
+      .putInt(0).putInt(0).putLong(total).putLong(total)
+      .putLong(cdSize).putLong(cdOff)
+    out.write(z64.array())
+    val loc = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    loc.putInt(0x07064b50).putInt(0).putLong(eocd.toLong).putInt(1)
+    out.write(loc.array())
+    val e2 = java.util.Arrays.copyOfRange(plain, eocd, plain.length)
+    // mask cdOff in the classic EOCD
+    e2(16) = -1; e2(17) = -1; e2(18) = -1; e2(19) = -1
+    out.write(e2)
+    val z64zip = out.toByteArray
+    val withPw = ZipUtil.walk(z64zip, Some("tika-zc"))
+    assert(withPw.entries.map(_.name) == Vector("member2.txt"), withPw)
+    assert(withPw.entries.head.data.toSeq == res("member2.txt").toSeq)
+    val noPw = ZipUtil.walk(z64zip, None)
+    assert(noPw.encrypted == Vector("member2.txt"), noPw)
+  }
+
+  test("corrupt deflate in a plain member still records a zip exception (review fix)") {
+    // testZipEncrypted.zip routes through the CEN walk (it has an
+    // encrypted member); corrupting the UNencrypted member's deflate
+    // stream must surface as a recorded exception, never a silent drop
+    val b = refFixture("testZipEncrypted.zip").clone()
+    val lh = {
+      var i = 0
+      while (!(b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 3 &&
+        b(i + 3) == 4 && new String(b, i + 30, 15,
+          java.nio.charset.StandardCharsets.US_ASCII) == "unencrypted.txt")) i += 1
+      i
+    }
+    val dataOff = lh + 30 + 15
+    b(dataOff + 5) = (b(dataOff + 5) ^ 0x7f).toByte
+    val out = Extractor.extract(
+      DocRow("z.zip", Seq(Span("bytes", Corpus.b64(b), null, 0))),
+      Extractor.DefaultConfig)
+    assert(out.status == Status.ParseException ||
+      out.status == Status.ParseSuccessWithException, out.status)
+    assert(out.meta.getOrElse("parse:exception", Seq.empty).nonEmpty, out.meta)
+  }
+
   test("hostile: truncated AES payload and corrupt ciphertext fail cleanly") {
     val good = res("ae_mixed.zip")
     // truncations across the archive
