@@ -73,7 +73,13 @@ object PdfCrypto {
   def computeO(ownerPwd: Array[Byte], userPwd: Array[Byte], r: Int,
       keyLen: Int): Array[Byte] = {
     var h = md5(padded(ownerPwd))
-    if (r >= 3) { var i = 0; while (i < 50) { h = md5(h); i += 1 } }
+    if (r >= 3) {
+      // each round hashes only the first keyLen bytes — the Adobe/PDFBox
+      // deviation ownerToUser inverts; the writer must match it so
+      // keyLen < 16 fixtures round-trip (review finding)
+      var i = 0
+      while (i < 50) { h = md5(java.util.Arrays.copyOf(h, keyLen)); i += 1 }
+    }
     val key = java.util.Arrays.copyOf(h, keyLen)
     var out = rc4(key, padded(userPwd))
     if (r >= 3) {

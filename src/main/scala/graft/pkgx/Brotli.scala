@@ -645,7 +645,10 @@ object Brotli {
     var pos = 0
 
     def ensureCap(extra: Int): Unit = {
-      if (pos.toLong + extra > MaxOutputBytes) fail("output exceeds budget")
+      // budget overflow is a decompression BOMB, not a malformed stream —
+      // classify like every other codec route (zlib/bzip2/lz4/7z)
+      if (pos.toLong + extra > MaxOutputBytes)
+        throw new graft.engine.ZipBombDetected
       if (pos + extra > buf.length) {
         var n = buf.length.toLong * 2
         while (n < pos.toLong + extra) n *= 2

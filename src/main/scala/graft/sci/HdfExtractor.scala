@@ -89,10 +89,17 @@ object HdfExtractor {
     var nAttrs = 0
     var nGroups = 0
 
-    def fmtFixed(o: Long, size: Int, signed: Boolean): String = {
+    def fmtFixed(o: Long, size: Int, signed: Boolean,
+        bigEndian: Boolean): String = {
+      // datatype bit-field bit 0 selects the byte order (HDF5 spec IV.A.2)
       var v = 0L
-      var i = size - 1
-      while (i >= 0) { v = (v << 8) | h.u8(o + i); i -= 1 } // little-endian
+      if (bigEndian) {
+        var i = 0
+        while (i < size) { v = (v << 8) | h.u8(o + i); i += 1 }
+      } else {
+        var i = size - 1
+        while (i >= 0) { v = (v << 8) | h.u8(o + i); i -= 1 }
+      }
       if (signed && size < 8) {
         val shift = 64 - size * 8
         v = (v << shift) >> shift
@@ -134,14 +141,26 @@ object HdfExtractor {
           val sz = tSize.toInt
           if (sz != 1 && sz != 2 && sz != 4 && sz != 8) return
           h.need(p, sz)
-          fmtFixed(p, sz, signed = (bits0 & 0x08) != 0)
-        case 1 => // IEEE float, first element
+          fmtFixed(p, sz, signed = (bits0 & 0x08) != 0,
+            bigEndian = (bits0 & 0x01) != 0)
+        case 1 => // IEEE float, first element (bit-field bit 0 = order)
+          def bitsOf(sz: Int): Long = {
+            var v = 0L
+            if ((bits0 & 0x01) != 0) {
+              var i = 0
+              while (i < sz) { v = (v << 8) | h.u8(p + i); i += 1 }
+            } else {
+              var i = sz - 1
+              while (i >= 0) { v = (v << 8) | h.u8(p + i); i -= 1 }
+            }
+            v
+          }
           if (tSize == 4) {
             h.need(p, 4)
-            java.lang.Float.intBitsToFloat(h.u32(p).toInt).toString
+            java.lang.Float.intBitsToFloat(bitsOf(4).toInt).toString
           } else if (tSize == 8) {
             h.need(p, 8)
-            java.lang.Double.longBitsToDouble(h.u64(p)).toString
+            java.lang.Double.longBitsToDouble(bitsOf(8)).toString
           } else return
         case _ => return // vlen/compound/reference: not group metadata here
       }
