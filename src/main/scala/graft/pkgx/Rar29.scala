@@ -9,9 +9,12 @@ package graft.pkgx
   * (whose license restricts reuse for creating compressors).
   *
   * Scope: the Huffman-coded LZ block type with the 4-distance history,
-  * short-match codes, and the low-distance sub-table. The two adaptive
-  * extensions — PPMd-vH blocks (stream bit 15 set at table time) and
-  * RarVM filters (main symbol 257) — and solid continuation are
+  * short-match codes, and the low-distance sub-table; PPMd-vH blocks
+  * (stream bit 15 set at table time) via [[PpmdH]], including the
+  * in-PPM escape protocol (new-table / end-of-file / VM code / LZ copy
+  * / RLE / literal-escape); and the standard RarVM filters (main
+  * symbol 257 or PPM escape 3), recognized by (length, CRC32) and run
+  * natively. Non-standard VM programs and solid continuation are
   * reported as [[Rar29.Unsupported]], which the container walk records
   * per entry exactly like other declared-unsupported payloads.
   *
@@ -127,6 +130,19 @@ object Rar29 {
 
   /** Decompress one non-solid version-29 entry. */
   def unpack(data: Array[Byte], off: Int, packSize: Int,
+      unpSize: Long): Array[Byte] =
+    try unpackInner(data, off, packSize, unpSize)
+    catch {
+      // the PPMd model walks its own heap; corrupt streams surface as
+      // model guards or (worst case) heap-bound overruns — both are
+      // stream corruption, not crashes
+      case e: PpmdH.Corrupt => throw new Malformed("ppm: " + e.getMessage)
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new Malformed("ppm heap overrun")
+      case _: ArithmeticException => throw new Malformed("ppm arithmetic")
+    }
+
+  private def unpackInner(data: Array[Byte], off: Int, packSize: Int,
       unpSize: Long): Array[Byte] = {
     if (unpSize < 0 || unpSize > MaxOutput)
       throw new Unsupported(s"rar entry too large: $unpSize")
@@ -178,16 +194,18 @@ object Rar29 {
       }
     }
 
-    def readVmCode(): Unit = {
-      val firstByte = br.bits(8)
+    // byte supplier: 8-bit bitfield reads in LZ blocks, model-decoded
+    // chars in PPM blocks (the blob framing is identical)
+    def readVmCode(nextB: () => Int): Unit = {
+      val firstByte = nextB()
       var length = (firstByte & 7) + 1
-      if (length == 7) length = br.bits(8) + 7
-      else if (length == 8) length = br.bits(16)
+      if (length == 7) length = nextB() + 7
+      else if (length == 8) length = (nextB() << 8) | nextB()
       if (length == 0 || length > 0x10000)
         throw new Malformed("vm code length")
       val code = new Array[Byte](length)
       var i = 0
-      while (i < length) { code(i) = br.bits(8).toByte; i += 1 }
+      while (i < length) { code(i) = nextB().toByte; i += 1 }
       // the blob has its own bit reader
       val vr = new BitReader(code, 0, code.length)
       def readData(): Int = {
@@ -294,11 +312,47 @@ object Rar29 {
       }
     }
 
+    // --- PPMd block state -------------------------------------------
+    var ppm: PpmdH = null
+    var ppmRc: PpmdH.Dec = null
+    var escChar = 2
+    var isPpm = false
+
+    // block-start flag byte (bit 7 = PPM marker): bit 6 = new escape
+    // char follows, bit 5 = reset model (heap MB byte follows), low 5
+    // bits = max order - 1 (values >16 expand by 3s up to 61)
+    def ppmInit(): Unit = {
+      val b0 = br.bits(8)
+      val reset = (b0 & 0x20) != 0
+      var mb = 0
+      if (reset) mb = br.bits(8)
+      else if (ppm == null) throw new Malformed("ppm continue without model")
+      if ((b0 & 0x40) != 0) escChar = br.bits(8)
+      ppmRc = new PpmdH.Dec(() => br.bits(8))
+      ppmRc.init()
+      if (reset) {
+        var mo = (b0 & 0x1f) + 1
+        if (mo > 16) mo = 16 + (mo - 16) * 3
+        if (mo == 1) throw new Malformed("ppm order 1")
+        ppm = new PpmdH(mb + 1, mo)
+      }
+      isPpm = true
+    }
+
+    def ppmDec(): Int = {
+      if (br.exhausted) throw new Malformed("ppm underrun")
+      val c = ppm.decodeChar(ppmRc)
+      if (c < 0) throw new Malformed("ppm corrupt stream")
+      c
+    }
+
     def readTables(): Unit = {
       br.align()
       val bf = br.peek16
-      if ((bf & 0x8000) != 0)
-        throw new Unsupported("rar ppmd block")
+      if ((bf & 0x8000) != 0) { ppmInit(); return }
+      isPpm = false
+      prevLowDist = 0
+      lowDistRepCount = 0
       if ((bf & 0x4000) == 0) java.util.Arrays.fill(oldTable, 0)
       br.skip(2)
       val bitLength = new Array[Int](BC)
@@ -360,6 +414,30 @@ object Rar29 {
     var done = false
     while (!done && op < out.length) {
       if (br.exhausted) throw new Malformed("bitstream underrun")
+      if (isPpm) {
+        // in-PPM escape protocol: EscChar then 0=new tables, 1=literal
+        // EscChar, 2=end of file, 3=VM code, 4=LZ copy (3-byte distance
+        // + length byte), 5=RLE at distance 1
+        val ch = ppmDec()
+        if (ch == escChar) {
+          ppmDec() match {
+            case 0 => readTables()
+            case 2 => done = true
+            case 3 => readVmCode(ppmDec _)
+            case 4 =>
+              var dist = 0
+              var i = 0
+              while (i < 3) { dist = (dist << 8) | ppmDec(); i += 1 }
+              val length = ppmDec()
+              copyString(length + 32, dist + 2)
+            case 5 =>
+              val length = ppmDec()
+              copyString(length + 32, 1)
+            case _ =>
+              out(op) = ch.toByte; op += 1
+          }
+        } else { out(op) = ch.toByte; op += 1 }
+      } else {
       val num = ld.decode(br)
       if (num < 256) { out(op) = num.toByte; op += 1 }
       else if (num == 256) {
@@ -369,7 +447,7 @@ object Rar29 {
         if ((bf & 0x8000) != 0) { br.skip(1); readTables() }
         else { br.skip(2); done = true }
       }
-      else if (num == 257) readVmCode()
+      else if (num == 257) readVmCode(() => br.bits(8))
       else if (num == 258) {
         if (lastLength != 0) copyString(lastLength, lastDist)
       }
@@ -414,6 +492,7 @@ object Rar29 {
         insertOldDist(dist)
         lastLength = length; lastDist = dist
         copyString(length, dist)
+      }
       }
     }
     if (op < out.length)

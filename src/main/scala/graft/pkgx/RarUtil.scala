@@ -9,10 +9,12 @@ import java.nio.charset.StandardCharsets
   * the public format notes (RARLAB technote / rar5 file-format
   * description): entry names and sizes always surface as metadata,
   * STORED (uncompressed) entries extract directly, and version-29
-  * LZ-compressed RAR3 entries decode through [[Rar29]] (from-scratch,
-  * public format knowledge only). PPMd blocks, RarVM-filtered streams,
-  * solid continuation, RAR5 compression, and encrypted entries remain
-  * declared exclusions recorded per entry as unsupported.
+  * RAR3 entries — LZ blocks, PPMd-vH blocks ([[PpmdH]]), and the
+  * standard RarVM filters — decode through [[Rar29]] (from-scratch,
+  * public format knowledge only). Non-standard VM programs, solid
+  * continuation, and RAR5 compression remain declared exclusions
+  * recorded per entry as unsupported; encrypted entries decrypt when
+  * the password is supplied and are flagged otherwise.
   */
 object RarUtil {
 
@@ -108,8 +110,9 @@ object RarUtil {
               Some(java.util.Arrays.copyOfRange(b, dataOff,
                 (dataOff + packSize).toInt))
             else if (method != 0x30 && dataOk && unpVer == 29 && !solid)
-              // version-29 LZ decode (Rar29); PPMd blocks / VM filters /
-              // corrupt streams fall back to the unsupported record
+              // version-29 decode (LZ + PPMd blocks); non-standard VM
+              // programs / corrupt streams fall back to the
+              // unsupported record
               try Some(Rar29.unpack(b, dataOff, packSize.toInt, unpSize))
               catch {
                 case _: Rar29.Unsupported | _: Rar29.Malformed => None

@@ -1,0 +1,213 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pkgx.{PpmdH, Rar29, RarUtil}
+
+/** RAR3 PPMd-block decoding through the real container walk: synthetic
+  * RAR4 archives whose version-29 entries carry PPMd streams produced
+  * by the in-tree [[PpmdH]] encoder with the RAR escape protocol
+  * (flag byte, escape codes 0/1/2/3/4/5). No rar CLI exists here and
+  * the reference corpus's RAR fixtures are all LZ-coded, so these
+  * fixtures are the strongest available ground truth for the PPM
+  * route; the symmetric-model caveat is recorded in PLANS.md.
+  */
+class RarPpmSpec extends AnyFunSuite {
+
+  private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32(v: Long) =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  /** RAR4 archive with one version-29 compressed entry. */
+  private def rar4Packed(name: String, packed: Array[Byte],
+      unp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    out.write(Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x00))
+    out.write(le16(0)); out.write(0x73); out.write(le16(0)); out.write(le16(13))
+    out.write(new Array[Byte](6))
+    val nameB = name.getBytes("ISO-8859-1")
+    val hs = 32 + nameB.length
+    val crc = new java.util.zip.CRC32
+    crc.update(unp)
+    out.write(le16(0)); out.write(0x74); out.write(le16(0x8000))
+    out.write(le16(hs))
+    out.write(le32(packed.length))
+    out.write(le32(unp.length))
+    out.write(0)
+    out.write(le32(crc.getValue))
+    out.write(le32(0))
+    out.write(29) // unpVer: version-29 stream
+    out.write(0x35) // method: best (PPM-eligible)
+    out.write(le16(nameB.length))
+    out.write(le32(0x20))
+    out.write(nameB)
+    out.write(packed)
+    out.write(le16(0)); out.write(0x7b); out.write(le16(0x4000)); out.write(le16(7))
+    out.toByteArray
+  }
+
+  /** PPM stream writer: RAR flag/heap/escape header then model-coded
+    * symbols. `raw` emits one model symbol; `lit` escapes the escape
+    * char; block/file terminators and copy/RLE tokens per the escape
+    * protocol.
+    */
+  private final class PpmWriter(rawOrder: Int, mb: Int, esc: Int) {
+    val out = new java.io.ByteArrayOutputStream
+    out.write(0x80 | 0x40 | 0x20 | ((rawOrder - 1) & 0x1f))
+    out.write(mb - 1)
+    out.write(esc)
+    private val order =
+      if (rawOrder > 16) 16 + (rawOrder - 16) * 3 else rawOrder
+    private var enc = new PpmdH.Enc(out)
+    private val model = new PpmdH(mb, order)
+    def raw(s: Int): Unit = model.encodeChar(enc, s)
+    def lit(b: Int): Unit =
+      if ((b & 0xff) == esc) { raw(esc); raw(1) } else raw(b & 0xff)
+    def text(s: String): Unit = s.getBytes("ISO-8859-1").foreach(b => lit(b & 0xff))
+    def copy(dist: Int, len: Int): Unit = {
+      // emitted dist is biased by 2, len by 32
+      val d = dist - 2
+      raw(esc); raw(4)
+      raw((d >> 16) & 0xff); raw((d >> 8) & 0xff); raw(d & 0xff)
+      raw(len - 32)
+    }
+    def rle(len: Int): Unit = { raw(esc); raw(5); raw(len - 32) }
+    /** end current PPM block with escape-0 and flush; the next bytes
+      * are a fresh block header read by readTables */
+    def endBlockThenContinuePpm(): Unit = {
+      raw(esc); raw(0)
+      enc.flush()
+      out.write(0x80) // PPM again: no reset, no esc change, same model
+      enc = new PpmdH.Enc(out)
+    }
+    def endFile(): Array[Byte] = {
+      raw(esc); raw(2)
+      enc.flush()
+      out.toByteArray
+    }
+  }
+
+  private def extractOne(archive: Array[Byte]): RarUtil.Entry = {
+    val a = RarUtil.parse(archive)
+    assert(a.entries.size == 1)
+    a.entries.head
+  }
+
+  test("ppm-compressed entry extracts through the container walk") {
+    val data = ("PPMd in a rar container. " * 400).getBytes
+    val w = new PpmWriter(10, 1, 2)
+    data.foreach(b => w.lit(b & 0xff))
+    val packed = w.endFile()
+    assert(packed.length < data.length / 4, "ppm should compress this")
+    val e = extractOne(rar4Packed("doc.txt", packed, data))
+    assert(e.stored.isDefined, "ppm entry must decode")
+    assert(java.util.Arrays.equals(e.stored.get, data))
+  }
+
+  test("literal escape bytes survive (escape code 1)") {
+    val esc = 'x'.toInt // escape char that appears in the data
+    val data = "xoxo xxxx oxox".getBytes
+    val w = new PpmWriter(6, 1, esc)
+    data.foreach(b => w.lit(b & 0xff))
+    val e = extractOne(rar4Packed("esc.txt", w.endFile(), data))
+    assert(e.stored.isDefined)
+    assert(new String(e.stored.get) === "xoxo xxxx oxox")
+  }
+
+  test("in-PPM LZ copy (escape 4) and RLE (escape 5)") {
+    val phrase = "hello world "
+    val w = new PpmWriter(8, 1, 2)
+    w.text(phrase)
+    w.copy(phrase.length, 36) // overlapping copy: repeats the phrase
+    w.text("Z")
+    w.rle(40) // 40 copies of the previous byte
+    val expected = new java.io.ByteArrayOutputStream
+    expected.write(phrase.getBytes)
+    var i = 0
+    val buf = new scala.collection.mutable.ArrayBuffer[Byte]
+    buf ++= phrase.getBytes
+    while (i < 36) { buf += buf(buf.length - phrase.length); i += 1 }
+    buf += 'Z'.toByte
+    i = 0
+    while (i < 40) { buf += buf.last; i += 1 }
+    val data = buf.toArray
+    val e = extractOne(rar4Packed("copy.bin", w.endFile(), data))
+    assert(e.stored.isDefined, "copy/rle entry must decode")
+    assert(java.util.Arrays.equals(e.stored.get, data))
+  }
+
+  test("escape 0 starts a new block; model continues un-reset") {
+    val part1 = "first block payload. " * 50
+    val part2 = "second block payload, same statistics. " * 50
+    val w = new PpmWriter(8, 1, 2)
+    w.text(part1)
+    w.endBlockThenContinuePpm()
+    w.text(part2)
+    val data = (part1 + part2).getBytes
+    val e = extractOne(rar4Packed("blocks.txt", w.endFile(), data))
+    assert(e.stored.isDefined, "multi-block ppm must decode")
+    assert(java.util.Arrays.equals(e.stored.get, data))
+  }
+
+  test("order above 16 uses the x3 expansion mapping") {
+    val data = ("deep context order mapping " * 300).getBytes
+    val w = new PpmWriter(20, 2, 2) // raw 20 -> order 28
+    data.foreach(b => w.lit(b & 0xff))
+    val e = extractOne(rar4Packed("deep.txt", w.endFile(), data))
+    assert(e.stored.isDefined)
+    assert(java.util.Arrays.equals(e.stored.get, data))
+  }
+
+  test("unknown VM program via escape 3 records unsupported, no crash") {
+    val w = new PpmWriter(6, 1, 2)
+    w.text("before filter ")
+    w.raw(2); w.raw(3) // escape: VM code follows
+    // blob: firstByte=0 -> length 1, one junk code byte (not a standard
+    // filter, so the walk records the entry unsupported)
+    w.raw(0x00); w.raw(0x42)
+    w.text("after")
+    // claimed size larger than the pre-filter text so the walk reaches
+    // the VM escape before filling the output
+    val data = new Array[Byte](100)
+    val e = extractOne(rar4Packed("vm.bin", w.endFile(), data))
+    assert(e.stored.isEmpty, "non-standard vm program stays unsupported")
+  }
+
+  test("corrupt ppm streams fail cleanly across random mutations") {
+    val data = ("stability under mutation " * 100).getBytes
+    val w = new PpmWriter(8, 1, 2)
+    data.foreach(b => w.lit(b & 0xff))
+    val packed = w.endFile()
+    val rnd = new java.util.Random(1234)
+    var decoded = 0
+    var failed = 0
+    for (_ <- 0 until 300) {
+      val m = packed.clone()
+      val n = 1 + rnd.nextInt(4)
+      for (_ <- 0 until n)
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      try {
+        Rar29.unpack(m, 0, m.length, data.length.toLong)
+        decoded += 1
+      } catch {
+        case _: Rar29.Unsupported | _: Rar29.Malformed => failed += 1
+      }
+    }
+    assert(decoded + failed == 300)
+  }
+
+  test("truncated ppm stream is a clean failure") {
+    val data = ("truncation " * 200).getBytes
+    val w = new PpmWriter(8, 1, 2)
+    data.foreach(b => w.lit(b & 0xff))
+    val packed = w.endFile()
+    for (cut <- Seq(1, 2, 3, 5, 10, packed.length / 2, packed.length - 1)) {
+      val t = java.util.Arrays.copyOfRange(packed, 0, cut)
+      intercept[Exception] {
+        val r = Rar29.unpack(t, 0, t.length, data.length.toLong)
+        // decoding past the cut must not silently succeed
+        assert(!java.util.Arrays.equals(r, data))
+        throw new Rar29.Malformed("short but consistent")
+      }
+    }
+  }
+}
