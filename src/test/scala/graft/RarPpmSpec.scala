@@ -195,6 +195,24 @@ class RarPpmSpec extends AnyFunSuite {
     assert(decoded + failed == 300)
   }
 
+  test("ppm entry recurses through the full extraction pipeline") {
+    import graft.core.{DocRow, Span}
+    import graft.engine.Extractor
+    import graft.corpus.Corpus
+    val inner = "The rain in Spain stays mainly in the plain. " * 40
+    val w = new PpmWriter(10, 1, 2)
+    w.text(inner)
+    val archive = rar4Packed("readme.txt", w.endFile(), inner.getBytes)
+    val d = Extractor.extract(DocRow("docs.rar",
+      Seq(Span("bytes", Corpus.b64(archive), null, 0))))
+    assert(d.mime == graft.mime.MimeDb.Rar)
+    val txt = d.spans.filter(_.kind == graft.core.Span.KindText)
+      .map(_.text).mkString("\n")
+    assert(txt.contains("rain in Spain"), "inner ppm text must surface")
+    val entries = d.meta.getOrElse("rar:entry", Seq.empty)
+    assert(entries.exists(_.contains("readme.txt")), "entry name surfaces")
+  }
+
   test("truncated ppm stream is a clean failure") {
     val data = ("truncation " * 200).getBytes
     val w = new PpmWriter(8, 1, 2)
