@@ -232,7 +232,6 @@ final class PpmdH(heapMB: Int, val maxOrder: Int) {
   private var unitsStart = 0
   private var loUnit = 0
   private var hiUnit = 0
-  private var fakeUnitsStart = 0
   private var glueCount = 0
   private val freeList = new Array[Int](NIndexes)
   // bin sizes in units: 1,2,3,4, 6,8,10,12, 15,18,21,24, 28,32,...,128
@@ -294,7 +293,6 @@ final class PpmdH(heapMB: Int, val maxOrder: Int) {
     val size1 = size - size2
     unitsStart = base + size1
     loUnit = unitsStart
-    fakeUnitsStart = base + size1
     hiUnit = loUnit + size2
     glueCount = 0
   }
@@ -371,8 +369,7 @@ final class PpmdH(heapMB: Int, val maxOrder: Int) {
     // no larger bin: carve below the units floor, shrinking text room
     glueCount -= 1
     val bytes = u2b(indx2Units(indx))
-    if (fakeUnitsStart - pText > bytes) {
-      fakeUnitsStart -= bytes
+    if (unitsStart - pText > bytes) {
       unitsStart -= bytes
       unitsStart
     } else 0
@@ -629,7 +626,7 @@ final class PpmdH(heapMB: Int, val maxOrder: Int) {
     sb(pText, fsSym)
     pText += 1
     var successor = pText
-    if (pText >= fakeUnitsStart) { restartOnFailure(); return }
+    if (pText >= unitsStart) { restartOnFailure(); return }
     if (fsSucc != 0) {
       if (fsSucc <= pText) {
         val c = createSuccessors(skip = false, p)

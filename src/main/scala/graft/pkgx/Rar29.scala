@@ -56,11 +56,15 @@ object Rar29 {
 
   /** MSB-first bit reader over a slice. Reads past the end yield zero
     * bits and flip `exhausted` so corrupt streams terminate cleanly.
+    * Shared with [[Rar50]] (same bit order in the v5.0 stream).
     */
-  private final class BitReader(b: Array[Byte], start: Int, end: Int) {
+  private[pkgx] final class BitReader(b: Array[Byte], start: Int, end: Int) {
     private var pos = start
     private var bit = 0
     var exhausted = false
+    /** byte/bit cursor — RAR5 block boundaries are byte+bit exact */
+    def bytePos: Int = pos
+    def bitPos: Int = bit
     def peek16: Int = {
       val b0 = if (pos < end) b(pos) & 0xff else { exhausted = true; 0 }
       val b1 = if (pos + 1 < end) b(pos + 1) & 0xff else 0
@@ -81,7 +85,7 @@ object Rar29 {
   }
 
   /** Canonical Huffman decoder from code lengths (0 = absent, 1..15). */
-  private final class Huff(lengths: Array[Int]) {
+  private[pkgx] final class Huff(lengths: Array[Int]) {
     // left-justified 16-bit upper bounds per length, first code and
     // first ordered-symbol index per length, symbols in canonical order
     private val lim = new Array[Int](16)
@@ -128,21 +132,22 @@ object Rar29 {
     * 7z reader uses). */
   val MaxOutput: Long = 256L * 1024 * 1024
 
-  /** Decompress one non-solid version-29 entry. */
-  def unpack(data: Array[Byte], off: Int, packSize: Int,
-      unpSize: Long): Array[Byte] =
-    try unpackInner(data, off, packSize, unpSize)
+  /** The PPMd model walks its own heap; corrupt streams surface as
+    * model guards or (worst case) heap-bound overruns — both are
+    * stream corruption, not crashes. Scoped to the PPM call sites so
+    * an indexing defect in the LZ/filter paths still surfaces loudly.
+    */
+  @inline private def ppmGuard[T](f: => T): T =
+    try f
     catch {
-      // the PPMd model walks its own heap; corrupt streams surface as
-      // model guards or (worst case) heap-bound overruns — both are
-      // stream corruption, not crashes
       case e: PpmdH.Corrupt => throw new Malformed("ppm: " + e.getMessage)
       case _: ArrayIndexOutOfBoundsException =>
         throw new Malformed("ppm heap overrun")
       case _: ArithmeticException => throw new Malformed("ppm arithmetic")
     }
 
-  private def unpackInner(data: Array[Byte], off: Int, packSize: Int,
+  /** Decompress one non-solid version-29 entry. */
+  def unpack(data: Array[Byte], off: Int, packSize: Int,
       unpSize: Long): Array[Byte] = {
     if (unpSize < 0 || unpSize > MaxOutput)
       throw new Unsupported(s"rar entry too large: $unpSize")
@@ -320,7 +325,7 @@ object Rar29 {
 
     // block-start flag byte (bit 7 = PPM marker): bit 6 = new escape
     // char follows, bit 5 = reset model (heap MB byte follows), low 5
-    // bits = max order - 1 (values >16 expand by 3s up to 61)
+    // bits = max order - 1 (values >16 expand by 3s, up to 64)
     def ppmInit(): Unit = {
       val b0 = br.bits(8)
       val reset = (b0 & 0x20) != 0
@@ -334,14 +339,21 @@ object Rar29 {
         var mo = (b0 & 0x1f) + 1
         if (mo > 16) mo = 16 + (mo - 16) * 3
         if (mo == 1) throw new Malformed("ppm order 1")
-        ppm = new PpmdH(mb + 1, mo)
+        // model-allocation bomb guard (same posture as the output
+        // ratio guard): a model beyond 64 MB must be backed by at
+        // least heap/64 bytes of packed stream, else a ~50-byte entry
+        // could demand a 256 MB heap
+        val heapMB = mb + 1
+        if (heapMB > 64 && heapMB.toLong * (1 << 20) > 64L * packSize)
+          throw new Unsupported(s"ppm model bomb: $heapMB MB for $packSize bytes")
+        ppm = ppmGuard(new PpmdH(heapMB, mo))
       }
       isPpm = true
     }
 
     def ppmDec(): Int = {
       if (br.exhausted) throw new Malformed("ppm underrun")
-      val c = ppm.decodeChar(ppmRc)
+      val c = ppmGuard(ppm.decodeChar(ppmRc))
       if (c < 0) throw new Malformed("ppm corrupt stream")
       c
     }

@@ -391,7 +391,11 @@ object RarUtil {
             val (unpSize, b2) = vint(q); q += b2
             val (_, b3) = vint(q); q += b3 // attributes
             if ((ff & 2) != 0) q += 4 // mtime
-            if ((ff & 4) != 0) q += 4 // data crc32
+            var dataCrc = -1L
+            if ((ff & 4) != 0) { // data crc32
+              if (q + 4 <= b.length) dataCrc = le32(b, q)
+              q += 4
+            }
             val (compInfo, b4) = vint(q); q += b4
             val (_, b5) = vint(q); q += b5 // host os
             val (nameLen, b6) = vint(q); q += b6
@@ -418,11 +422,28 @@ object RarUtil {
               }
             }
             val dataOff = hstart + hsize
+            val algoVer = (compInfo & 0x3f).toInt
+            val solid = (compInfo & 0x40) != 0
+            val dataOk = dataOff + dataSize <= b.length &&
+              dataSize <= Int.MaxValue && !fileEncrypted
             val stored =
-              if (method == 0 && !fileEncrypted && dataSize == unpSize &&
-                  dataOff + dataSize <= b.length && dataSize <= Int.MaxValue)
+              if (method == 0 && dataOk && dataSize == unpSize)
                 Some(java.util.Arrays.copyOfRange(b, dataOff.toInt,
                   (dataOff + dataSize).toInt))
+              else if (method != 0 && dataOk && algoVer == 0 && !solid)
+                // v5.0 LZ decode (Rar50); corrupt streams / CRC
+                // mismatches fall back to the unsupported record
+                try {
+                  val dec = Rar50.unpack(b, dataOff.toInt, dataSize.toInt,
+                    unpSize)
+                  if (dataCrc >= 0) {
+                    val c = new java.util.zip.CRC32
+                    c.update(dec)
+                    if (c.getValue == dataCrc) Some(dec) else None
+                  } else Some(dec)
+                } catch {
+                  case _: Rar29.Unsupported | _: Rar29.Malformed => None
+                }
               else None
             out += Entry(name, unpSize, stored, fileEncrypted)
           case 5 => p = b.length // end of archive

@@ -47,7 +47,7 @@ class PpmdSpec extends AnyFunSuite {
 
   test("ascii text round-trips at several orders") {
     val text = ("the quick brown fox jumps over the lazy dog. " * 200).getBytes
-    for (order <- Seq(2, 4, 8, 16, 32, 61)) roundTrip(text, 1, order)
+    for (order <- Seq(2, 4, 8, 16, 32, 61, 64)) roundTrip(text, 1, order)
   }
 
   test("repetitive text compresses well") {
