@@ -57,19 +57,31 @@ object Rar29 {
   /** MSB-first bit reader over a slice. Reads past the end yield zero
     * bits and flip `exhausted` so corrupt streams terminate cleanly.
     * Shared with [[Rar50]] (same bit order in the v5.0 stream).
+    * `extend` swaps in a longer backing array at the same cursor — the
+    * solid-archive stream appends each entry's packed segment to one
+    * continuous input.
     */
-  private[pkgx] final class BitReader(b: Array[Byte], start: Int, end: Int) {
+  private[pkgx] final class BitReader(b0: Array[Byte], start: Int, end0: Int) {
+    private var b = b0
+    private var end = end0
     private var pos = start
     private var bit = 0
     var exhausted = false
     /** byte/bit cursor — RAR5 block boundaries are byte+bit exact */
     def bytePos: Int = pos
     def bitPos: Int = bit
+    def extend(nb: Array[Byte], newEnd: Int): Unit = {
+      b = nb; end = newEnd; exhausted = false
+    }
+    /** restore a saved cursor (speculative end-of-file marker reads) */
+    def seek(p: Int, bi: Int, ex: Boolean): Unit = {
+      pos = p; bit = bi; exhausted = ex
+    }
     def peek16: Int = {
-      val b0 = if (pos < end) b(pos) & 0xff else { exhausted = true; 0 }
-      val b1 = if (pos + 1 < end) b(pos + 1) & 0xff else 0
-      val b2 = if (pos + 2 < end) b(pos + 2) & 0xff else 0
-      (((b0 << 16) | (b1 << 8) | b2) >>> (8 - bit)) & 0xffff
+      val v0 = if (pos < end) b(pos) & 0xff else { exhausted = true; 0 }
+      val v1 = if (pos + 1 < end) b(pos + 1) & 0xff else 0
+      val v2 = if (pos + 2 < end) b(pos + 2) & 0xff else 0
+      (((v0 << 16) | (v1 << 8) | v2) >>> (8 - bit)) & 0xffff
     }
     def skip(n: Int): Unit = {
       bit += n
@@ -146,48 +158,87 @@ object Rar29 {
       case _: ArithmeticException => throw new Malformed("ppm arithmetic")
     }
 
-  /** Decompress one non-solid version-29 entry. */
+  /** Decompress one non-solid version-29 entry (fresh stream). */
   def unpack(data: Array[Byte], off: Int, packSize: Int,
       unpSize: Long): Array[Byte] = {
-    if (unpSize < 0 || unpSize > MaxOutput)
-      throw new Unsupported(s"rar entry too large: $unpSize")
-    // bomb guard: the output buffer is allocated up front, so bound the
-    // claimed expansion ratio before trusting the header (a crafted
-    // 100-byte entry must not allocate 256 MB)
-    if (unpSize > 1L * 1024 * 1024 && unpSize / math.max(1, packSize) > 1000)
-      throw new Unsupported(s"rar expansion ratio bomb: $packSize -> $unpSize")
-    val br = new BitReader(data, off, math.min(off.toLong + packSize,
-      data.length).toInt)
-    val out = new Array[Byte](unpSize.toInt)
-    var op = 0
-    val oldTable = new Array[Int](NC + DC + LDC + RC)
-    var ld: Huff = null
-    var dd: Huff = null
-    var ldd: Huff = null
-    var rd: Huff = null
-    val oldDist = new Array[Int](4)
-    var lastDist = 0
-    var lastLength = 0
-    var prevLowDist = 0
-    var lowDistRepCount = 0
+    val s = new Stream
+    s.append(data, off, packSize)
+    s.decodeNext(unpSize)
+  }
 
-    // --- VM filters (main symbol 257) -------------------------------
+  private final case class FilterProg(kind: Int) // 1=E8 2=E8E9 3=DELTA
+  private final case class FilterInv(kind: Int, blockStart: Int,
+      blockLength: Int, channels: Int)
+
+  /** One continuous version-29 decode stream. Non-solid entries use a
+    * fresh instance each; a solid group shares one: the LZ window (the
+    * growing output), Huffman tables, distance history, VM filter
+    * programs, and the PPMd model + range coder all persist across
+    * entries, and the packed segments concatenate into one input
+    * stream whose per-entry `packSize` boundaries need not align with
+    * symbol boundaries (the container walk appends every segment of a
+    * group before decoding). Mirrors the reference decoder's solid
+    * semantics: a file ends at its end-of-block marker (LZ symbol 256
+    * with the new-file flag, or PPM escape 2) or when its declared
+    * output size is reached, and the next file resumes mid-stream,
+    * re-reading tables only when the marker requested them.
+    */
+  final class Stream {
+    private var buf = new Array[Byte](0)
+    private var bufLen = 0
+    private val br = new BitReader(buf, 0, 0)
+    private var out = new Array[Byte](0)
+    private var op = 0
+    private var totalPacked = 0L
+    private var broken = false
+
+    private val oldTable = new Array[Int](NC + DC + LDC + RC)
+    private var ld: Huff = null
+    private var dd: Huff = null
+    private var ldd: Huff = null
+    private var rd: Huff = null
+    private val oldDist = new Array[Int](4)
+    private var lastDist = 0
+    private var lastLength = 0
+    private var prevLowDist = 0
+    private var lowDistRepCount = 0
+    private var tablesRead = false
+
+    // --- VM filters (main symbol 257 / PPM escape 3) ----------------
     // Filter programs arrive as small RarVM bytecode blobs; the well
     // known "standard filters" are recognized by (length, CRC32) and
     // executed natively (the technote documents this shortcut; full VM
     // interpretation is out of scope — unknown programs throw
-    // Unsupported). Invocations target [blockStart, blockStart+len) of
-    // the output, applied after the LZ pass: the LZ window always holds
-    // the RAW stream, filters only transform the written file bytes.
-    final case class FilterProg(kind: Int) // 1=E8 2=E8E9 3=DELTA
-    final case class FilterInv(kind: Int, blockStart: Int,
-        blockLength: Int, channels: Int)
-    val progs = scala.collection.mutable.ArrayBuffer.empty[FilterProg]
-    val progLengths = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val invocations = scala.collection.mutable.ArrayBuffer.empty[FilterInv]
-    var lastFilter = 0
+    // Unsupported). Invocations target output ranges and are applied
+    // after each entry's LZ pass: the LZ window always holds the RAW
+    // stream, filters only transform the written file bytes.
+    private val progs = scala.collection.mutable.ArrayBuffer.empty[FilterProg]
+    private val progLengths = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private val invocations = scala.collection.mutable.ArrayBuffer.empty[FilterInv]
+    private var lastFilter = 0
 
-    def vmStandardKind(code: Array[Byte]): Int = {
+    // --- PPMd block state -------------------------------------------
+    private var ppm: PpmdH = null
+    private var ppmRc: PpmdH.Dec = null
+    private var escChar = 2
+    private var isPpm = false
+
+    /** append one entry's packed segment to the continuous input */
+    def append(data: Array[Byte], off: Int, packSize: Int): Unit = {
+      val len = math.max(0, math.min(packSize.toLong,
+        data.length.toLong - off).toInt)
+      if (bufLen + len > buf.length) {
+        val nb = new Array[Byte](math.max(bufLen + len, buf.length * 2))
+        System.arraycopy(buf, 0, nb, 0, bufLen)
+        buf = nb
+      }
+      System.arraycopy(data, off, buf, bufLen, len)
+      bufLen += len
+      totalPacked += len
+      br.extend(buf, bufLen)
+    }
+
+    private def vmStandardKind(code: Array[Byte]): Int = {
       val crc = new java.util.zip.CRC32
       crc.update(code)
       (code.length, crc.getValue) match {
@@ -201,7 +252,7 @@ object Rar29 {
 
     // byte supplier: 8-bit bitfield reads in LZ blocks, model-decoded
     // chars in PPM blocks (the blob framing is identical)
-    def readVmCode(nextB: () => Int): Unit = {
+    private def readVmCode(nextB: () => Int): Unit = {
       val firstByte = nextB()
       var length = (firstByte & 7) + 1
       if (length == 7) length = nextB() + 7
@@ -272,61 +323,57 @@ object Rar29 {
         invocations += FilterInv(prog.kind, blockStart, blockLength, channels)
     }
 
-    def applyFilters(): Unit = invocations.foreach { f =>
-      val start = f.blockStart
-      val len = math.min(f.blockLength.toLong,
-        out.length.toLong - start).toInt
-      if (start >= 0 && len > 4) f.kind match {
-        case 1 | 2 => // E8 / E8E9 x86 call-target transform
-          val fileSize = 0x1000000
-          var cur = 0
-          while (cur < len - 4) {
-            val b = out(start + cur) & 0xff
-            cur += 1
-            if (b == 0xe8 || (f.kind == 2 && b == 0xe9)) {
-              val o = start + cur
-              val addr = (out(o) & 0xff) | ((out(o + 1) & 0xff) << 8) |
-                ((out(o + 2) & 0xff) << 16) | ((out(o + 3) & 0xff) << 24)
-              val offset = cur + start // block offset within the file
-              def set(v: Int): Unit = {
-                out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
-                out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    private def applyFilters(): Unit = {
+      invocations.foreach { f =>
+        val start = f.blockStart
+        val len = math.min(f.blockLength.toLong, op.toLong - start).toInt
+        if (start >= 0 && len > 4) f.kind match {
+          case 1 | 2 => // E8 / E8E9 x86 call-target transform
+            val fileSize = 0x1000000
+            var cur = 0
+            while (cur < len - 4) {
+              val b = out(start + cur) & 0xff
+              cur += 1
+              if (b == 0xe8 || (f.kind == 2 && b == 0xe9)) {
+                val o = start + cur
+                val addr = (out(o) & 0xff) | ((out(o + 1) & 0xff) << 8) |
+                  ((out(o + 2) & 0xff) << 16) | ((out(o + 3) & 0xff) << 24)
+                val offset = cur + start // block offset within the file
+                def set(v: Int): Unit = {
+                  out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+                  out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+                }
+                if (addr < 0) { if (addr + offset >= 0) set(addr + fileSize) }
+                else if (addr < fileSize) set(addr - offset)
+                cur += 4
               }
-              if (addr < 0) { if (addr + offset >= 0) set(addr + fileSize) }
-              else if (addr < fileSize) set(addr - offset)
-              cur += 4
             }
-          }
-        case 3 => // DELTA: per-channel byte-delta decode, de-interleaved
-          val ch = math.max(1, math.min(f.channels, len))
-          val src = java.util.Arrays.copyOfRange(out, start, start + len)
-          var sp = 0
-          var c = 0
-          while (c < ch) {
-            var prev = 0
-            var dp = c
-            while (dp < len && sp < len) {
-              prev = (prev - src(sp)) & 0xff
-              out(start + dp) = prev.toByte
-              sp += 1
-              dp += ch
+          case 3 => // DELTA: per-channel byte-delta decode, de-interleaved
+            val ch = math.max(1, math.min(f.channels, len))
+            val src = java.util.Arrays.copyOfRange(out, start, start + len)
+            var sp = 0
+            var c = 0
+            while (c < ch) {
+              var prev = 0
+              var dp = c
+              while (dp < len && sp < len) {
+                prev = (prev - src(sp)) & 0xff
+                out(start + dp) = prev.toByte
+                sp += 1
+                dp += ch
+              }
+              c += 1
             }
-            c += 1
-          }
-        case _ => ()
+          case _ => ()
+        }
       }
+      invocations.clear()
     }
-
-    // --- PPMd block state -------------------------------------------
-    var ppm: PpmdH = null
-    var ppmRc: PpmdH.Dec = null
-    var escChar = 2
-    var isPpm = false
 
     // block-start flag byte (bit 7 = PPM marker): bit 6 = new escape
     // char follows, bit 5 = reset model (heap MB byte follows), low 5
     // bits = max order - 1 (values >16 expand by 3s, up to 64)
-    def ppmInit(): Unit = {
+    private def ppmInit(): Unit = {
       val b0 = br.bits(8)
       val reset = (b0 & 0x20) != 0
       var mb = 0
@@ -344,24 +391,25 @@ object Rar29 {
         // least heap/64 bytes of packed stream, else a ~50-byte entry
         // could demand a 256 MB heap
         val heapMB = mb + 1
-        if (heapMB > 64 && heapMB.toLong * (1 << 20) > 64L * packSize)
-          throw new Unsupported(s"ppm model bomb: $heapMB MB for $packSize bytes")
+        if (heapMB > 64 && heapMB.toLong * (1 << 20) > 64L * totalPacked)
+          throw new Unsupported(
+            s"ppm model bomb: $heapMB MB for $totalPacked bytes")
         ppm = ppmGuard(new PpmdH(heapMB, mo))
       }
       isPpm = true
     }
 
-    def ppmDec(): Int = {
+    private def ppmDec(): Int = {
       if (br.exhausted) throw new Malformed("ppm underrun")
       val c = ppmGuard(ppm.decodeChar(ppmRc))
       if (c < 0) throw new Malformed("ppm corrupt stream")
       c
     }
 
-    def readTables(): Unit = {
+    private def readTables(): Unit = {
       br.align()
       val bf = br.peek16
-      if ((bf & 0x8000) != 0) { ppmInit(); return }
+      if ((bf & 0x8000) != 0) { ppmInit(); tablesRead = true; return }
       isPpm = false
       prevLowDist = 0
       lowDistRepCount = 0
@@ -405,16 +453,17 @@ object Rar29 {
       rd = new Huff(java.util.Arrays.copyOfRange(table, NC + DC + LDC,
         table.length))
       System.arraycopy(table, 0, oldTable, 0, table.length)
+      tablesRead = true
     }
 
-    def insertOldDist(d: Int): Unit = {
+    private def insertOldDist(d: Int): Unit = {
       oldDist(3) = oldDist(2); oldDist(2) = oldDist(1)
       oldDist(1) = oldDist(0); oldDist(0) = d
     }
 
-    def copyString(length: Int, dist: Int): Unit = {
+    private def copyString(length: Int, dist: Int): Unit = {
       if (dist <= 0 || dist > op)
-        throw new Malformed("match before window start (solid?)")
+        throw new Malformed("match before window start")
       var src = op - dist
       var n = length
       while (n > 0 && op < out.length) {
@@ -422,94 +471,163 @@ object Rar29 {
       }
     }
 
-    readTables()
-    var done = false
-    while (!done && op < out.length) {
-      if (br.exhausted) throw new Malformed("bitstream underrun")
-      if (isPpm) {
-        // in-PPM escape protocol: EscChar then 0=new tables, 1=literal
-        // EscChar, 2=end of file, 3=VM code, 4=LZ copy (3-byte distance
-        // + length byte), 5=RLE at distance 1
-        val ch = ppmDec()
-        if (ch == escChar) {
-          ppmDec() match {
-            case 0 => readTables()
-            case 2 => done = true
-            case 3 => readVmCode(ppmDec _)
-            case 4 =>
-              var dist = 0
-              var i = 0
-              while (i < 3) { dist = (dist << 8) | ppmDec(); i += 1 }
-              val length = ppmDec()
-              copyString(length + 32, dist + 2)
-            case 5 =>
-              val length = ppmDec()
-              copyString(length + 32, 1)
-            case _ =>
-              out(op) = ch.toByte; op += 1
-          }
-        } else { out(op) = ch.toByte; op += 1 }
-      } else {
-      val num = ld.decode(br)
-      if (num < 256) { out(op) = num.toByte; op += 1 }
-      else if (num == 256) {
-        // end of block: high bit set -> same file, new tables follow;
-        // otherwise next bit tells whether tables precede the next file
-        val bf = br.peek16
-        if ((bf & 0x8000) != 0) { br.skip(1); readTables() }
-        else { br.skip(2); done = true }
-      }
-      else if (num == 257) readVmCode(() => br.bits(8))
-      else if (num == 258) {
-        if (lastLength != 0) copyString(lastLength, lastDist)
-      }
-      else if (num < 263) {
-        val dn = num - 259
-        val dist = oldDist(dn)
-        var j = dn
-        while (j > 0) { oldDist(j) = oldDist(j - 1); j -= 1 }
-        oldDist(0) = dist
-        val ln = rd.decode(br)
-        val length = LDecode(ln) + 2 + br.bits(LBits(ln))
-        lastLength = length; lastDist = dist
-        copyString(length, dist)
-      }
-      else if (num < 271) {
-        val dn = num - 263
-        val dist = SDDecode(dn) + 1 + br.bits(SDBits(dn))
-        insertOldDist(dist)
-        lastLength = 2; lastDist = dist
-        copyString(2, dist)
-      }
-      else {
-        val ln = num - 271
-        var length = LDecode(ln) + 3 + br.bits(LBits(ln))
-        val dn = dd.decode(br)
-        var dist = DDecode(dn) + 1
-        if (DBits(dn) > 0) {
-          if (dn > 9) {
-            if (DBits(dn) > 4) dist += br.bits(DBits(dn) - 4) << 4
-            if (lowDistRepCount > 0) { lowDistRepCount -= 1; dist += prevLowDist }
-            else {
-              val lowDist = ldd.decode(br)
-              if (lowDist == 16) { lowDistRepCount = 15; dist += prevLowDist }
-              else { dist += lowDist; prevLowDist = lowDist }
-            }
-          } else dist += br.bits(DBits(dn))
-        }
-        if (dist >= 0x2000) {
-          length += 1
-          if (dist >= 0x40000) length += 1
-        }
-        insertOldDist(dist)
-        lastLength = length; lastDist = dist
-        copyString(length, dist)
-      }
-      }
+    /** Decode the next entry of the stream (`unpSize` output bytes).
+      * All packed segments the entry's symbols may reach must already
+      * be appended. */
+    def decodeNext(unpSize: Long): Array[Byte] = {
+      if (broken) throw new Malformed("stream poisoned by earlier entry")
+      if (unpSize < 0 || op + unpSize > MaxOutput)
+        throw new Unsupported(s"rar entry too large: $unpSize")
+      if (op + unpSize > 1L * 1024 * 1024 &&
+          (op + unpSize) / math.max(1L, totalPacked) > 1000)
+        throw new Unsupported(
+          s"rar expansion ratio bomb: $totalPacked -> ${op + unpSize}")
+      try decodeNextInner(unpSize)
+      catch { case e: Throwable => broken = true; throw e }
     }
-    if (op < out.length)
-      throw new Malformed(s"short rar stream: $op of ${out.length}")
-    applyFilters()
-    out
+
+    private def decodeNextInner(unpSize: Long): Array[Byte] = {
+      val entryStart = op
+      val targetEnd = (op + unpSize).toInt
+      if (targetEnd > out.length) {
+        val no = new Array[Byte](targetEnd)
+        System.arraycopy(out, 0, no, 0, op)
+        out = no
+      }
+      if (!tablesRead) readTables()
+      var fileEnd = false
+      while (!fileEnd) {
+        if (op >= targetEnd) {
+          // output complete: consume the end-of-file marker the
+          // encoder leaves at each file boundary (LZ symbol 256 with
+          // the new-file flag, or PPM escape 2) so a solid
+          // continuation resumes after it. A stream that simply runs
+          // out here (no marker — possible for a last file) ends
+          // cleanly; any other symbol is left unconsumed.
+          if (br.exhausted) fileEnd = true
+          else if (isPpm) {
+            val ch = ppmDec()
+            if (ch == escChar) ppmDec() match {
+              case 2 => fileEnd = true // PPM mode persists
+              case 0 => readTables()
+              case _ => throw new Malformed("ppm boundary symbol")
+            }
+            else throw new Malformed("ppm data past entry size")
+          } else {
+            val sp = br.bytePos
+            val sb = br.bitPos
+            val se = br.exhausted
+            val num =
+              try ld.decode(br)
+              catch {
+                case _: Malformed => br.seek(sp, sb, se); fileEnd = true; -1
+              }
+            if (num == 256) {
+              val bf = br.peek16
+              if ((bf & 0x8000) != 0) { br.skip(1); readTables() }
+              else {
+                br.skip(2)
+                tablesRead = (bf & 0x4000) == 0
+                fileEnd = true
+              }
+            } else if (num == 257) readVmCode(() => br.bits(8))
+            else if (num >= 0) { br.seek(sp, sb, se); fileEnd = true }
+          }
+        }
+        else {
+        if (br.exhausted) throw new Malformed("bitstream underrun")
+        if (isPpm) {
+          // in-PPM escape protocol: EscChar then 0=new tables,
+          // 1=literal EscChar, 2=end of file, 3=VM code, 4=LZ copy
+          // (3-byte distance + length byte), 5=RLE at distance 1
+          val ch = ppmDec()
+          if (ch == escChar) {
+            ppmDec() match {
+              case 0 => readTables()
+              case 2 => fileEnd = true // PPM mode persists for the next file
+              case 3 => readVmCode(ppmDec _)
+              case 4 =>
+                var dist = 0
+                var i = 0
+                while (i < 3) { dist = (dist << 8) | ppmDec(); i += 1 }
+                val length = ppmDec()
+                copyString(length + 32, dist + 2)
+              case 5 =>
+                val length = ppmDec()
+                copyString(length + 32, 1)
+              case _ =>
+                out(op) = ch.toByte; op += 1
+            }
+          } else { out(op) = ch.toByte; op += 1 }
+        } else {
+          val num = ld.decode(br)
+          if (num < 256) { out(op) = num.toByte; op += 1 }
+          else if (num == 256) {
+            // end of block: high bit set -> same file, new tables
+            // follow; otherwise the file ends and the next bit says
+            // whether tables precede the next (solid) file
+            val bf = br.peek16
+            if ((bf & 0x8000) != 0) { br.skip(1); readTables() }
+            else {
+              br.skip(2)
+              tablesRead = (bf & 0x4000) == 0
+              fileEnd = true
+            }
+          }
+          else if (num == 257) readVmCode(() => br.bits(8))
+          else if (num == 258) {
+            if (lastLength != 0) copyString(lastLength, lastDist)
+          }
+          else if (num < 263) {
+            val dn = num - 259
+            val dist = oldDist(dn)
+            var j = dn
+            while (j > 0) { oldDist(j) = oldDist(j - 1); j -= 1 }
+            oldDist(0) = dist
+            val ln = rd.decode(br)
+            val length = LDecode(ln) + 2 + br.bits(LBits(ln))
+            lastLength = length; lastDist = dist
+            copyString(length, dist)
+          }
+          else if (num < 271) {
+            val dn = num - 263
+            val dist = SDDecode(dn) + 1 + br.bits(SDBits(dn))
+            insertOldDist(dist)
+            lastLength = 2; lastDist = dist
+            copyString(2, dist)
+          }
+          else {
+            val ln = num - 271
+            var length = LDecode(ln) + 3 + br.bits(LBits(ln))
+            val dn = dd.decode(br)
+            var dist = DDecode(dn) + 1
+            if (DBits(dn) > 0) {
+              if (dn > 9) {
+                if (DBits(dn) > 4) dist += br.bits(DBits(dn) - 4) << 4
+                if (lowDistRepCount > 0) {
+                  lowDistRepCount -= 1; dist += prevLowDist
+                } else {
+                  val lowDist = ldd.decode(br)
+                  if (lowDist == 16) { lowDistRepCount = 15; dist += prevLowDist }
+                  else { dist += lowDist; prevLowDist = lowDist }
+                }
+              } else dist += br.bits(DBits(dn))
+            }
+            if (dist >= 0x2000) {
+              length += 1
+              if (dist >= 0x40000) length += 1
+            }
+            insertOldDist(dist)
+            lastLength = length; lastDist = dist
+            copyString(length, dist)
+          }
+        }
+        }
+      }
+      if (op < targetEnd)
+        throw new Malformed(s"short rar stream: $op of $targetEnd")
+      applyFilters()
+      java.util.Arrays.copyOfRange(out, entryStart, targetEnd)
+    }
   }
 }

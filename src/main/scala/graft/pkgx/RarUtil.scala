@@ -11,10 +11,12 @@ import java.nio.charset.StandardCharsets
   * STORED (uncompressed) entries extract directly, and version-29
   * RAR3 entries — LZ blocks, PPMd-vH blocks ([[PpmdH]]), and the
   * standard RarVM filters — decode through [[Rar29]] (from-scratch,
-  * public format knowledge only). Non-standard VM programs, solid
-  * continuation, and RAR5 compression remain declared exclusions
-  * recorded per entry as unsupported; encrypted entries decrypt when
-  * the password is supplied and are flagged otherwise.
+  * public format knowledge only), with solid groups decoded through a
+  * shared [[Rar29.Stream]]; RAR 5.0 entries decompress through
+  * [[Rar50]]. Non-standard VM programs and encrypted+solid combos
+  * remain declared exclusions recorded per entry as unsupported;
+  * encrypted entries decrypt when the password is supplied and are
+  * flagged otherwise.
   */
 object RarUtil {
 
@@ -58,7 +60,36 @@ object RarUtil {
 
   private def parse4(b: Array[Byte], password: Option[String]): Archive = {
     var p = 7
-    val out = Vector.newBuilder[Entry]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    // deferred v29 decodes: solid entries share one Rar29.Stream whose
+    // input must hold every segment of the group before decoding, so
+    // the walk only records jobs and the decode runs after it
+    final case class V29Job(slot: Int, dataOff: Int, packSize: Int,
+        unpSize: Long, solid: Boolean)
+    val jobs = scala.collection.mutable.ArrayBuffer.empty[V29Job]
+    def runJobs(): Unit = {
+      var gi = 0
+      while (gi < jobs.length) {
+        var gj = gi + 1
+        while (gj < jobs.length && jobs(gj).solid) gj += 1
+        val s = new Rar29.Stream
+        var k = gi
+        while (k < gj) { s.append(b, jobs(k).dataOff, jobs(k).packSize); k += 1 }
+        var failed = false
+        k = gi
+        while (k < gj) {
+          val j = jobs(k)
+          if (!failed)
+            try out(j.slot) = out(j.slot).copy(stored = Some(s.decodeNext(j.unpSize)))
+            catch {
+              case _: Rar29.Unsupported | _: Rar29.Malformed => failed = true
+            }
+          k += 1
+        }
+        gi = gj
+      }
+      jobs.clear()
+    }
     var count = 0
     var headersEncrypted = false
     while (p + 7 <= b.length && count < 100000) {
@@ -78,7 +109,8 @@ object RarUtil {
             password.foreach { pwd =>
               out ++= parse4Encrypted(b, p + size, pwd)
             }
-            return Archive(out.result(), headersEncrypted)
+            runJobs()
+            return Archive(out.toVector, headersEncrypted)
           }
         case 0x74 => // file header
           if (p + 32 > b.length) throw new RarMalformed("truncated file header")
@@ -109,14 +141,15 @@ object RarUtil {
             if (method == 0x30 && dataOk && packSize == unpSize)
               Some(java.util.Arrays.copyOfRange(b, dataOff,
                 (dataOff + packSize).toInt))
-            else if (method != 0x30 && dataOk && unpVer == 29 && !solid)
-              // version-29 decode (LZ + PPMd blocks); non-standard VM
-              // programs / corrupt streams fall back to the
-              // unsupported record
-              try Some(Rar29.unpack(b, dataOff, packSize.toInt, unpSize))
-              catch {
-                case _: Rar29.Unsupported | _: Rar29.Malformed => None
-              }
+            else if (method != 0x30 && dataOk && unpVer == 29) {
+              // version-29 decode (LZ + PPMd blocks, solid groups);
+              // non-standard VM programs / corrupt streams fall back
+              // to the unsupported record. Decoded after the walk —
+              // see runJobs.
+              jobs += V29Job(out.length, dataOff, packSize.toInt, unpSize,
+                solid)
+              None
+            }
             else if (enc && password.isDefined && (flags & FhdSplitBefore) == 0 &&
                 dataOff + packSize <= b.length && packSize <= Int.MaxValue)
               // -p mode: plain headers, AES data; per-file salt after name
@@ -140,7 +173,8 @@ object RarUtil {
         if (next <= p || next > Int.MaxValue) p = b.length else p = next.toInt
       }
     }
-    Archive(out.result(), headersEncrypted)
+    runJobs()
+    Archive(out.toVector, headersEncrypted)
   }
 
   /** Walk the encrypted-header (-hp) area: each block is preceded by
