@@ -42,7 +42,15 @@ object Extractor {
       password: Option[String] = None,
       // PDFParserConfig.setExtractMarkedContent analog (default false):
       // tagged PDFs extract in structure-tree logical order
-      extractMarkedContent: Boolean = false
+      extractMarkedContent: Boolean = false,
+      // RegexCaptureParser analog: when either map is non-empty it IS
+      // the text/plain parser — key -> pattern; captures collect group
+      // 1 per line (deduped, multi-valued metadata), matches set the
+      // key to "true"; content only with regexWriteContent (reference
+      // default false)
+      regexCaptures: Seq[(String, String)] = Nil,
+      regexMatches: Seq[(String, String)] = Nil,
+      regexWriteContent: Boolean = false
   )
   val DefaultConfig: Config = Config()
 
@@ -267,6 +275,12 @@ object Extractor {
             graft.xmlx.FeedExtractor.extract(bytes, sink, meta)
           case MediaTypes.Xml | MediaTypes.SvgXml =>
             XmlExtractor.extract(bytes, sink, meta)
+          case MediaTypes.TextPlain
+              if cfg.regexCaptures.nonEmpty || cfg.regexMatches.nonEmpty =>
+            // configured RegexCaptureParser replaces the text parser
+            graft.textparse.RegexCapture.extract(
+              EncodingDetector.decode(bytes), cfg.regexCaptures,
+              cfg.regexMatches, cfg.regexWriteContent, sink, meta)
           case MediaTypes.TextPlain =>
             // TextAndCSVParser semantics: sniff a consistent delimiter →
             // table markup; otherwise TXTParser.java:75-121 — charset
