@@ -189,6 +189,7 @@ object Rar29 {
     private val br = new BitReader(buf, 0, 0)
     private var out = new Array[Byte](0)
     private var op = 0
+    private var outCap = 0 // logical limit: current entry's declared end
     private var totalPacked = 0L
     private var broken = false
 
@@ -329,41 +330,10 @@ object Rar29 {
         val len = math.min(f.blockLength.toLong, op.toLong - start).toInt
         if (start >= 0 && len > 4) f.kind match {
           case 1 | 2 => // E8 / E8E9 x86 call-target transform
-            val fileSize = 0x1000000
-            var cur = 0
-            while (cur < len - 4) {
-              val b = out(start + cur) & 0xff
-              cur += 1
-              if (b == 0xe8 || (f.kind == 2 && b == 0xe9)) {
-                val o = start + cur
-                val addr = (out(o) & 0xff) | ((out(o + 1) & 0xff) << 8) |
-                  ((out(o + 2) & 0xff) << 16) | ((out(o + 3) & 0xff) << 24)
-                val offset = cur + start // block offset within the file
-                def set(v: Int): Unit = {
-                  out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
-                  out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
-                }
-                if (addr < 0) { if (addr + offset >= 0) set(addr + fileSize) }
-                else if (addr < fileSize) set(addr - offset)
-                cur += 4
-              }
-            }
-          case 3 => // DELTA: per-channel byte-delta decode, de-interleaved
-            val ch = math.max(1, math.min(f.channels, len))
-            val src = java.util.Arrays.copyOfRange(out, start, start + len)
-            var sp = 0
-            var c = 0
-            while (c < ch) {
-              var prev = 0
-              var dp = c
-              while (dp < len && sp < len) {
-                prev = (prev - src(sp)) & 0xff
-                out(start + dp) = prev.toByte
-                sp += 1
-                dp += ch
-              }
-              c += 1
-            }
+            RarFilters.e8(out, start, len, e8e9 = f.kind == 2,
+              modOffset = false)
+          case 3 => // DELTA: per-channel byte-delta decode
+            RarFilters.delta(out, start, len, f.channels)
           case _ => ()
         }
       }
@@ -466,7 +436,7 @@ object Rar29 {
         throw new Malformed("match before window start")
       var src = op - dist
       var n = length
-      while (n > 0 && op < out.length) {
+      while (n > 0 && op < outCap) {
         out(op) = out(src); op += 1; src += 1; n -= 1
       }
     }
@@ -476,7 +446,9 @@ object Rar29 {
       * be appended. */
     def decodeNext(unpSize: Long): Array[Byte] = {
       if (broken) throw new Malformed("stream poisoned by earlier entry")
-      if (unpSize < 0 || op + unpSize > MaxOutput)
+      // both checks needed: unpSize alone may be a crafted 2^63-scale
+      // value whose sum with op would wrap
+      if (unpSize < 0 || unpSize > MaxOutput || op + unpSize > MaxOutput)
         throw new Unsupported(s"rar entry too large: $unpSize")
       if (op + unpSize > 1L * 1024 * 1024 &&
           (op + unpSize) / math.max(1L, totalPacked) > 1000)
@@ -490,10 +462,15 @@ object Rar29 {
       val entryStart = op
       val targetEnd = (op + unpSize).toInt
       if (targetEnd > out.length) {
-        val no = new Array[Byte](targetEnd)
+        // geometric growth keeps many-entry solid groups linear; the
+        // logical write limit stays outCap (= this entry's end)
+        val cap = math.max(targetEnd,
+          math.min(MaxOutput, out.length * 2L).toInt)
+        val no = new Array[Byte](cap)
         System.arraycopy(out, 0, no, 0, op)
         out = no
       }
+      outCap = targetEnd
       if (!tablesRead) readTables()
       var fileEnd = false
       while (!fileEnd) {
@@ -506,32 +483,42 @@ object Rar29 {
           // cleanly; any other symbol is left unconsumed.
           if (br.exhausted) fileEnd = true
           else if (isPpm) {
-            val ch = ppmDec()
-            if (ch == escChar) ppmDec() match {
-              case 2 => fileEnd = true // PPM mode persists
-              case 0 => readTables()
-              case _ => throw new Malformed("ppm boundary symbol")
+            // the model cannot rewind, so any anomaly here ends the
+            // entry leniently (the data already decoded in full); a
+            // desynced solid continuation is then caught by its CRC
+            try {
+              val ch = ppmDec()
+              if (ch == escChar) ppmDec() match {
+                case 2 => fileEnd = true // PPM mode persists
+                case 0 => readTables()
+                case _ => fileEnd = true
+              }
+              else fileEnd = true
+            } catch {
+              case _: Malformed | _: Unsupported => fileEnd = true
             }
-            else throw new Malformed("ppm data past entry size")
           } else {
             val sp = br.bytePos
             val sb = br.bitPos
             val se = br.exhausted
-            val num =
-              try ld.decode(br)
-              catch {
-                case _: Malformed => br.seek(sp, sb, se); fileEnd = true; -1
-              }
-            if (num == 256) {
-              val bf = br.peek16
-              if ((bf & 0x8000) != 0) { br.skip(1); readTables() }
-              else {
-                br.skip(2)
-                tablesRead = (bf & 0x4000) == 0
-                fileEnd = true
-              }
-            } else if (num == 257) readVmCode(() => br.bits(8))
-            else if (num >= 0) { br.seek(sp, sb, se); fileEnd = true }
+            try {
+              val num = ld.decode(br)
+              if (num == 256) {
+                val bf = br.peek16
+                if ((bf & 0x8000) != 0) { br.skip(1); readTables() }
+                else {
+                  br.skip(2)
+                  tablesRead = (bf & 0x4000) == 0
+                  fileEnd = true
+                }
+              } else if (num == 257) readVmCode(() => br.bits(8))
+              else { br.seek(sp, sb, se); fileEnd = true }
+            } catch {
+              // trailing padding or a corrupt marker must not fail an
+              // entry whose output is already complete
+              case _: Malformed | _: Unsupported =>
+                br.seek(sp, sb, se); fileEnd = true
+            }
           }
         }
         else {

@@ -135,6 +135,12 @@ object Rar50 {
       br.bytePos > blockLastByte ||
         (br.bytePos == blockLastByte && br.bitPos >= blockBitSize)
 
+    // BitReader.bits caps at 16; the widest distance slots need up to
+    // 26 extra high bits
+    def bitsWide(n: Int): Int =
+      if (n <= 16) br.bits(n)
+      else (br.bits(n - 16) << 16) | br.bits(16)
+
     def slotToLength(slot: Int): Int = {
       var length = 2
       var lBits = 0
@@ -214,14 +220,17 @@ object Rar50 {
         } else {
           var length = slotToLength(slot - 262)
           val distSlot = dd.decode(br)
-          var dist = 1
+          // Long arithmetic: the top slots address up to ~3 GB (the
+          // format's 1 GB dictionaries) — far past this reader's
+          // 256 MB entry cap, but the math must not wrap
+          var dist = 1L
           if (distSlot < 4) dist += distSlot
           else {
             val dBits = distSlot / 2 - 1
-            dist += (2 | (distSlot & 1)) << dBits
+            dist += (2L | (distSlot & 1)) << dBits
             if (dBits > 0) {
               if (dBits >= 4) {
-                if (dBits > 4) dist += br.bits(dBits - 4) << 4
+                if (dBits > 4) dist += bitsWide(dBits - 4).toLong << 4
                 dist += ldd.decode(br)
               } else dist += br.bits(dBits)
             }
@@ -233,9 +242,11 @@ object Rar50 {
               if (dist > 0x40000) length += 1
             }
           }
-          insertOldDist(dist)
+          if (dist > op)
+            throw new Malformed("rar5 match before window start (solid?)")
+          insertOldDist(dist.toInt)
           lastLength = length
-          copyString(length, dist)
+          copyString(length, dist.toInt)
         }
       }
     }
@@ -254,26 +265,8 @@ object Rar50 {
       val len = math.min(f.blockLength.toLong, out.length.toLong - start).toInt
       f.kind match {
         case FilterE8 | FilterE8E9 =>
-          val fileSize = 0x1000000
-          val cmp2 = if (f.kind == FilterE8E9) 0xe9 else 0xe8
-          var cur = 0
-          while (cur < len - 4) {
-            val b = out(start + cur) & 0xff
-            cur += 1
-            if (b == 0xe8 || b == cmp2) {
-              val o = start + cur
-              val addr = (out(o) & 0xff) | ((out(o + 1) & 0xff) << 8) |
-                ((out(o + 2) & 0xff) << 16) | ((out(o + 3) & 0xff) << 24)
-              val offset = ((cur + start).toLong % fileSize).toInt
-              def set(v: Int): Unit = {
-                out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
-                out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
-              }
-              if (addr < 0) { if (addr + offset >= 0) set(addr + fileSize) }
-              else if (addr < fileSize) set(addr - offset)
-              cur += 4
-            }
-          }
+          RarFilters.e8(out, start, len, e8e9 = f.kind == FilterE8E9,
+            modOffset = true)
         case FilterArm =>
           // BL with the always-condition: patch 24-bit word offsets
           var i = 0
@@ -288,21 +281,7 @@ object Rar50 {
             i += 4
           }
         case FilterDelta =>
-          val ch = math.max(1, math.min(f.channels, len))
-          val src = java.util.Arrays.copyOfRange(out, start, start + len)
-          var sp = 0
-          var c = 0
-          while (c < ch) {
-            var prev = 0
-            var dp = c
-            while (dp < len && sp < len) {
-              prev = (prev - src(sp)) & 0xff
-              out(start + dp) = prev.toByte
-              sp += 1
-              dp += ch
-            }
-            c += 1
-          }
+          RarFilters.delta(out, start, len, f.channels)
         case _ => ()
       }
     }

@@ -64,8 +64,11 @@ object RarUtil {
     // deferred v29 decodes: solid entries share one Rar29.Stream whose
     // input must hold every segment of the group before decoding, so
     // the walk only records jobs and the decode runs after it
+    // slot == -1 marks a gap: a compressed v29 member whose bytes are
+    // unavailable (encrypted / split / oversized) — the stream cannot
+    // be reconstructed past it, so the rest of its solid group fails
     final case class V29Job(slot: Int, dataOff: Int, packSize: Int,
-        unpSize: Long, solid: Boolean)
+        unpSize: Long, solid: Boolean, fileCrc: Long)
     val jobs = scala.collection.mutable.ArrayBuffer.empty[V29Job]
     def runJobs(): Unit = {
       var gi = 0
@@ -74,14 +77,27 @@ object RarUtil {
         while (gj < jobs.length && jobs(gj).solid) gj += 1
         val s = new Rar29.Stream
         var k = gi
-        while (k < gj) { s.append(b, jobs(k).dataOff, jobs(k).packSize); k += 1 }
+        while (k < gj) {
+          if (jobs(k).slot >= 0)
+            s.append(b, jobs(k).dataOff, jobs(k).packSize)
+          k += 1
+        }
         var failed = false
         k = gi
         while (k < gj) {
           val j = jobs(k)
-          if (!failed)
-            try out(j.slot) = out(j.slot).copy(stored = Some(s.decodeNext(j.unpSize)))
-            catch {
+          if (j.slot < 0) failed = true
+          else if (!failed)
+            try {
+              val dec = s.decodeNext(j.unpSize)
+              // header CRC32 gates every decoded member — the final
+              // defense against a desynced continuation surfacing
+              // wrong bytes
+              val c = new java.util.zip.CRC32
+              c.update(dec)
+              if (c.getValue == j.fileCrc)
+                out(j.slot) = out(j.slot).copy(stored = Some(dec))
+            } catch {
               case _: Rar29.Unsupported | _: Rar29.Malformed => failed = true
             }
           k += 1
@@ -147,11 +163,22 @@ object RarUtil {
               // to the unsupported record. Decoded after the walk —
               // see runJobs.
               jobs += V29Job(out.length, dataOff, packSize.toInt, unpSize,
-                solid)
+                solid, fileCrc)
+              None
+            }
+            else if (method != 0x30 && !dataOk && unpVer == 29 &&
+                !(enc && password.isDefined)) {
+              // a compressed member whose plain bytes are unavailable
+              // breaks the solid chain for everything after it
+              jobs += V29Job(-1, 0, 0, 0, solid, 0)
               None
             }
             else if (enc && password.isDefined && (flags & FhdSplitBefore) == 0 &&
-                dataOff + packSize <= b.length && packSize <= Int.MaxValue)
+                dataOff + packSize <= b.length && packSize <= Int.MaxValue) {
+              // an encrypted compressed member never joins the plain
+              // jobs stream, so it too breaks the solid chain
+              if (method != 0x30 && unpVer == 29)
+                jobs += V29Job(-1, 0, 0, 0, solid, 0)
               // -p mode: plain headers, AES data; per-file salt after name
               decryptAndDecode(b, dataOff, packSize.toInt, unpSize, method,
                 unpVer, solid, fileCrc, password.get,
@@ -159,6 +186,7 @@ object RarUtil {
                   java.util.Arrays.copyOfRange(b, nameOff + nameLen,
                     nameOff + nameLen + 8)
                 else new Array[Byte](8))
+            }
             else None
           out += Entry(name, unpSize, stored, enc && stored.isEmpty)
           add = packSize

@@ -151,14 +151,20 @@ class RarSolidSpec extends AnyFunSuite {
   private def le32(v: Long) =
     Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
 
-  /** entries = (name, unpSize, packedSegment, solidFlag) */
+  private def crcOf(str: String): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(str.getBytes("ISO-8859-1"))
+    c.getValue
+  }
+
+  /** entries = (name, unpSize, fileCrc, packedSegment, solidFlag) */
   private def rar4Multi(
-      entries: Seq[(String, Int, Array[Byte], Boolean)]): Array[Byte] = {
+      entries: Seq[(String, Int, Long, Array[Byte], Boolean)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream
     out.write(Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x00))
     out.write(le16(0)); out.write(0x73); out.write(le16(0)); out.write(le16(13))
     out.write(new Array[Byte](6))
-    for ((name, unpSize, seg, solid) <- entries) {
+    for ((name, unpSize, fileCrc, seg, solid) <- entries) {
       val nameB = name.getBytes("ISO-8859-1")
       val hs = 32 + nameB.length
       val flags = 0x8000 | (if (solid) 0x10 else 0)
@@ -167,7 +173,7 @@ class RarSolidSpec extends AnyFunSuite {
       out.write(le32(seg.length))
       out.write(le32(unpSize))
       out.write(0)
-      out.write(le32(0)) // fileCrc (walk does not verify v29 CRCs)
+      out.write(le32(fileCrc)) // verified against the decoded member
       out.write(le32(0))
       out.write(29)
       out.write(0x35)
@@ -202,8 +208,8 @@ class RarSolidSpec extends AnyFunSuite {
     // self-contained — the group must concatenate before decoding
     val (seg1, seg2) = split(stream, stream.length / 2)
     val a = RarUtil.parse(rar4Multi(Seq(
-      ("one.txt", part1.length, seg1, false),
-      ("two.txt", out2.length, seg2, true))))
+      ("one.txt", part1.length, crcOf(part1), seg1, false),
+      ("two.txt", out2.length, crcOf(out2), seg2, true))))
     assert(a.entries.size == 2)
     assert(a.entries(0).stored.isDefined, "solid head entry")
     assert(new String(a.entries(0).stored.get) === part1)
@@ -224,8 +230,8 @@ class RarSolidSpec extends AnyFunSuite {
     val stream = w.bw.toBytes
     val (seg1, seg2) = split(stream, stream.length / 3)
     val a = RarUtil.parse(rar4Multi(Seq(
-      ("a.txt", part1.length, seg1, false),
-      ("b.txt", part2.length, seg2, true))))
+      ("a.txt", part1.length, crcOf(part1), seg1, false),
+      ("b.txt", part2.length, crcOf(part2), seg2, true))))
     assert(a.entries.forall(_.stored.isDefined))
     assert(new String(a.entries(0).stored.get) === part1)
     assert(new String(a.entries(1).stored.get) === part2)
@@ -252,8 +258,8 @@ class RarSolidSpec extends AnyFunSuite {
     val stream = out.toByteArray
     val (seg1, seg2) = split(stream, stream.length / 2)
     val a = RarUtil.parse(rar4Multi(Seq(
-      ("p1.txt", part1.length, seg1, false),
-      ("p2.txt", part2.length, seg2, true))))
+      ("p1.txt", part1.length, crcOf(part1), seg1, false),
+      ("p2.txt", part2.length, crcOf(part2), seg2, true))))
     assert(a.entries.forall(_.stored.isDefined), "both ppm entries decode")
     assert(new String(a.entries(0).stored.get) === part1)
     assert(new String(a.entries(1).stored.get) === part2)
@@ -283,9 +289,9 @@ class RarSolidSpec extends AnyFunSuite {
     val storedData = "stored in the middle".getBytes
     val outBytes = new java.io.ByteArrayOutputStream
     val archive0 = rar4Multi(Seq(
-      ("s1.txt", p1.length, seg1, false),
-      ("s2.txt", out2.length, seg2, true),
-      ("s3.txt", p3.length, seg3, true)))
+      ("s1.txt", p1.length, crcOf(p1), seg1, false),
+      ("s2.txt", out2.length, crcOf(out2), seg2, true),
+      ("s3.txt", p3.length, crcOf(p3), seg3, true)))
     outBytes.write(archive0, 0, archive0.length - 7) // drop end-of-archive
     val nameB = "mid.txt".getBytes("ISO-8859-1")
     outBytes.write(le16(0)); outBytes.write(0x74); outBytes.write(le16(0x8000))
@@ -317,8 +323,8 @@ class RarSolidSpec extends AnyFunSuite {
     val stream = w.bw.toBytes
     // segment 2 truncated to nothing: entry 1 decodes, entry 2 fails
     val a = RarUtil.parse(rar4Multi(Seq(
-      ("ok.txt", p1.length, stream, false),
-      ("cut.txt", p2.length + 1000, Array.emptyByteArray, true))))
+      ("ok.txt", p1.length, crcOf(p1), stream, false),
+      ("cut.txt", p2.length + 1000, 0L, Array.emptyByteArray, true))))
     assert(a.entries(0).stored.isDefined)
     assert(new String(a.entries(0).stored.get) === p1)
     assert(a.entries(1).stored.isEmpty, "short continuation records unsupported")
@@ -330,9 +336,57 @@ class RarSolidSpec extends AnyFunSuite {
     w.matchNew(50, 10) // reaches before the window start
     w.endFile(nextTables = false)
     val a = RarUtil.parse(rar4Multi(Seq(
-      ("orphan.bin", 10, w.bw.toBytes, true))))
+      ("orphan.bin", 10, 0L, w.bw.toBytes, true))))
     assert(a.entries.size == 1)
     assert(a.entries.head.stored.isEmpty)
+  }
+
+  test("crc mismatch gates a decoded member (desync defense)") {
+    val p1 = "crc gated content " * 6
+    val w = new Rar29Writer
+    w.writeTables()
+    w.text(p1)
+    w.endFile(nextTables = false)
+    val a = RarUtil.parse(rar4Multi(Seq(
+      ("bad.txt", p1.length, crcOf(p1) ^ 0xff, w.bw.toBytes, false))))
+    assert(a.entries.head.stored.isEmpty, "crc mismatch must not surface")
+  }
+
+  test("an encrypted member breaks the solid chain for followers") {
+    val p1 = "head of the chain " * 6
+    val w = new Rar29Writer
+    w.writeTables()
+    w.text(p1)
+    w.endFile(nextTables = false)
+    val stream = w.bw.toBytes
+    // entry 2 is an encrypted v29 member (FhdPassword): its plain
+    // bytes are unavailable, so entry 3 (solid) must NOT decode from a
+    // gapped stream — it is recorded unsupported instead
+    val out = new java.io.ByteArrayOutputStream
+    out.write(Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x00))
+    out.write(le16(0)); out.write(0x73); out.write(le16(0)); out.write(le16(13))
+    out.write(new Array[Byte](6))
+    def fileHdr(name: String, unp: Int, crc: Long, seg: Array[Byte],
+        flags: Int): Unit = {
+      val nameB = name.getBytes("ISO-8859-1")
+      out.write(le16(0)); out.write(0x74); out.write(le16(flags))
+      out.write(le16(32 + nameB.length))
+      out.write(le32(seg.length)); out.write(le32(unp))
+      out.write(0); out.write(le32(crc)); out.write(le32(0))
+      out.write(29); out.write(0x35)
+      out.write(le16(nameB.length)); out.write(le32(0x20))
+      out.write(nameB); out.write(seg)
+    }
+    fileHdr("head.txt", p1.length, crcOf(p1), stream, 0x8000)
+    fileHdr("enc.bin", 100, 0L, new Array[Byte](64), 0x8000 | 0x04)
+    fileHdr("tail.bin", 40, 0L, new Array[Byte](32), 0x8000 | 0x10)
+    out.write(le16(0)); out.write(0x7b); out.write(le16(0x4000)); out.write(le16(7))
+    val a = RarUtil.parse(out.toByteArray)
+    assert(a.entries.size == 3)
+    assert(a.entries(0).stored.isDefined, "pre-gap member decodes")
+    assert(new String(a.entries(0).stored.get) === p1)
+    assert(a.entries(1).stored.isEmpty && a.entries(1).encrypted)
+    assert(a.entries(2).stored.isEmpty, "post-gap member must not decode")
   }
 
   test("solid mutation sweep stays crash-free") {
@@ -347,8 +401,8 @@ class RarSolidSpec extends AnyFunSuite {
     val stream = w.bw.toBytes
     val (seg1, seg2) = split(stream, stream.length / 2)
     val archive = rar4Multi(Seq(
-      ("m1.txt", p1.length, seg1, false),
-      ("m2.txt", p2.length, seg2, true)))
+      ("m1.txt", p1.length, crcOf(p1), seg1, false),
+      ("m2.txt", p2.length, crcOf(p2), seg2, true)))
     val rnd = new java.util.Random(4242)
     for (_ <- 0 until 300) {
       val m = archive.clone()
