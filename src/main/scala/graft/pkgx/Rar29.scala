@@ -14,9 +14,11 @@ package graft.pkgx
   * in-PPM escape protocol (new-table / end-of-file / VM code / LZ copy
   * / RLE / literal-escape); and the standard RarVM filters (main
   * symbol 257 or PPM escape 3), recognized by (length, CRC32) and run
-  * natively. Non-standard VM programs and solid continuation are
-  * reported as [[Rar29.Unsupported]], which the container walk records
-  * per entry exactly like other declared-unsupported payloads.
+  * natively. Solid groups decode through a shared [[Rar29.Stream]]
+  * (window/tables/history/PPM state persist across entries).
+  * Non-standard VM programs are reported as [[Rar29.Unsupported]],
+  * which the container walk records per entry exactly like other
+  * declared-unsupported payloads.
   *
   * Reference behavior: tika pkg-module RarParser extracts these entries
   * via junrar; CompressParserTest/RarParserTest expect the inner

@@ -11,12 +11,13 @@ import java.nio.charset.StandardCharsets
   * STORED (uncompressed) entries extract directly, and version-29
   * RAR3 entries — LZ blocks, PPMd-vH blocks ([[PpmdH]]), and the
   * standard RarVM filters — decode through [[Rar29]] (from-scratch,
-  * public format knowledge only), with solid groups decoded through a
-  * shared [[Rar29.Stream]]; RAR 5.0 entries decompress through
-  * [[Rar50]]. Non-standard VM programs and encrypted+solid combos
-  * remain declared exclusions recorded per entry as unsupported;
-  * encrypted entries decrypt when the password is supplied and are
-  * flagged otherwise.
+  * public format knowledge only), with solid groups (plain OR
+  * -p/-hp-encrypted: per-member decryption feeds the same chain)
+  * decoded through a shared [[Rar29.Stream]]; RAR 5.0 entries
+  * decompress through [[Rar50]]. Non-standard VM programs remain a
+  * declared exclusion recorded per entry as unsupported; encrypted
+  * entries decrypt when the password is supplied and are flagged
+  * otherwise.
   */
 object RarUtil {
 
@@ -64,48 +65,8 @@ object RarUtil {
     // deferred v29 decodes: solid entries share one Rar29.Stream whose
     // input must hold every segment of the group before decoding, so
     // the walk only records jobs and the decode runs after it
-    // slot == -1 marks a gap: a compressed v29 member whose bytes are
-    // unavailable (encrypted / split / oversized) — the stream cannot
-    // be reconstructed past it, so the rest of its solid group fails
-    final case class V29Job(slot: Int, dataOff: Int, packSize: Int,
-        unpSize: Long, solid: Boolean, fileCrc: Long)
     val jobs = scala.collection.mutable.ArrayBuffer.empty[V29Job]
-    def runJobs(): Unit = {
-      var gi = 0
-      while (gi < jobs.length) {
-        var gj = gi + 1
-        while (gj < jobs.length && jobs(gj).solid) gj += 1
-        val s = new Rar29.Stream
-        var k = gi
-        while (k < gj) {
-          if (jobs(k).slot >= 0)
-            s.append(b, jobs(k).dataOff, jobs(k).packSize)
-          k += 1
-        }
-        var failed = false
-        k = gi
-        while (k < gj) {
-          val j = jobs(k)
-          if (j.slot < 0) failed = true
-          else if (!failed)
-            try {
-              val dec = s.decodeNext(j.unpSize)
-              // header CRC32 gates every decoded member — the final
-              // defense against a desynced continuation surfacing
-              // wrong bytes
-              val c = new java.util.zip.CRC32
-              c.update(dec)
-              if (c.getValue == j.fileCrc)
-                out(j.slot) = out(j.slot).copy(stored = Some(dec))
-            } catch {
-              case _: Rar29.Unsupported | _: Rar29.Malformed => failed = true
-            }
-          k += 1
-        }
-        gi = gj
-      }
-      jobs.clear()
-    }
+    def runJobs(): Unit = runV29Jobs(b, out, jobs)
     var count = 0
     var headersEncrypted = false
     while (p + 7 <= b.length && count < 100000) {
@@ -123,7 +84,7 @@ object RarUtil {
             // (8-byte salt before each header). With a password we walk
             // the decrypted headers; otherwise entries stay opaque.
             password.foreach { pwd =>
-              out ++= parse4Encrypted(b, p + size, pwd)
+              parse4Encrypted(b, p + size, pwd, out, jobs)
             }
             runJobs()
             return Archive(out.toVector, headersEncrypted)
@@ -175,17 +136,28 @@ object RarUtil {
             }
             else if (enc && password.isDefined && (flags & FhdSplitBefore) == 0 &&
                 dataOff + packSize <= b.length && packSize <= Int.MaxValue) {
-              // an encrypted compressed member never joins the plain
-              // jobs stream, so it too breaks the solid chain
-              if (method != 0x30 && unpVer == 29)
-                jobs += V29Job(-1, 0, 0, 0, solid, 0)
               // -p mode: plain headers, AES data; per-file salt after name
-              decryptAndDecode(b, dataOff, packSize.toInt, unpSize, method,
-                unpVer, solid, fileCrc, password.get,
+              val dataSalt =
                 if ((flags & FhdSalt) != 0 && nameOff + nameLen + 8 <= b.length)
                   java.util.Arrays.copyOfRange(b, nameOff + nameLen,
                     nameOff + nameLen + 8)
-                else new Array[Byte](8))
+                else new Array[Byte](8)
+              if (method != 0x30 && unpVer == 29) {
+                // encryption is per-file over the packed bytes; the
+                // underlying v29 stream (solid or not) continues
+                // across members, so the decrypted segment joins the
+                // jobs chain like a plain one
+                decryptSegment(b, dataOff, packSize.toInt, password.get,
+                  dataSalt) match {
+                  case Some(dec) =>
+                    jobs += V29Job(out.length, 0, dec.length, unpSize,
+                      solid, fileCrc, dec)
+                  case None => jobs += V29Job(-1, 0, 0, 0, solid, 0, null)
+                }
+                None
+              } else
+                decryptAndDecode(b, dataOff, packSize.toInt, unpSize, method,
+                  fileCrc, password.get, dataSalt)
             }
             else None
           out += Entry(name, unpSize, stored, enc && stored.isEmpty)
@@ -205,14 +177,76 @@ object RarUtil {
     Archive(out.toVector, headersEncrypted)
   }
 
+  /** Deferred v29 decode job. slot == -1 marks a gap: a compressed
+    * member whose plain bytes are unavailable (failed decryption /
+    * split / oversized) — the stream cannot be reconstructed past it,
+    * so the rest of its solid group fails. `src` overrides the archive
+    * bytes for members decrypted at walk time. */
+  private final case class V29Job(slot: Int, dataOff: Int, packSize: Int,
+      unpSize: Long, solid: Boolean, fileCrc: Long,
+      src: Array[Byte] = null)
+
+  /** Decode the collected v29 jobs: consecutive solid members share
+    * one [[Rar29.Stream]] whose input is every segment of the group
+    * (plain or decrypted), appended before any member decodes. Every
+    * decoded member is CRC32-gated against its header — the final
+    * defense against a desynced continuation surfacing wrong bytes. */
+  private def runV29Jobs(b: Array[Byte],
+      out: scala.collection.mutable.ArrayBuffer[Entry],
+      jobs: scala.collection.mutable.ArrayBuffer[V29Job]): Unit = {
+    var gi = 0
+    while (gi < jobs.length) {
+      var gj = gi + 1
+      while (gj < jobs.length && jobs(gj).solid) gj += 1
+      val s = new Rar29.Stream
+      var k = gi
+      while (k < gj) {
+        val j = jobs(k)
+        if (j.slot >= 0)
+          s.append(if (j.src != null) j.src else b, j.dataOff, j.packSize)
+        k += 1
+      }
+      var failed = false
+      k = gi
+      while (k < gj) {
+        val j = jobs(k)
+        if (j.slot < 0) failed = true
+        else if (!failed)
+          try {
+            val dec = s.decodeNext(j.unpSize)
+            val c = new java.util.zip.CRC32
+            c.update(dec)
+            if (c.getValue == j.fileCrc)
+              out(j.slot) = out(j.slot).copy(stored = Some(dec),
+                encrypted = false)
+          } catch {
+            case _: Rar29.Unsupported | _: Rar29.Malformed => failed = true
+          }
+        k += 1
+      }
+      gi = gj
+    }
+    jobs.clear()
+  }
+
+  /** AES-decrypt one entry's packed area (no decode). */
+  private def decryptSegment(b: Array[Byte], off: Int, packSize: Int,
+      password: String, salt: Array[Byte]): Option[Array[Byte]] = {
+    val encLen = packSize & ~15
+    if (encLen <= 0) return None
+    val (key, iv) = RarCrypto.deriveKeyIv(password, salt)
+    try Some(RarCrypto.decrypt(key, iv, b, off, encLen))
+    catch { case _: java.security.GeneralSecurityException => None }
+  }
+
   /** Walk the encrypted-header (-hp) area: each block is preceded by
     * its own 8-byte salt and AES-CBC-encrypted in 16-byte units. A
     * header whose CRC16 fails (wrong password / corruption) ends the
     * walk with whatever decoded so far.
     */
-  private def parse4Encrypted(b: Array[Byte], start: Int,
-      password: String): Vector[Entry] = {
-    val out = Vector.newBuilder[Entry]
+  private def parse4Encrypted(b: Array[Byte], start: Int, password: String,
+      out: scala.collection.mutable.ArrayBuffer[Entry],
+      jobs: scala.collection.mutable.ArrayBuffer[V29Job]): Unit = {
     var p = start
     var count = 0
     var ok = true
@@ -264,11 +298,22 @@ object RarUtil {
                     java.util.Arrays.copyOfRange(hdr, nameOff + nameLen,
                       nameOff + nameLen + 8)
                   else new Array[Byte](8)
+                val reachable = (flags & FhdSplitBefore) == 0 &&
+                  dataOff + packSize <= b.length && packSize <= Int.MaxValue
                 val stored =
-                  if ((flags & FhdSplitBefore) == 0 &&
-                      dataOff + packSize <= b.length && packSize <= Int.MaxValue)
+                  if (reachable && method != 0x30 && unpVer == 29) {
+                    decryptSegment(b, dataOff, packSize.toInt, password,
+                      dataSalt) match {
+                      case Some(dec) =>
+                        jobs += V29Job(out.length, 0, dec.length, unpSize,
+                          solid, fileCrc, dec)
+                      case None =>
+                        jobs += V29Job(-1, 0, 0, 0, solid, 0, null)
+                    }
+                    None
+                  } else if (reachable)
                     decryptAndDecode(b, dataOff, packSize.toInt, unpSize,
-                      method, unpVer, solid, fileCrc, password, dataSalt)
+                      method, fileCrc, password, dataSalt)
                   else None
                 out += Entry(name, unpSize, stored, stored.isEmpty)
                 add = packSize
@@ -286,17 +331,17 @@ object RarUtil {
         }
       }
     }
-    out.result()
   }
 
   private def roundUp16(n: Int): Int = (n + 15) & ~15
 
-  /** AES-decrypt one entry's data area and decode it (stored or v29 LZ),
-    * accepting the result only when it matches the header's CRC32 — a
-    * wrong password yields garbage that must not surface as content.
+  /** AES-decrypt one STORED entry's data area, accepting the result
+    * only when it matches the header's CRC32 — a wrong password yields
+    * garbage that must not surface as content. (Compressed v29 members
+    * route through the job chain instead.)
     */
   private def decryptAndDecode(b: Array[Byte], off: Int, packSize: Int,
-      unpSize: Long, method: Int, unpVer: Int, solid: Boolean,
+      unpSize: Long, method: Int,
       fileCrc: Long, password: String, salt: Array[Byte]): Option[Array[Byte]] = {
     if (unpSize < 0 || unpSize > Rar29.MaxOutput) return None
     val encLen = packSize & ~15
@@ -312,10 +357,7 @@ object RarUtil {
         if (dec.length >= unpSize) Some(java.util.Arrays.copyOfRange(dec, 0,
           unpSize.toInt))
         else None
-      } else if (unpVer == 29 && !solid) {
-        try Some(Rar29.unpack(dec, 0, dec.length, unpSize))
-        catch { case _: Rar29.Unsupported | _: Rar29.Malformed => None }
-      } else None
+      } else None // compressed members route through the v29 job chain
     decoded.filter { d =>
       val crc = new java.util.zip.CRC32
       crc.update(d)

@@ -389,6 +389,74 @@ class RarSolidSpec extends AnyFunSuite {
     assert(a.entries(2).stored.isEmpty, "post-gap member must not decode")
   }
 
+  test("encrypted solid group decrypts and chains (-p mode)") {
+    // plain solid stream for two members, split at a 16-byte boundary
+    // (AES block size) so no padding lands mid-chain, each segment
+    // encrypted with its own salt like WinRAR -p
+    val p1 = "encrypted solid head member. " * 8
+    val p2 = "encrypted solid tail member, reusing: "
+    val w = new Rar29Writer
+    w.writeTables()
+    w.text(p1)
+    w.endFile(nextTables = false)
+    w.text(p2)
+    w.matchNew(p1.length + p2.length, 16)
+    w.endFile(nextTables = false)
+    val stream = w.bw.toBytes
+    val out2 = p2 + p1.substring(0, 16)
+    val at = (stream.length / 2) & ~15
+    val (seg1, seg2raw) = split(stream, at)
+    val seg2 = java.util.Arrays.copyOf(seg2raw,
+      (seg2raw.length + 15) & ~15) // tail padding only after the last member
+    val password = "sesame"
+    val rnd = new java.util.Random(9)
+    def encrypt(seg: Array[Byte]): (Array[Byte], Array[Byte]) = {
+      val salt = new Array[Byte](8)
+      rnd.nextBytes(salt)
+      val (key, iv) = graft.pkgx.RarCrypto.deriveKeyIv(password, salt)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      (c.doFinal(seg), salt)
+    }
+    val (enc1, salt1) = encrypt(seg1)
+    val (enc2, salt2) = encrypt(seg2)
+    val out = new java.io.ByteArrayOutputStream
+    out.write(Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x00))
+    out.write(le16(0)); out.write(0x73); out.write(le16(0)); out.write(le16(13))
+    out.write(new Array[Byte](6))
+    def encHdr(name: String, unp: Int, crc: Long, seg: Array[Byte],
+        salt: Array[Byte], solid: Boolean): Unit = {
+      val nameB = name.getBytes("ISO-8859-1")
+      val flags = 0x8000 | 0x04 | 0x400 | (if (solid) 0x10 else 0)
+      out.write(le16(0)); out.write(0x74); out.write(le16(flags))
+      out.write(le16(32 + nameB.length + 8))
+      out.write(le32(seg.length)); out.write(le32(unp))
+      out.write(0); out.write(le32(crc)); out.write(le32(0))
+      out.write(29); out.write(0x35)
+      out.write(le16(nameB.length)); out.write(le32(0x20))
+      out.write(nameB); out.write(salt); out.write(seg)
+    }
+    encHdr("e1.txt", p1.length, crcOf(p1), enc1, salt1, solid = false)
+    encHdr("e2.txt", out2.length, crcOf(out2), enc2, salt2, solid = true)
+    out.write(le16(0)); out.write(0x7b); out.write(le16(0x4000)); out.write(le16(7))
+    val archive = out.toByteArray
+    val a = RarUtil.parse(archive, Some(password))
+    assert(a.entries.size == 2)
+    assert(a.entries(0).stored.isDefined, "encrypted solid head decodes")
+    assert(new String(a.entries(0).stored.get) === p1)
+    assert(!a.entries(0).encrypted)
+    assert(a.entries(1).stored.isDefined, "encrypted solid tail decodes")
+    assert(new String(a.entries(1).stored.get) === out2)
+    // wrong password: nothing surfaces, everything stays encrypted
+    val bad = RarUtil.parse(archive, Some("wrong"))
+    assert(bad.entries.forall(e => e.stored.isEmpty && e.encrypted))
+    // no password: entries recorded encrypted
+    val none = RarUtil.parse(archive, None)
+    assert(none.entries.forall(e => e.stored.isEmpty && e.encrypted))
+  }
+
   test("solid mutation sweep stays crash-free") {
     val p1 = "mutate the solid stream " * 10
     val p2 = "and the second entry too " * 10
