@@ -46,7 +46,7 @@ object RarUtil {
 
   def parse(b: Array[Byte], password: Option[String] = None): Archive =
     if (isRar4(b)) parse4(b, password)
-    else if (isRar5(b)) parse5(b)
+    else if (isRar5(b)) parse5(b, password)
     else throw new RarMalformed("not a RAR archive")
 
   // --- RAR 4.x --------------------------------------------------------
@@ -458,7 +458,8 @@ object RarUtil {
 
   // --- RAR 5.x --------------------------------------------------------
 
-  private def parse5(b: Array[Byte]): Archive = {
+  private def parse5(b: Array[Byte],
+      password: Option[String]): Archive = {
     var p = 8
     val out = Vector.newBuilder[Entry]
     var headersEncrypted = false
@@ -466,7 +467,7 @@ object RarUtil {
     def vint(off: Int): (Long, Int) = {
       var v = 0L
       var i = 0
-      while (i < 10 && off + i < b.length) {
+      while (i < 10 && off >= 0 && off + i < b.length) {
         val x = b(off + i) & 0xff
         v |= (x & 0x7fL) << (7 * i)
         i += 1
@@ -508,9 +509,16 @@ object RarUtil {
             val name = new String(b, q, nameLen.toInt, StandardCharsets.UTF_8)
             val method = ((compInfo >> 7) & 7).toInt
             // extra area at the header tail: records {size vint, type
-            // vint, ...}; type 0x01 = file encryption — such entries'
-            // "stored" data is AES ciphertext, never extract it
+            // vint, ...}; type 0x01 = file encryption: version 0
+            // (AES-256), flags (1 = password check present, 2 =
+            // checksums are HMAC-transformed), KDF exponent byte,
+            // 16-byte salt, 16-byte IV, optional 12-byte check value
             var fileEncrypted = false
+            var encFlags = 0L
+            var encLg2 = -1
+            var encSalt: Array[Byte] = null
+            var encIv: Array[Byte] = null
+            var encCheck: Array[Byte] = null
             if (extraSize > 0 && extraSize <= hsize) {
               var x = (hstart + hsize - extraSize).toInt
               var guard = 0
@@ -518,9 +526,25 @@ object RarUtil {
                 guard += 1
                 try {
                   val (recSize, l1) = vint(x)
-                  val (recType, _) = vint(x + l1)
-                  if (recType == 1) fileEncrypted = true
-                  if (recSize <= 0) x = (hstart + hsize).toInt
+                  val (recType, l2) = vint(x + l1)
+                  if (recType == 1) {
+                    fileEncrypted = true
+                    var y = x + l1 + l2
+                    val (ver, e1) = vint(y); y += e1
+                    val (fl, e2) = vint(y); y += e2
+                    if (ver == 0 && y >= 0 && y + 33 <= b.length) {
+                      encFlags = fl
+                      encLg2 = b(y) & 0xff; y += 1
+                      encSalt = java.util.Arrays.copyOfRange(b, y, y + 16)
+                      y += 16
+                      encIv = java.util.Arrays.copyOfRange(b, y, y + 16)
+                      y += 16
+                      if ((fl & 1) != 0 && y + 12 <= b.length)
+                        encCheck = java.util.Arrays.copyOfRange(b, y, y + 12)
+                    }
+                  }
+                  if (recSize <= 0 || recSize > b.length)
+                    x = (hstart + hsize).toInt
                   else x += l1 + recSize.toInt
                 } catch { case _: RarMalformed => x = (hstart + hsize).toInt }
               }
@@ -528,28 +552,65 @@ object RarUtil {
             val dataOff = hstart + hsize
             val algoVer = (compInfo & 0x3f).toInt
             val solid = (compInfo & 0x40) != 0
-            val dataOk = dataOff + dataSize <= b.length &&
-              dataSize <= Int.MaxValue && !fileEncrypted
-            val stored =
-              if (method == 0 && dataOk && dataSize == unpSize)
-                Some(java.util.Arrays.copyOfRange(b, dataOff.toInt,
-                  (dataOff + dataSize).toInt))
-              else if (method != 0 && dataOk && algoVer == 0 && !solid)
+            val inBounds = dataOff + dataSize <= b.length &&
+              dataSize <= Int.MaxValue
+            val dataOk = inBounds && !fileEncrypted
+            // checksum gate shared by the plain and decrypted routes;
+            // with the HMAC flag the stored value is the transformed
+            // CRC32 (needs the derived hash key)
+            def crcGate(dec: Array[Byte],
+                keys: Option[Rar5Crypto.Keys]): Option[Array[Byte]] =
+              if (dataCrc < 0) Some(dec)
+              else {
+                val c = new java.util.zip.CRC32
+                c.update(dec)
+                val expect =
+                  if ((encFlags & 2) != 0 && keys.isDefined)
+                    Rar5Crypto.macCrc32(keys.get.hashKey, c.getValue)
+                  else c.getValue
+                if (expect == dataCrc) Some(dec) else None
+              }
+            def decode(src: Array[Byte], off: Int, len: Int,
+                keys: Option[Rar5Crypto.Keys]): Option[Array[Byte]] =
+              if (method == 0) {
+                if (len >= unpSize)
+                  crcGate(java.util.Arrays.copyOfRange(src, off,
+                    off + unpSize.toInt), keys)
+                else None
+              } else if (algoVer == 0 && !solid)
                 // v5.0 LZ decode (Rar50); corrupt streams / CRC
                 // mismatches fall back to the unsupported record
-                try {
-                  val dec = Rar50.unpack(b, dataOff.toInt, dataSize.toInt,
-                    unpSize)
-                  if (dataCrc >= 0) {
-                    val c = new java.util.zip.CRC32
-                    c.update(dec)
-                    if (c.getValue == dataCrc) Some(dec) else None
-                  } else Some(dec)
-                } catch {
+                try crcGate(Rar50.unpack(src, off, len, unpSize), keys)
+                catch {
                   case _: Rar29.Unsupported | _: Rar29.Malformed => None
                 }
               else None
-            out += Entry(name, unpSize, stored, fileEncrypted)
+            val stored =
+              if (dataOk && (method != 0 || dataSize == unpSize))
+                decode(b, dataOff.toInt, dataSize.toInt, None)
+              else if (fileEncrypted && inBounds && password.isDefined &&
+                  encSalt != null && encLg2 >= 0 && encLg2 <= 24) {
+                // AES-256 file encryption: verify the password check
+                // when present, then decrypt and decode; wrong
+                // passwords surface nothing
+                val keys = Rar5Crypto.derive(password.get, encSalt, encLg2)
+                val checkOk = encCheck == null ||
+                  java.util.Arrays.equals(Rar5Crypto.checkValue(keys),
+                    encCheck)
+                val encLen = (dataSize & ~15L).toInt
+                if (!checkOk || encLen <= 0) None
+                else
+                  try {
+                    val dec = Rar5Crypto.decrypt(keys.key, encIv, b,
+                      dataOff.toInt, encLen)
+                    decode(dec, 0, dec.length, Some(keys))
+                  } catch {
+                    case _: java.security.GeneralSecurityException => None
+                  }
+              }
+              else None
+            out += Entry(name, unpSize, stored,
+              fileEncrypted && stored.isEmpty)
           case 5 => p = b.length // end of archive
           case _ => ()
         }
