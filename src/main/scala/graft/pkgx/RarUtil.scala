@@ -177,6 +177,68 @@ object RarUtil {
     Archive(out.toVector, headersEncrypted)
   }
 
+  /** Decrypt the encrypted-header area of a v5 archive (16-byte IV
+    * before each AES-256-CBC header block) and reassemble a plaintext
+    * archive image: signature, then each decrypted header followed by
+    * its raw data area (file data stays per-file-encrypted and is
+    * handled by the normal walk). Garbage from a wrong key stops the
+    * walk at the first implausible size. */
+  private def decrypt5Headers(b: Array[Byte], start: Int,
+      key: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    out.write(b, 0, 8) // signature
+    var q = start
+    var done = false
+    var guard = 0
+    def vintAt(a: Array[Byte], off: Int): (Long, Int) = {
+      var v = 0L
+      var i = 0
+      while (i < 10 && off + i < a.length) {
+        val x = a(off + i) & 0xff
+        v |= (x & 0x7fL) << (7 * i)
+        i += 1
+        if ((x & 0x80) == 0) return (v, i)
+      }
+      throw new RarMalformed("bad vint")
+    }
+    try {
+      while (!done && q + 32 <= b.length && guard < 100000) {
+        guard += 1
+        val iv = java.util.Arrays.copyOfRange(b, q, q + 16)
+        q += 16
+        val head = Rar5Crypto.decrypt(key, iv, b, q, 16)
+        val (hsize, hlen) = vintAt(head, 4)
+        val totalPlain = 4 + hlen + hsize
+        val encLen = ((totalPlain + 15) & ~15L).toInt
+        if (hsize <= 0 || hsize > 0x10000 || q + encLen > b.length) done = true
+        else {
+          val full = Rar5Crypto.decrypt(key, iv, b, q, encLen)
+          q += encLen
+          // minimal parse for the data-area size and block type
+          var y = 4 + hlen
+          val (htype, t1) = vintAt(full, y); y += t1
+          val (hflags, t2) = vintAt(full, y); y += t2
+          var dataSize = 0L
+          if ((hflags & 1) != 0) { val (_, l) = vintAt(full, y); y += l }
+          if ((hflags & 2) != 0) { val (v, l) = vintAt(full, y); dataSize = v; y += l }
+          if (htype != 4) out.write(full, 0, totalPlain.toInt)
+          if (dataSize > 0) {
+            if (q + dataSize > b.length) done = true
+            else {
+              out.write(b, q, dataSize.toInt)
+              q += dataSize.toInt
+            }
+          }
+          if (htype == 5) done = true
+        }
+      }
+    } catch {
+      case _: RarMalformed => ()
+      case _: java.security.GeneralSecurityException => ()
+    }
+    out.toByteArray
+  }
+
   /** Deferred v29 decode job. slot == -1 marks a gap: a compressed
     * member whose plain bytes are unavailable (failed decryption /
     * split / oversized) — the stream cannot be reconstructed past it,
@@ -458,8 +520,8 @@ object RarUtil {
 
   // --- RAR 5.x --------------------------------------------------------
 
-  private def parse5(b: Array[Byte],
-      password: Option[String]): Archive = {
+  private def parse5(b: Array[Byte], password: Option[String],
+      depth: Int = 0): Archive = {
     var p = 8
     val out = Vector.newBuilder[Entry]
     var headersEncrypted = false
@@ -490,7 +552,37 @@ object RarUtil {
         if ((hflags & 1) != 0) { val (v, l) = vint(q); extraSize = v; q += l }
         if ((hflags & 2) != 0) { val (v, l) = vint(q); dataSize = v; q += l }
         htype match {
-          case 4 => headersEncrypted = true; p = b.length // encryption header
+          case 4 => // archive encryption header: all later headers are
+            // AES-256-CBC blocks, each prefixed by its own 16-byte IV
+            headersEncrypted = true
+            var handled = false
+            if (depth == 0 && password.isDefined) {
+              val (ver, a1) = vint(q); q += a1
+              val (fl, a2) = vint(q); q += a2
+              if (ver == 0 && q + 17 <= b.length) {
+                val lg2 = b(q) & 0xff
+                val salt = java.util.Arrays.copyOfRange(b, q + 1, q + 17)
+                val check =
+                  if ((fl & 1) != 0 && q + 29 <= b.length)
+                    java.util.Arrays.copyOfRange(b, q + 17, q + 29)
+                  else null
+                if (lg2 <= 24) {
+                  val keys = Rar5Crypto.derive(password.get, salt, lg2)
+                  val checkOk = check == null ||
+                    java.util.Arrays.equals(Rar5Crypto.checkValue(keys),
+                      check)
+                  if (checkOk) {
+                    val rebuilt = decrypt5Headers(b,
+                      (hstart + hsize).toInt, keys.key)
+                    val inner = parse5(rebuilt, password, depth + 1)
+                    return Archive(inner.entries, headersEncrypted = true)
+                  }
+                  handled = true // wrong password: opaque entries
+                }
+              }
+            }
+            if (!handled) () // no password / malformed: opaque entries
+            p = b.length
           case 2 => // file header
             val (ff, b1) = vint(q); q += b1 // file flags
             val (unpSize, b2) = vint(q); q += b2

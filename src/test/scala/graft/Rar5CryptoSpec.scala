@@ -159,6 +159,70 @@ class Rar5CryptoSpec extends AnyFunSuite {
     assert(a.entries.head.stored.isDefined)
   }
 
+  test("encrypted headers (-hp analog) decrypt and walk") {
+    val data = "header-encrypted archive payload".getBytes
+    val password = "hpmode"
+    val rnd = new java.util.Random(77)
+    val salt = new Array[Byte](16)
+    rnd.nextBytes(salt)
+    val lg2 = 6
+    val keys = Rar5Crypto.derive(password, salt, lg2)
+    // plain blocks: (headerBytes incl. crc+size vint, dataArea)
+    def mkBlock(header: Array[Byte], payload: Array[Byte]): (Array[Byte], Array[Byte]) = {
+      val o = new java.io.ByteArrayOutputStream
+      o.write(le32(0))
+      o.write(vint(header.length))
+      o.write(header)
+      (o.toByteArray, payload)
+    }
+    val nameB = "hp.txt".getBytes("UTF-8")
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    val fh = new java.io.ByteArrayOutputStream
+    fh.write(2); fh.write(2); fh.write(vint(data.length))
+    fh.write(4); fh.write(vint(data.length)); fh.write(0)
+    fh.write(le32(crc.getValue))
+    fh.write(0); fh.write(1)
+    fh.write(vint(nameB.length)); fh.write(nameB)
+    val blocks = Seq(
+      mkBlock(Array[Byte](1, 0, 0), Array.emptyByteArray),
+      mkBlock(fh.toByteArray, data),
+      mkBlock(Array[Byte](5, 0, 0), Array.emptyByteArray))
+    // crypt header (type 4): ver 0, flags 1 (check), lg2, salt, check
+    val ch = new java.io.ByteArrayOutputStream
+    ch.write(4); ch.write(0); ch.write(0); ch.write(1); ch.write(lg2)
+    ch.write(salt); ch.write(Rar5Crypto.checkValue(keys))
+    val chB = ch.toByteArray
+    val out = new java.io.ByteArrayOutputStream
+    out.write(Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x01, 0x00))
+    out.write(le32(0)); out.write(vint(chB.length)); out.write(chB)
+    for ((hdr, payload) <- blocks) {
+      val iv = new Array[Byte](16)
+      rnd.nextBytes(iv)
+      out.write(iv)
+      val padded = java.util.Arrays.copyOf(hdr, (hdr.length + 15) & ~15)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(keys.key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      out.write(c.doFinal(padded))
+      out.write(payload)
+    }
+    val archive = out.toByteArray
+    val a = RarUtil.parse(archive, Some(password))
+    assert(a.headersEncrypted)
+    assert(a.entries.size == 1)
+    assert(a.entries.head.name === "hp.txt")
+    assert(a.entries.head.stored.isDefined, "hp entry must surface")
+    assert(java.util.Arrays.equals(a.entries.head.stored.get, data))
+    // wrong password: the check value rejects; entries stay opaque
+    val bad = RarUtil.parse(archive, Some("nope"))
+    assert(bad.headersEncrypted && bad.entries.isEmpty)
+    // no password: opaque
+    val none = RarUtil.parse(archive, None)
+    assert(none.headersEncrypted && none.entries.isEmpty)
+  }
+
   test("mutated encrypted archives never crash") {
     val archive = rar5Encrypted("m.txt",
       ("mutation target " * 8).getBytes, "pw", withCheck = true,
