@@ -159,7 +159,14 @@ object RarUtil {
                 decryptAndDecode(b, dataOff, packSize.toInt, unpSize, method,
                   fileCrc, password.get, dataSalt)
             }
-            else None
+            else {
+              // any other unreachable v29-compressed member (e.g.
+              // encrypted + split/out-of-bounds) still breaks the
+              // solid chain
+              if (method != 0x30 && unpVer == 29)
+                jobs += V29Job(-1, 0, 0, 0, solid, 0)
+              None
+            }
           out += Entry(name, unpSize, stored, enc && stored.isEmpty)
           add = packSize
         case 0x7b => // end of archive
@@ -190,17 +197,6 @@ object RarUtil {
     var q = start
     var done = false
     var guard = 0
-    def vintAt(a: Array[Byte], off: Int): (Long, Int) = {
-      var v = 0L
-      var i = 0
-      while (i < 10 && off + i < a.length) {
-        val x = a(off + i) & 0xff
-        v |= (x & 0x7fL) << (7 * i)
-        i += 1
-        if ((x & 0x80) == 0) return (v, i)
-      }
-      throw new RarMalformed("bad vint")
-    }
     try {
       while (!done && q + 32 <= b.length && guard < 100000) {
         guard += 1
@@ -214,6 +210,13 @@ object RarUtil {
         else {
           val full = Rar5Crypto.decrypt(key, iv, b, q, encLen)
           q += encLen
+          // the stored header CRC32 rejects wrong-key garbage
+          // deterministically (covers everything after the crc field)
+          val hc = new java.util.zip.CRC32
+          hc.update(full, 4, (totalPlain - 4).toInt)
+          val storedCrc = (full(0) & 0xffL) | ((full(1) & 0xffL) << 8) |
+            ((full(2) & 0xffL) << 16) | ((full(3) & 0xffL) << 24)
+          if (hc.getValue != storedCrc) throw new RarMalformed("hp crc")
           // minimal parse for the data-area size and block type
           var y = 4 + hlen
           val (htype, t1) = vintAt(full, y); y += t1
@@ -376,7 +379,11 @@ object RarUtil {
                   } else if (reachable)
                     decryptAndDecode(b, dataOff, packSize.toInt, unpSize,
                       method, fileCrc, password, dataSalt)
-                  else None
+                  else {
+                    if (method != 0x30 && unpVer == 29)
+                      jobs += V29Job(-1, 0, 0, 0, solid, 0)
+                    None
+                  }
                 out += Entry(name, unpSize, stored, stored.isEmpty)
                 add = packSize
               }
@@ -397,6 +404,23 @@ object RarUtil {
 
   private def roundUp16(n: Int): Int = (n + 15) & ~15
 
+  /** RAR5 variable-length integer at `off`; rejects out-of-range
+    * offsets and negative (bit-63) values as malformed. */
+  private def vintAt(a: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    while (i < 10 && off >= 0 && off + i < a.length) {
+      val x = a(off + i) & 0xff
+      v |= (x & 0x7fL) << (7 * i)
+      i += 1
+      if ((x & 0x80) == 0) {
+        if (v < 0) throw new RarMalformed("vint overflow")
+        return (v, i)
+      }
+    }
+    throw new RarMalformed("bad vint")
+  }
+
   /** AES-decrypt one STORED entry's data area, accepting the result
     * only when it matches the header's CRC32 — a wrong password yields
     * garbage that must not surface as content. (Compressed v29 members
@@ -406,6 +430,7 @@ object RarUtil {
       unpSize: Long, method: Int,
       fileCrc: Long, password: String, salt: Array[Byte]): Option[Array[Byte]] = {
     if (unpSize < 0 || unpSize > Rar29.MaxOutput) return None
+    if (method != 0x30) return None // v29 members route through the job chain
     val encLen = packSize & ~15
     if (encLen <= 0) {
       return if (unpSize == 0) Some(Array.emptyByteArray) else None
@@ -523,20 +548,22 @@ object RarUtil {
   private def parse5(b: Array[Byte], password: Option[String],
       depth: Int = 0): Archive = {
     var p = 8
+    // budget for FRESH key derivations: a crafted archive listing many
+    // distinct (salt, 2^24) records must not burn unbounded CPU; real
+    // archives use one salt (cache hits are free)
+    var kdfBudget = 8
+    def deriveBudgeted(pwd: String, salt: Array[Byte],
+        lg2: Int): Option[Rar5Crypto.Keys] = {
+      if (!Rar5Crypto.isCached(pwd, salt, lg2)) {
+        if (kdfBudget <= 0) return None
+        kdfBudget -= 1
+      }
+      Some(Rar5Crypto.derive(pwd, salt, lg2))
+    }
     val out = Vector.newBuilder[Entry]
     var headersEncrypted = false
     var count = 0
-    def vint(off: Int): (Long, Int) = {
-      var v = 0L
-      var i = 0
-      while (i < 10 && off >= 0 && off + i < b.length) {
-        val x = b(off + i) & 0xff
-        v |= (x & 0x7fL) << (7 * i)
-        i += 1
-        if ((x & 0x80) == 0) return (v, i)
-      }
-      throw new RarMalformed("bad vint")
-    }
+    def vint(off: Int): (Long, Int) = vintAt(b, off)
     while (p + 5 <= b.length && count < 100000) {
       count += 1
       // crc32(4) headerSize(vint) header...
@@ -555,7 +582,6 @@ object RarUtil {
           case 4 => // archive encryption header: all later headers are
             // AES-256-CBC blocks, each prefixed by its own 16-byte IV
             headersEncrypted = true
-            var handled = false
             if (depth == 0 && password.isDefined) {
               val (ver, a1) = vint(q); q += a1
               val (fl, a2) = vint(q); q += a2
@@ -567,21 +593,21 @@ object RarUtil {
                     java.util.Arrays.copyOfRange(b, q + 17, q + 29)
                   else null
                 if (lg2 <= 24) {
-                  val keys = Rar5Crypto.derive(password.get, salt, lg2)
-                  val checkOk = check == null ||
-                    java.util.Arrays.equals(Rar5Crypto.checkValue(keys),
-                      check)
-                  if (checkOk) {
-                    val rebuilt = decrypt5Headers(b,
-                      (hstart + hsize).toInt, keys.key)
-                    val inner = parse5(rebuilt, password, depth + 1)
-                    return Archive(inner.entries, headersEncrypted = true)
+                  deriveBudgeted(password.get, salt, lg2).foreach { keys =>
+                    val checkOk = check == null ||
+                      java.util.Arrays.equals(Rar5Crypto.checkValue(keys),
+                        check)
+                    if (checkOk) {
+                      val rebuilt = decrypt5Headers(b,
+                        (hstart + hsize).toInt, keys.key)
+                      val inner = parse5(rebuilt, password, depth + 1)
+                      return Archive(inner.entries, headersEncrypted = true)
+                    }
                   }
-                  handled = true // wrong password: opaque entries
                 }
               }
             }
-            if (!handled) () // no password / malformed: opaque entries
+            // wrong password / no password / malformed: opaque entries
             p = b.length
           case 2 => // file header
             val (ff, b1) = vint(q); q += b1 // file flags
@@ -685,13 +711,14 @@ object RarUtil {
                 // AES-256 file encryption: verify the password check
                 // when present, then decrypt and decode; wrong
                 // passwords surface nothing
-                val keys = Rar5Crypto.derive(password.get, encSalt, encLg2)
-                val checkOk = encCheck == null ||
-                  java.util.Arrays.equals(Rar5Crypto.checkValue(keys),
-                    encCheck)
+                val keysOpt = deriveBudgeted(password.get, encSalt, encLg2)
+                val checkOk = keysOpt.isDefined && (encCheck == null ||
+                  java.util.Arrays.equals(
+                    Rar5Crypto.checkValue(keysOpt.get), encCheck))
                 val encLen = (dataSize & ~15L).toInt
                 if (!checkOk || encLen <= 0) None
-                else
+                else {
+                  val keys = keysOpt.get
                   try {
                     val dec = Rar5Crypto.decrypt(keys.key, encIv, b,
                       dataOff.toInt, encLen)
@@ -699,6 +726,7 @@ object RarUtil {
                   } catch {
                     case _: java.security.GeneralSecurityException => None
                   }
+                }
               }
               else None
             out += Entry(name, unpSize, stored,

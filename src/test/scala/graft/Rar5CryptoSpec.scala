@@ -169,10 +169,12 @@ class Rar5CryptoSpec extends AnyFunSuite {
     val keys = Rar5Crypto.derive(password, salt, lg2)
     // plain blocks: (headerBytes incl. crc+size vint, dataArea)
     def mkBlock(header: Array[Byte], payload: Array[Byte]): (Array[Byte], Array[Byte]) = {
+      val body = vint(header.length) ++ header
+      val c = new java.util.zip.CRC32
+      c.update(body)
       val o = new java.io.ByteArrayOutputStream
-      o.write(le32(0))
-      o.write(vint(header.length))
-      o.write(header)
+      o.write(le32(c.getValue)) // verified by the decrypting walk
+      o.write(body)
       (o.toByteArray, payload)
     }
     val nameB = "hp.txt".getBytes("UTF-8")
