@@ -18,8 +18,9 @@ package graft.pkgx
   * Reference behavior: tika pkg-module RarParser routes RAR5 archives
   * to junrar, which reads the container but cannot decompress v5.0
   * entries — this decoder therefore exceeds the reference (same
-  * posture as RAR3 decryption). Solid continuation stays a declared
-  * per-entry exclusion.
+  * posture as RAR3 decryption). Solid groups decode through a shared
+  * [[Rar50.Stream]] (window/tables/history persist; v5 files are
+  * block-framed, so bit state never crosses entries).
   *
   * Validation note: no rar5-producing tool exists in this sandbox, so
   * the spec-level gates are encoder-backed round-trips (the test suite
@@ -46,30 +47,39 @@ object Rar50 {
   private val FilterE8E9 = 2
   private val FilterArm = 3
 
-  /** Decompress one non-solid v5.0 entry. */
+  /** Decompress one non-solid v5.0 entry (fresh stream). */
   def unpack(data: Array[Byte], off: Int, packSize: Int,
-      unpSize: Long): Array[Byte] = {
-    if (unpSize < 0 || unpSize > Rar29.MaxOutput)
-      throw new Unsupported(s"rar5 entry too large: $unpSize")
-    if (unpSize > 1L * 1024 * 1024 && unpSize / math.max(1, packSize) > 1000)
-      throw new Unsupported(s"rar5 expansion ratio bomb: $packSize -> $unpSize")
-    val end = math.min(off.toLong + packSize, data.length).toInt
-    val br = new BitReader(data, off, end)
-    val out = new Array[Byte](unpSize.toInt)
-    var op = 0
+      unpSize: Long): Array[Byte] =
+    new Stream().decodeEntry(data, off, packSize, unpSize)
 
-    var ld: Huff = null
-    var dd: Huff = null
-    var ldd: Huff = null
-    var rd: Huff = null
-    val oldDist = new Array[Int](4)
-    var lastLength = 0
-    val filters = scala.collection.mutable.ArrayBuffer.empty[Filter]
+  /** One v5.0 decode stream. Unlike RAR3, v5 files are block-framed —
+    * each file's packed area begins at a fresh byte-aligned block
+    * header — so a solid group shares only the window (the growing
+    * output), the Huffman tables (a solid member's first block may
+    * omit them via the table-present flag), the distance history, and
+    * the last match length; bit state never crosses entries. Non-solid
+    * entries use a fresh instance each.
+    */
+  final class Stream {
+    private var out = new Array[Byte](0)
+    private var op = 0
+    private var outCap = 0
+    private var totalPacked = 0L
+    private var broken = false
+    private var br: BitReader = null
+
+    private var ld: Huff = null
+    private var dd: Huff = null
+    private var ldd: Huff = null
+    private var rd: Huff = null
+    private val oldDist = new Array[Int](4)
+    private var lastLength = 0
+    private val filters = scala.collection.mutable.ArrayBuffer.empty[Filter]
 
     // current block bounds: last byte index and its valid bit count
-    var blockLastByte = 0
-    var blockBitSize = 0
-    var lastBlock = false
+    private var blockLastByte = 0
+    private var blockBitSize = 0
+    private var lastBlock = false
 
     def readBlockHeader(): Unit = {
       br.align()
@@ -182,18 +192,49 @@ object Rar50 {
 
     def copyString(length: Int, dist: Int): Unit = {
       if (dist <= 0 || dist > op)
-        throw new Malformed("rar5 match before window start (solid?)")
+        throw new Malformed("rar5 match before window start")
       var src = op - dist
       var n = length
-      while (n > 0 && op < out.length) {
+      while (n > 0 && op < outCap) {
         out(op) = out(src); op += 1; src += 1; n -= 1
       }
     }
 
-    readBlockHeader()
-    if (ld == null) throw new Malformed("rar5 first block without tables")
-    var done = false
-    while (!done && op < out.length) {
+    /** Decode the next entry: `packSize` bytes at `data[off..)` hold
+      * the entry's complete block-framed stream. */
+    def decodeEntry(data: Array[Byte], off: Int, packSize: Int,
+        unpSize: Long): Array[Byte] = {
+      if (broken) throw new Malformed("rar5 stream poisoned")
+      if (unpSize < 0 || unpSize > Rar29.MaxOutput ||
+          op + unpSize > Rar29.MaxOutput)
+        throw new Unsupported(s"rar5 entry too large: $unpSize")
+      totalPacked += packSize
+      if (op + unpSize > 1L * 1024 * 1024 &&
+          (op + unpSize) / math.max(1L, totalPacked) > 1000)
+        throw new Unsupported(
+          s"rar5 expansion ratio bomb: $totalPacked -> ${op + unpSize}")
+      try decodeEntryInner(data, off, packSize, unpSize)
+      catch { case e: Throwable => broken = true; throw e }
+    }
+
+    private def decodeEntryInner(data: Array[Byte], off: Int, packSize: Int,
+        unpSize: Long): Array[Byte] = {
+      val entryStart = op
+      val targetEnd = (op + unpSize).toInt
+      if (targetEnd > out.length) {
+        val cap = math.max(targetEnd,
+          math.min(Rar29.MaxOutput, out.length * 2L).toInt)
+        val no = new Array[Byte](cap)
+        System.arraycopy(out, 0, no, 0, op)
+        out = no
+      }
+      outCap = targetEnd
+      val end = math.min(off.toLong + packSize, data.length).toInt
+      br = new BitReader(data, off, end)
+      readBlockHeader()
+      if (ld == null) throw new Malformed("rar5 first block without tables")
+      var done = false
+      while (!done && op < outCap) {
       if (br.exhausted) throw new Malformed("rar5 bitstream underrun")
       if (pastBlockEnd) {
         var fileDone = false
@@ -243,26 +284,28 @@ object Rar50 {
             }
           }
           if (dist > op)
-            throw new Malformed("rar5 match before window start (solid?)")
+            throw new Malformed("rar5 match before window start")
           insertOldDist(dist.toInt)
           lastLength = length
           copyString(length, dist.toInt)
         }
       }
     }
-    if (op < out.length)
-      throw new Malformed(s"short rar5 stream: $op of ${out.length}")
-    applyFilters(out, filters)
-    out
+      if (op < outCap)
+        throw new Malformed(s"short rar5 stream: $op of $outCap")
+      applyFilters(out, op, filters)
+      filters.clear()
+      java.util.Arrays.copyOfRange(out, entryStart, targetEnd)
+    }
   }
 
   /** v5.0 filters transform written file ranges after the LZ pass (the
     * window always holds the raw stream). */
-  private def applyFilters(out: Array[Byte],
+  private def applyFilters(out: Array[Byte], written: Int,
       filters: Iterable[Filter]): Unit = filters.foreach { f =>
-    if (f.blockStart >= 0 && f.blockStart < out.length) {
+    if (f.blockStart >= 0 && f.blockStart < written) {
       val start = f.blockStart.toInt
-      val len = math.min(f.blockLength.toLong, out.length.toLong - start).toInt
+      val len = math.min(f.blockLength.toLong, written.toLong - start).toInt
       f.kind match {
         case FilterE8 | FilterE8E9 =>
           RarFilters.e8(out, start, len, e8e9 = f.kind == FilterE8E9,

@@ -564,6 +564,7 @@ object RarUtil {
     var headersEncrypted = false
     var count = 0
     def vint(off: Int): (Long, Int) = vintAt(b, off)
+    var v5stream: Rar50.Stream = null
     while (p + 5 <= b.length && count < 100000) {
       count += 1
       // crc32(4) headerSize(vint) header...
@@ -695,13 +696,20 @@ object RarUtil {
                   crcGate(java.util.Arrays.copyOfRange(src, off,
                     off + unpSize.toInt), keys)
                 else None
-              } else if (algoVer == 0 && !solid)
-                // v5.0 LZ decode (Rar50); corrupt streams / CRC
-                // mismatches fall back to the unsupported record
-                try crcGate(Rar50.unpack(src, off, len, unpSize), keys)
-                catch {
-                  case _: Rar29.Unsupported | _: Rar29.Malformed => None
-                }
+              } else if (algoVer == 0) {
+                // v5.0 LZ decode (Rar50); files are block-framed so a
+                // solid group shares only window/table/history state —
+                // corrupt streams / CRC mismatches fall back to the
+                // unsupported record
+                if (!solid) v5stream = new Rar50.Stream
+                if (v5stream == null) None // solid head missing
+                else
+                  try crcGate(v5stream.decodeEntry(src, off, len, unpSize),
+                    keys)
+                  catch {
+                    case _: Rar29.Unsupported | _: Rar29.Malformed => None
+                  }
+              }
               else None
             val stored =
               if (dataOk && (method != 0 || dataSize == unpSize))
@@ -729,6 +737,10 @@ object RarUtil {
                 }
               }
               else None
+            // any undecoded compressed member leaves the shared v5
+            // window incomplete — poison the chain for later solid
+            // members rather than decoding against shifted distances
+            if (method != 0 && stored.isEmpty) v5stream = null
             out += Entry(name, unpSize, stored,
               fileEncrypted && stored.isEmpty)
           case 5 => p = b.length // end of archive

@@ -72,15 +72,18 @@ class Rar50Spec extends AnyFunSuite {
   private val lowDistLens: Array[Int] = Array.fill(Rar50.LDC)(4)
   private val repLens: Array[Int] = Array.fill(Rar50.RC)(6)
 
-  /** One-entry v5.0 stream builder over the fixed code set above. */
-  private final class Rar5Writer {
+  /** v5.0 stream builder over the fixed code set above; `startOp`
+    * continues a solid window, `start(tables = false)` reuses the
+    * previous member's tables via the table-present flag. */
+  private final class Rar5Writer(startOp: Int = 0) {
     private val bw = new BitWriter
     private val main = new HuffEnc(mainLens)
     private val dist = new HuffEnc(distLens)
     private val lowDist = new HuffEnc(lowDistLens)
     private val rep = new HuffEnc(repLens)
-    private var op = 0 // decoder write position (for filter offsets)
+    private var op = startOp // decoder write position
     private var emittedTables = false
+    private var tablePresent = true
 
     private def writeTables(): Unit = {
       // pre-table: symbols {0,4,6,9,10} at length 3, as raw 4-bit lens
@@ -189,7 +192,8 @@ class Rar50Spec extends AnyFunSuite {
       var sizeBytes = 1
       while (sizeBytes < 3 && (bytes.length >>> (8 * sizeBytes)) != 0)
         sizeBytes += 1
-      val flags = 0x80 | 0x40 | ((sizeBytes - 1) << 3) | (blockBitSize - 1)
+      val flags = (if (tablePresent) 0x80 else 0) | 0x40 |
+        ((sizeBytes - 1) << 3) | (blockBitSize - 1)
       val check = 0x5a ^ flags ^ bytes.length ^ (bytes.length >> 8) ^
         (bytes.length >> 16)
       out.write(flags)
@@ -200,7 +204,11 @@ class Rar50Spec extends AnyFunSuite {
       out.toByteArray
     }
 
-    def start(): this.type = { writeTables(); this }
+    def start(tables: Boolean = true): this.type = {
+      if (tables) writeTables()
+      else { emittedTables = true; tablePresent = false }
+      this
+    }
   }
 
   // --- RAR5 container with a compressed entry ------------------------
@@ -217,7 +225,12 @@ class Rar50Spec extends AnyFunSuite {
   }
 
   private def rar5Packed(name: String, packed: Array[Byte],
-      unp: Array[Byte]): Array[Byte] = {
+      unp: Array[Byte]): Array[Byte] =
+    rar5Multi(Seq((name, packed, unp, false)))
+
+  /** entries = (name, packedSegment, plainBytes, solidFlag) */
+  private def rar5Multi(
+      entries: Seq[(String, Array[Byte], Array[Byte], Boolean)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream
     out.write(Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x01, 0x00))
     def block(header: Array[Byte], payload: Array[Byte]): Unit = {
@@ -227,21 +240,23 @@ class Rar50Spec extends AnyFunSuite {
       out.write(payload)
     }
     block(Array[Byte](1, 0, 0), Array.emptyByteArray)
-    val nameB = name.getBytes("UTF-8")
-    val crc = new java.util.zip.CRC32
-    crc.update(unp)
-    val h = new java.io.ByteArrayOutputStream
-    h.write(2) // type: file
-    h.write(2) // hflags: data area
-    h.write(vint(packed.length))
-    h.write(4) // file flags: crc present
-    h.write(vint(unp.length))
-    h.write(0) // attributes
-    h.write(le32(crc.getValue))
-    h.write(vint(3L << 7)) // compInfo: v5.0, method 3
-    h.write(1) // host os
-    h.write(vint(nameB.length)); h.write(nameB)
-    block(h.toByteArray, packed)
+    for ((name, packed, unp, solid) <- entries) {
+      val nameB = name.getBytes("UTF-8")
+      val crc = new java.util.zip.CRC32
+      crc.update(unp)
+      val h = new java.io.ByteArrayOutputStream
+      h.write(2) // type: file
+      h.write(2) // hflags: data area
+      h.write(vint(packed.length))
+      h.write(4) // file flags: crc present
+      h.write(vint(unp.length))
+      h.write(0) // attributes
+      h.write(le32(crc.getValue))
+      h.write(vint((3L << 7) | (if (solid) 0x40 else 0))) // compInfo
+      h.write(1) // host os
+      h.write(vint(nameB.length)); h.write(nameB)
+      block(h.toByteArray, packed)
+    }
     block(Array[Byte](5, 0, 0), Array.emptyByteArray)
     out.toByteArray
   }
@@ -377,6 +392,53 @@ class Rar50Spec extends AnyFunSuite {
     val txt = d.spans.filter(_.kind == graft.core.Span.KindText)
       .map(_.text).mkString("\n")
     assert(txt.contains("rar five content"), "inner text must surface")
+  }
+
+  test("v5 solid: window and tables persist across entries") {
+    val p1 = "the rar five solid dictionary seed content. "
+    val w1 = new Rar5Writer().start()
+    w1.text(p1)
+    val seg1 = w1.finish()
+    // entry 2: no tables of its own (reuses entry 1's), matches into
+    // entry 1's window across the member boundary
+    val w2 = new Rar5Writer(startOp = p1.length).start(tables = false)
+    w2.matchNew(p1.length, 20)
+    w2.text(" fresh tail")
+    val seg2 = w2.finish()
+    val out2 = p1.substring(0, 20) + " fresh tail"
+    val a = RarUtil.parse(rar5Multi(Seq(
+      ("a.txt", seg1, p1.getBytes, false),
+      ("b.txt", seg2, out2.getBytes, true))))
+    assert(a.entries.size == 2)
+    assert(a.entries(0).stored.isDefined, "v5 solid head")
+    assert(new String(a.entries(0).stored.get) === p1)
+    assert(a.entries(1).stored.isDefined, "v5 solid continuation")
+    assert(new String(a.entries(1).stored.get) === out2)
+  }
+
+  test("v5 solid: a failed member poisons the rest of the chain") {
+    val p1 = "solid chain head. "
+    val w1 = new Rar5Writer().start()
+    w1.text(p1)
+    val seg1 = w1.finish()
+    val w3 = new Rar5Writer(startOp = p1.length + 10).start()
+    w3.text("tail member")
+    val seg3 = w3.finish()
+    val a = RarUtil.parse(rar5Multi(Seq(
+      ("ok.txt", seg1, p1.getBytes, false),
+      ("bad.bin", Array[Byte](1, 2, 3), new Array[Byte](10), true),
+      ("tail.txt", seg3, "tail member".getBytes, true))))
+    assert(a.entries(0).stored.isDefined)
+    assert(a.entries(1).stored.isEmpty, "corrupt member fails")
+    assert(a.entries(2).stored.isEmpty, "post-failure member poisoned")
+  }
+
+  test("v5 solid head missing: orphan continuation fails cleanly") {
+    val w = new Rar5Writer(startOp = 50).start()
+    w.matchNew(40, 10)
+    val a = RarUtil.parse(rar5Multi(Seq(
+      ("orphan.bin", w.finish(), new Array[Byte](10), true))))
+    assert(a.entries.head.stored.isEmpty)
   }
 
   test("corrupt v5 streams fail cleanly across random mutations") {
