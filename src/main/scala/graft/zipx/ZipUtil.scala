@@ -177,6 +177,41 @@ object ZipUtil {
     case 6 =>
       try graft.pkgx.ZipLegacy.explode(src, off, len, uncompSize, flags)
       catch { case _: Exception => null }
+    // modern alternate codecs the reference reads via commons-compress
+    // (ZipFile supports bzip2/LZMA/zstd/XZ members); each routes to the
+    // in-tree interop-validated decoder
+    case 12 => // bzip2
+      try {
+        val d = graft.pkgx.Bzip2.decompress(
+          java.util.Arrays.copyOfRange(src, off, off + len))
+        if (d.length == uncompSize) d else null
+      } catch { case _: Exception => null }
+    case 14 => // LZMA: version u16, propsSize u16, props (1+4), raw stream
+      try {
+        if (len < 9) null
+        else {
+          val propsSize = (src(off + 2) & 0xff) | ((src(off + 3) & 0xff) << 8)
+          if (propsSize < 5 || 4 + propsSize > len) null
+          else {
+            val w = new graft.pkgx.Lzma2.Window(uncompSize.toLong)
+            graft.pkgx.Lzma2.decodeLzma1(src(off + 4) & 0xff, src,
+              off + 4 + propsSize, len - 4 - propsSize, uncompSize, w)
+            java.util.Arrays.copyOfRange(w.buf, 0, w.len)
+          }
+        }
+      } catch { case _: Exception => null }
+    case 93 => // zstd
+      try {
+        val d = graft.pkgx.Zstd.decompress(
+          java.util.Arrays.copyOfRange(src, off, off + len))
+        if (d.length == uncompSize) d else null
+      } catch { case _: Exception => null }
+    case 95 => // xz (full container)
+      try {
+        val d = graft.pkgx.Xz.decompress(
+          java.util.Arrays.copyOfRange(src, off, off + len))
+        if (d.length == uncompSize) d else null
+      } catch { case _: Exception => null }
     case _ => null // unsupported method
   }
 
@@ -431,7 +466,8 @@ object ZipUtil {
           val dataOff = lo + 30 + lNameLen + lExtraLen
           if (dataOff + compSize <= b.length) {
             val cenCrc = le32(b, p + 16)
-            var crcGate = method == 1 || method == 6
+            var crcGate = method == 1 || method == 6 || method == 12 ||
+              method == 14 || method == 93 || method == 95
             var data: Array[Byte] =
               if (!encrypted)
                 decodeMethod(b, dataOff, compSize.toInt, method,
