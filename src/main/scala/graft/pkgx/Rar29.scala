@@ -189,6 +189,14 @@ object Rar29 {
     private var buf = new Array[Byte](0)
     private var bufLen = 0
     private val br = new BitReader(buf, 0, 0)
+    // per-member packed-segment start offsets: the reference decoder
+    // re-inits its bit input byte-aligned at each member's segment
+    // start (unrar UnpInitData runs InitBitInput unconditionally, even
+    // for solid continuations), discarding the previous member's
+    // encoder flush padding and, for -p members, the AES tail padding
+    // inside the 16-byte-padded packSize
+    private val segStarts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private var segIdx = 0
     private var out = new Array[Byte](0)
     private var op = 0
     private var outCap = 0 // logical limit: current entry's declared end
@@ -230,6 +238,7 @@ object Rar29 {
     def append(data: Array[Byte], off: Int, packSize: Int): Unit = {
       val len = math.max(0, math.min(packSize.toLong,
         data.length.toLong - off).toInt)
+      segStarts += bufLen
       if (bufLen + len > buf.length) {
         val nb = new Array[Byte](math.max(bufLen + len, buf.length * 2))
         System.arraycopy(buf, 0, nb, 0, bufLen)
@@ -326,16 +335,24 @@ object Rar29 {
         invocations += FilterInv(prog.kind, blockStart, blockLength, channels)
     }
 
-    private def applyFilters(): Unit = {
+    /** Apply pending filter invocations to the entry's OUTPUT COPY
+      * (`res` = out[entryStart, targetEnd)), never the shared window:
+      * the reference keeps the LZ window raw, so later solid members
+      * whose matches reach into a filtered range must copy untouched
+      * bytes. Offsets passed to the transforms are file-relative (the
+      * reference's E8/ARM position term is the offset within the
+      * written file, reset per member even in solid mode).
+      */
+    private def applyFilters(res: Array[Byte], entryStart: Int): Unit = {
       invocations.foreach { f =>
-        val start = f.blockStart
-        val len = math.min(f.blockLength.toLong, op.toLong - start).toInt
+        val start = f.blockStart - entryStart // file-relative
+        val len = math.min(f.blockLength.toLong, res.length.toLong - start).toInt
         if (start >= 0 && len > 4) f.kind match {
           case 1 | 2 => // E8 / E8E9 x86 call-target transform
-            RarFilters.e8(out, start, len, e8e9 = f.kind == 2,
+            RarFilters.e8(res, start, len, e8e9 = f.kind == 2,
               modOffset = false)
           case 3 => // DELTA: per-channel byte-delta decode
-            RarFilters.delta(out, start, len, f.channels)
+            RarFilters.delta(res, start, len, f.channels)
           case _ => ()
         }
       }
@@ -383,8 +400,10 @@ object Rar29 {
       val bf = br.peek16
       if ((bf & 0x8000) != 0) { ppmInit(); tablesRead = true; return }
       isPpm = false
-      prevLowDist = 0
-      lowDistRepCount = 0
+      // prevLowDist/lowDistRepCount deliberately NOT reset here: the
+      // reference zeroes them only at (non-solid) stream init and
+      // preserves them across in-stream table reloads, so a
+      // low-distance repeat run crossing a block boundary continues
       if ((bf & 0x4000) == 0) java.util.Arrays.fill(oldTable, 0)
       br.skip(2)
       val bitLength = new Array[Int](BC)
@@ -461,6 +480,16 @@ object Rar29 {
     }
 
     private def decodeNextInner(unpSize: Long): Array[Byte] = {
+      // Per-member bit-input reset (reference semantics): each member's
+      // LZ symbols start byte-aligned at its own segment; unconsumed
+      // tail bits/padding of the previous segment are discarded. PPM
+      // continuations are exempt — the reference's PPM range coder
+      // reads bytes through its own continuous channel (ModelPPM pulls
+      // from the unpack read stream directly, not the LZ bit input),
+      // so a mid-PPM member boundary must not disturb the byte cursor.
+      if (segIdx < segStarts.length && !isPpm)
+        br.seek(segStarts(segIdx), 0, ex = false)
+      segIdx += 1
       val entryStart = op
       val targetEnd = (op + unpSize).toInt
       if (targetEnd > out.length) {
@@ -615,8 +644,9 @@ object Rar29 {
       }
       if (op < targetEnd)
         throw new Malformed(s"short rar stream: $op of $targetEnd")
-      applyFilters()
-      java.util.Arrays.copyOfRange(out, entryStart, targetEnd)
+      val res = java.util.Arrays.copyOfRange(out, entryStart, targetEnd)
+      applyFilters(res, entryStart)
+      res
     }
   }
 }

@@ -293,38 +293,44 @@ object Rar50 {
     }
       if (op < outCap)
         throw new Malformed(s"short rar5 stream: $op of $outCap")
-      applyFilters(out, op, filters)
+      val res = java.util.Arrays.copyOfRange(out, entryStart, targetEnd)
+      applyFilters(res, entryStart, filters)
       filters.clear()
-      java.util.Arrays.copyOfRange(out, entryStart, targetEnd)
+      res
     }
   }
 
-  /** v5.0 filters transform written file ranges after the LZ pass (the
-    * window always holds the raw stream). */
-  private def applyFilters(out: Array[Byte], written: Int,
+  /** v5.0 filters transform written file ranges after the LZ pass,
+    * applied to the entry's OUTPUT COPY — the shared window always
+    * holds the raw stream, so later solid members' matches copy
+    * untransformed bytes (reference semantics). Offsets are
+    * file-relative: the E8/ARM position term is the block's offset
+    * within the written file (WrittenFileSize, reset per member). */
+  private def applyFilters(res: Array[Byte], entryStart: Int,
       filters: Iterable[Filter]): Unit = filters.foreach { f =>
-    if (f.blockStart >= 0 && f.blockStart < written) {
-      val start = f.blockStart.toInt
-      val len = math.min(f.blockLength.toLong, written.toLong - start).toInt
+    val rel = f.blockStart - entryStart // file-relative
+    if (rel >= 0 && rel < res.length) {
+      val start = rel.toInt
+      val len = math.min(f.blockLength.toLong, res.length.toLong - start).toInt
       f.kind match {
         case FilterE8 | FilterE8E9 =>
-          RarFilters.e8(out, start, len, e8e9 = f.kind == FilterE8E9,
+          RarFilters.e8(res, start, len, e8e9 = f.kind == FilterE8E9,
             modOffset = true)
         case FilterArm =>
           // BL with the always-condition: patch 24-bit word offsets
           var i = 0
           while (i + 4 <= len) {
-            if ((out(start + i + 3) & 0xff) == 0xeb) {
+            if ((res(start + i + 3) & 0xff) == 0xeb) {
               val o = start + i
-              val v = ((out(o) & 0xff) | ((out(o + 1) & 0xff) << 8) |
-                ((out(o + 2) & 0xff) << 16)) - (start + i) / 4
-              out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
-              out(o + 2) = (v >> 16).toByte
+              val v = ((res(o) & 0xff) | ((res(o + 1) & 0xff) << 8) |
+                ((res(o + 2) & 0xff) << 16)) - (start + i) / 4
+              res(o) = v.toByte; res(o + 1) = (v >> 8).toByte
+              res(o + 2) = (v >> 16).toByte
             }
             i += 4
           }
         case FilterDelta =>
-          RarFilters.delta(out, start, len, f.channels)
+          RarFilters.delta(res, start, len, f.channels)
         case _ => ()
       }
     }

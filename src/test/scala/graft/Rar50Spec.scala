@@ -416,6 +416,30 @@ class Rar50Spec extends AnyFunSuite {
     assert(new String(a.entries(1).stored.get) === out2)
   }
 
+  test("v5 solid: filters transform the output copy, window stays raw") {
+    // member 1 decodes 8 literals under a delta filter; member 2
+    // (solid) copies member 1's full range out of the window and must
+    // receive the RAW pre-filter bytes — the reference applies filters
+    // to the written file only, never to the shared LZ window.
+    val raw = Array(10, 20, 30, 40, 50, 60, 70, 80)
+    val w1 = new Rar5Writer().start()
+    w1.filter(0, 0, 8, channels = 1) // delta over [0, 8)
+    raw.foreach(w1.lit)
+    val exp1 = new Array[Byte](8) // delta-decode of the raw literals
+    var prev = 0
+    for (i <- 0 until 8) { prev = (prev - raw(i)) & 0xff; exp1(i) = prev.toByte }
+    val w2 = new Rar5Writer(startOp = 8).start(tables = false)
+    w2.matchNew(8, 8)
+    val exp2 = raw.map(_.toByte) // raw window bytes, NOT exp1
+    val a = RarUtil.parse(rar5Multi(Seq(
+      ("f1.bin", w1.finish(), exp1, false),
+      ("f2.bin", w2.finish(), exp2, true))))
+    assert(a.entries(0).stored.isDefined, "filtered member decodes")
+    assert(a.entries(0).stored.get.toSeq === exp1.toSeq)
+    assert(a.entries(1).stored.isDefined, "solid copy out of the raw window")
+    assert(a.entries(1).stored.get.toSeq === exp2.toSeq)
+  }
+
   test("v5 solid: a failed member poisons the rest of the chain") {
     val p1 = "solid chain head. "
     val w1 = new Rar5Writer().start()

@@ -143,6 +143,21 @@ class RarSolidSpec extends AnyFunSuite {
       bw.put(0, 1) // bit15=0: file ends
       bw.put(if (nextTables) 1 else 0, 1)
     }
+
+    private var lastCut = 0
+
+    /** Close the current member's packed segment at a byte boundary and
+      * return its bytes (reference model: each member's packed data
+      * starts byte-aligned — the decoder re-inits its bit input per
+      * member, discarding the previous segment's flush padding).
+      */
+    def cutSegment(): Array[Byte] = {
+      bw.align()
+      val all = bw.toBytes
+      val seg = java.util.Arrays.copyOfRange(all, lastCut, all.length)
+      lastCut = all.length
+      seg
+    }
   }
 
   // --- RAR4 container with N entries over one packed stream ----------
@@ -196,17 +211,17 @@ class RarSolidSpec extends AnyFunSuite {
     w.writeTables()
     w.text(part1)
     w.endFile(nextTables = false)
-    // file 2 starts mid-stream with the same tables and copies file 1's
-    // opening phrase from across the entry boundary
+    val seg1 = w.cutSegment()
+    // file 2's segment starts byte-aligned (per-member bit-input
+    // reset), reuses the same tables, and copies file 1's opening
+    // phrase from across the entry boundary — the shared WINDOW is the
+    // solid property under test
     val copyLen = 24
     w.matchNew(part1.length, copyLen)
     w.text("plus new text")
     w.endFile(nextTables = false)
-    val stream = w.bw.toBytes
+    val seg2 = w.cutSegment()
     val out2 = part1.substring(0, copyLen) + "plus new text"
-    // split the packed stream mid-way so neither segment is
-    // self-contained — the group must concatenate before decoding
-    val (seg1, seg2) = split(stream, stream.length / 2)
     val a = RarUtil.parse(rar4Multi(Seq(
       ("one.txt", part1.length, crcOf(part1), seg1, false),
       ("two.txt", out2.length, crcOf(out2), seg2, true))))
@@ -224,11 +239,11 @@ class RarSolidSpec extends AnyFunSuite {
     w.writeTables()
     w.text(part1)
     w.endFile(nextTables = true)
+    val seg1 = w.cutSegment()
     w.writeTables()
     w.text(part2)
     w.endFile(nextTables = false)
-    val stream = w.bw.toBytes
-    val (seg1, seg2) = split(stream, stream.length / 3)
+    val seg2 = w.cutSegment()
     val a = RarUtil.parse(rar4Multi(Seq(
       ("a.txt", part1.length, crcOf(part1), seg1, false),
       ("b.txt", part2.length, crcOf(part2), seg2, true))))
@@ -273,17 +288,15 @@ class RarSolidSpec extends AnyFunSuite {
     w.writeTables()
     w.text(p1)
     w.endFile(nextTables = false)
+    val seg1 = w.cutSegment()
     w.text(p2)
     w.matchNew(p1.length + p2.length, 12) // copy "first solid " across 2 files
     w.endFile(nextTables = false)
+    val seg2 = w.cutSegment()
     w.text(p3)
     w.endFile(nextTables = false)
-    val stream = w.bw.toBytes
+    val seg3 = w.cutSegment()
     val out2 = p2 + p1.substring(0, 12)
-    val third = stream.length / 3
-    val seg1 = java.util.Arrays.copyOfRange(stream, 0, third)
-    val seg2 = java.util.Arrays.copyOfRange(stream, third, 2 * third)
-    val seg3 = java.util.Arrays.copyOfRange(stream, 2 * third, stream.length)
     // a stored (method 0x30) entry between solid members must not
     // break the chain — the walk keeps v29 jobs adjacent
     val storedData = "stored in the middle".getBytes
@@ -390,24 +403,27 @@ class RarSolidSpec extends AnyFunSuite {
   }
 
   test("encrypted solid group decrypts and chains (-p mode)") {
-    // plain solid stream for two members, split at a 16-byte boundary
-    // (AES block size) so no padding lands mid-chain, each segment
-    // encrypted with its own salt like WinRAR -p
+    // per-member segments (reference model), each 16-byte padded for
+    // AES-CBC and encrypted with its own salt like WinRAR -p. The
+    // up-to-15 bytes of AES padding at the end of member 1's segment
+    // land mid-chain and are DISCARDED by the decoder's per-member
+    // bit-input reset — exactly the desync hazard the reset fixes.
     val p1 = "encrypted solid head member. " * 8
     val p2 = "encrypted solid tail member, reusing: "
     val w = new Rar29Writer
     w.writeTables()
     w.text(p1)
     w.endFile(nextTables = false)
+    val seg1raw = w.cutSegment()
     w.text(p2)
     w.matchNew(p1.length + p2.length, 16)
     w.endFile(nextTables = false)
-    val stream = w.bw.toBytes
+    val seg2raw = w.cutSegment()
     val out2 = p2 + p1.substring(0, 16)
-    val at = (stream.length / 2) & ~15
-    val (seg1, seg2raw) = split(stream, at)
-    val seg2 = java.util.Arrays.copyOf(seg2raw,
-      (seg2raw.length + 15) & ~15) // tail padding only after the last member
+    def pad16(b: Array[Byte]): Array[Byte] =
+      java.util.Arrays.copyOf(b, (b.length + 15) & ~15)
+    val seg1 = pad16(seg1raw)
+    val seg2 = pad16(seg2raw)
     val password = "sesame"
     val rnd = new java.util.Random(9)
     def encrypt(seg: Array[Byte]): (Array[Byte], Array[Byte]) = {
@@ -464,10 +480,10 @@ class RarSolidSpec extends AnyFunSuite {
     w.writeTables()
     w.text(p1)
     w.endFile(nextTables = false)
+    val seg1 = w.cutSegment()
     w.text(p2)
     w.endFile(nextTables = false)
-    val stream = w.bw.toBytes
-    val (seg1, seg2) = split(stream, stream.length / 2)
+    val seg2 = w.cutSegment()
     val archive = rar4Multi(Seq(
       ("m1.txt", p1.length, crcOf(p1), seg1, false),
       ("m2.txt", p2.length, crcOf(p2), seg2, true)))
