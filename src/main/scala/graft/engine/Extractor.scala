@@ -1107,9 +1107,8 @@ object Extractor {
           // pre-parse digest (AutoDetectParser.java:151 / DigestHelper) —
           // the lineage/dedup key for the raw payload
           if (bytes.nonEmpty)
-            meta.add("tk:digest:sha256",
-              java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-                .map(b => f"${b & 0xff}%02x").mkString)
+            meta.add("tk:digest:sha256", graft.core.Hex.encode(
+              java.security.MessageDigest.getInstance("SHA-256").digest(bytes)))
           // the row id doubles as the resource-name hint, exactly like
           // AutoDetectParser's RESOURCE_NAME_KEY — applyHint only ever
           // SPECIALIZES the content-detected type, never overrides it

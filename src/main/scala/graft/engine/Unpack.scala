@@ -30,8 +30,8 @@ object Unpack {
     var count = 0
 
     def digest(b: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("SHA-256").digest(b)
-        .map(x => f"${x & 0xff}%02x").mkString
+      graft.core.Hex.encode(
+        java.security.MessageDigest.getInstance("SHA-256").digest(b))
 
     def emit(idPath: String, name: String, data: Array[Byte]): Unit = {
       val truncated = data.length > cfg.maxBlobBytes

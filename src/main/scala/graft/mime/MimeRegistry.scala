@@ -162,6 +162,33 @@ object MimeRegistry {
     )))
   ).appendedAll(MimeDb.magics).sorted
 
+  /** First-byte skip key per magic: the required value of data(0) when
+    * the clause can only match with that exact first byte, or -1 when
+    * it cannot be keyed (offset ranges, case folding, ORs). The detect
+    * loop compares one int before evaluating the clause tree — most
+    * signatures are exact offset-0 strings, so a typical document
+    * evaluates a handful of clauses instead of the full registry.
+    * Purely an evaluation-order shortcut: skipped clauses are exactly
+    * those that cannot match, so results are identical.
+    */
+  private def firstByteKey(c: Clause): Int = c match {
+    case b: BytesClause
+        if b.offStart == 0 && b.offEnd == 0 && !b.ignoreCase &&
+          b.value.nonEmpty && (b.mask == null || (b.mask(0) & 0xff) == 0xff) =>
+      b.value(0) & 0xff
+    case a: AndClause if a.clauses.nonEmpty =>
+      // AndClause.matches is forall; its head is the parent signature
+      firstByteKey(a.clauses.head)
+    case n: NumericClause if n.off == 0 =>
+      val shift = if (n.bigEndian) (n.width - 1) * 8 else 0
+      if (((n.mask >>> shift) & 0xff) == 0xff) ((n.value >>> shift) & 0xff).toInt
+      else -1
+    case _ => -1
+  }
+  private val magicArr: Array[Magic] = magics.toArray
+  private val magicFirstKeys: Array[Int] =
+    magicArr.map(m => firstByteKey(m.clause))
+
   private def utf16le(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
   private def utf16be(s: String): Array[Byte] =
@@ -306,11 +333,15 @@ object MimeRegistry {
 
     var best: String = null
     var bestPriority = -1
-    val it = magics.iterator
+    val b0 = prefix(0) & 0xff
+    var mi = 0
     var done = false
-    while (it.hasNext && !done) {
-      val m = it.next()
+    while (mi < magicArr.length && !done) {
+      val m = magicArr(mi)
+      val fk = magicFirstKeys(mi)
+      mi += 1
       if (best != null && m.priority < bestPriority) done = true // early exit :237-245
+      else if (fk >= 0 && fk != b0) () // first byte can't match — skip
       else if (m.clause.matches(prefix)) {
         if (best == null) { best = m.mediaType; bestPriority = m.priority }
         else if (m.priority == bestPriority && isSpecializationOf(m.mediaType, best)) {

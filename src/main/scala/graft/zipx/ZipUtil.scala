@@ -111,7 +111,7 @@ object ZipUtil {
       var e: ZipEntry = zin.getNextEntry
       while (e != null) {
         if (!e.isDirectory) {
-          val data = readBounded(zin, MaxEntryBytes)
+          val data = readBounded(zin, MaxEntryBytes, math.max(0L, e.getSize))
           totalOut += data.length
           if (totalOut > MaxTotalBytes) throw new graft.engine.ZipBombDetected
           out += Entry(e.getName, data, e.getCompressedSize)
@@ -582,29 +582,84 @@ object ZipUtil {
     } finally zin.close()
   }
 
-  /** Entry names only (cheap container probe — decompression skipped). */
-  def entryNames(zipBytes: Array[Byte]): Vector[String] = {
-    val out = new ArrayBuffer[String]()
-    val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
-    try {
-      var e: ZipEntry = zin.getNextEntry
-      while (e != null) {
-        out += e.getName
-        zin.closeEntry()
-        e = zin.getNextEntry
+  /** Names-only central-directory walk: every CEN record's name
+    * (directory and encrypted members included), NO payload decode.
+    * Strict — any truncation or record-count mismatch throws so the
+    * caller can fall back to the streaming reader.
+    */
+  private def cenNames(b: Array[Byte]): Vector[String] = {
+    val eocd = findEocd(b)
+    if (eocd < 0) throw new IllegalStateException("no end-of-central-directory")
+    var cdOff = le32(b, eocd + 16)
+    var total = le16(b, eocd + 10)
+    var cdSize = le32(b, eocd + 12)
+    var cdEndAnchor = eocd.toLong
+    if ((cdOff == 0xffffffffL || total == 0xffff) && eocd >= 20 &&
+        b(eocd - 20) == 'P' && b(eocd - 19) == 'K' &&
+        b(eocd - 18) == 6 && b(eocd - 17) == 7) {
+      val eocd64 = le32(b, eocd - 12).toInt
+      if (eocd64 >= 0 && eocd64 + 56 <= b.length &&
+          b(eocd64) == 'P' && b(eocd64 + 1) == 'K' &&
+          b(eocd64 + 2) == 6 && b(eocd64 + 3) == 6) {
+        total = le32(b, eocd64 + 32).toInt
+        cdSize = le32(b, eocd64 + 40)
+        cdOff = le32(b, eocd64 + 48)
+        cdEndAnchor = eocd64.toLong
       }
-    } catch {
-      case _: Exception =>
-        // streaming-writer zips (data descriptors on STORED entries):
-        // names live in the central directory; truncated zips keep the
-        // partial streaming list
-        try {
-          val cen = entries(zipBytes).map(_.name)
-          out.clear(); out ++= cen
-        } catch { case _: Exception => () }
     }
-    finally zin.close()
+    val shift = math.max(0L, cdEndAnchor - (cdOff + cdSize))
+    val cp437 =
+      try java.nio.charset.Charset.forName("IBM437")
+      catch { case _: Exception => java.nio.charset.StandardCharsets.ISO_8859_1 }
+    val out = new ArrayBuffer[String]()
+    var p = (cdOff + shift).toInt
+    var n = 0
+    while (n < total) {
+      if (!(p >= 0 && p + 46 <= b.length &&
+          b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 1 && b(p + 3) == 2))
+        throw new IllegalStateException("central directory walk broke")
+      val flags = le16(b, p + 8)
+      val nameLen = le16(b, p + 28)
+      val extraLen = le16(b, p + 30)
+      val commentLen = le16(b, p + 32)
+      if (p + 46 + nameLen > b.length)
+        throw new IllegalStateException("cen name overrun")
+      val nameBytes = java.util.Arrays.copyOfRange(b, p + 46, p + 46 + nameLen)
+      out += (if ((flags & 0x800) != 0)
+          new String(nameBytes, java.nio.charset.StandardCharsets.UTF_8)
+        else graft.mime.MbCharsets.detect(nameBytes, nameBytes.length) match {
+          case Some(cs) => new String(nameBytes, cs)
+          case None => new String(nameBytes, cp437)
+        })
+      p += 46 + nameLen + extraLen + commentLen
+      n += 1
+    }
     out.toVector
+  }
+
+  def entryNames(zipBytes: Array[Byte]): Vector[String] = {
+    // Central-directory first: the streaming reader must INFLATE every
+    // member just to skip past it, so each zip-family document paid a
+    // full decompression during DETECTION before parsing even began
+    // (measured ~7% of mixed-corpus extraction CPU). The CEN walk reads
+    // names only; streaming remains the fallback for archives without a
+    // usable central directory (truncated downloads keep the partial
+    // streaming list).
+    try cenNames(zipBytes)
+    catch { case _: Exception =>
+      val out = new ArrayBuffer[String]()
+      val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
+      try {
+        var e: ZipEntry = zin.getNextEntry
+        while (e != null) {
+          out += e.getName
+          zin.closeEntry()
+          e = zin.getNextEntry
+        }
+      } catch { case _: Exception => () }
+      finally zin.close()
+      out.toVector
+    }
   }
 
   def gunzip(bytes: Array[Byte]): Array[Byte] = {
@@ -612,9 +667,16 @@ object ZipUtil {
     try readBounded(in, MaxEntryBytes) finally in.close()
   }
 
-  private def readBounded(in: java.io.InputStream, max: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
+  /** `sizeHint` (the entry's declared uncompressed size when known)
+    * presizes the output buffer so typical members avoid the
+    * doubling-regrowth copies; a lying header only costs the usual
+    * growth path, the bomb budget still gates `total`.
+    */
+  private def readBounded(in: java.io.InputStream, max: Int,
+      sizeHint: Long = 0L): Array[Byte] = {
+    val hint = math.min(math.max(sizeHint, 64L), math.min(max.toLong, 1L << 20)).toInt
+    val out = new java.io.ByteArrayOutputStream(hint)
+    val buf = new Array[Byte](32768)
     var total = 0
     var n = in.read(buf)
     while (n >= 0) {
