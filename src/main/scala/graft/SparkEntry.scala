@@ -381,7 +381,8 @@ object SparkEntry {
       // first-occurrence rule is a deterministic row_number over the
       // unique (doc_id, para_idx) order.
       import org.apache.spark.sql.expressions.Window
-      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val docs = graft.ops.TextOps.spread(
+        tbl(s, dir, "documents").select("doc_id", "text"))
       val planted = docs.filter(col("doc_id") % 40 === 0)
         .withColumn("doc_id", col("doc_id") + lit(1000000L))
       val paras = docs.unionByName(planted)
@@ -461,7 +462,7 @@ object SparkEntry {
       // duplicate-line and duplicate-word fractions per document. All
       // native array expressions in one scan — no shuffle, no HOF
       // lambdas — so at 100 TB this is a pure map over the corpus.
-      val t = tbl(s, dir, "documents")
+      val t = graft.ops.TextOps.spread(tbl(s, dir, "documents"))
       val toks = array_remove(split(lower(col("text")), " "), "")
       val lines = array_remove(split(col("text"), "\n"), "")
       t.select(col("doc_id"),
@@ -612,7 +613,7 @@ object SparkEntry {
       // the provenance key; URL counts come from the same extractor as
       // q34 so the mix report and the link projections can't drift.)
       import graft.ops.Projections
-      val t = tbl(s, dir, "documents")
+      val t = graft.ops.TextOps.spread(tbl(s, dir, "documents"))
       t.select(col("source").as("domain"), col("n_chars"),
           size(Projections.extractUrls(col("text"))).as("n_urls_doc"))
         .groupBy("domain")
@@ -627,7 +628,7 @@ object SparkEntry {
       // merge-only, one pass, no token shuffle). Deterministic — HLL
       // register merges are order-independent — but engine-specific, so
       // rows-only with the error as the checkable quantity.
-      val toks = tbl(s, dir, "documents")
+      val toks = TextOps.spread(tbl(s, dir, "documents"))
         .select(explode(TextOps.tokens(col("text"))).as("token"))
       toks.agg(countDistinct(col("token")).as("n_exact"),
           approx_count_distinct(col("token"), 0.02).as("n_approx"))
@@ -665,7 +666,7 @@ object SparkEntry {
       // patterns, so DuckDB replicates them exactly (oracled; q24 keeps
       // exercising the same operators through the extraction pipeline)
       import graft.ops.Projections
-      val t = tbl(s, dir, "documents")
+      val t = graft.ops.TextOps.spread(tbl(s, dir, "documents"))
       t.select(col("doc_id"),
         size(Projections.extractUrls(col("text"))).as("n_urls"),
         coalesce(try_element_at(Projections.extractUrls(col("text")), lit(1)), lit(""))

@@ -58,7 +58,7 @@ object Decontam {
       transform(sequence(lit(0), size(col("toks")) - n),
         i => xxhash64(slice(col("toks"), i + lit(1), lit(n)))))
       .otherwise(array().cast("array<long>"))
-    val dg = docs
+    val dg = TextOps.spread(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(sigs).as("sig"))
       .distinct()
@@ -104,7 +104,7 @@ object Holdout {
     * before accepting a split.
     */
   def stratifiedAudit(docs: DataFrame, stratum: String = "source"): DataFrame =
-    docs
+    TextOps.spread(docs)
       .select(col(stratum).as("stratum"),
         (bucket(col("doc_id")) < threshold(col(stratum))).cast("int").as("sampled"))
       .groupBy("stratum")

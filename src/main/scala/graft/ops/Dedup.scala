@@ -64,7 +64,7 @@ object Dedup {
   /** Word n-gram shingles, distinct per doc. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    docs.select(col("doc_id"), toks.as("toks"))
+    TextOps.spread(docs).select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(
@@ -96,7 +96,7 @@ object Dedup {
     */
   private def hashedShingles(docs: DataFrame, n: Int): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    docs.select(col("doc_id"), toks.as("toks"))
+    TextOps.spread(docs).select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(
@@ -156,7 +156,12 @@ object Dedup {
       .as[(Long, Array[Float])]
       .collect().sortBy(_._1)
     val bcast = spark.sparkContext.broadcast(all)
-    val slices = math.max(1, math.min(all.length, 256))
+    // slice count derives from the session's parallelism (4 waves for
+    // tail-smoothing of the triangular pair workload) instead of a
+    // fixed 256 — at local[32] the old constant spent more wall time
+    // scheduling 256 near-empty tasks than scoring pairs
+    val slices = math.max(1, math.min(all.length,
+      4 * spark.sparkContext.defaultParallelism))
     spark.createDataset(
       spark.sparkContext.range(0, all.length, numSlices = slices)
         .flatMap { i0 =>
@@ -289,7 +294,10 @@ object Dedup {
     while (!converged && iter < maxIters) {
       // new label = min over self ∪ neighbors; old_label (the self-loop
       // row's label) rides along so convergence is a COLUMN of the
-      // pinned result, not a separate next⋈labels probe join.
+      // pinned result, not a separate next⋈labels probe join. (Running
+      // TWO propagate+jump half-rounds per pinned round was tried and
+      // reverted: the nested self-referencing plan re-executes shared
+      // subtrees and cost more than the saved checkpoint/probe jobs.)
       val prop = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("cluster_id", "nbr_label"), "dst")
@@ -366,7 +374,8 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("string").as("doc_id_str"), col("text"))
+    TextOps.spread(docs)
+      .select(col("doc_id").cast("string").as("doc_id_str"), col("text"))
       .as[(String, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>

@@ -45,7 +45,8 @@ object PiiScrub {
     * on the raw text would double-count overlaps (the interior of a
     * spaced card number also matches PhoneRe).
     */
-  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def profile(docs0: DataFrame, textCol: String = "text"): DataFrame = {
+    val docs = TextOps.spread(docs0)
     val t = col(textCol)
     val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
     val afterCard  = regexp_replace(afterEmail, CardRe, "<CARD>")
@@ -89,7 +90,7 @@ object TextNorm {
   def normalize(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val composed = docs
+    val composed = TextOps.spread(docs)
       .select(col("doc_id").cast("string").as("doc_id_str"), col(textCol))
       .as[(String, String)]
       .mapPartitions(_.map { case (id, text) =>

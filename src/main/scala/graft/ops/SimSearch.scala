@@ -96,7 +96,8 @@ object SimSearch {
       .filter(col("embedding").isNotNull)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val bq = spark.sparkContext.broadcast(qArr)
-    val partials = corpus.select(col("vec_id"), col("embedding"))
+    val partials = TextOps.spread(corpus)
+      .select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -136,7 +137,7 @@ object SimSearch {
   def lshSignature(df: DataFrame, dim: Int, nBits: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("vec_id"), col("embedding"))
+    TextOps.spread(df).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val planes = Array.tabulate(nBits, dim)((b, d) => planeCoef(b, d))

@@ -12,6 +12,26 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Scale-adaptive input spread (guide §2.5 "input skew … repartition
+    * immediately after the read"): per-row-heavy operators (regex
+    * scrubbing, language id, shingling, signatures) parallelize only as
+    * far as the scan's split count, and a small corpus — or one huge
+    * unsplittable file — yields fewer splits than cores; at sf0.1 the
+    * whole documents table is ONE sub-`maxPartitionBytes` split, which
+    * serialized every text operator onto a single core. When the scan
+    * already yields ≥ defaultParallelism partitions (any real corpus)
+    * this is a NO-OP; otherwise the round-robin repartition costs one
+    * tiny exchange and buys full-width parallelism. Callers pass plans
+    * that are narrow over the scan (no upstream exchange), so the
+    * partition-count probe compiles without running a job. Results are
+    * unaffected: every downstream operator is row-pure or
+    * key-aggregated (order-dependent double-sums never ride this path).
+    */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Whitespace tokenization used consistently across ops + oracles
     * (single-space split keeps DuckDB `string_split` parity).
     */
@@ -31,7 +51,8 @@ object TextOps {
   /** Per-doc token/char statistics (BasicTokenCountStatsCalculator +
     * ContentLengthCalculator analogs).
     */
-  def docStats(docs: DataFrame): DataFrame = {
+  def docStats(docs0: DataFrame): DataFrame = {
+    val docs = spread(docs0)
     val toks = tokens(col("text"))
     docs.select(
       col("doc_id"),
@@ -46,7 +67,7 @@ object TextOps {
     * the shuffle carry only (token, partial_count) pairs.
     */
   def tokenCounts(docs: DataFrame, minCount: Long = 5): DataFrame =
-    docs.select(explode(tokens(col("text"))).as("token"))
+    spread(docs).select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
 
@@ -69,7 +90,7 @@ object TextOps {
   def langId(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("string").as("doc_id_str"), col("text"))
+    spread(docs).select(col("doc_id").cast("string").as("doc_id_str"), col("text"))
       .as[(String, String)]
       .mapPartitions(_.map { case (id, text) =>
         val (pred, nGrams, best) = LangScorer.score(text)
@@ -96,7 +117,8 @@ object TextOps {
     * family generalized to a training-data quality gate).
     * All ratios rounded to 4 decimals for cross-engine comparability.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs0: DataFrame): DataFrame = {
+    val docs = spread(docs0)
     val toks = tokens(col("text"))
     val nChars = length(col("text"))
     val nTokens = size(toks)
@@ -127,7 +149,7 @@ object TextOps {
   def qualityGate(docs0: DataFrame): DataFrame = {
     // NULL text must fail the gate (too_short), not fall through every
     // NULL WHEN condition to otherwise("keep") — treat null as empty.
-    val docs = docs0.withColumn("text", coalesce(col("text"), lit("")))
+    val docs = spread(docs0).withColumn("text", coalesce(col("text"), lit("")))
     val toks = tokens(col("text"))
     val lines = filter(split(col("text"), "\n"), l => l =!= "")
     val nTokens = size(toks)
@@ -162,7 +184,7 @@ object TextOps {
   def commonTokens(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("string").as("doc_id_str"), col("text"))
+    spread(docs).select(col("doc_id").cast("string").as("doc_id_str"), col("text"))
       .as[(String, String)]
       .mapPartitions(_.map { case (id, text) =>
         val (pred, _, _) = LangScorer.score(text)
@@ -198,7 +220,7 @@ object TextOps {
     * sorted distinct token set — robust to token order/duplication.
     */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    spread(docs).select(col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
         .as("profile_sig"),
       md5(col("text")).as("exact_sig"))

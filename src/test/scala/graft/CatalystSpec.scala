@@ -143,10 +143,12 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
-  test("q37: repetition signals are a pure per-row map — zero exchanges") {
+  test("q37: repetition signals are a pure per-row map — no key shuffle") {
     val q = SparkEntry.queries("q37_repetition")(spark, TestSpark.SfDir)
     val plan = q.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
+    // only the conditional round-robin input spread may appear (no-op
+    // at real corpus scale); the signals themselves never shuffle by key
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
     // native array expressions, not interpreted lambdas
     assert(!plan.contains("lambdafunction"), plan)
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)

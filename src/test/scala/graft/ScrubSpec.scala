@@ -79,10 +79,15 @@ class ScrubSpec extends AnyFunSuite {
     assert(out == "café Å")
   }
 
-  test("plan shape: scrub is a single codegen projection, no shuffle") {
+  test("plan shape: scrub is a single codegen projection, no key shuffle") {
     val d = docs((1L, "x@y.io"))
     val plan = PiiScrub.profile(d).queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
+    // the only permitted exchange is the conditional round-robin input
+    // spread (a no-op whenever the scan yields >= defaultParallelism
+    // splits, i.e. at any real corpus scale); the scrub itself must
+    // never shuffle by key
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
     assert(!plan.toLowerCase.contains("batchevalpython"))
     // no scala UDF either — built-in regexp expressions only
     assert(!plan.contains("UDF"), plan)
