@@ -246,7 +246,7 @@ object Corpus {
   private def sha8(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(StandardCharsets.UTF_8))
-    d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    graft.core.Hex.encode(d.take(4))
   }
 
   // ---- HTML ----------------------------------------------------------
@@ -545,7 +545,7 @@ $paras
       .map(_ => s"${paragraph(r, 2)}\\par").mkString("\n")
     // v21: some rows carry embedded content — a \pict image and/or an
     // \objdata OLE 1.0 Package (exercises the RTF embedded-object path)
-    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    def hex(b: Array[Byte]) = graft.core.Hex.encode(b)
     val pict =
       if (index % 4 == 1)
         "{\\pict\\pngblip\\picw8\\pich8 " + hex(MediaCorpus.png(r)) + "}\\par\n"
@@ -841,7 +841,7 @@ end"""
     val o = PdfCrypto.computeO(Array.emptyByteArray, Array.emptyByteArray, 3, keyLen)
     val key = PdfCrypto.fileKey(o, p, id0, 3, keyLen)
     val u = PdfCrypto.computeU(key, id0, 3)
-    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    def hex(b: Array[Byte]) = graft.core.Hex.encode(b)
     def encFor(num: Int) = PdfCrypto.objectKey(key, num, 0)
     val encContent = PdfCrypto.rc4(encFor(5), content)
     val encTitle = PdfCrypto.rc4(encFor(6), title.getBytes(StandardCharsets.ISO_8859_1))
@@ -885,7 +885,7 @@ end"""
     val salts = Array.tabulate[Byte](32)(_ => r.nextInt(256).toByte)
     val p = -44L
     val (u, ue, o, oe, perms) = PdfCrypto.computeR6Entries(fileKey, salts, p)
-    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    def hex(b: Array[Byte]) = graft.core.Hex.encode(b)
     val iv = Array.tabulate[Byte](16)(_ => r.nextInt(256).toByte)
     val encContent = PdfCrypto.aesEncrypt(fileKey, iv, content)
     val encTitle = PdfCrypto.aesEncrypt(fileKey, iv,
@@ -1025,7 +1025,14 @@ end"""
   /** Highly compressible container (repeated content) for the bomb-guard
     * path — decompresses far larger than its compressed size.
     */
-  def bombZip(r: Random): Array[Byte] = {
+  def bombZip(r: Random): Array[Byte] = bombZipBytes.clone()
+
+  /** bombZip's output is a CONSTANT (fixed content, name, timestamp):
+    * memoized so the 2 MB deflate runs once per JVM instead of per
+    * generated row — byte-identical output, measured as the largest
+    * single generation cost in the extraction-query cpu profile.
+    */
+  private lazy val bombZipBytes: Array[Byte] = {
     val big = ("A" * 4096) * 512 // 2 MB of 'A' → tiny deflate
     zip(Seq("big.txt" -> big.getBytes(StandardCharsets.UTF_8)))
   }
