@@ -28,7 +28,13 @@ object BenchExtra {
     s
   }
 
-  def main(args: Array[String]): Unit = args(0) match {
+  private val Usage =
+    """usage: runMain graft.BenchExtra queries <sfDir> <reps> <name1,name2,...>
+      |       runMain graft.BenchExtra jobdiag <sfDir> <queryName>
+      |       runMain graft.BenchExtra q39diag <sfDir>
+      |       runMain graft.BenchExtra cpuprof <nDocs> [kind]""".stripMargin
+
+  def main(args: Array[String]): Unit = args.headOption.getOrElse("") match {
     case "queries" =>
       val sfDir = args(1)
       val reps = args(2).toInt
@@ -106,7 +112,10 @@ object BenchExtra {
       val sfDir = args(1)
       val name = args(2)
       val spark = session()
-      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      // java.lang.Long values so a missing entry surfaces as null
+      // instead of an unboxing NPE (job-start events can be dropped
+      // under listener-bus load)
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(
@@ -114,8 +123,9 @@ object BenchExtra {
             jobs.put(e.jobId, System.nanoTime())
           override def onJobEnd(
               e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            val t0 = jobs.remove(e.jobId)
-            println(f"[jobdiag] job=${e.jobId} ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+            val t0 = jobs.remove(e.jobId) // null when the start event was dropped
+            if (t0 != null)
+              println(f"[jobdiag] job=${e.jobId} ${(System.nanoTime() - t0) / 1e6}%.0f ms")
           }
         })
       (1 to 2).foreach { rep =>
@@ -148,5 +158,11 @@ object BenchExtra {
         println(f"[q39diag] rep$rep total ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
       spark.stop()
+
+    case other =>
+      System.err.println(
+        (if (other.isEmpty) "missing subcommand" else s"unknown subcommand '$other'") +
+          "\n" + Usage)
+      sys.exit(2)
   }
 }

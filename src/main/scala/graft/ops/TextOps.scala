@@ -28,6 +28,17 @@ object TextOps {
     * key-aggregated (order-dependent double-sums never ride this path).
     */
   private[graft] def spread(df: DataFrame): DataFrame = {
+    // guard rails for arbitrary callers: streaming plans cannot be
+    // probed, and a plan that already contains an exchange would have
+    // its upstream stages EXECUTED by the .rdd partition probe (AQE
+    // materializes query stages) — such plans get full-width
+    // parallelism from their own shuffle anyway, so pass them through
+    if (df.isStreaming) return df
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (hasExchange) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }

@@ -66,35 +66,71 @@ object ZipUtil {
     else cenEntries(zipBytes, password)
   }
 
-  /** Any central-directory entry with GP bit 0 set? Resolves the zip64
-    * EOCD indirection like cenEntries so encrypted zip64 archives do
-    * not bypass the crypto-aware walk.
+  /** Resolved central-directory location: record-walk start offset,
+    * declared record count, and the prepended-prefix shift. ONE
+    * resolver (classic EOCD + zip64 locator/EOCD64 override + the
+    * SFX-prefix shift heuristic) shared by every CEN walk so the
+    * resolution logic cannot diverge between them.
     */
-  private def cenHasEncrypted(b: Array[Byte]): Boolean = {
+  private final case class CdLoc(start: Int, total: Int, shift: Long)
+
+  private def locateCentralDirectory(b: Array[Byte]): CdLoc = {
     val eocd = findEocd(b)
-    if (eocd < 0) return false
+    if (eocd < 0) throw new IllegalStateException("no end-of-central-directory")
     var cdOff = le32(b, eocd + 16)
     var total = le16(b, eocd + 10)
+    // zip64: locator (PK\6\7) directly precedes the EOCD
     var cdSize = le32(b, eocd + 12)
-    var cdEndAnchor = eocd.toLong
+    var cdEndAnchor = eocd.toLong // where the central directory must end
     if ((cdOff == 0xffffffffL || total == 0xffff) && eocd >= 20 &&
         b(eocd - 20) == 'P' && b(eocd - 19) == 'K' &&
         b(eocd - 18) == 6 && b(eocd - 17) == 7) {
-      val eocd64 = le32(b, eocd - 12).toInt
+      val eocd64 = le32(b, eocd - 12).toInt // low half is enough in-row
       if (eocd64 >= 0 && eocd64 + 56 <= b.length &&
           b(eocd64) == 'P' && b(eocd64 + 1) == 'K' &&
           b(eocd64 + 2) == 6 && b(eocd64 + 3) == 6) {
         total = le32(b, eocd64 + 32).toInt
         cdSize = le32(b, eocd64 + 40)
         cdOff = le32(b, eocd64 + 48)
-        cdEndAnchor = eocd64.toLong // the CD ends at the zip64 EOCD
+        // with zip64 the CD is followed by the zip64 EOCD, not the
+        // classic one -- anchor the prefix-shift heuristic there
+        cdEndAnchor = eocd64.toLong
       }
     }
-    // same prefix-shift rule as cenEntries
+    // archives with prepended bytes (SFX stubs, crafted offsets) shift
+    // every stored offset by the prefix length: anchor - (cdOff+cdSize)
     val shift = math.max(0L, cdEndAnchor - (cdOff + cdSize))
-    var p = (cdOff + shift).toInt
+    CdLoc((cdOff + shift).toInt, total, shift)
+  }
+
+  private lazy val cp437Charset: java.nio.charset.Charset =
+    try java.nio.charset.Charset.forName("IBM437")
+    catch { case _: Exception => java.nio.charset.StandardCharsets.ISO_8859_1 }
+
+  /** CEN entry-name decode: UTF-8 when GP bit 11 says so; otherwise
+    * sniffed multi-byte charsets (GBK/Big5/SJIS names are common in
+    * real archives and carry no flag), cp437 per APPNOTE as the
+    * fallback. Shared by the full and names-only walks.
+    */
+  private def decodeName(flags: Int, nameBytes: Array[Byte]): String =
+    if ((flags & 0x800) != 0)
+      new String(nameBytes, java.nio.charset.StandardCharsets.UTF_8)
+    else graft.mime.MbCharsets.detect(nameBytes, nameBytes.length) match {
+      case Some(cs) => new String(nameBytes, cs)
+      case None => new String(nameBytes, cp437Charset)
+    }
+
+  /** Any central-directory entry with GP bit 0 set? Resolves the zip64
+    * EOCD indirection like cenEntries so encrypted zip64 archives do
+    * not bypass the crypto-aware walk.
+    */
+  private def cenHasEncrypted(b: Array[Byte]): Boolean = {
+    val loc =
+      try locateCentralDirectory(b)
+      catch { case _: IllegalStateException => return false }
+    var p = loc.start
     var n = 0
-    while (n < total && p >= 0 && p + 46 <= b.length &&
+    while (n < loc.total && p >= 0 && p + 46 <= b.length &&
         b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 1 && b(p + 3) == 2) {
       if ((le16(b, p + 8) & 0x1) != 0) return true
       p += 46 + le16(b, p + 28) + le16(b, p + 30) + le16(b, p + 32)
@@ -349,39 +385,14 @@ object ZipUtil {
   private def cenEntries(zipBytes: Array[Byte],
       password: Option[String]): Walk = {
     val b = zipBytes
-    val eocd = findEocd(b)
-    if (eocd < 0) throw new IllegalStateException("no end-of-central-directory")
-    var cdOff = le32(b, eocd + 16)
-    var total = le16(b, eocd + 10)
-    // zip64: locator (PK\6\7) directly precedes the EOCD
-    var cdSize = le32(b, eocd + 12)
-    var cdEndAnchor = eocd.toLong // where the central directory must end
-    if ((cdOff == 0xffffffffL || total == 0xffff) && eocd >= 20 &&
-        b(eocd - 20) == 'P' && b(eocd - 19) == 'K' &&
-        b(eocd - 18) == 6 && b(eocd - 17) == 7) {
-      val eocd64 = le32(b, eocd - 12).toInt // low half is enough in-row
-      if (eocd64 >= 0 && eocd64 + 56 <= b.length &&
-          b(eocd64) == 'P' && b(eocd64 + 1) == 'K' &&
-          b(eocd64 + 2) == 6 && b(eocd64 + 3) == 6) {
-        total = le32(b, eocd64 + 32).toInt
-        cdSize = le32(b, eocd64 + 40)
-        cdOff = le32(b, eocd64 + 48)
-        // with zip64 the CD is followed by the zip64 EOCD, not the
-        // classic one — anchor the prefix-shift heuristic there
-        cdEndAnchor = eocd64.toLong
-      }
-    }
-    // archives with prepended bytes (SFX stubs, crafted offsets) shift
-    // every stored offset by the prefix length: anchor − (cdOff+cdSize)
-    val shift = math.max(0L, cdEndAnchor - (cdOff + cdSize))
+    val loc = locateCentralDirectory(b)
+    val total = loc.total
+    val shift = loc.shift
     val out = new ArrayBuffer[Entry]()
     val encNames = new ArrayBuffer[String]()
     var totalOut = 0L
-    var p = (cdOff + shift).toInt
+    var p = loc.start
     var n = 0
-    val cp437 =
-      try java.nio.charset.Charset.forName("IBM437")
-      catch { case _: Exception => java.nio.charset.StandardCharsets.ISO_8859_1 }
     while (n < total && p + 46 <= b.length &&
         b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 1 && b(p + 3) == 2) {
       val flags = le16(b, p + 8)
@@ -393,15 +404,7 @@ object ZipUtil {
       val commentLen = le16(b, p + 32)
       var localOff = le32(b, p + 42)
       val nameBytes = java.util.Arrays.copyOfRange(b, p + 46, p + 46 + nameLen)
-      val utf8 = (flags & 0x800) != 0
-      val name =
-        if (utf8) new String(nameBytes, java.nio.charset.StandardCharsets.UTF_8)
-        else graft.mime.MbCharsets.detect(nameBytes, nameBytes.length) match {
-          // GBK/Big5/SJIS entry names are common in real archives and
-          // carry no flag — sniff them like the statistical text chain
-          case Some(cs) => new String(nameBytes, cs)
-          case None => new String(nameBytes, cp437)
-        }
+      val name = decodeName(flags, nameBytes)
       // zip64 extended-info extra field (id 0x0001) overrides 0xFFFFFFFF
       var xp = p + 46 + nameLen
       val xEnd = xp + extraLen
@@ -584,37 +587,15 @@ object ZipUtil {
 
   /** Names-only central-directory walk: every CEN record's name
     * (directory and encrypted members included), NO payload decode.
-    * Strict — any truncation or record-count mismatch throws so the
+    * Strict -- any truncation or record-count mismatch throws so the
     * caller can fall back to the streaming reader.
     */
   private def cenNames(b: Array[Byte]): Vector[String] = {
-    val eocd = findEocd(b)
-    if (eocd < 0) throw new IllegalStateException("no end-of-central-directory")
-    var cdOff = le32(b, eocd + 16)
-    var total = le16(b, eocd + 10)
-    var cdSize = le32(b, eocd + 12)
-    var cdEndAnchor = eocd.toLong
-    if ((cdOff == 0xffffffffL || total == 0xffff) && eocd >= 20 &&
-        b(eocd - 20) == 'P' && b(eocd - 19) == 'K' &&
-        b(eocd - 18) == 6 && b(eocd - 17) == 7) {
-      val eocd64 = le32(b, eocd - 12).toInt
-      if (eocd64 >= 0 && eocd64 + 56 <= b.length &&
-          b(eocd64) == 'P' && b(eocd64 + 1) == 'K' &&
-          b(eocd64 + 2) == 6 && b(eocd64 + 3) == 6) {
-        total = le32(b, eocd64 + 32).toInt
-        cdSize = le32(b, eocd64 + 40)
-        cdOff = le32(b, eocd64 + 48)
-        cdEndAnchor = eocd64.toLong
-      }
-    }
-    val shift = math.max(0L, cdEndAnchor - (cdOff + cdSize))
-    val cp437 =
-      try java.nio.charset.Charset.forName("IBM437")
-      catch { case _: Exception => java.nio.charset.StandardCharsets.ISO_8859_1 }
+    val loc = locateCentralDirectory(b)
     val out = new ArrayBuffer[String]()
-    var p = (cdOff + shift).toInt
+    var p = loc.start
     var n = 0
-    while (n < total) {
+    while (n < loc.total) {
       if (!(p >= 0 && p + 46 <= b.length &&
           b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 1 && b(p + 3) == 2))
         throw new IllegalStateException("central directory walk broke")
@@ -624,13 +605,8 @@ object ZipUtil {
       val commentLen = le16(b, p + 32)
       if (p + 46 + nameLen > b.length)
         throw new IllegalStateException("cen name overrun")
-      val nameBytes = java.util.Arrays.copyOfRange(b, p + 46, p + 46 + nameLen)
-      out += (if ((flags & 0x800) != 0)
-          new String(nameBytes, java.nio.charset.StandardCharsets.UTF_8)
-        else graft.mime.MbCharsets.detect(nameBytes, nameBytes.length) match {
-          case Some(cs) => new String(nameBytes, cs)
-          case None => new String(nameBytes, cp437)
-        })
+      out += decodeName(flags,
+        java.util.Arrays.copyOfRange(b, p + 46, p + 46 + nameLen))
       p += 46 + nameLen + extraLen + commentLen
       n += 1
     }
@@ -656,7 +632,17 @@ object ZipUtil {
           zin.closeEntry()
           e = zin.getNextEntry
         }
-      } catch { case _: Exception => () }
+      } catch {
+        case _: Exception =>
+          // streaming broke mid-walk (stored entries with data
+          // descriptors, encrypted members): the LENIENT full CEN walk
+          // (which stops gracefully at a bad record) may still recover
+          // the complete list -- the pre-round-6 recovery order
+          try {
+            val cen = entries(zipBytes).map(_.name)
+            if (cen.nonEmpty) { out.clear(); out ++= cen }
+          } catch { case _: Exception => () }
+      }
       finally zin.close()
       out.toVector
     }

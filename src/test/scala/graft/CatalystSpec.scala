@@ -149,6 +149,7 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     // only the conditional round-robin input spread may appear (no-op
     // at real corpus scale); the signals themselves never shuffle by key
     assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
     // native array expressions, not interpreted lambdas
     assert(!plan.contains("lambdafunction"), plan)
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
